@@ -1,0 +1,273 @@
+"""Hierarchy dimension engine: adjacency list -> reporting dim + closure.
+
+Spark-first reimplementation of the reference's ``HierarchyDimension``
+(reference classes/hierarchy_dimension_table.py:46-223), which generates
+two DuckDB recursive CTEs. Differences by design:
+
+- ONE depth-bounded iterative walk (plain broadcast-join + union per
+  level) materializes each node's root-to-self path as
+  ``array<struct>``; the transitive closure ("aggregation dim") is then
+  derived by ``posexplode`` of that path — the reference's *second*
+  recursive CTE (ref :167-223) is unnecessary.
+- Sibling order is DETERMINISTIC: a sort-key path (array of the sibling
+  sort key at each level) replaces the reference's ``row_number`` over a
+  stringified UUID path (ref :133-139), which is non-deterministic per
+  build and a single-partition window besides. The dense
+  ``node_sort_order`` integer is computed scalably (range-partition +
+  per-partition row_number + offsets), not with a global window.
+- Cycles / over-deep hierarchies raise instead of looping forever
+  (the reference's CTEs would spin on cyclic input).
+
+Output column contract mirrors the reference:
+
+reporting dim (ref :156-160): node_id, <attr columns...>,
+  parent_node_id, is_root, is_leaf, level_number, node_sort_order,
+  node_json struct, level_{i}_{col} flattened path columns.
+aggregation dim / closure (ref :197-218): ancestor_<col> +
+  descendant_<col> for every reporting column except parent_node_id and
+  the struct/path columns, plus net_level = descendant_level_number -
+  ancestor_level_number. Self-pairs included (net_level = 0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.operators.ranking import global_row_number
+
+__all__ = ["HierarchyDimension", "prepare_nodes"]
+
+_INTERNAL_COLS = ("node_json", "node_json_path", "_sort_path")
+
+
+def prepare_nodes(
+    nodes: DataFrame,
+    node_id_col: str = "node_id",
+    parent_node_id_col: str = "parent_node_id",
+) -> DataFrame:
+    """Normalize an adjacency-list dimension (ref :83-96).
+
+    Renames the id columns to ``node_id`` / ``parent_node_id``, keeps all
+    other columns as node attributes, and derives:
+
+    - ``is_root``: parent id IS NULL (ref :89-90)
+    - ``is_leaf``: node id never appears as anyone's parent — the
+      reference uses ``NOT IN (subquery)`` (ref :91-93); we use a
+      left-anti join against the distinct parent ids, which Catalyst
+      plans as a (broadcast) anti hash join instead of a correlated
+      subquery.
+    """
+    attrs = [c for c in nodes.columns if c not in (node_id_col, parent_node_id_col)]
+    df = nodes.select(
+        F.col(node_id_col).alias("node_id"),
+        *attrs,
+        F.col(parent_node_id_col).alias("parent_node_id"),
+    ).withColumn("is_root", F.col("parent_node_id").isNull())
+    parents = df.filter(F.col("parent_node_id").isNotNull()).select(
+        F.col("parent_node_id").alias("node_id")
+    ).distinct()
+    non_leaves = df.join(F.broadcast(parents), "node_id", "left_semi").select(
+        "node_id", F.lit(False).alias("is_leaf")
+    )
+    # anti side: leaves
+    return (
+        df.join(F.broadcast(non_leaves), "node_id", "left")
+        .withColumn("is_leaf", F.coalesce(F.col("is_leaf"), F.lit(True)))
+    )
+
+
+class HierarchyDimension:
+    """Build reporting + aggregation (closure) dims from an adjacency list.
+
+    Parameters
+    ----------
+    nodes : DataFrame with one row per node.
+    node_id_col / parent_node_id_col : adjacency columns (self-FK).
+    sort_key_col : column ordering SIBLINGS deterministically. Defaults
+        to ``node_natural_key`` when present else the node id. (The
+        reference orders by stringified UUID paths — non-deterministic;
+        SURVEY.md §7.5.1.)
+    max_depth : recursion guard; a frontier still non-empty at this
+        depth (cycle, or genuinely deeper) raises ValueError.
+    flatten_levels : number of ``level_{i}_*`` column groups in the
+        reporting dim (the reference hardcodes 10; ref :147).
+    materialize : cache the walk result (it feeds both dims), mirroring
+        the reference's CTAS-then-reread (ref :162-173).
+    """
+
+    def __init__(
+        self,
+        nodes: DataFrame,
+        node_id_col: str = "node_id",
+        parent_node_id_col: str = "parent_node_id",
+        *,
+        dimension_name: str = "dim",
+        sort_key_col: str | None = None,
+        max_depth: int = 32,
+        flatten_levels: int = 10,
+        materialize: bool = True,
+    ):
+        self.dimension_name = dimension_name
+        self.max_depth = max_depth
+        self.flatten_levels = flatten_levels
+        self.nodes = prepare_nodes(nodes, node_id_col, parent_node_id_col)
+        if sort_key_col is None:
+            sort_key_col = (
+                "node_natural_key" if "node_natural_key" in self.nodes.columns else "node_id"
+            )
+        self.sort_key_col = sort_key_col
+        # struct carries every nodes column (ref _create_struct_literal
+        # iterates the nodes query's columns; ref :25-43,102-109)
+        self._struct_cols = list(self.nodes.columns)
+
+        self._walked = self._walk()
+        if materialize:
+            self._walked = self._walked.cache()
+        self.reporting_dim = self._build_reporting_dim()
+        self.aggregation_dim = self._build_aggregation_dim()
+
+    # -- stage 1: level-bounded walk ------------------------------------
+    def _level_struct(self, level: Column) -> Column:
+        return F.struct(
+            *[F.col(c) for c in self._struct_cols], level.alias("level_number")
+        )
+
+    def _walk(self) -> DataFrame:
+        """Root-down walk carrying level_number, node_json_path and the
+        deterministic sort-key path.
+
+        Equivalent to the reference's first recursive CTE (ref :111-131)
+        but as an explicit loop: each iteration is one broadcast-able
+        equi-join child.parent_node_id = frontier.node_id plus a union.
+        Iteration count = hierarchy depth (not data size), so lineage
+        stays shallow; each frontier is cached and the loop stops on an
+        empty frontier.
+        """
+        nodes = self.nodes
+        sort_key = F.col(self.sort_key_col)
+        frontier = nodes.filter(F.col("is_root")).select(
+            *nodes.columns,
+            F.lit(1).alias("level_number"),
+            F.array(self._level_struct(F.lit(1))).alias("node_json_path"),
+            F.array(sort_key).alias("_sort_path"),
+        )
+        levels = [frontier.cache()]
+        depth = 1
+        while True:
+            parent = levels[-1].select(
+                F.col("node_id").alias("_p_id"),
+                F.col("level_number").alias("_p_level"),
+                F.col("node_json_path").alias("_p_path"),
+                F.col("_sort_path").alias("_p_sort"),
+            )
+            lvl = F.col("_p_level") + F.lit(1)
+            child = (
+                nodes.join(parent, nodes["parent_node_id"] == parent["_p_id"], "inner")
+                .select(
+                    *nodes.columns,
+                    lvl.alias("level_number"),
+                    F.array_append(
+                        F.col("_p_path"), self._level_struct(lvl)
+                    ).alias("node_json_path"),
+                    F.array_append(F.col("_p_sort"), sort_key).alias("_sort_path"),
+                )
+            )
+            if child.isEmpty():
+                break
+            depth += 1
+            if depth > self.max_depth:
+                raise ValueError(
+                    f"hierarchy deeper than max_depth={self.max_depth} "
+                    "(cycle in parent_node_id, or raise max_depth)"
+                )
+            levels.append(child.cache())
+
+        walked = levels[0]
+        for lv in levels[1:]:
+            walked = walked.unionByName(lv)
+        # dense depth-first order without a single-partition window
+        return global_row_number(walked, ["_sort_path"], "node_sort_order")
+
+    # -- stage 2: reporting dim -----------------------------------------
+    def _build_reporting_dim(self) -> DataFrame:
+        """Flattened reporting dim (ref :133-160): node columns +
+        level_number + node_sort_order + rebuilt node_json + the
+        level_{1..N}_{col} root-to-self path columns."""
+        w = self._walked
+        node_json = F.struct(
+            *[F.col(c) for c in self._struct_cols],
+            F.col("level_number"),
+            F.col("node_sort_order"),
+        )
+        flat_fields = [
+            c for c in self._struct_cols if c not in ("is_root", "is_leaf")
+        ] + ["level_number"]
+        level_cols = []
+        for i in range(1, self.flatten_levels + 1):
+            # 1-based like DuckDB list_extract; try_ variant for NULL
+            # (not error) past the path end under Spark 4 ANSI mode
+            elem = F.try_element_at(F.col("node_json_path"), F.lit(i))
+            for c in flat_fields:
+                level_cols.append(elem.getField(c).alias(f"level_{i}_{c}"))
+        return w.select(
+            *self.nodes.columns,
+            "level_number",
+            "node_sort_order",
+            node_json.alias("node_json"),
+            *level_cols,
+        )
+
+    # -- stage 3: aggregation dim (transitive closure) -------------------
+    def _build_aggregation_dim(self) -> DataFrame:
+        """Closure of the hierarchy: one row per (ancestor, descendant)
+        pair including self-pairs, net_level = depth delta (ref :167-218).
+
+        Derivation: every ancestor of a node already sits in the node's
+        materialized root-to-self path, so ``posexplode(node_json_path)``
+        yields exactly the closure — sum(depth(n)) skinny rows, no second
+        recursion. Ancestor node_sort_order (computed after the walk) is
+        filled by a broadcast self-join on ancestor node_id.
+        """
+        w = self._walked
+        exploded = w.select(
+            *[F.col(c).alias(f"descendant_{c}") for c in self._attr_out_cols()],
+            F.col("level_number").alias("descendant_level_number"),
+            F.col("node_sort_order").alias("descendant_node_sort_order"),
+            F.posexplode("node_json_path").alias("_pos", "_anc"),
+        )
+        anc = F.col("_anc")
+        closure = exploded.select(
+            *[anc.getField(c).alias(f"ancestor_{c}") for c in self._attr_out_cols()],
+            (F.col("_pos") + 1).alias("ancestor_level_number"),
+            *[F.col(f"descendant_{c}") for c in self._attr_out_cols()],
+            F.col("descendant_level_number"),
+            F.col("descendant_node_sort_order"),
+        )
+        sort_orders = w.select(
+            F.col("node_id").alias("ancestor_node_id"),
+            F.col("node_sort_order").alias("ancestor_node_sort_order"),
+        )
+        closure = closure.join(F.broadcast(sort_orders), "ancestor_node_id", "left")
+        anc_cols = [f"ancestor_{c}" for c in self._attr_out_cols()] + [
+            "ancestor_level_number",
+            "ancestor_node_sort_order",
+        ]
+        desc_cols = [f"descendant_{c}" for c in self._attr_out_cols()] + [
+            "descendant_level_number",
+            "descendant_node_sort_order",
+        ]
+        return closure.select(
+            *anc_cols,
+            *desc_cols,
+            (F.col("descendant_level_number") - F.col("ancestor_level_number")).alias(
+                "net_level"
+            ),
+        )
+
+    def _attr_out_cols(self) -> list[str]:
+        # closure columns exclude parent_node_id (ref :199,207)
+        return [c for c in self._struct_cols if c != "parent_node_id"]
+
+    def unpersist(self) -> None:
+        self._walked.unpersist()

@@ -1,0 +1,54 @@
+"""Scalable global ranking helpers.
+
+The reference assigns its depth-first display order with
+``ROW_NUMBER() OVER (ORDER BY ...)`` — an UNPARTITIONED window
+(reference classes/hierarchy_dimension_table.py:133-139), which Spark
+executes on a single partition: a scale cliff. ``global_row_number``
+computes the same dense 1-based global rank with no single-partition
+stage: range-repartition on the order key, per-partition row_number,
+then add per-partition offsets (partition counts are tiny — one row per
+partition — so collecting them to the driver is O(#partitions)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["global_row_number"]
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "row_num",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense global 1-based rank ordered by ``order_cols``.
+
+    Deterministic when ``order_cols`` is a total order (ties would be
+    broken arbitrarily). RangePartitioner assigns ascending key ranges
+    to ascending partition ids, so partition-local ranks + cumulative
+    partition-count offsets compose into the global rank.
+    """
+    if num_partitions is None:
+        num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    local = ranged.withColumn("_rn", F.row_number().over(w))
+    counts = sorted(
+        (r["_pid"], r["_cnt"])
+        for r in local.groupBy("_pid").agg(F.max("_rn").alias("_cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("_pid")
+    ) if offsets else F.lit(0)
+    return local.withColumn(out_col, (F.col("_rn") + offset_expr).cast("int")).drop(
+        "_pid", "_rn"
+    )

@@ -1,0 +1,93 @@
+"""SparkSession factory and Parquet table loaders.
+
+Replaces the reference's DuckDB file-database connection
+(reference main.py:18-19, create_database.py:17) with Parquet-backed
+DataFrames. Config targets both local[N] testing and large clusters:
+AQE on (runtime re-plan, skew-join handling, partition coalescing),
+Arrow on (fast toPandas / pandas_udf batches), UTC session timezone
+(oracle comparability).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "ibis_olap_aggregation_spark") -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    On a real cluster the master/memory settings come from spark-submit;
+    everything set here is cluster-safe (AQE, Arrow, timezone).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_MASTER"):  # local dev/test default
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+# Columns written as parquet TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects unless spark.sql.legacy.parquet.nanosAsLong=true (it
+# then surfaces them as bigint nanos). We convert back to timestamp_ntz
+# with integer division (ns -> us) — float division would lose precision
+# above 2^53 ns.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar Parquet scan; Catalyst pushes filters/projections into it."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    dtypes = dict(df.dtypes)
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load every testdata table as a dict of DataFrames and register
+    temp views so the SQL API sees the same catalog names."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,398 @@
+"""Named query registry: Spark callable + DuckDB oracle SQL pairs.
+
+Each entry implements one operator/pattern from SURVEY.md §2 (and the
+§7.4 extensions). The driver runs the Spark callable at a given sf_dir
+and the oracle SQL on DuckDB views over the SAME parquet, comparing
+row-count + schema + order-insensitive value hash.
+
+Determinism conventions (so hashes match bit-exactly):
+- SUM over double measures: cast to DECIMAL(18,2) pre-aggregate (exact,
+  associative — immune to partial-agg ordering), cast result to DOUBLE.
+- global ranks (node_sort_order) cast to BIGINT on the Spark side to
+  match DuckDB's row_number() type.
+- every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.fixtures import (
+    GEO_NODES_SQL,
+    PART_NODES_SQL,
+    geo_nodes,
+    grocery_facts,
+    grocery_nodes,
+    part_nodes,
+)
+from ibis_olap_aggregation_spark.functions.scalar import indented
+from ibis_olap_aggregation_spark.hierarchy import HierarchyDimension
+from ibis_olap_aggregation_spark.rollup import hierarchical_rollup
+from ibis_olap_aggregation_spark.session import load_tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def dsum(col: str, alias: str) -> F.Column:
+    """SUM(double) via exact decimal — see module docstring."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+def _geo_dim(spark: SparkSession, sf_dir: str) -> HierarchyDimension:
+    t = load_tables(spark, sf_dir, ("region", "nation", "customer"))
+    return HierarchyDimension(
+        geo_nodes(t["region"], t["nation"], t["customer"]),
+        dimension_name="geo",
+        sort_key_col="node_id",
+        flatten_levels=4,
+    )
+
+
+def _part_dim(spark: SparkSession, sf_dir: str) -> HierarchyDimension:
+    t = load_tables(spark, sf_dir, ("part",))
+    return HierarchyDimension(
+        part_nodes(t["part"]),
+        dimension_name="part",
+        sort_key_col="node_id",
+        flatten_levels=4,
+    )
+
+
+# --------------------------------------------------------------------------
+# Hierarchy core (reference parity: SURVEY.md §2.2-§2.8, main.py:35-55)
+# --------------------------------------------------------------------------
+
+_GROCERY_SQL_PRELUDE = """
+WITH RECURSIVE nodes_base(node_id, node_natural_key, node_name, level_name, parent_node_id) AS (
+  VALUES ('n0', 0, 'All Products', 'Total Products', CAST(NULL AS VARCHAR)),
+         ('n10', 10, 'Produce', 'Category', 'n0'),
+         ('n101', 101, 'Spinach', 'UPC', 'n10'),
+         ('n102', 102, 'Tomatoes', 'UPC', 'n10'),
+         ('n20', 20, 'Candy', 'Category', 'n0'),
+         ('n201', 201, 'Hershey Bar', 'UPC', 'n20'),
+         ('n202', 202, 'Nerds', 'UPC', 'n20')
+),
+facts(product_id, customer_id, date_id, unit_quantity, sales_amount) AS (
+  VALUES (201, 'Phil', DATE '2022-01-01', 1.0, 3.00),
+         (201, 'Lottie', DATE '2022-01-02', 5.0, 15.00),
+         (202, 'Kalie', DATE '2022-01-02', 2.0, 5.00),
+         (102, 'Phil', DATE '2022-01-02', 2.0, 2.00),
+         (101, 'Popeye', DATE '2022-01-03', 10.0, 5.00),
+         (101, 'Brutus', DATE '2022-01-04', 1.0, 0.50),
+         (101, 'Lottie', DATE '2022-01-04', 1.0, 0.50),
+         (101, 'Phil', DATE '2022-01-05', 2.0, 2.00)
+),
+walk AS (
+  SELECT node_id, node_natural_key, node_name, level_name,
+         1 AS level_number, [node_natural_key] AS sort_path
+  FROM nodes_base WHERE parent_node_id IS NULL
+  UNION ALL
+  SELECT n.node_id, n.node_natural_key, n.node_name, n.level_name,
+         w.level_number + 1, list_append(w.sort_path, n.node_natural_key)
+  FROM nodes_base n JOIN walk w ON n.parent_node_id = w.node_id
+),
+so AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY sort_path) AS BIGINT) AS node_sort_order
+  FROM walk
+),
+closure AS (
+  SELECT node_id AS ancestor_node_id, node_id AS descendant_node_id, 0 AS net_level
+  FROM nodes_base
+  UNION ALL
+  SELECT c.ancestor_node_id, n.node_id, c.net_level + 1
+  FROM closure c JOIN nodes_base n ON n.parent_node_id = c.descendant_node_id
+)
+"""
+
+
+@register(
+    "hierarchy_grocery_rollup",
+    _GROCERY_SQL_PRELUDE
+    + """
+SELECT lpad('-', (a.level_number - 1) * 7, '-') || a.node_name AS product_node_name,
+       lpad('-', (a.level_number - 1) * 7, '-') || a.level_name AS product_level_name,
+       a.node_sort_order AS ancestor_node_sort_order,
+       CAST(SUM(CAST(f.sales_amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_sales_amount,
+       CAST(SUM(CAST(f.unit_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_unit_quantity,
+       COUNT(DISTINCT f.customer_id) AS distinct_customer_count,
+       COUNT(*) AS count_of_fact_records
+FROM closure c
+JOIN so a ON a.node_id = c.ancestor_node_id
+JOIN so d ON d.node_id = c.descendant_node_id
+JOIN facts f ON f.product_id = d.node_natural_key
+GROUP BY 1, 2, 3
+""",
+)
+def hierarchy_grocery_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship query verbatim (reference main.py:28-55)
+    on its own grocery fixture: indented names, 4 measures, closure join."""
+    dim = HierarchyDimension(grocery_nodes(spark), dimension_name="product")
+    facts = grocery_facts(spark)
+    agg = dim.aggregation_dim.withColumns(
+        {
+            "ancestor_node_name": indented("ancestor_node_name", "ancestor_level_number"),
+            "ancestor_level_name": indented("ancestor_level_name", "ancestor_level_number"),
+        }
+    )
+    out = hierarchical_rollup(
+        facts,
+        agg,
+        "product_id",
+        [
+            dsum("sales_amount", "sum_sales_amount"),
+            dsum("unit_quantity", "sum_unit_quantity"),
+            F.countDistinct("customer_id").alias("distinct_customer_count"),
+            F.count(F.lit(1)).alias("count_of_fact_records"),
+        ],
+        group_keys=("ancestor_node_name", "ancestor_level_name", "ancestor_node_sort_order"),
+    )
+    return out.select(
+        F.col("ancestor_node_name").alias("product_node_name"),
+        F.col("ancestor_level_name").alias("product_level_name"),
+        F.col("ancestor_node_sort_order").cast("bigint").alias("ancestor_node_sort_order"),
+        "sum_sales_amount",
+        "sum_unit_quantity",
+        "distinct_customer_count",
+        "count_of_fact_records",
+    )
+
+
+_GEO_PRELUDE = f"""
+WITH RECURSIVE base AS ({GEO_NODES_SQL}),
+nodes AS (
+  SELECT b.*, (b.parent_node_id IS NULL) AS is_root,
+         b.node_id NOT IN (SELECT parent_node_id FROM base WHERE parent_node_id IS NOT NULL) AS is_leaf
+  FROM base b
+),
+walk AS (
+  SELECT node_id, node_natural_key, node_name, level_name, parent_node_id,
+         is_root, is_leaf, 1 AS level_number,
+         [node_id] AS path, [node_name] AS name_path
+  FROM nodes WHERE is_root
+  UNION ALL
+  SELECT n.node_id, n.node_natural_key, n.node_name, n.level_name, n.parent_node_id,
+         n.is_root, n.is_leaf, w.level_number + 1,
+         list_append(w.path, n.node_id), list_append(w.name_path, n.node_name)
+  FROM nodes n JOIN walk w ON n.parent_node_id = w.node_id
+),
+so AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY path) AS BIGINT) AS node_sort_order
+  FROM walk
+),
+closure AS (
+  SELECT node_id AS ancestor_node_id, node_id AS descendant_node_id, 0 AS net_level
+  FROM base
+  UNION ALL
+  SELECT c.ancestor_node_id, n.node_id, c.net_level + 1
+  FROM closure c JOIN base n ON n.parent_node_id = c.descendant_node_id
+)
+"""
+
+
+@register(
+    "hierarchy_geo_reporting_dim",
+    _GEO_PRELUDE
+    + """
+SELECT node_id, node_natural_key, node_name, level_name, parent_node_id,
+       is_root, is_leaf, level_number, node_sort_order,
+       name_path[1] AS level_1_node_name, name_path[2] AS level_2_node_name,
+       name_path[3] AS level_3_node_name, name_path[4] AS level_4_node_name
+FROM so
+""",
+)
+def hierarchy_geo_reporting_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reporting dim (ref classes/hierarchy_dimension_table.py:98-165) on
+    the geography hierarchy derived from region/nation/customer."""
+    rep = _geo_dim(spark, sf_dir).reporting_dim
+    return rep.select(
+        "node_id",
+        "node_natural_key",
+        "node_name",
+        "level_name",
+        "parent_node_id",
+        "is_root",
+        "is_leaf",
+        "level_number",
+        F.col("node_sort_order").cast("bigint").alias("node_sort_order"),
+        *[F.col(f"level_{i}_node_name") for i in range(1, 5)],
+    )
+
+
+@register(
+    "hierarchy_geo_closure",
+    _GEO_PRELUDE
+    + """
+SELECT a.node_id AS ancestor_node_id,
+       a.node_natural_key AS ancestor_node_natural_key,
+       a.node_name AS ancestor_node_name,
+       a.level_name AS ancestor_level_name,
+       a.is_root AS ancestor_is_root, a.is_leaf AS ancestor_is_leaf,
+       a.level_number AS ancestor_level_number,
+       a.node_sort_order AS ancestor_node_sort_order,
+       d.node_id AS descendant_node_id,
+       d.node_natural_key AS descendant_node_natural_key,
+       d.node_name AS descendant_node_name,
+       d.level_name AS descendant_level_name,
+       d.is_root AS descendant_is_root, d.is_leaf AS descendant_is_leaf,
+       d.level_number AS descendant_level_number,
+       d.node_sort_order AS descendant_node_sort_order,
+       c.net_level
+FROM closure c
+JOIN so a ON a.node_id = c.ancestor_node_id
+JOIN so d ON d.node_id = c.descendant_node_id
+""",
+)
+def hierarchy_geo_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation dim / transitive closure (ref :167-223) on geography."""
+    agg = _geo_dim(spark, sf_dir).aggregation_dim
+    return agg.select(
+        *[c for c in agg.columns if c not in ("ancestor_node_sort_order", "descendant_node_sort_order")],
+        F.col("ancestor_node_sort_order").cast("bigint").alias("ancestor_node_sort_order"),
+        F.col("descendant_node_sort_order").cast("bigint").alias("descendant_node_sort_order"),
+    ).select(
+        "ancestor_node_id",
+        "ancestor_node_natural_key",
+        "ancestor_node_name",
+        "ancestor_level_name",
+        "ancestor_is_root",
+        "ancestor_is_leaf",
+        "ancestor_level_number",
+        "ancestor_node_sort_order",
+        "descendant_node_id",
+        "descendant_node_natural_key",
+        "descendant_node_name",
+        "descendant_level_name",
+        "descendant_is_root",
+        "descendant_is_leaf",
+        "descendant_level_number",
+        "descendant_node_sort_order",
+        "net_level",
+    )
+
+
+@register(
+    "hierarchy_geo_rollup_orders",
+    _GEO_PRELUDE
+    + """
+SELECT a.node_name AS node_name, a.level_name AS level_name,
+       a.level_number AS level_number, a.node_sort_order AS node_sort_order,
+       CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice,
+       COUNT(DISTINCT f.o_custkey) AS distinct_customer_count,
+       COUNT(*) AS count_of_fact_records
+FROM closure c
+JOIN so a ON a.node_id = c.ancestor_node_id
+JOIN so d ON d.node_id = c.descendant_node_id
+JOIN orders f ON f.o_custkey = d.node_natural_key
+GROUP BY 1, 2, 3, 4
+""",
+)
+def hierarchy_geo_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP at scale: orders rolled up the geography hierarchy —
+    every region/nation/customer node in one flat closure-join groupBy."""
+    dim = _geo_dim(spark, sf_dir)
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    out = hierarchical_rollup(
+        orders,
+        dim.aggregation_dim,
+        "o_custkey",
+        [
+            dsum("o_totalprice", "sum_totalprice"),
+            F.countDistinct("o_custkey").alias("distinct_customer_count"),
+            F.count(F.lit(1)).alias("count_of_fact_records"),
+        ],
+    )
+    return out.select(
+        F.col("ancestor_node_name").alias("node_name"),
+        F.col("ancestor_level_name").alias("level_name"),
+        F.col("ancestor_level_number").alias("level_number"),
+        F.col("ancestor_node_sort_order").cast("bigint").alias("node_sort_order"),
+        "sum_totalprice",
+        "distinct_customer_count",
+        "count_of_fact_records",
+    )
+
+
+_PART_PRELUDE = f"""
+WITH RECURSIVE base AS ({PART_NODES_SQL}),
+walk AS (
+  SELECT node_id, node_natural_key, node_name, level_name, 1 AS level_number,
+         [node_id] AS path
+  FROM base WHERE parent_node_id IS NULL
+  UNION ALL
+  SELECT n.node_id, n.node_natural_key, n.node_name, n.level_name,
+         w.level_number + 1, list_append(w.path, n.node_id)
+  FROM base n JOIN walk w ON n.parent_node_id = w.node_id
+),
+so AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY path) AS BIGINT) AS node_sort_order
+  FROM walk
+),
+closure AS (
+  SELECT node_id AS ancestor_node_id, node_id AS descendant_node_id, 0 AS net_level
+  FROM base
+  UNION ALL
+  SELECT c.ancestor_node_id, n.node_id, c.net_level + 1
+  FROM closure c JOIN base n ON n.parent_node_id = c.descendant_node_id
+)
+"""
+
+
+@register(
+    "hierarchy_part_rollup_lineitem",
+    _PART_PRELUDE
+    + """
+SELECT a.node_name AS node_name, a.level_name AS level_name,
+       a.level_number AS level_number, a.node_sort_order AS node_sort_order,
+       CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_extendedprice,
+       CAST(SUM(CAST(f.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_quantity,
+       COUNT(DISTINCT f.l_orderkey) AS distinct_order_count,
+       COUNT(*) AS count_of_fact_records
+FROM closure c
+JOIN so a ON a.node_id = c.ancestor_node_id
+JOIN so d ON d.node_id = c.descendant_node_id
+JOIN lineitem f ON f.l_partkey = d.node_natural_key
+GROUP BY 1, 2, 3, 4
+""",
+)
+def hierarchy_part_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem rolled up the product hierarchy (root -> brand -> type ->
+    part); non-additive COUNT(DISTINCT l_orderkey) at every node."""
+    dim = _part_dim(spark, sf_dir)
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    out = hierarchical_rollup(
+        li,
+        dim.aggregation_dim,
+        "l_partkey",
+        [
+            dsum("l_extendedprice", "sum_extendedprice"),
+            dsum("l_quantity", "sum_quantity"),
+            F.countDistinct("l_orderkey").alias("distinct_order_count"),
+            F.count(F.lit(1)).alias("count_of_fact_records"),
+        ],
+    )
+    return out.select(
+        F.col("ancestor_node_name").alias("node_name"),
+        F.col("ancestor_level_name").alias("level_name"),
+        F.col("ancestor_level_number").alias("level_number"),
+        F.col("ancestor_node_sort_order").cast("bigint").alias("node_sort_order"),
+        "sum_extendedprice",
+        "sum_quantity",
+        "distinct_order_count",
+        "count_of_fact_records",
+    )

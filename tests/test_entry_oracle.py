@@ -1,0 +1,61 @@
+"""Differential gate mirror: every registry query vs its DuckDB oracle.
+
+Mimics the driver's t2 check (row-count + schema + order-insensitive
+values) locally at sf0.001 so regressions surface in seconds, not at
+round end. Comparison is EXACT (the engine's determinism conventions —
+decimal-exact sums, bigint ranks — are designed for bit-equality).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from ibis_olap_aggregation_spark.session import TABLES
+
+_ORACLE_NAMES = sorted(entry_mod.oracle_sql().keys())
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        key = df.astype(str).agg("|".join, axis=1)
+        df = df.loc[key.sort_values().index].reset_index(drop=True)
+    return df
+
+
+@pytest.mark.parametrize("name", _ORACLE_NAMES)
+def test_query_matches_oracle(spark, sf_small, name):
+    sdf = entry_mod.queries()[name](spark, sf_small).toPandas()
+    odf = run_oracle(entry_mod.oracle_sql()[name], sf_small)
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} != {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: columns {sorted(sdf.columns)} != {sorted(odf.columns)}"
+    )
+    s, o = normalize(sdf), normalize(odf)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+    # dtype drift is a schema-gate risk — surface it as a failure too
+    mismatched = [
+        (c, str(s[c].dtype), str(o[c].dtype))
+        for c in s.columns
+        if str(s[c].dtype) != str(o[c].dtype)
+    ]
+    assert not mismatched, f"{name}: dtype mismatches {mismatched}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_totalprice" in df.columns

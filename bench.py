@@ -1,0 +1,64 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + fetch row count); a
+warmup pass on the smallest table absorbs JVM/session startup so the
+numbers measure the engine, not the JVM boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ibis_olap_aggregation_spark import queries as q
+from ibis_olap_aggregation_spark.session import get_spark, load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship hierarchy rollups + the heaviest operator
+# families. Keep keys stable across rounds so BENCH_r{N}.json is
+# comparable.
+HEADLINE = [
+    "hierarchy_geo_rollup_orders",
+    "hierarchy_part_rollup_lineitem",
+    "hierarchy_geo_closure",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # warmup: touch the JVM + parquet reader once
+    load_table(spark, SF_DIR, "region").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = q.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.count()  # execute fully without driver-side row materialization
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -64,16 +64,17 @@ def prepare_nodes(
         *attrs,
         F.col(parent_node_id_col).alias("parent_node_id"),
     ).withColumn("is_root", F.col("parent_node_id").isNull())
-    parents = df.filter(F.col("parent_node_id").isNotNull()).select(
-        F.col("parent_node_id").alias("node_id")
-    ).distinct()
-    non_leaves = df.join(F.broadcast(parents), "node_id", "left_semi").select(
-        "node_id", F.lit(False).alias("is_leaf")
+    parents = (
+        df.filter(F.col("parent_node_id").isNotNull())
+        .select(F.col("parent_node_id").alias("node_id"))
+        .distinct()
+        .withColumn("_is_parent", F.lit(True))
     )
-    # anti side: leaves
+    # one broadcast left join marks interior nodes; unmatched = leaves
     return (
-        df.join(F.broadcast(non_leaves), "node_id", "left")
-        .withColumn("is_leaf", F.coalesce(F.col("is_leaf"), F.lit(True)))
+        df.join(F.broadcast(parents), "node_id", "left")
+        .withColumn("is_leaf", F.col("_is_parent").isNull())
+        .drop("_is_parent")
     )
 
 
@@ -94,6 +95,11 @@ class HierarchyDimension:
         reporting dim (the reference hardcodes 10; ref :147).
     materialize : cache the walk result (it feeds both dims), mirroring
         the reference's CTAS-then-reread (ref :162-173).
+    strategy : ``"cte"`` = Spark >= 4.0 native WITH RECURSIVE — the
+        whole walk is ONE query (one scheduling round-trip per build);
+        ``"iterative"`` = portable driver loop, one join+union per level
+        (also the path for engines/configs without recursive CTEs);
+        ``"auto"`` = cte when the session supports it, else iterative.
     """
 
     def __init__(
@@ -107,11 +113,18 @@ class HierarchyDimension:
         max_depth: int = 32,
         flatten_levels: int = 10,
         materialize: bool = True,
+        strategy: str = "auto",
     ):
         self.dimension_name = dimension_name
         self.max_depth = max_depth
         self.flatten_levels = flatten_levels
+        self.strategy = strategy
+        # cache: the walk re-joins nodes once per level, and derived node
+        # tables (e.g. DISTINCT-built brand/type levels) would otherwise
+        # re-shuffle on every iteration
         self.nodes = prepare_nodes(nodes, node_id_col, parent_node_id_col)
+        if materialize:
+            self.nodes = self.nodes.cache()
         if sort_key_col is None:
             sort_key_col = (
                 "node_natural_key" if "node_natural_key" in self.nodes.columns else "node_id"
@@ -121,13 +134,68 @@ class HierarchyDimension:
         # iterates the nodes query's columns; ref :25-43,102-109)
         self._struct_cols = list(self.nodes.columns)
 
-        self._walked = self._walk()
+        strat = strategy
+        if strat == "auto":
+            strat = "cte" if self._supports_recursive_cte() else "iterative"
+        self._walked = self._walk_cte() if strat == "cte" else self._walk()
         if materialize:
             self._walked = self._walked.cache()
         self.reporting_dim = self._build_reporting_dim()
         self.aggregation_dim = self._build_aggregation_dim()
 
-    # -- stage 1: level-bounded walk ------------------------------------
+    def _supports_recursive_cte(self) -> bool:
+        try:
+            return int(self.nodes.sparkSession.version.split(".")[0]) >= 4
+        except Exception:
+            return False
+
+    # -- stage 1a: one-shot walk via native recursive CTE (Spark >= 4) ---
+    def _walk_cte(self) -> DataFrame:
+        """Same output as _walk() but as a single WITH RECURSIVE query —
+        Catalyst runs the whole fixpoint in one execution (one driver
+        round-trip instead of one per level). Depth guard via
+        spark.sql.cteRecursionLevelLimit; row limit raised so closures of
+        large dims don't trip the 1M default (SURVEY.md §7.5.5)."""
+        spark = self.nodes.sparkSession
+        view = f"_hier_nodes_{self.dimension_name}"
+        self.nodes.createOrReplaceTempView(view)
+        struct_sql = ", ".join(f"'{c}', n.{c}" for c in self._struct_cols)
+        cols = ", ".join(f"n.{c}" for c in self._struct_cols)
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", str(self.max_depth))
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
+        sql = f"""
+        WITH RECURSIVE walk AS (
+          SELECT {cols}, 1 AS level_number,
+                 array(named_struct({struct_sql}, 'level_number', 1)) AS node_json_path,
+                 array(n.{self.sort_key_col}) AS _sort_path
+          FROM {view} n WHERE n.is_root
+          UNION ALL
+          SELECT {cols}, w.level_number + 1,
+                 array_append(w.node_json_path,
+                              named_struct({struct_sql}, 'level_number', w.level_number + 1)),
+                 array_append(w._sort_path, n.{self.sort_key_col})
+          FROM {view} n JOIN walk w ON n.parent_node_id = w.node_id
+        )
+        SELECT * FROM walk
+        """
+        # cache before ranking: the ranker makes three passes over its
+        # input (count, range sampling, shuffle) — without the cache the
+        # whole recursive fixpoint would re-run each time
+        walked = spark.sql(sql).cache()
+        self._levels = [walked]
+        try:
+            # global_row_number runs the first action, so the depth guard
+            # (RECURSION_LEVEL_LIMIT) surfaces here, at construction time
+            return global_row_number(walked, ["_sort_path"], "node_sort_order")
+        except Exception as e:  # noqa: BLE001 - map recursion-limit to our contract
+            if "RECURSION_LEVEL_LIMIT" in str(e):
+                raise ValueError(
+                    f"hierarchy deeper than max_depth={self.max_depth} "
+                    "(cycle in parent_node_id, or raise max_depth)"
+                ) from e
+            raise
+
+    # -- stage 1b: level-bounded walk -----------------------------------
     def _level_struct(self, level: Column) -> Column:
         return F.struct(
             *[F.col(c) for c in self._struct_cols], level.alias("level_number")
@@ -187,7 +255,9 @@ class HierarchyDimension:
         for lv in levels[1:]:
             walked = walked.unionByName(lv)
         # dense depth-first order without a single-partition window
-        return global_row_number(walked, ["_sort_path"], "node_sort_order")
+        ranked = global_row_number(walked, ["_sort_path"], "node_sort_order")
+        self._levels = levels  # unpersisted via unpersist()
+        return ranked
 
     # -- stage 2: reporting dim -----------------------------------------
     def _build_reporting_dim(self) -> DataFrame:
@@ -271,3 +341,6 @@ class HierarchyDimension:
 
     def unpersist(self) -> None:
         self._walked.unpersist()
+        self.nodes.unpersist()
+        for lv in getattr(self, "_levels", ()):
+            lv.unpersist()

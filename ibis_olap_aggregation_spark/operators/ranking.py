@@ -32,7 +32,11 @@ def global_row_number(
     partition-count offsets compose into the global rank.
     """
     if num_partitions is None:
-        num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        # ~500k rows per range partition, capped at the session shuffle
+        # width: tiny inputs get 1 partition (no per-stage overhead),
+        # huge inputs still spread across the cluster
+        cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        num_partitions = max(1, min(cap, df.count() // 500_000 + 1))
     ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )

@@ -54,24 +54,44 @@ def dsum(col: str, alias: str) -> F.Column:
     return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
 
 
+# Dimensions are ETL artifacts: built once, queried many times (the
+# reference materializes them via CTAS at construction and every query
+# reuses the tables; ref classes/hierarchy_dimension_table.py:162-163,
+# 220-222). Reuse across registry calls mirrors that.
+_DIM_CACHE: dict[tuple[str, int, str], HierarchyDimension] = {}
+
+
+def _cached_dim(kind: str, spark: SparkSession, sf_dir: str, build) -> HierarchyDimension:
+    key = (kind, id(spark), sf_dir)
+    if key not in _DIM_CACHE:
+        _DIM_CACHE[key] = build()
+    return _DIM_CACHE[key]
+
+
 def _geo_dim(spark: SparkSession, sf_dir: str) -> HierarchyDimension:
-    t = load_tables(spark, sf_dir, ("region", "nation", "customer"))
-    return HierarchyDimension(
-        geo_nodes(t["region"], t["nation"], t["customer"]),
-        dimension_name="geo",
-        sort_key_col="node_id",
-        flatten_levels=4,
-    )
+    def build():
+        t = load_tables(spark, sf_dir, ("region", "nation", "customer"))
+        return HierarchyDimension(
+            geo_nodes(t["region"], t["nation"], t["customer"]),
+            dimension_name="geo",
+            sort_key_col="node_id",
+            flatten_levels=4,
+        )
+
+    return _cached_dim("geo", spark, sf_dir, build)
 
 
 def _part_dim(spark: SparkSession, sf_dir: str) -> HierarchyDimension:
-    t = load_tables(spark, sf_dir, ("part",))
-    return HierarchyDimension(
-        part_nodes(t["part"]),
-        dimension_name="part",
-        sort_key_col="node_id",
-        flatten_levels=4,
-    )
+    def build():
+        t = load_tables(spark, sf_dir, ("part",))
+        return HierarchyDimension(
+            part_nodes(t["part"]),
+            dimension_name="part",
+            sort_key_col="node_id",
+            flatten_levels=4,
+        )
+
+    return _cached_dim("part", spark, sf_dir, build)
 
 
 # --------------------------------------------------------------------------

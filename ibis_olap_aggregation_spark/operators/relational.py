@@ -1,0 +1,794 @@
+"""Relational operator library (SURVEY.md §2 + §7.2 batches).
+
+Every operator family the reference exercises — plus the standard
+families it lacks (outer joins, grouping sets, window frames, set ops)
+— as named registry queries over the TPC-H-ish tables, each with a
+DuckDB oracle. DataFrame API on the Spark side (Catalyst plans it);
+ANSI SQL on the oracle side.
+
+Determinism: see queries.py module docstring (decimal-exact sums,
+explicit tie-breaks in every ordering, bigint casts for rank outputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.queries import dsum, register
+from ibis_olap_aggregation_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, names)
+
+
+# --------------------------------------------------------------------------
+# Scans / projections / filters / predicates (§2.1, §2.2)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_project_filter",
+    """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+""",
+)
+def scan_project_filter(spark, sf_dir):
+    """P1/P7: projection + conjunctive predicate; both pushed into the
+    parquet scan by Catalyst (PushedFilters in .explain)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.filter(
+        (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+
+
+@register(
+    "project_rename_derive",
+    """
+SELECT c_custkey AS custkey, upper(c_name) AS name_upper,
+       c_acctbal AS acctbal, c_acctbal * 1.1 AS acctbal_bumped,
+       length(c_mktsegment) AS seg_len
+FROM customer
+""",
+)
+def project_rename_derive(spark, sf_dir):
+    """P2/P3: rename + derived columns (reference main.py:32-34)."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.upper("c_name").alias("name_upper"),
+        F.col("c_acctbal").alias("acctbal"),
+        (F.col("c_acctbal") * 1.1).alias("acctbal_bumped"),
+        F.length("c_mktsegment").cast("bigint").alias("seg_len"),
+    )
+
+
+@register(
+    "case_when_null",
+    """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'F' THEN 'finished'
+            WHEN o_orderstatus = 'O' THEN 'open'
+            ELSE 'other' END AS status_label,
+       (o_orderpriority IS NULL) AS prio_missing,
+       CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_class
+FROM orders
+""",
+)
+def case_when_null(spark, sf_dir):
+    """P4/P5: CASE WHEN + IS NULL (reference :89-93)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_label"),
+        F.col("o_orderpriority").isNull().alias("prio_missing"),
+        F.when(F.col("o_totalprice") > 200000, "big").otherwise("small").alias("size_class"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (§2.3) — inner/left/semi/anti/full-outer/cross
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    """
+SELECT o.o_orderkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def join_inner(spark, sf_dir):
+    """J1: inner equi-join, dim side broadcast (reference main.py:36)."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    return t["orders"].join(
+        F.broadcast(t["customer"]),
+        t["orders"]["o_custkey"] == t["customer"]["c_custkey"],
+        "inner",
+    ).select("o_orderkey", "c_name", "o_totalprice")
+
+
+@register(
+    "join_left_agg",
+    """
+SELECT c.c_custkey, count(o.o_orderkey) AS order_count
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""",
+)
+def join_left_agg(spark, sf_dir):
+    """Left outer join + count — customers with zero orders kept (count 0)."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    j = t["customer"].join(
+        t["orders"], t["customer"]["c_custkey"] == t["orders"]["o_custkey"], "left"
+    )
+    return j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("order_count"))
+
+
+@register(
+    "join_semi",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_semi(spark, sf_dir):
+    """J3/P6: semi-join (EXISTS) — reference uses IN(subquery) (:91-93)."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    return t["customer"].join(
+        t["orders"], t["customer"]["c_custkey"] == t["orders"]["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_anti(spark, sf_dir):
+    """Anti-join (NOT EXISTS) — the is_leaf derivation's dual (:91-93)."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    return t["customer"].join(
+        t["orders"], t["customer"]["c_custkey"] == t["orders"]["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_full_outer",
+    """
+WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+     sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT coalesce(cn.nk, sn.nk) AS nationkey, cn.n_cust, sn.n_supp
+FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+""",
+)
+def join_full_outer(spark, sf_dir):
+    """Full outer join of per-nation customer vs supplier counts."""
+    t = _t(spark, sf_dir, "customer", "supplier")
+    cn = t["customer"].groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    sn = t["supplier"].groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    j = cn.join(sn, cn["nk"] == sn["nk"], "full_outer")
+    return j.select(
+        F.coalesce(cn["nk"], sn["nk"]).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "join_cross",
+    """
+SELECT a.r_name AS left_region, b.r_name AS right_region
+FROM region a CROSS JOIN region b
+""",
+)
+def join_cross(spark, sf_dir):
+    """Cartesian product (small dims only)."""
+    r = _t(spark, sf_dir, "region")["region"]
+    a = r.select(F.col("r_name").alias("left_region"))
+    b = r.select(F.col("r_name").alias("right_region"))
+    return a.crossJoin(b)
+
+
+# --------------------------------------------------------------------------
+# Aggregations (§2.4) — incl. the families the reference lacks
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (A1/A2/A4): multi-key groupBy, derived-measure
+    sums, avg; partial+final hash agg via Catalyst."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1) - dec("l_discount"))
+                * (F.lit(1) + dec("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS distinct_customers,
+       COUNT(*) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_count_distinct(spark, sf_dir):
+    """A3: exact COUNT(DISTINCT) (two-phase expand in Catalyst) + min/max."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "agg_having",
+    """
+SELECT c_nationkey, COUNT(*) AS n_cust
+FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 40
+""",
+)
+def agg_having(spark, sf_dir):
+    """HAVING = post-aggregation filter."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .filter(F.col("n_cust") > 40)
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP over leveled columns — contrast with the closure join,
+    which handles RAGGED hierarchies (SURVEY.md §2.4 A5)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_cube",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def agg_grouping_sets(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    )
+
+
+@register(
+    "agg_filtered",
+    """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS discounted_revenue,
+       COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS big_lines
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_filtered(spark, sf_dir):
+    """Conditional aggregation (FILTER/CASE inside agg)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.sum(
+            F.when(
+                F.col("l_discount") > 0.05, F.col("l_extendedprice").cast("decimal(18,2)")
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("discounted_revenue"),
+        F.count(F.when(F.col("l_quantity") > 25, F.lit(1))).alias("big_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (§2.5) — the reference only has global row_number (W1)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_per_group",
+    """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def window_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer: partitioned row_number + filter —
+    the scalable form of W1 (partitioned, unlike the reference's
+    global window; ref classes/hierarchy_dimension_table.py:133-139)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_rank_dense",
+    """
+SELECT p_partkey, p_brand, p_retailprice,
+       CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS price_rank,
+       CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS price_dense_rank
+FROM part
+""",
+)
+def window_rank_dense(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")["part"]
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).cast("bigint").alias("price_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("price_dense_rank"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+FROM orders
+""",
+)
+def window_lag_lead(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+FROM lineitem
+""",
+)
+def window_running_sum(spark, sf_dir):
+    """Cumulative frame (ROWS UNBOUNDED PRECEDING..CURRENT); total order
+    inside the partition makes the prefix sums engine-identical."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+@register(
+    "window_ntile",
+    """
+SELECT c_custkey, c_acctbal,
+       CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS balance_quartile
+FROM customer
+""",
+)
+def window_ntile(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")["customer"]
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k (§2.6) and set operations (§2.7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_topk",
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+)
+def sort_limit_topk(spark, sf_dir):
+    """Global top-k: Catalyst plans TakeOrderedAndProject (per-partition
+    heap + driver merge), NOT a full global sort."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "setops_union_all",
+    """
+SELECT c_custkey AS key, 'big_balance' AS why FROM customer WHERE c_acctbal > 9000
+UNION ALL
+SELECT c_custkey AS key, 'machinery' AS why FROM customer WHERE c_mktsegment = 'MACHINERY'
+""",
+)
+def setops_union_all(spark, sf_dir):
+    """U1: UNION ALL (bag semantics; overlap kept twice)."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    a = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("key"), F.lit("big_balance").alias("why")
+    )
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("key"), F.lit("machinery").alias("why")
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "setops_intersect",
+    """
+SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9000
+INTERSECT
+SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'MACHINERY'
+""",
+)
+def setops_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")["customer"]
+    a = c.filter(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("key"))
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select(F.col("c_custkey").alias("key"))
+    return a.intersect(b)
+
+
+@register(
+    "setops_except",
+    """
+SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9000
+EXCEPT
+SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'MACHINERY'
+""",
+)
+def setops_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")["customer"]
+    a = c.filter(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("key"))
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select(F.col("c_custkey").alias("key"))
+    return a.exceptAll(b).distinct()
+
+
+@register(
+    "distinct_dedup_exact",
+    """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""",
+)
+def distinct_dedup_exact(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+# --------------------------------------------------------------------------
+# Scalar function pack (§2.8: F1-F15 + standard date/math/conditional)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_pack",
+    """
+SELECT p_partkey,
+       lpad('-', 7, '-') || p_name AS indented_name,
+       upper(p_brand) AS brand_upper,
+       lower(p_type) AS type_lower,
+       replace(p_name, ' ', '_') AS name_snake,
+       substr(p_name, 1, 5) AS name_prefix,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       trim('  ' || p_name || '  ') AS name_trimmed,
+       CAST(strpos(p_name, 'a') AS BIGINT) AS first_a
+FROM part
+""",
+)
+def scalar_string_pack(spark, sf_dir):
+    """F1-F4 string surface: lpad/concat/replace/cast + friends
+    (reference main.py:28-30, hierarchy_dimension_table.py:135-137)."""
+    p = _t(spark, sf_dir, "part")["part"]
+    return p.select(
+        "p_partkey",
+        F.concat(F.lpad(F.lit("-"), 7, "-"), F.col("p_name")).alias("indented_name"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
+        F.instr(F.col("p_name"), "a").cast("bigint").alias("first_a"),
+    )
+
+
+@register(
+    "scalar_math_date_pack",
+    """
+SELECT o_orderkey,
+       CAST(round(o_totalprice, 1) AS DOUBLE) AS price_rounded,
+       CAST(floor(o_totalprice) AS DOUBLE) AS price_floor,
+       CAST(ceil(o_totalprice) AS DOUBLE) AS price_ceil,
+       abs(o_totalprice - 100000.0) AS dist_from_100k,
+       o_orderkey % 7 AS key_mod,
+       date_trunc('month', o_orderdate) AS order_month,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+       o_orderdate + INTERVAL 30 DAY AS due_date
+FROM orders
+""",
+)
+def scalar_math_date_pack(spark, sf_dir):
+    """F5/F13 math + date surface (arithmetic, rounding, truncation,
+    extraction, interval arithmetic)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 1).alias("price_rounded"),
+        F.floor("o_totalprice").cast("double").alias("price_floor"),
+        F.ceil("o_totalprice").cast("double").alias("price_ceil"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("dist_from_100k"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("order_month"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+    )
+
+
+@register(
+    "scalar_struct_array_pack",
+    """
+SELECT n_nationkey,
+       struct_extract({'key': n_nationkey, 'name': n_name, 'region': n_regionkey}, 'name') AS s_name,
+       list_extract([n_nationkey, n_regionkey, n_nationkey + n_regionkey], 2) AS second_elem,
+       list_extract(list_append([n_nationkey, n_regionkey], 99), 3) AS appended,
+       CAST(len([n_nationkey, n_regionkey, 99]) AS INTEGER) AS arr_size,
+       list_extract(list_sort([n_regionkey, n_nationkey, 99]), 1) AS sorted_first
+FROM nation
+""",
+)
+def scalar_struct_array_pack(spark, sf_dir):
+    """F6-F10 struct/array surface: struct literal + extract, array
+    literal, append, 1-based element_at, size, sort — scalar outputs so
+    the oracle hash stays transport-safe."""
+    n = _t(spark, sf_dir, "nation")["nation"]
+    arr = F.array(F.col("n_nationkey"), F.col("n_regionkey"))
+    return n.select(
+        "n_nationkey",
+        F.struct(
+            F.col("n_nationkey").alias("key"),
+            F.col("n_name").alias("name"),
+            F.col("n_regionkey").alias("region"),
+        )
+        .getField("name")
+        .alias("s_name"),
+        F.element_at(
+            F.array(
+                F.col("n_nationkey"),
+                F.col("n_regionkey"),
+                F.col("n_nationkey") + F.col("n_regionkey"),
+            ),
+            2,
+        ).alias("second_elem"),
+        F.element_at(F.array_append(arr, F.lit(99)), 3).alias("appended"),
+        F.size(F.array(F.col("n_nationkey"), F.col("n_regionkey"), F.lit(99))).alias("arr_size"),
+        F.element_at(
+            F.sort_array(F.array(F.col("n_regionkey"), F.col("n_nationkey"), F.lit(99))), 1
+        ).alias("sorted_first"),
+    )
+
+
+@register(
+    "scalar_conditional_pack",
+    """
+SELECT s_suppkey,
+       coalesce(NULLIF(s_name, ''), 'unknown') AS name_or_default,
+       greatest(s_acctbal, 0.0) AS floored_balance,
+       least(s_acctbal, 5000.0) AS capped_balance,
+       CASE WHEN s_acctbal < 0 THEN 'debt' ELSE 'credit' END AS balance_class
+FROM supplier
+""",
+)
+def scalar_conditional_pack(spark, sf_dir):
+    """F14/F15 conditionals: coalesce/nullif/greatest/least/case."""
+    s = _t(spark, sf_dir, "supplier")["supplier"]
+    return s.select(
+        "s_suppkey",
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("unknown")).alias(
+            "name_or_default"
+        ),
+        F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("floored_balance"),
+        F.least(F.col("s_acctbal"), F.lit(5000.0)).alias("capped_balance"),
+        F.when(F.col("s_acctbal") < 0, "debt").otherwise("credit").alias("balance_class"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-join analytical queries (TPC-H shapes — the 100 TB stress path)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+""",
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter broadcast through two joins;
+    filters push into every parquet scan."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    l = t["lineitem"].filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    return (
+        l.join(F.broadcast(o), l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join; small dims broadcast, the fact chain
+    stays un-shuffled until the final aggregation."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    n = t["nation"].join(F.broadcast(r), t["nation"]["n_regionkey"] == r["r_regionkey"])
+    s = t["supplier"].join(F.broadcast(n), t["supplier"]["s_nationkey"] == n["n_nationkey"])
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(t["orders"]), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )

@@ -416,3 +416,8 @@ def hierarchy_part_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
         "distinct_order_count",
         "count_of_fact_records",
     )
+
+
+# Operator-family modules register themselves on import (must stay at
+# the bottom: they import `register` from this module).
+from ibis_olap_aggregation_spark.operators import relational  # noqa: E402,F401

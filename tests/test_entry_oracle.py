@@ -46,10 +46,15 @@ def test_query_matches_oracle(spark, sf_small, name):
     s, o = normalize(sdf), normalize(odf)
     pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
     # dtype drift is a schema-gate risk — surface it as a failure too
+    def _canon(dt: str) -> str:
+        # pandas datetime64 resolution is a transport artifact (Arrow ns
+        # vs duckdb us); the logical type is TIMESTAMP on both sides
+        return "datetime64" if dt.startswith("datetime64") else dt
+
     mismatched = [
         (c, str(s[c].dtype), str(o[c].dtype))
         for c in s.columns
-        if str(s[c].dtype) != str(o[c].dtype)
+        if _canon(str(s[c].dtype)) != _canon(str(o[c].dtype))
     ]
     assert not mismatched, f"{name}: dtype mismatches {mismatched}"
 

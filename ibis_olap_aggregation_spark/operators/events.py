@@ -1,0 +1,249 @@
+"""Event/time-series operators over the `events` table.
+
+The reference has no streaming/temporal surface (SURVEY.md §2.10) — these
+are the §7.4 extensions: tumbling/sliding/session windows, event dedup,
+as-of (nearest-previous) join, JSON extraction. Each query here is the
+BATCH form with a DuckDB oracle; the true Structured Streaming forms
+(watermarks, late data) live in ibis_olap_aggregation_spark/streaming and
+are covered by dedicated tests (streaming DataFrames cannot be collected
+by the driver's oracle gate).
+
+Scale notes (100 TB):
+- window/groupBy aggregations are hash aggs with map-side partial
+  aggregation — one shuffle on (window, keys), no driver data.
+- sessionization uses a window partitioned by user_id: the shuffle is on
+  user_id (high cardinality → even distribution), never a global window.
+- the as-of join is the union-tag + last(ignorenulls) pattern: one shuffle
+  on user_id, linear scan per partition — no range-join blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.queries import dsum, register
+from ibis_olap_aggregation_spark.session import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "events_tumbling_window",
+    """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS event_count,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS distinct_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows: count / sum / distinct users per type.
+
+    Batch twin of streaming tumbling-window agg (F.window also drives the
+    withWatermark streaming form in streaming/engine.py).
+    """
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            dsum("value", "sum_value"),
+            F.countDistinct("user_id").alias("distinct_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "sum_value",
+            "distinct_users",
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    """
+WITH exploded AS (
+  SELECT e.*,
+         time_bucket(INTERVAL '30 minutes', e.ts) - k.k * INTERVAL '30 minutes'
+           AS window_start
+  FROM events e
+  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k
+)
+SELECT window_start,
+       COUNT(*) AS event_count,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM exploded
+GROUP BY 1
+""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour width, 30-minute slide (each event lands in
+    exactly 2 windows). F.window handles the window replication JVM-side."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_count",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_session_window",
+    """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+),
+sessions AS (
+  SELECT *, SUM(is_new_session)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS event_count,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap, via the native
+    F.session_window (same operator Structured Streaming uses for
+    stateful sessionization; here in batch mode).
+
+    session_window.end = last event ts + gap, matching the gap-based
+    lag/cumulative-sum formulation in the oracle.
+    """
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_count",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_dedup_exact",
+    """
+SELECT user_id, event_type, COUNT(*) AS n
+FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
+GROUP BY 1, 2
+""",
+)
+def events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact event dedup on (user_id, event_type, ts) — the batch twin of
+    streaming dropDuplicatesWithinWatermark — then a count per key."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type", "ts"])
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "events_asof_prev_error",
+    """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'error' THEN ts END AS error_ts
+  FROM events
+  WHERE event_type IN ('click', 'error')
+),
+filled AS (
+  SELECT *,
+         last_value(error_ts IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS prev_error_ts
+  FROM tagged
+)
+SELECT user_id, event_id AS click_event_id, ts AS click_ts,
+       epoch_us(prev_error_ts) AS prev_error_micros,
+       epoch_us(ts) - epoch_us(prev_error_ts) AS micros_since_error
+FROM filled
+WHERE event_type = 'click'
+""",
+)
+def events_asof_prev_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the most recent prior error by the
+    same user. Union-tag + last(ignorenulls) over a user-partitioned
+    window — ONE shuffle on user_id, no range-join explosion (the naive
+    theta-join alternative is O(clicks x errors) per user)."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin("click", "error"))
+    tagged = ev.withColumn(
+        "error_ts", F.when(F.col("event_type") == "error", F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn(
+        "prev_error_ts", F.last("error_ts", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+        F.unix_micros(F.col("prev_error_ts").cast("timestamp")).alias(
+            "prev_error_micros"
+        ),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("prev_error_ts").cast("timestamp"))
+        ).alias("micros_since_error"),
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (props is a JSON string column) +
+    aggregate. get_json_object stays JVM-side (no UDF)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+        .cast("bigint")
+        .alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,283 @@
+"""Text-analysis operators over the `documents` table.
+
+Training-data-pipeline surface (no reference counterpart — SURVEY.md
+§7.4): token statistics, quality scoring, corpus-trained language ID,
+document fingerprinting, n-gram profiling. Everything stays JVM-side
+(built-in array/string/lambda expressions — zero Python UDFs), so the
+whole family runs inside whole-stage codegen.
+
+Scale notes (100 TB):
+- per-document stats are map-only (no shuffle at all): they pipeline
+  directly over the parquet scan.
+- the language-ID profile is a tiny (n_langs x top_k) table → broadcast
+  join back onto the token stream; the only big shuffle is the token
+  GROUP BY, which benefits from map-side partial aggregation.
+- corpus n-gram top-k is groupBy + a single top-k (rank over a global
+  window is avoided: count-ordered take via orderBy+limit lets Spark use
+  TakeOrderedAndProject, no single-partition window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.queries import register
+from ibis_olap_aggregation_spark.session import load_table
+
+# tiny function-word list present in the synthetic vocabulary
+STOPWORDS = ("a", "the")
+
+_STOP_SQL = "('a', 'the')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    """Whitespace tokenizer (documents.text is space-separated lowercase)."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+@register(
+    "text_token_stats",
+    """
+WITH tok AS (
+  SELECT doc_id, n_chars, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+)
+SELECT doc_id,
+       n_chars,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_distinct_tokens,
+       CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS total_token_chars,
+       CAST(list_sum(list_transform(t, x -> (len(x) + 3) // 4)) AS BIGINT)
+         AS n_subtokens,
+       ROUND(list_sum(list_transform(t, x -> len(x))) / len(t), 6)
+         AS avg_token_len
+FROM tok
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting: whitespace tokens, distinct tokens,
+    a BPE-ish subtoken estimate (ceil(len/4) pieces per word), avg token
+    length. Map-only — no shuffle."""
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col())
+    tl = "transform(t, x -> length(x))"
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct_tokens"),
+        F.expr(f"aggregate({tl}, 0L, (a, x) -> a + x)").alias("total_token_chars"),
+        F.expr("aggregate(transform(t, x -> (length(x) + 3) div 4), 0L, (a, x) -> a + x)").alias(
+            "n_subtokens"
+        ),
+        F.round(
+            F.expr(f"aggregate({tl}, 0L, (a, x) -> a + x)") / F.size("t"), 6
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         len(t) AS n_tokens,
+         len(list_distinct(t)) / len(t) AS type_token_ratio,
+         len(list_filter(t, x -> x IN {_STOP_SQL})) / len(t) AS stopword_ratio
+  FROM tok
+)
+SELECT doc_id, lang, n_tokens,
+       ROUND(type_token_ratio, 6) AS type_token_ratio,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       ROUND(0.4 * type_token_ratio
+           + 0.4 * (1 - stopword_ratio)
+           + 0.2 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality_score
+FROM m
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: type/token ratio (lexical diversity),
+    stopword ratio, length credit — composed into one [0,1] score.
+    The classic cheap pre-filter stage of a training-data pipeline."""
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col())
+    m = d.select(
+        "doc_id",
+        "lang",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct("t")) / F.size("t")).alias("type_token_ratio"),
+        (
+            F.expr(f"size(filter(t, x -> x IN ({stop})))") / F.size("t")
+        ).alias("stopword_ratio"),
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round("type_token_ratio", 6).alias("type_token_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round(
+            0.4 * F.col("type_token_ratio")
+            + 0.4 * (1 - F.col("stopword_ratio"))
+            + 0.2 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+@register(
+    "text_lang_id_confusion",
+    f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+),
+profile_counts AS (
+  SELECT lang, token, COUNT(*) AS c
+  FROM tok GROUP BY 1, 2
+),
+profile AS (
+  SELECT lang, token, c,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, token) AS rk
+  FROM profile_counts
+),
+doc_tokens AS (
+  SELECT DISTINCT doc_id, lang AS actual_lang, token FROM tok
+),
+scores AS (
+  SELECT d.doc_id, d.actual_lang, p.lang AS candidate_lang,
+         CAST(SUM(p.c) AS BIGINT) AS score
+  FROM doc_tokens d
+  JOIN (SELECT * FROM profile WHERE rk <= 20) p USING (token)
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT *, row_number()
+            OVER (PARTITION BY doc_id ORDER BY score DESC, candidate_lang) AS rk
+  FROM scores
+)
+SELECT actual_lang, candidate_lang AS predicted_lang, COUNT(*) AS n_docs
+FROM best WHERE rk = 1
+GROUP BY 1, 2
+""",
+)
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained n-gram(1) language ID: build per-language top-20
+    token profiles, score each document by overlap weight, predict the
+    argmax language; return the confusion matrix.
+
+    The profile is tiny (langs x 20) → broadcast back onto the token
+    stream; only the token GROUP BYs shuffle (map-side combined)."""
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col())
+    tok = d.select("doc_id", "lang", F.explode("t").alias("token"))
+    profile_counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "token")
+    profile = (
+        profile_counts.withColumn("rk", F.row_number().over(w)).filter("rk <= 20")
+    )
+    doc_tokens = tok.select(
+        "doc_id", F.col("lang").alias("actual_lang"), "token"
+    ).distinct()
+    scores = (
+        doc_tokens.join(F.broadcast(profile.withColumnRenamed("lang", "candidate_lang")), "token")
+        .groupBy("doc_id", "actual_lang", "candidate_lang")
+        .agg(F.sum("c").cast("bigint").alias("score"))
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.desc("score"), "candidate_lang")
+    best = scores.withColumn("rk", F.row_number().over(wb)).filter("rk = 1")
+    return best.groupBy(
+        "actual_lang", F.col("candidate_lang").alias("predicted_lang")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "text_fingerprint",
+    """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t, trim(text) AS norm
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, norm,
+         list_transform(generate_series(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+2], ' ')) AS shingles
+  FROM tok
+)
+SELECT doc_id,
+       md5(norm) AS content_md5,
+       ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp64,
+       CAST(list_min(list_transform(shingles,
+              s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS BIGINT)
+         AS min_shingle_hash
+FROM sh
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-content md5, a 60-bit integer
+    fingerprint, and a min-hash over 3-token shingles (the rolling-hash
+    fingerprint a dedup pipeline keys on). Map-only."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.trim("text").alias("norm"), tokens_col().alias("t")
+    )
+    sh = d.withColumn(
+        "shingles",
+        F.expr(
+            "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"
+        ),
+    )
+    return sh.select(
+        "doc_id",
+        F.md5("norm").alias("content_md5"),
+        F.expr("cast(conv(substr(md5(norm), 1, 15), 16, 10) as bigint)").alias("fp64"),
+        F.expr(
+            "array_min(transform(shingles,"
+            " s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)))"
+        ).alias("min_shingle_hash"),
+    )
+
+
+@register(
+    "text_ngram_topk",
+    """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+1], ' '))) AS bigram
+  FROM tok
+)
+SELECT bigram, COUNT(*) AS n
+FROM bg
+GROUP BY 1
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 word bigrams with a deterministic tie-break.
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k
+    then a tiny driver merge) — never a global sort of all n-grams."""
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col())
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )

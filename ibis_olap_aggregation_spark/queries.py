@@ -422,3 +422,4 @@ def hierarchy_part_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
 # the bottom: they import `register` from this module).
 from ibis_olap_aggregation_spark.operators import relational  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import events  # noqa: E402,F401
+from ibis_olap_aggregation_spark.operators import text  # noqa: E402,F401

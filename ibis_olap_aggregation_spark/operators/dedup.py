@@ -1,0 +1,362 @@
+"""Deduplication operators over `documents` / `embeddings`.
+
+Training-data-pipeline dedup surface (no reference counterpart —
+SURVEY.md §7.4): exact content dedup, MinHash+LSH near-dup candidates,
+SimHash signatures + hamming pairs, n-gram Jaccard verification, and
+embedding-cosine near-dup pairs.
+
+All hash functions are md5-derived 60-bit integers (identical on Spark
+and the DuckDB oracle), never engine-native hash() (Spark xxhash64 and
+DuckDB hash disagree).
+
+Scale notes (100 TB):
+- signatures (minhash / simhash / content md5) are MAP-ONLY: computed
+  per-document with array lambdas inside whole-stage codegen, no Python.
+- LSH candidate generation joins on (band_id, band_hash) — the join key
+  is the bucket, so only same-bucket documents ever meet. This is the
+  scale path: cost ~ sum of bucket^2, never n^2. The verification join
+  (exact Jaccard on candidates) touches only candidate pairs.
+- the all-pairs forms (simhash hamming, cosine pairs) are written over
+  a pre-filtered/blocked pair set at scale; at test sf they run the
+  full cross-join to keep the oracle 1:1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.operators.text import tokens_col
+from ibis_olap_aggregation_spark.queries import register
+from ibis_olap_aggregation_spark.session import load_table
+
+N_MINHASH = 16  # r=1, b=16: one band per hash -> high-recall candidates
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.3
+
+# 60-bit md5-derived hash, identical in both engines
+_SPARK_MD5INT = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+_DUCK_MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def shingles_col(k: int = 3) -> F.Column:
+    """Distinct k-token shingles from the token array column `t`."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(t) - {k - 1}),"
+            f" i -> concat_ws(' ', slice(t, i, {k})))"
+        )
+    )
+
+
+_DUCK_SHINGLES = """
+tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM tok
+)
+"""
+
+
+@register(
+    "dedup_exact_content",
+    """
+SELECT md5(lower(trim(text))) AS content_hash,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize -> md5 -> groupBy hash; the minimum doc_id
+    is the canonical survivor. One shuffle on the hash (uniformly
+    distributed — no skew by construction)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5(F.lower(F.trim("text"))).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+WITH {_DUCK_SHINGLES}
+SELECT doc_id,
+       list_transform(generate_series(0, {N_MINHASH - 1}),
+         i -> list_min(list_transform(shingles,
+                s -> {_DUCK_MD5INT.format(x="i::VARCHAR || '|' || s")}))) AS minhash_sig,
+       len(shingles) AS n_shingles
+FROM sh
+""",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 hash functions over 3-token shingles).
+    Map-only: nested array lambdas, no explode, no shuffle."""
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
+        "shingles", shingles_col()
+    )
+    h = _SPARK_MD5INT.format(x="concat(cast(i as string), '|', s)")
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {N_MINHASH - 1}),"
+            f" i -> array_min(transform(shingles, s -> {h})))"
+        ).alias("minhash_sig"),
+        F.size("shingles").cast("bigint").alias("n_shingles"),
+    )
+
+
+@register(
+    "dedup_minhash_lsh_candidates",
+    f"""
+WITH {_DUCK_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {N_MINHASH - 1}),
+           i -> list_min(list_transform(shingles,
+                  s -> {_DUCK_MD5INT.format(x="i::VARCHAR || '|' || s")}))) AS ms
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, i.i AS band_id, ms[i.i + 1] AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS i) i
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_band_matches
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_band_matches,
+       ROUND(n_band_matches / {N_MINHASH}.0, 6) AS est_jaccard
+FROM cand
+""",
+)
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: explode signatures into (band_id, band_hash)
+    buckets and self-join ON THE BUCKET — only same-bucket docs meet, so
+    cost scales with bucket sizes, not n^2. Signature agreement fraction
+    estimates Jaccard (r=1, b=16 → recall-heavy candidates)."""
+    sig = dedup_minhash_signatures(spark, sf_dir).select("doc_id", "minhash_sig")
+    bands = sig.select(
+        "doc_id", F.posexplode("minhash_sig").alias("band_id", "band_hash")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_band_matches"))
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        "n_band_matches",
+        F.round(F.col("n_band_matches") / F.lit(float(N_MINHASH)), 6).alias(
+            "est_jaccard"
+        ),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    f"""
+WITH {_DUCK_SHINGLES},
+ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+),
+sizes AS (
+  SELECT doc_id, len(shingles) AS n FROM sh
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+""",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the verification stage run on
+    LSH candidates at scale; written over the shingle inverted index here
+    so the oracle is 1:1). Shingle hashes are high-cardinality → the
+    inverted-index join shuffle is skew-free."""
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
+        "shingles", shingles_col()
+    )
+    ex = d.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = d.select("doc_id", F.size("shingles").cast("bigint").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    j = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(j >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", F.round(j, 6).alias("jaccard"))
+    )
+
+
+_DUCK_SIMHASH = f"""
+tokc AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+    FROM documents
+  ) GROUP BY 1, 2
+),
+h AS (
+  SELECT doc_id, {_DUCK_MD5INT.format(x="token")} AS hv, c FROM tokc
+),
+bits AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN c ELSE -c END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b) b
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM bits GROUP BY 1
+)
+"""
+
+
+@register(
+    "dedup_simhash_signatures",
+    f"WITH {_DUCK_SIMHASH} SELECT doc_id, simhash FROM sig",
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: token-frequency-weighted bit votes
+    over md5-derived token hashes. Shuffles only on doc_id (the token
+    count + bit-vote aggregations are map-side combined)."""
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col())
+    tokc = (
+        d.select("doc_id", F.explode("t").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    h = tokc.withColumn("hv", F.expr(_SPARK_MD5INT.format(x="token")))
+    bits = (
+        h.select(
+            "doc_id",
+            "c",
+            "hv",
+            F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"),
+        )
+        .withColumn(
+            "vote",
+            F.when(F.expr("(hv >> b) & 1 = 1"), F.col("c")).otherwise(-F.col("c")),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("simhash")
+        )
+    )
+
+
+@register(
+    "dedup_simhash_near_pairs",
+    f"""
+WITH {_DUCK_SIMHASH}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+""",
+)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance <= 3 over the 32-bit
+    signatures. At scale this join is blocked on signature byte-chunks
+    (pigeonhole: distance<=3 over 4 chunks → one chunk equal); the
+    all-pairs form here keeps the oracle exact at test sf."""
+    sig = dedup_simhash_signatures(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming", F.expr("bit_count(ha ^ hb)").cast("bigint")
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, ROUND(cosine, 6) AS cosine
+FROM p WHERE cosine >= {COSINE_THRESHOLD}
+""",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: exact cosine >= 0.3 over float vectors
+    (cast to double; zip_with/aggregate — JVM-side, no UDF). At scale the
+    pair set is pre-blocked by LSH buckets (see sim_lsh_bucket_topk);
+    all-pairs here keeps the oracle exact."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
+    na = "sqrt(aggregate(transform(va, x -> x * x), 0d, (acc, x) -> acc + x))"
+    nb = "sqrt(aggregate(transform(vb, x -> x * x), 0d, (acc, x) -> acc + x))"
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.expr(f"({dot}) / (({na}) * ({nb}))"))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )

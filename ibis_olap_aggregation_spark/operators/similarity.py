@@ -1,0 +1,248 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim).
+
+Training-data-pipeline ANN surface (no reference counterpart —
+SURVEY.md §7.4):
+- brute-force cosine top-k — the exact baseline;
+- sign-LSH bucketed top-k — the scale path: candidates only meet inside
+  their hyperplane-sign bucket, so the join is bucket-equi, never n^2;
+- IVF-style coarse quantization: centroid build + nearest-centroid
+  assignment (the partition-pruning step of an IVF index).
+
+All vector math is JVM-side (zip_with / aggregate lambdas over
+array<double>) — no Python UDF in any hot path.
+
+Scale notes (100 TB): brute-force is O(n_q x n) — usable when the query
+set is small and broadcast; LSH buckets the corpus once (map-only
+signature) and turns search into a per-bucket local top-k; IVF assignment
+is a broadcast join against the (tiny) centroid table. Top-k per query
+uses a window PARTITIONED by the query id — never a global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.queries import register
+from ibis_olap_aggregation_spark.session import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+LSH_BITS = 8  # sign bits of the first 8 dimensions
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
+_NORM = "sqrt(aggregate(transform({a}, x -> x * x), 0d, (acc, x) -> acc + x))"
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+
+
+def _cosine(a: str, b: str) -> str:
+    return f"({_DOT.format(a=a, b=b)}) / (({_NORM.format(a=a)}) * ({_NORM.format(a=b)}))"
+
+
+_DUCK_COS = """
+list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))
+  / (sqrt(list_sum(list_transform({a}, x -> x * x)))
+     * sqrt(list_sum(list_transform({b}, x -> x * x))))
+"""
+
+
+@register(
+    "sim_bruteforce_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         ROUND({_DUCK_COS.format(a="q.v", b="e.v")}, 6) AS cosine
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+),
+ranked AS (
+  SELECT *, row_number()
+            OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine, rk
+FROM ranked WHERE rk <= {TOP_K}
+""",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-5 for each query vector
+    (vec_id < 10). The broadcast side is the QUERY set — the big corpus
+    streams past it; ranking windows partition by query_id."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .withColumn("cosine", F.round(F.expr(_cosine("qv", "v")), 6))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+@register(
+    "sim_lsh_bucket_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+b AS (
+  SELECT *, list_sum(list_transform(generate_series(1, {LSH_BITS}),
+              i -> CASE WHEN v[i] > 0 THEN 1 << (i - 1) ELSE 0 END)) AS bucket
+  FROM e
+),
+q AS (SELECT * FROM b WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+         ROUND({_DUCK_COS.format(a="q.v", b="c.v")}, 6) AS cosine
+  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number()
+            OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(bucket AS BIGINT) AS bucket, cosine, rk
+FROM ranked WHERE rk <= {TOP_K}
+""",
+)
+def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: hyperplane-sign signature (sign bits of the
+    first 8 dims ≙ 8 fixed axis-aligned hyperplanes) → candidates meet
+    only inside their bucket → exact cosine + top-5 within bucket.
+    The bucket join is equi on the signature: cost ~ sum(bucket^2)."""
+    e = _emb(spark, sf_dir)
+    bucket = F.expr(
+        f"aggregate(transform(sequence(1, {LSH_BITS}),"
+        " i -> CASE WHEN element_at(v, i) > 0d THEN shiftleft(1, i - 1) ELSE 0 END),"
+        " 0, (acc, x) -> acc + x)"
+    )
+    b = e.withColumn("bucket", bucket)
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        b.join(
+            F.broadcast(q),
+            (F.col("qbucket") == F.col("bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .withColumn("cosine", F.round(F.expr(_cosine("qv", "v")), 6))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "bucket", "cosine", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+@register(
+    "sim_ivf_centroid_assign",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+ex AS (
+  SELECT vec_id, label, i.i AS dim, v[i.i] AS val
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+),
+cent AS (
+  SELECT label AS c_label, dim,
+         CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cval
+  FROM ex GROUP BY 1, 2
+),
+scored AS (
+  SELECT x.vec_id, x.label, c.c_label,
+         CAST(SUM(CAST(x.val * c.cval AS DECIMAL(28,14))) AS DOUBLE) AS dot,
+         sqrt(CAST(SUM(CAST(x.val * x.val AS DECIMAL(28,14))) AS DOUBLE))
+           * sqrt(CAST(SUM(CAST(c.cval * c.cval AS DECIMAL(28,14))) AS DOUBLE))
+           AS norms
+  FROM ex x JOIN cent c ON x.dim = c.dim
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT vec_id, label, c_label, ROUND(dot / norms, 6) AS cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ROUND(dot / norms, 6) DESC, c_label) AS rk
+  FROM scored
+)
+SELECT label AS true_label, c_label AS assigned_label, COUNT(*) AS n_vectors
+FROM ranked WHERE rk = 1
+GROUP BY 1, 2
+""",
+)
+def sim_ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: build per-label centroids (exact decimal
+    mean per dimension — summation-order-proof), assign every vector to
+    its nearest centroid by cosine, return the label-vs-assignment
+    matrix. Centroids are tiny → broadcast; the explode/groupBy paths
+    are map-side combined.
+
+    Sum order for the dot/norm accumulations differs between engines, so
+    those aggregations run in DECIMAL (exact) on the Spark side too.
+    """
+    e = _emb(spark, sf_dir)
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("v").alias("dim0", "val"),
+    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "val")
+    cent = ex.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cval")
+    )
+    scored = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum((F.col("val") * F.col("cval")).cast("decimal(28,14)"))
+            .cast("double")
+            .alias("dot"),
+            (
+                F.sqrt(
+                    F.sum((F.col("val") * F.col("val")).cast("decimal(28,14)")).cast(
+                        "double"
+                    )
+                )
+                * F.sqrt(
+                    F.sum((F.col("cval") * F.col("cval")).cast("decimal(28,14)")).cast(
+                        "double"
+                    )
+                )
+            ).alias("norms"),
+        )
+    )
+    cos = F.round(F.col("dot") / F.col("norms"), 6)
+    w = Window.partitionBy("vec_id").orderBy(cos.desc(), "c_label")
+    ranked = scored.withColumn("cosine", cos).withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.filter("rk = 1")
+        .groupBy(
+            F.col("label").alias("true_label"),
+            F.col("c_label").alias("assigned_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )

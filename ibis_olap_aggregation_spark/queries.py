@@ -423,3 +423,5 @@ def hierarchy_part_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
 from ibis_olap_aggregation_spark.operators import relational  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import events  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import text  # noqa: E402,F401
+from ibis_olap_aggregation_spark.operators import dedup  # noqa: E402,F401
+from ibis_olap_aggregation_spark.operators import similarity  # noqa: E402,F401

@@ -1,0 +1,187 @@
+"""Structured Streaming surface over the `events` table.
+
+The reference has no streaming at all (SURVEY.md §2.10); this module is
+the §7.4 extension built on Spark's native incremental engine:
+readStream -> event-time windowed aggregation with watermarks ->
+writeStream. The batch twins of these queries (operators/events.py) are
+oracle-checked by the driver; the tests in tests/test_streaming.py prove
+the STREAMING semantics — micro-batch processing, watermark-driven late
+data dropping, cross-batch state (dedup, sessions, custom stateful ops).
+
+Scale notes: all operators here are Spark's own stateful operators —
+state lives in the executor state store (RocksDB-backed on a real
+cluster), partitioned by grouping key; watermarks bound state size.
+`user_running_totals` shows applyInPandasWithState for semantics the
+built-ins can't express (cross-batch custom accumulators): state is
+per-user, Arrow-batched, and scales horizontally with user cardinality.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # parquet TIMESTAMP(NANOS) -> bigint
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over events parquet: each file becomes (part
+    of) a micro-batch. Nanos ts -> timestamp_ntz, same as the batch
+    loader (session.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    # TIMESTAMP (not NTZ): watermarks require it; session tz is UTC so the
+    # values line up 1:1 with the batch loader's timestamp_ntz.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling window aggregation with a watermark: state for
+    a window is dropped once the watermark passes its end; events older
+    than the watermark are discarded (late-data policy)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows (each event in window/slide windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(F.col("w.start").alias("window_start"), "event_count")
+    )
+
+
+def session_counts(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — Spark's native
+    stateful session operator; sessions merge across micro-batches until
+    the watermark closes them."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_count",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, *, watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type, ts): duplicates
+    arriving within the watermark horizon are dropped; state is purged
+    past it (bounded memory — the streaming twin of dropDuplicates)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "ts"]
+    )
+
+
+_RUNNING_STATE = StructType(
+    [StructField("n", LongType()), StructField("value_cents", LongType())]
+)
+_RUNNING_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value_cents", LongType()),
+    ]
+)
+
+
+def _running_totals_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Cross-batch per-user accumulator (integer cents — exact)."""
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(round(pdf["value"].sum() * 100))
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value_cents": [cents]}
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count + exact
+    value total maintained across micro-batches via
+    applyInPandasWithState (Arrow-batched, state store persisted)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=_RUNNING_OUT,
+        stateStructType=_RUNNING_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    name: str,
+    *,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain all available input (Trigger.AvailableNow) into an
+    in-memory table `name`, then stop. Test/inspection sink; production
+    sinks are parquet/kafka with the same writeStream call."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

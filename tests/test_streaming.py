@@ -1,0 +1,180 @@
+"""Structured Streaming semantics tests.
+
+Batch-equivalence: draining the whole events table through the stream
+must reproduce the (oracle-checked) batch aggregations.
+Watermark semantics: a second micro-batch containing events older than
+the advanced watermark must have those events DROPPED (real late-data
+behavior, provable only across micro-batches).
+Custom state: applyInPandasWithState accumulates across micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.session import load_table
+from ibis_olap_aggregation_spark.streaming import engine as se
+
+
+@pytest.fixture()
+def workdir():
+    d = f"/tmp/spark_streaming_test_{uuid.uuid4().hex[:8]}"
+    os.makedirs(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_batch_files(workdir, src, *batches):
+    """Place each batch as ONE bare parquet file in `src` (the streaming
+    file source lists plain files, not nested dirs), with strictly
+    increasing mtimes so micro-batch order follows batch order."""
+    import glob
+
+    base = os.stat(workdir).st_mtime
+    for i, df in enumerate(batches):
+        tmp = os.path.join(workdir, f"_stage_{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base + 60 * i, base + 60 * i))
+
+
+def _events_as_stream_dir(spark, sf_small, workdir, n_files=1):
+    src = os.path.join(workdir, "input")
+    # rewrite through Spark so the stream schema matches the batch loader
+    # (nanos ts surfaces as bigint, which EVENTS_SCHEMA expects)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_small}/events.parquet")
+    raw.repartition(n_files).write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_tumbling_stream_equals_batch(spark, sf_small, workdir):
+    src = _events_as_stream_dir(spark, sf_small, workdir)
+    stream = se.stream_events(spark, src)
+    se.run_to_memory(
+        se.tumbling_counts(stream),
+        "t_tumbling",
+        checkpoint_dir=workdir,
+        output_mode="complete",
+    )
+    got = {
+        (r.window_start, r.event_type): (r.event_count, r.sum_value)
+        for r in spark.table("t_tumbling").collect()
+    }
+    batch = (
+        load_table(spark, sf_small, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        )
+    )
+    want = {(r.w.start, r.event_type): (r.n, r.s) for r in batch.collect()}
+    assert got == want
+
+
+def test_session_stream_equals_batch(spark, sf_small, workdir):
+    src = _events_as_stream_dir(spark, sf_small, workdir)
+    stream = se.stream_events(spark, src)
+    se.run_to_memory(
+        se.session_counts(stream),
+        "t_sessions",
+        checkpoint_dir=workdir,
+        output_mode="complete",
+    )
+    got = spark.table("t_sessions")
+    batch = (
+        load_table(spark, sf_small, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+    )
+    assert got.count() == batch.count()
+    assert got.agg(F.sum("event_count")).collect()[0][0] == load_table(
+        spark, sf_small, "events"
+    ).count()
+
+
+def test_watermark_drops_late_events(spark, workdir):
+    """Late-data policy across micro-batches. Spark filters late events
+    with the watermark COMMITTED BY THE PREVIOUS batch (eviction uses the
+    current one — SPARK-40925 semantics), so the watermark must be
+    advanced and committed (batches 0-1) before the late file (batch 2)
+    arrives for the drop to be observable."""
+    src = os.path.join(workdir, "late_input")
+    os.makedirs(src)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.unix_micros(F.to_timestamp("ts")) * 1000)
+
+    b0 = mk([(1, "2024-06-10 12:00:00", 1, "click", 1.0, "{}"),
+             (2, "2024-06-10 12:30:00", 1, "click", 1.0, "{}")])
+    b1 = mk([(3, "2024-06-10 12:45:00", 1, "click", 1.0, "{}")])
+    b2 = mk([(4, "2024-06-09 00:00:00", 1, "click", 1.0, "{}"),  # ~36h late
+             (5, "2024-06-10 13:10:00", 1, "click", 1.0, "{}")])  # on time
+    _write_batch_files(workdir, src, b0, b1, b2)
+
+    stream = se.stream_events(spark, src, max_files_per_trigger=1)
+    se.run_to_memory(
+        se.tumbling_counts(stream, window="1 hour", watermark="2 hours"),
+        "t_late",
+        checkpoint_dir=workdir,
+        output_mode="update",
+    )
+    rows = {}
+    for r in spark.table("t_late").collect():
+        k = r.window_start.isoformat()
+        rows[k] = max(rows.get(k, 0), r.event_count)
+    # event 4 (2024-06-09, far behind the committed watermark) is dropped:
+    # its window never appears; the on-time events all count
+    assert not any(k.startswith("2024-06-09") for k in rows), rows
+    assert rows.get("2024-06-10T12:00:00") == 3, rows
+    assert rows.get("2024-06-10T13:00:00") == 1, rows
+
+
+def test_dedup_within_watermark(spark, sf_small, workdir):
+    src = _events_as_stream_dir(spark, sf_small, workdir)
+    ev = load_table(spark, sf_small, "events")
+    doubled = os.path.join(workdir, "doubled")
+    ev.unionAll(ev).repartition(2).write.parquet(doubled)
+    stream = se.stream_events(spark, doubled).drop("ts_raw")
+    deduped = se.dedup_within_watermark(stream.select("user_id", "event_type", "ts"))
+    se.run_to_memory(deduped, "t_dedup", checkpoint_dir=workdir, output_mode="append")
+    assert spark.table("t_dedup").count() == ev.select("user_id", "event_type", "ts").distinct().count()
+
+
+def test_running_totals_accumulate_across_batches(spark, workdir):
+    src = os.path.join(workdir, "state_input")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [(1, "2024-06-10 12:00:00", 7, "click", 1.50, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.unix_micros(F.to_timestamp("ts")) * 1000)
+    b2 = spark.createDataFrame(
+        [(2, "2024-06-10 13:00:00", 7, "click", 2.25, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.unix_micros(F.to_timestamp("ts")) * 1000)
+    _write_batch_files(workdir, src, b1, b2)
+
+    stream = se.stream_events(spark, src, max_files_per_trigger=1)
+    se.run_to_memory(
+        se.user_running_totals(stream),
+        "t_state",
+        checkpoint_dir=workdir,
+        output_mode="update",
+    )
+    rows = spark.table("t_state").collect()
+    # update mode emits one row per batch; the LAST emission has the running total
+    final = max((r for r in rows if r.user_id == 7), key=lambda r: r.n_events)
+    assert final.n_events == 2
+    assert final.total_value_cents == 375

@@ -425,3 +425,5 @@ from ibis_olap_aggregation_spark.operators import events  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import text  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import dedup  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import similarity  # noqa: E402,F401
+from ibis_olap_aggregation_spark.operators import multimodal  # noqa: E402,F401
+from ibis_olap_aggregation_spark.sources import io as _io  # noqa: E402,F401

@@ -1,0 +1,156 @@
+"""Source/sink layer: format readers/writers, partitioned + bucketed
+tables.
+
+Reference parity (SURVEY.md §2.1): the reference's only storage is a
+single-file DuckDB database (reference main.py:18, create_database.py:17)
+with CTAS materialization (classes/hierarchy_dimension_table.py:11-22).
+Spark-first equivalents: parquet/csv/json/orc readers, mode("overwrite")
+writers, partitionBy for partition-pruned layouts, bucketBy for
+shuffle-free co-located joins, saveAsTable as the CTAS twin.
+
+Scale notes (100 TB):
+- `write_partitioned` on a date/region-like column gives partition
+  pruning (a WHERE on the partition column skips whole directories).
+- `write_bucketed` pre-shuffles ONCE at write time on the join key; every
+  later equi-join/groupBy on that key skips its shuffle (verified in
+  tests: no Exchange in the bucketed join plan).
+- csv/json are interchange formats — row-oriented, no pushdown; tests +
+  registry queries prove correctness, parquet remains the perf path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.queries import dsum, register
+from ibis_olap_aggregation_spark.session import load_table
+
+FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
+    """Overwrite-write in any supported format (CSV gets a header so the
+    round-trip keeps column names)."""
+    w = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save(path)
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options
+) -> DataFrame:
+    """Read any supported format; pass an explicit schema for csv/json to
+    avoid a schema-inference scan (mandatory at scale)."""
+    r = spark.read.format(fmt)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    if schema is not None:
+        r = r.schema(schema)
+    elif fmt in ("csv", "json"):
+        r = r.option("inferSchema", "true")
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Hive-style partitioned layout: one directory per partition value;
+    filters on partition columns prune at file-listing time."""
+    df.write.mode("overwrite").format(fmt).partitionBy(*partition_cols).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table (CTAS twin of the reference's
+    hierarchy-dim materialization, plus co-location): rows are
+    hash-distributed into n_buckets files by bucket_cols at WRITE time,
+    so joins/groupBys on those columns skip their shuffle."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
+def _roundtrip_dir(fmt: str) -> str:
+    return os.path.join("/tmp/spark_graft_io", fmt)
+
+
+@register(
+    "source_csv_roundtrip",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source round-trip: project lineitem, write CSV with
+    header, read it back with an EXPLICIT schema, aggregate. The oracle
+    aggregates the original parquet directly — proving the CSV path is
+    lossless for these types."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    path = _roundtrip_dir("csv")
+    write_table(li, path, "csv")
+    back = read_table(
+        spark,
+        path,
+        "csv",
+        schema="l_returnflag string, l_linestatus string, l_quantity double",
+    )
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS distinct_users
+FROM events
+GROUP BY 1
+""",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source round-trip on events (ts carried as micros
+    bigint — JSON has no timestamp type), aggregated after re-read."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_micros"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    path = _roundtrip_dir("json")
+    write_table(ev, path, "json")
+    back = read_table(
+        spark,
+        path,
+        "json",
+        schema="event_id bigint, ts_micros bigint, user_id bigint,"
+        " event_type string, value double",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "sum_value"),
+        F.countDistinct("user_id").alias("distinct_users"),
+    )

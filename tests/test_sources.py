@@ -1,0 +1,80 @@
+"""Source/sink layer tests: format round-trips, partition pruning,
+bucketed join shuffle elimination — the properties that matter at scale,
+asserted from the physical plan, not just row counts."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.session import load_table
+from ibis_olap_aggregation_spark.sources import io as sio
+
+
+@pytest.fixture()
+def workdir():
+    d = f"/tmp/spark_io_test_{uuid.uuid4().hex[:8]}"
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_orc_roundtrip(spark, sf_small, workdir):
+    orders = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    sio.write_table(orders, f"{workdir}/orc", "orc")
+    back = sio.read_table(spark, f"{workdir}/orc", "orc")
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+
+
+def test_partitioned_write_prunes(spark, sf_small, workdir):
+    orders = load_table(spark, sf_small, "orders").withColumn(
+        "bucket", (F.col("o_custkey") % 4).cast("int")
+    )
+    sio.write_partitioned(orders, f"{workdir}/part", ["bucket"])
+    back = sio.read_table(spark, f"{workdir}/part")
+    pruned = back.filter(F.col("bucket") == 2)
+    # partition filter reaches the scan: only bucket=2 files are listed
+    assert "PartitionFilters: [isnotnull(bucket" in _plan(pruned)
+    want = orders.filter(F.col("bucket") == 2).count()
+    assert pruned.count() == want
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_small, workdir):
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    orders = load_table(spark, sf_small, "orders")
+    lineitem = load_table(spark, sf_small, "lineitem")
+    sio.write_bucketed(
+        orders.select("o_orderkey", "o_totalprice"), "t_orders_b", ["o_orderkey"], 8
+    )
+    sio.write_bucketed(
+        lineitem.select("l_orderkey", "l_quantity"), "t_lineitem_b", ["l_orderkey"], 8
+    )
+    ob, lb = spark.table("t_orders_b"), spark.table("t_lineitem_b")
+    # force sort-merge path (broadcast would hide the bucketing benefit)
+    joined = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
+    joined.count()
+    plan = _plan(joined)
+    # both sides read pre-bucketed files: no Exchange on either join input
+    assert "Exchange hashpartitioning" not in plan, plan
+    n = joined.count()
+    want = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).count()
+    )
+    assert n == want
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_csv_json_registry_roundtrips_covered_by_oracle():
+    """source_csv_roundtrip / source_json_roundtrip run under the oracle
+    differential gate (tests/test_entry_oracle.py) — nothing to re-assert
+    here; this is a signpost."""

@@ -24,10 +24,29 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: the flagship hierarchy rollups + the heaviest operator
 # families. Keep keys stable across rounds so BENCH_r{N}.json is
 # comparable.
+# Dimension builds are one-time ETL (the reference materializes dims via
+# CTAS at construction — ref classes/hierarchy_dimension_table.py:162,220
+# — and every query reuses the tables). They are timed as their own
+# entries; the rollup queries then measure warm query latency.
+DIM_BUILDS = [
+    ("geo_dim_build", lambda spark, sf: q._geo_dim(spark, sf).aggregation_dim.count()),
+    ("part_dim_build", lambda spark, sf: q._part_dim(spark, sf).aggregation_dim.count()),
+]
+
 HEADLINE = [
     "hierarchy_geo_rollup_orders",
     "hierarchy_part_rollup_lineitem",
     "hierarchy_geo_closure",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "events_tumbling_window",
+    "events_session_window",
+    "text_quality_score",
+    "text_ngram_topk",
+    "dedup_minhash_lsh_candidates",
+    "dedup_simhash_signatures",
+    "sim_bruteforce_topk",
+    "multimodal_media_features",
 ]
 
 
@@ -37,6 +56,10 @@ def main() -> None:
     load_table(spark, SF_DIR, "region").count()
 
     timings: dict[str, float] = {}
+    for name, fn in DIM_BUILDS:
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR)
+        timings[name] = round(time.perf_counter() - t0, 3)
     for name in HEADLINE:
         fn = q.QUERIES.get(name)
         if fn is None:

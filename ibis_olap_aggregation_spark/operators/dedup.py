@@ -67,6 +67,72 @@ sh AS (
 )
 """
 
+# MinHash uses 5-token shingles (3-grams collide massively on a small
+# vocabulary -> degenerate LSH buckets) hashed ONCE with md5, then 16
+# affine rehashes h_i = (A_i*h32 + B_i) mod M — the standard universal-
+# hash construction, 16x cheaper than 16 md5 passes and identical in
+# both engines (products stay < 2^52: no overflow divergence).
+MINHASH_SHINGLE_K = 5
+_MH_MOD = 2147483647
+_MH_A = "(1000003 + 7919 * i)"
+_MH_B = "(12345 + 271 * i)"
+
+_DUCK_HASHED_SHINGLES = f"""
+tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(list_transform(generate_series(1, len(t) - {MINHASH_SHINGLE_K - 1}),
+                         i -> array_to_string(t[i:i+{MINHASH_SHINGLE_K - 1}], ' '))),
+           s -> {_DUCK_MD5INT.format(x="s")} & 4294967295) AS hs
+  FROM tok
+)
+"""
+
+_DUCK_MINHASH_SIG = f"""
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {N_MINHASH - 1}),
+           i -> list_min(list_transform(hs,
+                  h -> ({_MH_A} * h + {_MH_B}) % {_MH_MOD}))) AS ms,
+         len(hs) AS n_shingles
+  FROM sh
+)
+"""
+
+
+def hashed_shingles_col() -> F.Column:
+    """32-bit md5-derived hashes of distinct 5-token shingles."""
+    k = MINHASH_SHINGLE_K
+    h = _SPARK_MD5INT.format(x="s")
+    return F.expr(
+        f"transform(array_distinct(transform(sequence(1, size(t) - {k - 1}),"
+        f" i -> concat_ws(' ', slice(t, i, {k})))), s -> {h} & 4294967295)"
+    )
+
+
+def minhash_sig_col() -> F.Column:
+    """16 minhashes via affine rehash of the 32-bit shingle hashes.
+
+    Written as ONE fold over `hs` with an elementwise-min accumulator:
+    the naive `transform(sequence(0,15), i -> array_min(transform(hs,..)))`
+    references `hs` inside the outer lambda, and after Catalyst's project
+    collapsing the whole shingle+md5 chain is re-evaluated 16x per row
+    (measured 30x slower). Here `hs` is the fold input — evaluated once.
+    """
+    init = f"transform(sequence(0, {N_MINHASH - 1}), i -> cast(9223372036854775807 as bigint))"
+    step = (
+        f"(acc, h) -> zip_with(acc, sequence(0, {N_MINHASH - 1}),"
+        f" (m, i) -> least(m, ({_MH_A} * h + {_MH_B}) % {_MH_MOD}))"
+    )
+    return F.expr(
+        f"if(size(hs) = 0,"
+        f" transform(sequence(0, {N_MINHASH - 1}), i -> cast(null as bigint)),"
+        f" aggregate(hs, {init}, {step}))"
+    )
+
 
 @register(
     "dedup_exact_content",
@@ -95,43 +161,30 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_signatures",
     f"""
-WITH {_DUCK_SHINGLES}
-SELECT doc_id,
-       list_transform(generate_series(0, {N_MINHASH - 1}),
-         i -> list_min(list_transform(shingles,
-                s -> {_DUCK_MD5INT.format(x="i::VARCHAR || '|' || s")}))) AS minhash_sig,
-       len(shingles) AS n_shingles
-FROM sh
+WITH {_DUCK_HASHED_SHINGLES},
+{_DUCK_MINHASH_SIG}
+SELECT doc_id, ms AS minhash_sig, n_shingles FROM sig
 """,
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (16 hash functions over 3-token shingles).
-    Map-only: nested array lambdas, no explode, no shuffle."""
+    """MinHash signatures: one md5 per distinct 5-token shingle, then 16
+    affine universal-hash rehashes. Map-only: nested array lambdas, no
+    explode, no shuffle, one pass over the text."""
     d = _docs(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
-        "shingles", shingles_col()
+        "hs", hashed_shingles_col()
     )
-    h = _SPARK_MD5INT.format(x="concat(cast(i as string), '|', s)")
     return d.select(
         "doc_id",
-        F.expr(
-            f"transform(sequence(0, {N_MINHASH - 1}),"
-            f" i -> array_min(transform(shingles, s -> {h})))"
-        ).alias("minhash_sig"),
-        F.size("shingles").cast("bigint").alias("n_shingles"),
+        minhash_sig_col().alias("minhash_sig"),
+        F.size("hs").cast("bigint").alias("n_shingles"),
     )
 
 
 @register(
     "dedup_minhash_lsh_candidates",
     f"""
-WITH {_DUCK_SHINGLES},
-sig AS (
-  SELECT doc_id,
-         list_transform(generate_series(0, {N_MINHASH - 1}),
-           i -> list_min(list_transform(shingles,
-                  s -> {_DUCK_MD5INT.format(x="i::VARCHAR || '|' || s")}))) AS ms
-  FROM sh
-),
+WITH {_DUCK_HASHED_SHINGLES},
+{_DUCK_MINHASH_SIG},
 bands AS (
   SELECT doc_id, i.i AS band_id, ms[i.i + 1] AS band_hash
   FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS i) i
@@ -149,25 +202,37 @@ FROM cand
 """,
 )
 def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: explode signatures into (band_id, band_hash)
-    buckets and self-join ON THE BUCKET — only same-bucket docs meet, so
-    cost scales with bucket sizes, not n^2. Signature agreement fraction
-    estimates Jaccard (r=1, b=16 → recall-heavy candidates)."""
+    """LSH candidate pairs, bucket-grouped (the scalable shape): explode
+    signatures into (band_id, band_hash) buckets, collect each bucket's
+    doc list, and generate pairs INSIDE the bucket — one shuffle, no
+    self-join, the signature expression evaluated once (a self-join
+    re-evaluates the whole minhash lambda chain on both sides — measured
+    ~25x slower). Cost ~ sum(bucket^2); oversized buckets are visible
+    here and cappable. Signature agreement fraction estimates Jaccard
+    (r=1, b=16 → recall-heavy candidates)."""
     sig = dedup_minhash_signatures(spark, sf_dir).select("doc_id", "minhash_sig")
+    # posexplode_OUTER: plain posexplode makes Catalyst infer a
+    # size(sig)>0 pre-filter that re-evaluates the whole signature
+    # expression chain per row (measured 6x slower); outer + a cheap
+    # null-filter afterwards evaluates it once
     bands = sig.select(
-        "doc_id", F.posexplode("minhash_sig").alias("band_id", "band_hash")
+        "doc_id", F.posexplode_outer("minhash_sig").alias("band_id", "band_hash")
+    ).filter(F.col("band_hash").isNotNull())
+    buckets = bands.groupBy("band_id", "band_hash").agg(
+        F.collect_list("doc_id").alias("ds")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    pairs = buckets.filter(F.size("ds") > 1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds,"
+                " x -> transform(filter(ds, y -> x < y),"
+                " y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        pairs.select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_band_matches"))
     )
     return cand.select(

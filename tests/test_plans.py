@@ -1,0 +1,60 @@
+"""Plan-shape regression tests: the scale design is asserted from the
+physical plan, not inferred from small-data timings.
+
+Each test pins a property that matters at 100 TB:
+- the flagship rollup broadcasts the closure dim and shuffles the fact
+  stream exactly once (for the final aggregation);
+- filters and column pruning reach the parquet scans;
+- per-document (map-only) operators have ZERO shuffles;
+- LSH candidate generation shuffles on the bucket key only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark import queries as q
+from ibis_olap_aggregation_spark.plans import inspect as pi
+from ibis_olap_aggregation_spark.session import load_table
+
+
+def test_rollup_broadcasts_dim_and_prunes_fact_scan(spark, sf_small):
+    df = q.QUERIES["hierarchy_geo_rollup_orders"](spark, sf_small)
+    assert pi.has_broadcast_join(df), "closure dim must broadcast-join"
+    # orders scan reads only the columns the query needs
+    for cols in pi.scan_columns(df):
+        if "o_custkey" in cols:
+            assert "o_comment" not in cols and len(cols) <= 4, cols
+    # fact-side shuffles after the (cached) dim build: the group-by agg,
+    # the two-phase COUNT(DISTINCT) expansion, and the final sort = 4.
+    # Never a shuffle per join (the closure join is broadcast).
+    assert pi.count_exchanges(df, executed=True) <= 4, pi.physical_plan(
+        df, executed=True
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_small):
+    li = load_table(spark, sf_small, "lineitem")
+    df = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    pushed = pi.pushed_filters(df)
+    assert any("GreaterThan(l_quantity" in p for p in pushed), pushed
+    assert pi.scan_columns(df) == [["l_orderkey", "l_quantity"]]
+
+
+def test_map_only_operators_have_no_shuffle(spark, sf_small):
+    for name in ("text_token_stats", "text_quality_score", "text_fingerprint",
+                 "dedup_minhash_signatures", "multimodal_media_features"):
+        df = q.QUERIES[name](spark, sf_small)
+        assert pi.count_exchanges(df) == 0, f"{name} should be map-only"
+
+
+def test_lsh_candidates_shuffle_on_bucket_only(spark, sf_small):
+    df = q.QUERIES["dedup_minhash_lsh_candidates"](spark, sf_small)
+    # bucket groupBy + pair groupBy (+ AQE may add none): no self-join
+    # means no third shuffle and no broadcast of the corpus
+    assert pi.count_exchanges(df) <= 2, pi.physical_plan(df)
+
+
+def test_rollup_is_codegened(spark, sf_small):
+    df = q.QUERIES["hierarchy_geo_rollup_orders"](spark, sf_small)
+    assert pi.codegen_stage_count(df) >= 2

@@ -166,6 +166,13 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_static(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: each micro-batch broadcast-joins the static
+    dimension (re-read per batch, so slowly-changing dims stay fresh).
+    The streaming side never shuffles for the join."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def run_to_memory(
     df: DataFrame,
     name: str,

@@ -153,6 +153,36 @@ def test_dedup_within_watermark(spark, sf_small, workdir):
     assert spark.table("t_dedup").count() == ev.select("user_id", "event_type", "ts").distinct().count()
 
 
+def test_stream_static_enrichment(spark, sf_small, workdir):
+    """Each micro-batch joins the static dim without shuffling the
+    stream; result matches the batch join."""
+    src = _events_as_stream_dir(spark, sf_small, workdir)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("error", -1.0), ("purchase", 10.0)],
+        "event_type string, weight double",
+    )
+    stream = se.stream_events(spark, src)
+    enriched = se.enrich_with_static(stream, dim, "event_type").groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("weight").cast("decimal(18,2)")).cast("double").alias("w"),
+    )
+    se.run_to_memory(enriched, "t_enrich", checkpoint_dir=workdir, output_mode="complete")
+    got = {(r.event_type, r.n, r.w) for r in spark.table("t_enrich").collect()}
+    batch = (
+        load_table(spark, sf_small, "events")
+        .join(F.broadcast(dim), "event_type", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("weight").cast("decimal(18,2)")).cast("double").alias("w"),
+        )
+    )
+    want = {(r.event_type, r.n, r.w) for r in batch.collect()}
+    assert got == want
+
+
 def test_running_totals_accumulate_across_batches(spark, workdir):
     src = os.path.join(workdir, "state_input")
     os.makedirs(src)

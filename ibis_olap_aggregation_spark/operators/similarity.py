@@ -246,3 +246,133 @@ def sim_ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH, banded (multi-table): md5-derived hyperplanes
+# ---------------------------------------------------------------------------
+
+RP_TABLES = 4  # hash tables (bands)
+RP_BITS = 4  # sign bits per table; bucket space per table = 2^4
+RP_PLANES = RP_TABLES * RP_BITS
+
+
+@register(
+    "sim_rp_lsh_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+planes AS (
+  SELECT p.p AS plane_id, p.p // {RP_BITS} AS table_id,
+         list_transform(generate_series(1, 64),
+           i -> ((('0x' || substr(md5(p.p::VARCHAR || '|' || i::VARCHAR), 1, 15))::BIGINT
+                  % 2001) - 1000) / 1000.0) AS w
+  FROM (SELECT unnest(generate_series(0, {RP_PLANES - 1})) AS p) p
+),
+sigs AS (
+  SELECT e.vec_id, pl.table_id,
+         SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                    i -> e.v[i] * pl.w[i])) > 0
+                  THEN 1 << (pl.plane_id % {RP_BITS}) ELSE 0 END) AS bucket
+  FROM e CROSS JOIN planes pl
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs c
+    ON q.table_id = c.table_id AND q.bucket = c.bucket
+   AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND({_DUCK_COS.format(a="eq.v", b="ec.v")}, 6) AS cosine
+  FROM cand
+  JOIN e eq ON eq.vec_id = cand.query_id
+  JOIN e ec ON ec.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number()
+            OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {TOP_K}
+""",
+)
+def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded random-hyperplane LSH ANN: 16 deterministic md5-derived
+    planes grouped into 4 hash tables of 4 sign bits. A pair is a
+    candidate if it collides in ANY table (recall 1-(1-p^4)^4 for
+    bit-agreement p = 1 - theta/pi); exact cosine + top-5 re-rank on the
+    deduped candidate set.
+
+    Scale shape: planes are a 16-row broadcast table; signatures are one
+    broadcast crossJoin + groupBy per vector (map-side combined); the
+    candidate join is equi on (table_id, bucket) — per-table bucket size
+    ~ n/2^bits, so cost ~ tables * n^2 / 2^bits, tunable via RP_BITS;
+    re-rank touches only candidates. Raising RP_BITS tightens buckets,
+    adding tables restores recall — the standard LSH dial.
+    """
+    e = _emb(spark, sf_dir)
+    h = (
+        "cast(conv(substr(md5(concat(cast(plane_id as string), '|',"
+        " cast(i as string))), 1, 15), 16, 10) as bigint)"
+    )
+    planes = (
+        spark.range(RP_PLANES)
+        .select(F.col("id").cast("int").alias("plane_id"))
+        .select(
+            "plane_id",
+            (F.col("plane_id") / RP_BITS).cast("int").alias("table_id"),
+            F.expr(
+                f"transform(sequence(1, 64), i -> (({h} % 2001) - 1000) / 1000.0)"
+            ).alias("w"),
+        )
+    )
+    dot = "aggregate(zip_with(v, w, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
+    sigs = (
+        e.crossJoin(F.broadcast(planes))
+        .withColumn(
+            "bit",
+            F.when(
+                F.expr(dot) > 0,
+                F.expr(f"shiftleft(1L, plane_id % {RP_BITS})"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .groupBy("vec_id", "table_id")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+    qs = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("table_id").alias("q_table"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = (
+        sigs.join(
+            F.broadcast(qs),
+            (F.col("q_table") == F.col("table_id"))
+            & (F.col("q_bucket") == F.col("bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    eq = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    ec = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = (
+        cand.join(F.broadcast(eq), "query_id")
+        .join(ec, "neighbor_id")
+        .withColumn("cosine", F.round(F.expr(_cosine("qv", "nv")), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

@@ -792,3 +792,138 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
         .cast("double")
         .alias("revenue")
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.08
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): highly selective
+    conjunctive scan filter + global aggregate. All four predicates push
+    into the parquet scan (min/max row-group skipping at scale); the
+    aggregate is a single partial+final pair with no group keys."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    f = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.08)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned items): who returned the most revenue in a
+    year. Fact-side filters push to scans; customer/nation broadcast;
+    the top-20 is TakeOrderedAndProject (per-partition top-k), never a
+    global sort."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+    return agg.orderBy(F.desc("revenue"), "c_custkey").limit(20)
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN big ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4, 5
+""",
+)
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold — aggregate-then-semi-join. The HAVING pre-agg
+    shrinks lineitem to qualifying orderkeys BEFORE any join (the big
+    fact table is joined once, to a filtered key set), then re-joins for
+    the detail rows."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    li = t["lineitem"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select(F.col("l_orderkey").alias("_big_orderkey"))
+    )
+    j = (
+        t["orders"]
+        .join(F.broadcast(big), F.col("o_orderkey") == F.col("_big_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+    )
+    return j.groupBy(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_qty")
+    )

@@ -37,8 +37,11 @@ HEADLINE = [
     "hierarchy_geo_rollup_orders",
     "hierarchy_part_rollup_lineitem",
     "hierarchy_geo_closure",
+    "hierarchy_deep_binary_tree",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
     "events_tumbling_window",
     "events_session_window",
     "text_quality_score",

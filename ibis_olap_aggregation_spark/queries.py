@@ -418,6 +418,66 @@ def hierarchy_part_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "hierarchy_deep_binary_tree",
+    """
+WITH RECURSIVE nodes AS (
+  SELECT i AS id, CASE WHEN i > 1 THEN i // 2 END AS parent
+  FROM (SELECT unnest(generate_series(1, 65535)) AS i)
+),
+closure AS (
+  SELECT id AS anc, id AS dsc, 0 AS net_level FROM nodes
+  UNION ALL
+  SELECT c.anc, n.id, c.net_level + 1
+  FROM closure c JOIN nodes n ON n.parent = c.dsc
+)
+SELECT net_level,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(dsc) AS BIGINT) AS sum_descendant_keys,
+       COUNT(DISTINCT anc) AS n_ancestors
+FROM closure
+GROUP BY 1
+""",
+)
+def hierarchy_deep_binary_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth stress: a synthetic 65,535-node binary tree (depth 16, so
+    the closure has 983,041 pairs) built through the SAME engine path as
+    the real dims — walk, ranking, path-explode closure — summarized per
+    net_level so the driver compares 16 rows while the full closure is
+    exercised underneath. Proves the walk scales in DEPTH (iterations),
+    not just node count."""
+    def build():
+        n = 65535
+        nodes = spark.range(1, n + 1).select(
+            F.col("id").cast("string").alias("node_id"),
+            F.col("id").cast("bigint").alias("node_natural_key"),
+            F.col("id").cast("string").alias("node_name"),
+            F.lit("L").alias("level_name"),
+            F.when(F.col("id") > 1, (F.col("id") / 2).cast("long").cast("string")).alias(
+                "parent_node_id"
+            ),
+        )
+        return HierarchyDimension(
+            nodes,
+            dimension_name="deep",
+            sort_key_col="node_natural_key",
+            flatten_levels=4,
+            max_depth=20,
+        )
+
+    dim = _cached_dim("deep", spark, sf_dir, build)
+    return (
+        dim.aggregation_dim.groupBy("net_level")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("descendant_node_natural_key")
+            .cast("bigint")
+            .alias("sum_descendant_keys"),
+            F.countDistinct("ancestor_node_id").alias("n_ancestors"),
+        )
+    )
+
+
 # Operator-family modules register themselves on import (must stay at
 # the bottom: they import `register` from this module).
 from ibis_olap_aggregation_spark.operators import relational  # noqa: E402,F401

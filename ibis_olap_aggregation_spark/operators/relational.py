@@ -927,3 +927,64 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("double")
         .alias("total_qty")
     )
+
+
+@register(
+    "subquery_scalar_above_avg",
+    """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_extendedprice > (SELECT AVG(l_extendedprice) FROM lineitem)
+GROUP BY 1
+""",
+)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: rows above the global average price. Catalyst
+    plans the scalar subquery as an independent stage whose single-row
+    result is broadcast into the filter — the fact table is scanned once
+    per stage, never per row."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    avg_price = li.agg(F.avg("l_extendedprice").alias("_avg"))
+    f = li.join(F.broadcast(avg_price)).filter(
+        F.col("l_extendedprice") > F.col("_avg")
+    )
+    return f.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@register(
+    "subquery_correlated_above_own_avg",
+    """
+WITH w AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+)
+SELECT o_custkey, COUNT(*) AS n_above,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM w
+WHERE o_totalprice > cust_avg
+GROUP BY 1
+""",
+)
+def subquery_correlated_above_own_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery semantics (orders above their OWN customer's
+    average) via the decorrelated window formulation — one shuffle on the
+    correlation key instead of a per-row subquery; the exact rewrite
+    Catalyst/DuckDB apply internally, made explicit."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_custkey")
+    enriched = o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+    return (
+        enriched.filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+    )

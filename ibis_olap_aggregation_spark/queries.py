@@ -490,3 +490,4 @@ from ibis_olap_aggregation_spark.sources import io as _io  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import analytic  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import skew  # noqa: E402,F401
 from ibis_olap_aggregation_spark.functions import vectorized  # noqa: E402,F401
+from ibis_olap_aggregation_spark.operators import quality  # noqa: E402,F401

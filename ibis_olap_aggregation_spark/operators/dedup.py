@@ -425,3 +425,106 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, node_col_a: str, node_col_b: str, *, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    node starts as its own label; each round takes the min label over
+    neighbors; fixpoint = components. Returns (node, component) where
+    component = min node id in the component.
+
+    Rounds needed ~ graph diameter (near-dup clusters are tiny cliques,
+    so 2-3 in practice); each round is one join + groupBy — all shuffles
+    on the node id. For planet-scale graphs swap in the large-star/
+    small-star variant; the loop shape is identical."""
+    und = edges.select(
+        F.col(node_col_a).alias("a"), F.col(node_col_b).alias("b")
+    ).unionByName(
+        edges.select(F.col(node_col_b).alias("a"), F.col(node_col_a).alias("b"))
+    ).distinct().cache()
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).cache()
+    for _ in range(max_iter):
+        neigh = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise ValueError(f"components did not converge in {max_iter} rounds")
+    und.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+@register(
+    "dedup_duplicate_clusters",
+    f"""
+WITH RECURSIVE {_DUCK_SHINGLES},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS r FROM und
+  UNION
+  SELECT e.a, reach.r FROM und e JOIN reach ON reach.node = e.b
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY 1)
+SELECT component AS cluster_id,
+       COUNT(*) AS n_docs,
+       CAST(MIN(node) AS BIGINT) AS min_doc,
+       CAST(MAX(node) AS BIGINT) AS max_doc
+FROM comp GROUP BY 1
+""",
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: n-gram-Jaccard pairs -> connected components ->
+    one row per duplicate cluster (its canonical = min doc_id). The
+    keep-one-per-cluster step of a dedup pipeline; the oracle recomputes
+    components with a recursive reachability CTE."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("node").cast("bigint").alias("min_doc"),
+        F.max("node").cast("bigint").alias("max_doc"),
+    )

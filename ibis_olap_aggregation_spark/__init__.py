@@ -20,14 +20,16 @@ Design notes (vs the reference, `/root/reference/`):
   (reference classes/hierarchy_dimension_table.py:133-139).
 """
 
-from ibis_olap_aggregation_spark.hierarchy import HierarchyDimension
+from ibis_olap_aggregation_spark.hierarchy import HierarchyDimension, prepare_nodes
 from ibis_olap_aggregation_spark.rollup import hierarchical_rollup
-from ibis_olap_aggregation_spark.session import get_spark, load_tables
+from ibis_olap_aggregation_spark.session import get_spark, load_table, load_tables
 
 __all__ = [
     "HierarchyDimension",
+    "prepare_nodes",
     "hierarchical_rollup",
     "get_spark",
+    "load_table",
     "load_tables",
 ]
 

@@ -512,6 +512,41 @@ def hierarchy_deep_binary_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("hierarchy_geo_rollup_orders_approx")  # no oracle BY DESIGN:
+# approx_count_distinct is an engine-specific HLL sketch — DuckDB's
+# approx_count_distinct produces different estimates, so there is no
+# cross-engine exact twin. The driver's rows-only check applies; the
+# exact-vs-approx error bound is asserted in tests/test_scale_options.py.
+def hierarchy_geo_rollup_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship rollup with approx_count_distinct (HLL++, rsd=2%) in
+    place of exact COUNT(DISTINCT) — the swap for hierarchies whose
+    distinct cardinality makes the exact two-phase expansion the
+    bottleneck (SURVEY.md §2.4 A3 scale option). Same plan otherwise:
+    broadcast closure join + one aggregation pass (the HLL sketch merges
+    map-side, so the distinct no longer forces the Expand operator)."""
+    dim = _geo_dim(spark, sf_dir)
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    out = hierarchical_rollup(
+        orders,
+        dim.aggregation_dim,
+        "o_custkey",
+        [
+            dsum("o_totalprice", "sum_totalprice"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias(
+                "approx_customer_count"
+            ),
+            F.count(F.lit(1)).alias("count_of_fact_records"),
+        ],
+    )
+    return out.select(
+        F.col("ancestor_node_name").alias("node_name"),
+        F.col("ancestor_level_number").alias("level_number"),
+        "sum_totalprice",
+        "approx_customer_count",
+        "count_of_fact_records",
+    )
+
+
 # Operator-family modules register themselves on import (must stay at
 # the bottom: they import `register` from this module).
 from ibis_olap_aggregation_spark.operators import relational  # noqa: E402,F401

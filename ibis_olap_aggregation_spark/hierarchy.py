@@ -99,7 +99,10 @@ class HierarchyDimension:
         whole walk is ONE query (one scheduling round-trip per build);
         ``"iterative"`` = portable driver loop, one join+union per level
         (also the path for engines/configs without recursive CTEs);
-        ``"auto"`` = cte when the session supports it, else iterative.
+        ``"doubling"`` = pointer-jumping path doubling, O(log depth)
+        self-joins — the pick for DEEP hierarchies (depth 1000 = 10
+        rounds, not 1000); ``"auto"`` = cte when the session supports
+        it, else iterative.
     """
 
     def __init__(
@@ -150,7 +153,12 @@ class HierarchyDimension:
         strat = strategy
         if strat == "auto":
             strat = "cte" if self._supports_recursive_cte() else "iterative"
-        self._walked = self._walk_cte() if strat == "cte" else self._walk()
+        walkers = {
+            "cte": self._walk_cte,
+            "iterative": self._walk,
+            "doubling": self._walk_doubling,
+        }
+        self._walked = walkers[strat]()
         if materialize:
             self._walked = self._walked.cache()
         self.reporting_dim = self._build_reporting_dim()
@@ -271,6 +279,95 @@ class HierarchyDimension:
         ranked = global_row_number(walked, ["_sort_path"], "node_sort_order")
         self._levels = levels  # unpersisted via unpersist()
         return ranked
+
+    # -- stage 1c: path-doubling walk (O(log depth) rounds) --------------
+    def _walk_doubling(self) -> DataFrame:
+        """Same output as _walk()/_walk_cte() in O(log depth) self-joins
+        (pointer jumping): each round concatenates a node's known path
+        segment with its 2^i-th ancestor's segment and squares the jump
+        pointer. A depth-1000 hierarchy needs 10 rounds instead of 1000
+        — the difference between a feasible and an infeasible build when
+        each round is a full shuffle stage on a cluster.
+
+        State per node: seg = array<struct> covering the 2^i nodes ending
+        at the node; jump = the ancestor just above seg (null once seg
+        reaches the root). Total data volume matches the closure size —
+        identical asymptotics to the level walk, fewer rounds.
+        """
+        nodes = self.nodes
+        sort_key = F.col(self.sort_key_col)
+        base_struct = F.struct(*[F.col(c) for c in self._struct_cols])
+        # localCheckpoint (not cache) after every round: the self-join
+        # references `state` TWICE, so with plain caching the LOGICAL
+        # plan doubles every round — Catalyst re-analyzes a 2^rounds-node
+        # tree and the build stalls in the optimizer long before any data
+        # moves. Checkpointing truncates lineage to the materialized
+        # result; each round's plan stays O(1).
+        state = nodes.select(
+            F.col("node_id").alias("_v"),
+            F.array(base_struct).alias("_seg"),
+            F.array(sort_key).alias("_sort_seg"),
+            F.col("parent_node_id").alias("_jump"),
+        ).localCheckpoint()
+        self._levels = []
+        rounds = max(1, (self.max_depth - 1).bit_length())
+        for _ in range(rounds + 1):
+            if state.filter(F.col("_jump").isNotNull()).isEmpty():
+                break
+            anc = state.select(
+                F.col("_v").alias("_a_v"),
+                F.col("_seg").alias("_a_seg"),
+                F.col("_sort_seg").alias("_a_sort"),
+                F.col("_jump").alias("_a_jump"),
+            )
+            state = (
+                state.join(anc, state["_jump"] == anc["_a_v"], "left")
+                .select(
+                    "_v",
+                    F.when(
+                        F.col("_a_v").isNotNull(),
+                        F.concat(F.col("_a_seg"), F.col("_seg")),
+                    )
+                    .otherwise(F.col("_seg"))
+                    .alias("_seg"),
+                    F.when(
+                        F.col("_a_v").isNotNull(),
+                        F.concat(F.col("_a_sort"), F.col("_sort_seg")),
+                    )
+                    .otherwise(F.col("_sort_seg"))
+                    .alias("_sort_seg"),
+                    F.col("_a_jump").alias("_jump"),
+                )
+                .localCheckpoint()
+            )
+        else:
+            raise ValueError(
+                f"hierarchy deeper than max_depth={self.max_depth} "
+                "(cycle in parent_node_id, or raise max_depth)"
+            )
+        # nodes with a parent missing from the table (orphans) never
+        # terminate at a root: their first seg element is not a root.
+        # The level walks drop them; do the same here.
+        done = state.filter(
+            F.element_at("_seg", 1).getField("is_root")
+        )
+        lvl = F.size("_seg")
+        walked = done.select(
+            *[
+                F.element_at("_seg", -1).getField(c).alias(c)
+                for c in self._struct_cols
+            ],
+            lvl.alias("level_number"),
+            F.expr(
+                "transform(_seg, (s, i) -> named_struct("
+                + ", ".join(f"'{c}', s.{c}" for c in self._struct_cols)
+                + ", 'level_number', i + 1))"
+            ).alias("node_json_path"),
+            F.col("_sort_seg").alias("_sort_path"),
+        )
+        walked = walked.cache()
+        self._levels.append(walked)
+        return global_row_number(walked, ["_sort_path"], "node_sort_order")
 
     # -- stage 2: reporting dim -----------------------------------------
     def _build_reporting_dim(self) -> DataFrame:

@@ -108,7 +108,7 @@ def test_closure_properties(spark):
             )
 
 
-@pytest.mark.parametrize("strategy", ["cte", "iterative"])
+@pytest.mark.parametrize("strategy", ["cte", "iterative", "doubling"])
 def test_strategies_agree(spark, strategy):
     """The recursive-CTE and iterative walks produce identical dims."""
     rows = [

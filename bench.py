@@ -38,6 +38,7 @@ HEADLINE = [
     "hierarchy_part_rollup_lineitem",
     "hierarchy_geo_closure",
     "hierarchy_deep_binary_tree",
+    "hierarchy_deep_chain_doubling",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",

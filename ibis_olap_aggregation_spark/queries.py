@@ -512,6 +512,55 @@ def hierarchy_deep_binary_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hierarchy_deep_chain_doubling",
+    """
+WITH RECURSIVE closure AS (
+  SELECT i AS anc, i AS dsc FROM (SELECT unnest(generate_series(1, 256)) AS i)
+  UNION ALL
+  SELECT anc, dsc + 1 FROM closure WHERE dsc < 256
+)
+SELECT dsc - anc AS net_level, COUNT(*) AS n_pairs,
+       CAST(SUM(anc) AS BIGINT) AS sum_ancestors
+FROM closure
+GROUP BY 1
+""",
+)
+def hierarchy_deep_chain_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pathological depth: a 256-node CHAIN (depth = node count) built
+    with the path-doubling walk — 9 pointer-jump rounds instead of 256
+    level joins (the O(log d) strategy for hierarchies whose depth, not
+    width, is the problem). Closure = 32,896 pairs, summarized per
+    net_level for the oracle."""
+    def build():
+        n = 256
+        nodes = spark.range(1, n + 1).select(
+            F.col("id").cast("string").alias("node_id"),
+            F.col("id").cast("bigint").alias("node_natural_key"),
+            F.col("id").cast("string").alias("node_name"),
+            F.lit("L").alias("level_name"),
+            F.when(F.col("id") > 1, (F.col("id") - 1).cast("string")).alias(
+                "parent_node_id"
+            ),
+        )
+        return HierarchyDimension(
+            nodes,
+            dimension_name="chain",
+            sort_key_col="node_natural_key",
+            flatten_levels=2,
+            max_depth=512,
+            strategy="doubling",
+        )
+
+    dim = _cached_dim("chain", spark, sf_dir, build)
+    return dim.aggregation_dim.groupBy(
+        F.col("net_level").cast("bigint").alias("net_level")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("ancestor_node_natural_key").cast("bigint").alias("sum_ancestors"),
+    )
+
+
 @register("hierarchy_geo_rollup_orders_approx")  # no oracle BY DESIGN:
 # approx_count_distinct is an engine-specific HLL sketch — DuckDB's
 # approx_count_distinct produces different estimates, so there is no

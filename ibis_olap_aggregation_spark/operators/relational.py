@@ -988,3 +988,56 @@ def subquery_correlated_above_own_avg(spark: SparkSession, sf_dir: str) -> DataF
             F.max("o_totalprice").cast("double").alias("max_price"),
         )
     )
+
+
+@register(
+    "setops_union_distinct",
+    """
+SELECT nk FROM (
+  SELECT c_nationkey AS nk FROM customer
+  UNION
+  SELECT s_nationkey AS nk FROM supplier
+)
+""",
+)
+def setops_union_distinct(spark, sf_dir):
+    """UNION DISTINCT (the reference only uses UNION ALL inside its CTEs
+    — SURVEY §2.7): dedup across inputs = union + hash distinct."""
+    t = _t(spark, sf_dir, "customer", "supplier")
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("nk"))
+        .union(t["supplier"].select(F.col("s_nationkey").alias("nk")))
+        .distinct()
+    )
+
+
+@register(
+    "scalar_map_pack",
+    """
+SELECT o_orderkey,
+       map_extract(m, 'status')[1] AS status_val,
+       map_extract(m, 'prio')[1] AS prio_val,
+       CAST(cardinality(m) AS INTEGER) AS n_entries,
+       array_to_string(map_keys(m), ',') AS keys_csv
+FROM (
+  SELECT o_orderkey,
+         map(['status', 'prio'], [o_orderstatus, o_orderpriority]) AS m
+  FROM orders
+)
+""",
+)
+def scalar_map_pack(spark, sf_dir):
+    """MAP type surface (absent from the reference's type system —
+    SURVEY §1.2): construct, extract by key, cardinality, keys. Spark
+    map_keys preserves insertion order, matching DuckDB's list order."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
+    )
+    return o.select(
+        "o_orderkey",
+        m["status"].alias("status_val"),
+        m["prio"].alias("prio_val"),
+        F.size(m).alias("n_entries"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )

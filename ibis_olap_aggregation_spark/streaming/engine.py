@@ -166,6 +166,37 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval constraint:
+    left rows match right rows of the same key whose timestamp falls in
+    (left.ts - interval, left.ts]. BOTH sides carry watermarks + the time
+    bound, so the state store can discard rows once they can no longer
+    match — without the bound, stream-stream join state grows forever."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"l_key = r_key AND r_ts > l_ts - INTERVAL {interval} AND r_ts <= l_ts"
+        ),
+    )
+
+
 def enrich_with_static(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static join: each micro-batch broadcast-joins the static
     dimension (re-read per batch, so slowly-changing dims stay fresh).

@@ -231,6 +231,35 @@ def test_stream_static_enrichment(spark, sf_small, workdir):
     assert got == want
 
 
+def test_stream_stream_interval_join(spark, sf_small, workdir):
+    """Stream-stream join (clicks x errors within the trailing hour, per
+    user) must equal the equivalent batch interval join."""
+    src = _events_as_stream_dir(spark, sf_small, workdir)
+    stream = se.stream_events(spark, src)
+    clicks = stream.filter(F.col("event_type") == "click")
+    errors = stream.filter(F.col("event_type") == "error")
+    joined = se.interval_join_streams(clicks, errors)
+    se.run_to_memory(joined, "t_ssj", checkpoint_dir=workdir, output_mode="append")
+    got = {
+        (r.l_event_id, r.r_event_id) for r in spark.table("t_ssj").collect()
+    }
+    ev = load_table(spark, sf_small, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_key"), F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"))
+    be = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("r_key"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"))
+    batch = bc.join(
+        be,
+        F.expr("l_key = r_key AND r_ts > l_ts - INTERVAL 1 hour AND r_ts <= l_ts"),
+    )
+    want = {(r.l_event_id, r.r_event_id) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
 def test_running_totals_accumulate_across_batches(spark, workdir):
     src = os.path.join(workdir, "state_input")
     os.makedirs(src)

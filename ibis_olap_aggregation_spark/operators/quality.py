@@ -44,9 +44,11 @@ def check_foreign_key(
     """FOREIGN KEY as a query: child keys with no parent (left-anti join
     — same shape as the hierarchy's is_leaf derivation)."""
     p = parent.select(F.col(parent_col).alias(child_col)).distinct()
+    # no forced broadcast: the parent key set can be arbitrarily large;
+    # AQE broadcasts the anti-join build side only while it fits
     return (
         child.filter(F.col(child_col).isNotNull())
-        .join(F.broadcast(p), child_col, "left_anti")
+        .join(p, child_col, "left_anti")
         .select(child_col)
         .distinct()
     )

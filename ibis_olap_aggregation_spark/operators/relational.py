@@ -109,8 +109,11 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 def join_inner(spark, sf_dir):
     """J1: inner equi-join, dim side broadcast (reference main.py:36)."""
     t = _t(spark, sf_dir, "orders", "customer")
+    # no forced broadcast: customer scales with sf; AQE broadcasts it
+    # while it fits (the guaranteed-small broadcast case is the closure
+    # dim in rollup.py)
     return t["orders"].join(
-        F.broadcast(t["customer"]),
+        t["customer"],
         t["orders"]["o_custkey"] == t["customer"]["c_custkey"],
         "inner",
     ).select("o_orderkey", "c_name", "o_totalprice")
@@ -741,9 +744,11 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     l = t["lineitem"].filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
     )
+    # no explicit broadcast: orders/customer scale with the fact data —
+    # AQE broadcasts them when (and only when) they fit the threshold
     return (
-        l.join(F.broadcast(o), l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
@@ -777,12 +782,14 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     r = t["region"].filter(F.col("r_name") == "ASIA")
     n = t["nation"].join(F.broadcast(r), t["nation"]["n_regionkey"] == r["r_regionkey"])
     s = t["supplier"].join(F.broadcast(n), t["supplier"]["s_nationkey"] == n["n_nationkey"])
+    # only region/nation are broadcast by hint (truly constant-size);
+    # orders/customer/supplier scale with sf -> AQE picks the strategy
     j = (
         t["lineitem"]
-        .join(F.broadcast(t["orders"]), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -862,7 +869,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
@@ -910,10 +917,12 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("_q") > 250)
         .select(F.col("l_orderkey").alias("_big_orderkey"))
     )
+    # the qualifying-key set's size is data-dependent and customer
+    # scales with sf: no forced broadcasts, AQE decides at runtime
     j = (
         t["orders"]
-        .join(F.broadcast(big), F.col("o_orderkey") == F.col("_big_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(big, F.col("o_orderkey") == F.col("_big_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("o_orderkey") == li["l_orderkey"])
     )
     return j.groupBy(

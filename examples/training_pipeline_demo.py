@@ -1,0 +1,112 @@
+"""End-to-end training-data pipeline demo: the engine's operator
+families composed the way a 100 TB corpus-preparation job would run.
+
+    documents
+      -> quality scoring (filter low-quality)
+      -> exact dedup (md5 canonical)
+      -> near-dup clustering (MinHash LSH -> verify -> components),
+         keep one doc per cluster
+      -> deterministic train/validation split (hash sampling)
+      -> token accounting per split
+
+Every stage is a registry operator (oracle-checked individually); this
+script shows them composed. Run:
+    PYTHONPATH=. python examples/training_pipeline_demo.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark import get_spark, load_table
+from ibis_olap_aggregation_spark.operators.dedup import (
+    connected_components,
+    dedup_minhash_lsh_candidates,
+    hashed_shingles_col,
+)
+from ibis_olap_aggregation_spark.operators.quality import hash_sample
+from ibis_olap_aggregation_spark.operators.text import tokens_col
+from ibis_olap_aggregation_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+QUALITY_MIN = 0.70
+JACCARD = 0.5
+
+
+def main() -> None:
+    spark = get_spark("training_pipeline_demo")
+    docs = load_table(spark, SF_DIR, "documents")
+    n0 = docs.count()
+
+    # 1. quality gate (operators/text.py scoring)
+    scored = QUERIES["text_quality_score"](spark, SF_DIR)
+    keep_ids = scored.filter(F.col("quality_score") >= QUALITY_MIN).select("doc_id")
+    docs = docs.join(keep_ids, "doc_id")
+    n1 = docs.count()
+
+    # 2. exact dedup: canonical doc per content hash
+    canon = (
+        docs.groupBy(F.md5(F.lower(F.trim("text"))).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = docs.join(canon, "doc_id")
+    n2 = docs.count()
+
+    # 3. near-dup removal: LSH candidates -> verified pairs -> components,
+    #    keep the cluster canonical (min doc_id)
+    sets = docs.withColumn("t", tokens_col()).withColumn(
+        "hs", hashed_shingles_col()
+    ).select("doc_id", "hs").cache()
+    cand = dedup_minhash_lsh_candidates(spark, SF_DIR).select("doc_a", "doc_b")
+    cand = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b")), "doc_b")
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    jac = inter / (F.size("ha") + F.size("hb") - inter)
+    pairs = (
+        cand.join(sa, "doc_a").join(sb, "doc_b").filter(jac >= JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = docs.join(drop, "doc_id", "left_anti")
+    n3 = docs.count()
+
+    # 4. deterministic split: ~90% train / ~10% validation by key hash
+    train = hash_sample(docs, "doc_id", 0.9)
+    val = docs.join(train.select("doc_id"), "doc_id", "left_anti")
+
+    # 5. token accounting per split
+    stats = []
+    for name, d in (("train", train), ("validation", val)):
+        row = (
+            d.withColumn("t", tokens_col())
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum(F.size("t")).alias("tokens"),
+            )
+            .collect()[0]
+        )
+        stats.append((name, row.docs, row.tokens))
+
+    print(f"corpus:          {n0} docs")
+    print(f"quality >= {QUALITY_MIN}: {n1} docs  (-{n0 - n1})")
+    print(f"exact dedup:     {n2} docs  (-{n1 - n2})")
+    print(f"near-dup dedup:  {n3} docs  (-{n2 - n3})")
+    for name, nd, nt in stats:
+        print(f"{name:12s} {nd:5d} docs  {nt:8d} tokens")
+    assert stats[0][1] + stats[1][1] == n3
+
+
+if __name__ == "__main__":
+    main()

@@ -1050,3 +1050,66 @@ def scalar_map_pack(spark, sf_dir):
         F.size(m).alias("n_entries"),
         F.array_join(F.map_keys(m), ",").alias("keys_csv"),
     )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY 1
+""",
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): two stacked
+    aggregations — per-customer count, then the histogram of counts. The
+    second groupBy's key cardinality is tiny (distinct counts), so its
+    shuffle is negligible; the left join keeps zero-order customers."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], t["customer"]["c_custkey"] == t["orders"]["o_custkey"], "left")
+        .groupBy(t["customer"]["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY 1
+""",
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS with
+    an extra per-row predicate (l_shipdate > o_orderdate) — a left-semi
+    join whose condition mixes the equi key with a theta clause; the
+    date-range filter pushes into the orders scan first."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    l = t["lineitem"]
+    semi = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )

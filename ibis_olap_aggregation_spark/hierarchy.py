@@ -117,11 +117,17 @@ class HierarchyDimension:
         flatten_levels: int = 10,
         materialize: bool = True,
         strategy: str = "auto",
+        compute_sort_order: bool = True,
     ):
         self.dimension_name = dimension_name
         self.max_depth = max_depth
         self.flatten_levels = flatten_levels
         self.strategy = strategy
+        # compute_sort_order=False skips the ranking passes entirely
+        # (node_sort_order comes back NULL): rollup correctness never
+        # depends on display order, so pure-aggregation consumers of big
+        # dims shouldn't pay the extra count/sample/shuffle rounds.
+        self.compute_sort_order = compute_sort_order
         # cache: the walk re-joins nodes once per level, and derived node
         # tables (e.g. DISTINCT-built brand/type levels) would otherwise
         # re-shuffle on every iteration
@@ -164,6 +170,16 @@ class HierarchyDimension:
         self.reporting_dim = self._build_reporting_dim()
         self.aggregation_dim = self._build_aggregation_dim()
 
+
+    def _rank(self, walked):
+        """Dense depth-first order, or a NULL column when the consumer
+        opted out of display ordering (compute_sort_order=False)."""
+        if not self.compute_sort_order:
+            return walked.withColumn(
+                "node_sort_order", F.lit(None).cast("int")
+            ).drop("_x_never")
+        return global_row_number(walked, ["_sort_path"], "node_sort_order")
+
     def _supports_recursive_cte(self) -> bool:
         try:
             return int(self.nodes.sparkSession.version.split(".")[0]) >= 4
@@ -205,9 +221,11 @@ class HierarchyDimension:
         walked = spark.sql(sql).cache()
         self._levels = [walked]
         try:
-            # global_row_number runs the first action, so the depth guard
-            # (RECURSION_LEVEL_LIMIT) surfaces here, at construction time
-            return global_row_number(walked, ["_sort_path"], "node_sort_order")
+            # the ranker (or the depth probe below) runs the first action,
+            # so the depth guard (RECURSION_LEVEL_LIMIT) surfaces here
+            if not self.compute_sort_order:
+                walked.count()  # force fixpoint -> surface depth errors
+            return self._rank(walked)
         except Exception as e:  # noqa: BLE001 - map recursion-limit to our contract
             if "RECURSION_LEVEL_LIMIT" in str(e):
                 raise ValueError(
@@ -276,7 +294,7 @@ class HierarchyDimension:
         for lv in levels[1:]:
             walked = walked.unionByName(lv)
         # dense depth-first order without a single-partition window
-        ranked = global_row_number(walked, ["_sort_path"], "node_sort_order")
+        ranked = self._rank(walked)
         self._levels = levels  # unpersisted via unpersist()
         return ranked
 
@@ -367,7 +385,7 @@ class HierarchyDimension:
         )
         walked = walked.cache()
         self._levels.append(walked)
-        return global_row_number(walked, ["_sort_path"], "node_sort_order")
+        return self._rank(walked)
 
     # -- stage 2: reporting dim -----------------------------------------
     def _build_reporting_dim(self) -> DataFrame:

@@ -497,6 +497,7 @@ def hierarchy_deep_binary_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
             sort_key_col="node_natural_key",
             flatten_levels=4,
             max_depth=20,
+            compute_sort_order=False,  # pure rollup: skip ranking passes
         )
 
     dim = _cached_dim("deep", spark, sf_dir, build)
@@ -550,6 +551,7 @@ def hierarchy_deep_chain_doubling(spark: SparkSession, sf_dir: str) -> DataFrame
             flatten_levels=2,
             max_depth=512,
             strategy="doubling",
+            compute_sort_order=False,  # pure rollup: skip ranking passes
         )
 
     dim = _cached_dim("chain", spark, sf_dir, build)

@@ -247,3 +247,56 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "events_funnel_click_purchase",
+    """
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+),
+first_purchase AS (
+  SELECT c.user_id, c.click_ts,
+         MIN(p.ts) AS purchase_ts
+  FROM clicks c
+  JOIN events p
+    ON p.user_id = c.user_id AND p.event_type = 'purchase'
+   AND p.ts > c.click_ts AND p.ts <= c.click_ts + INTERVAL '2 hours'
+  GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_clicks,
+       (SELECT COUNT(*) FROM first_purchase) AS n_converted,
+       CAST((SELECT COUNT(*) FROM first_purchase) AS DOUBLE) / COUNT(*)
+         AS conversion_rate
+FROM clicks
+""",
+)
+def events_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: clicks converting to a purchase within 2 hours
+    (same user). The conversion join is an interval join on the user key
+    — equi on user_id with a time-bound residual, so it shuffles once on
+    the (high-cardinality) user, never a cross join. A streaming twin is
+    interval_join_streams in streaming/engine.py."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 hours")),
+        )
+        .groupBy("user_id", "click_ts")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+    )
+    n_clicks = clicks.count()
+    n_conv = converted.count()
+    return spark.createDataFrame(
+        [(n_clicks, n_conv, float(n_conv) / n_clicks)],
+        "n_clicks bigint, n_converted bigint, conversion_rate double",
+    )

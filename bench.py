@@ -2,15 +2,24 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + fetch row count); a
-warmup pass on the smallest table absorbs JVM/session startup so the
-numbers measure the engine, not the JVM boot.
+Each query is timed end-to-end (plan + execute + FULL materialization of
+every output column via the noop sink — a bare .count() lets Catalyst
+prune computed columns, so map-only queries would be timed as scan+count
+and report fantasy numbers). A warmup pass touches every input table so
+timings measure the engine, not cold first-touch file IO.
+
+When a previous round's BENCH_r{N}.json exists next to this script, the
+output also carries per-query deltas vs the latest one ("deltas": {name:
+sec_now - sec_prev}) so regressions introduced by plan changes are
+visible in the bench line itself.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -20,6 +29,7 @@ from ibis_olap_aggregation_spark import queries as q
 from ibis_olap_aggregation_spark.session import get_spark, load_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 # Headline set: the flagship hierarchy rollups + the heaviest operator
 # families. Keep keys stable across rounds so BENCH_r{N}.json is
@@ -29,8 +39,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # — and every query reuses the tables). They are timed as their own
 # entries; the rollup queries then measure warm query latency.
 DIM_BUILDS = [
-    ("geo_dim_build", lambda spark, sf: q._geo_dim(spark, sf).aggregation_dim.count()),
-    ("part_dim_build", lambda spark, sf: q._part_dim(spark, sf).aggregation_dim.count()),
+    ("geo_dim_build", lambda spark, sf: q._geo_dim(spark, sf).aggregation_dim),
+    ("part_dim_build", lambda spark, sf: q._part_dim(spark, sf).aggregation_dim),
 ]
 
 HEADLINE = [
@@ -58,6 +68,31 @@ HEADLINE = [
 ]
 
 
+def materialize(df) -> None:
+    """Execute the FULL plan: noop sink evaluates every output column
+    (unlike count(), which lets Catalyst prune computed columns)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _prev_bench() -> dict[str, float]:
+    """Per-query timings from the latest BENCH_r{N}.json, if any."""
+    best: tuple[int, dict] | None = None
+    for path in glob.glob(os.path.join(_HERE, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                payload = json.load(f)
+            queries = payload.get("parsed", payload).get("queries", {})
+        except Exception:  # noqa: BLE001 - a malformed old file never blocks a bench
+            continue
+        n = int(m.group(1))
+        if queries and (best is None or n > best[0]):
+            best = (n, queries)
+    return best[1] if best else {}
+
+
 def main() -> None:
     spark = get_spark("bench")
     # warmup: touch the JVM + parquet reader + every input table once, so
@@ -70,29 +105,31 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in DIM_BUILDS:
         t0 = time.perf_counter()
-        fn(spark, SF_DIR)
+        materialize(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
     for name in HEADLINE:
         fn = q.QUERIES.get(name)
         if fn is None:
             continue
         t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.count()  # execute fully without driver-side row materialization
+        materialize(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    prev = _prev_bench()
+    deltas = {
+        k: round(v - prev[k], 3) for k, v in timings.items() if k in prev
+    }
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if deltas:
+        out["deltas_vs_prev"] = deltas
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -46,11 +46,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingles_col(k: int = 3) -> F.Column:
-    """Distinct k-token shingles from the token array column `t`."""
+    """Distinct k-token shingles from the token array column `t`.
+
+    Guarded for docs shorter than k tokens: Spark's sequence(1, 0) is
+    DESCENDING ([1, 0] — slice index 0 then errors at runtime), unlike
+    DuckDB's generate_series which returns empty. The size(t) < k branch
+    returns an empty array so both engines agree on short documents."""
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, size(t) - {k - 1}),"
-            f" i -> concat_ws(' ', slice(t, i, {k})))"
+            f"if(size(t) < {k}, cast(array() as array<string>),"
+            f" transform(sequence(1, size(t) - {k - 1}),"
+            f" i -> concat_ws(' ', slice(t, i, {k}))))"
         )
     )
 
@@ -104,12 +110,16 @@ sig AS (
 
 
 def hashed_shingles_col() -> F.Column:
-    """32-bit md5-derived hashes of distinct 5-token shingles."""
+    """32-bit md5-derived hashes of distinct 5-token shingles.
+
+    Short-doc guard (see shingles_col): docs with fewer than k tokens get
+    an empty hash set, matching DuckDB's empty generate_series."""
     k = MINHASH_SHINGLE_K
     h = _SPARK_MD5INT.format(x="s")
     return F.expr(
-        f"transform(array_distinct(transform(sequence(1, size(t) - {k - 1}),"
-        f" i -> concat_ws(' ', slice(t, i, {k})))), s -> {h} & 4294967295)"
+        f"if(size(t) < {k}, cast(array() as array<bigint>),"
+        f" transform(array_distinct(transform(sequence(1, size(t) - {k - 1}),"
+        f" i -> concat_ws(' ', slice(t, i, {k})))), s -> {h} & 4294967295))"
     )
 
 
@@ -371,21 +381,62 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """,
 )
-def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: hamming distance <= 3 over the 32-bit
-    signatures. At scale this join is blocked on signature byte-chunks
-    (pigeonhole: distance<=3 over 4 chunks → one chunk equal); the
-    all-pairs form here keeps the oracle exact at test sf."""
+def _simhash_near_pairs_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs theta-join form — O(n^2), kept ONLY as the small-sf
+    cross-check for the blocked default (tests/test_blocked_pairs.py)."""
     sig = dedup_simhash_signatures(spark, sf_dir)
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn(
-            "hamming", F.expr("bit_count(ha ^ hb)").cast("bigint")
-        )
+        .withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("bigint"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance <= 3 over the 32-bit
+    signatures, via EXACT pigeonhole chunk-blocking: split each signature
+    into 4 byte chunks — any pair within hamming 3 differs in at most 3
+    chunks, so at least one chunk is EQUAL (pigeonhole) and the pair
+    meets inside that chunk's bucket. Identical output to the all-pairs
+    theta join (the oracle runs all-pairs; the blocking loses nothing),
+    but the plan is explode -> bucket groupBy -> in-bucket pair
+    generation -> distinct: one shuffle on (chunk_id, chunk_value), cost
+    ~ sum(bucket^2), never n^2 comparisons."""
+    n_chunks = SIMHASH_MAX_HAMMING + 1  # hamming <= 3 -> 4 chunks
+    chunk_bits = SIMHASH_BITS // n_chunks
+    sig = dedup_simhash_signatures(spark, sf_dir)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_chunks - 1}),"
+                f" c -> struct(c AS chunk_id,"
+                f" (simhash >> (c * {chunk_bits})) & {(1 << chunk_bits) - 1}"
+                f" AS chunk_val))"
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk_id", "ck.chunk_val")
+    buckets = chunks.groupBy("chunk_id", "chunk_val").agg(
+        F.collect_list(F.struct("doc_id", "simhash")).alias("ds")
+    )
+    pairs = buckets.filter(F.size("ds") > 1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, x -> transform("
+                "  filter(ds, y -> x.doc_id < y.doc_id),"
+                "  y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                "              bit_count(x.simhash ^ y.simhash) AS hamming))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.doc_a", "p.doc_b", F.col("p.hamming").cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()  # a pair can collide in several chunks
     )
 
 

@@ -228,10 +228,15 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", F.trim("text").alias("norm"), tokens_col().alias("t")
     )
+    # short-doc guard: sequence(1, 0) descends in Spark (slice index 0
+    # errors) while DuckDB's generate_series returns empty — branch so
+    # sub-3-token docs yield an empty shingle list (min_shingle_hash NULL)
+    # in both engines
     sh = d.withColumn(
         "shingles",
         F.expr(
-            "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"
+            "if(size(t) < 3, cast(array() as array<string>),"
+            " transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3))))"
         ),
     )
     return sh.select(
@@ -268,10 +273,13 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k
     then a tiny driver merge) — never a global sort of all n-grams."""
     d = _docs(spark, sf_dir).withColumn("t", tokens_col())
+    # short-doc guard: 1-token docs produce no bigrams (empty array
+    # explodes to zero rows), matching DuckDB's empty generate_series
     bg = d.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2)))"
+                "if(size(t) < 2, cast(array() as array<string>),"
+                " transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2))))"
             )
         ).alias("bigram")
     )

@@ -18,9 +18,9 @@ from ibis_olap_aggregation_spark.session import TABLES
 _ORACLE_NAMES = sorted(entry_mod.oracle_sql().keys())
 
 
-def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+def run_oracle(sql: str, sf_dir: str, tables: tuple[str, ...] = TABLES) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in TABLES:
+    for t in tables:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )

@@ -26,6 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ibis_olap_aggregation_spark.operators.similarity import (
+    duck_rp_planes_sql,
+    rp_planes_df,
+    rp_sigs,
+)
 from ibis_olap_aggregation_spark.operators.text import tokens_col
 from ibis_olap_aggregation_spark.queries import register
 from ibis_olap_aggregation_spark.session import load_table
@@ -255,9 +260,10 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard_pairs",
-    f"""
+# Oracle for dedup_ngram_jaccard_pairs: the EXHAUSTIVE inverted-index
+# form — prefix filtering is provably lossless, so the oracle can stay
+# the simple spec while the engine runs the blocked plan.
+_DUCK_JACCARD_PAIRS = f"""
 WITH {_DUCK_SHINGLES},
 ex AS (
   SELECT doc_id, unnest(shingles) AS s FROM sh
@@ -276,13 +282,13 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
-""",
-)
-def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (the verification stage run on
-    LSH candidates at scale; written over the shingle inverted index here
-    so the oracle is 1:1). Shingle hashes are high-cardinality → the
-    inverted-index join shuffle is skew-free."""
+"""
+
+
+def _ngram_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive inverted-index form — every pair sharing ANY shingle is
+    aggregated (worst-case ~n^2 groups on repetitive corpora). Kept ONLY
+    as the small-sf cross-check for the prefix-filtered default."""
     d = _docs(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
         "shingles", shingles_col()
     )
@@ -302,6 +308,68 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sb), "doc_b")
         .filter(j >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", F.round(j, 6).alias("jaccard"))
+    )
+
+
+@register("dedup_ngram_jaccard_pairs", _DUCK_JACCARD_PAIRS)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via AllPairs/PPJoin-style
+    PREFIX FILTERING (Bayardo et al., WWW'07; Xiao et al., WWW'08):
+    sort each document's distinct shingles under one global total order
+    (lexicographic) and index only the first n - ceil(t*n) + 1 of them —
+    any pair with Jaccard >= t MUST collide inside both prefixes
+    (overlap >= t*max(na,nb) and size filter nb >= t*na imply the needed
+    overlap exceeds what the suffixes can hold). Candidates from the
+    prefix index are then verified with one array_intersect per pair.
+
+    EXACT — provably identical to the exhaustive inverted-index join
+    (the oracle runs exhaustive; tests/test_blocked_pairs.py pins
+    equality) — but the index and the pair aggregation shrink by ~1/2 at
+    t=0.5 (more at higher t: prefix is n(1-t)+1), and the candidate set
+    is bounded by prefix collisions instead of any-shingle collisions."""
+    t = JACCARD_THRESHOLD
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
+        "shingles", F.array_sort(shingles_col())
+    )
+    # cache: the shingle arrays feed the prefix index AND both verify
+    # sides; without it the tokenize+shingle chain evaluates three times
+    sets = d.select("doc_id", "shingles").cache()
+    prefix_len = (
+        f"size(shingles) - cast(ceil(size(shingles) * {t}) as int) + 1"
+    )
+    pref = sets.select(
+        "doc_id", F.explode(F.expr(f"slice(shingles, 1, {prefix_len})")).alias("s")
+    )
+    # bucket-group the prefix index: pairs are generated INSIDE each
+    # shingle's posting list (one shuffle on the shingle, never a
+    # self-join that re-evaluates the shingle chain on both sides)
+    cand = (
+        pref.groupBy("s")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds,"
+                    " x -> transform(filter(ds, y -> x < y),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("ha"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb")).cast("bigint")
+    j = inter / (F.size("ha") + F.size("hb") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", inter)
+        .withColumn("_j", j)
+        .filter(F.col("_j") >= t)
+        .select("doc_a", "doc_b", "n_common", F.round("_j", 6).alias("jaccard"))
     )
 
 
@@ -371,16 +439,17 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_simhash_near_pairs",
-    f"""
+# Oracle for dedup_simhash_near_pairs: all-pairs spec (the pigeonhole
+# blocking is provably lossless, so the oracle can stay the simple form).
+_DUCK_SIMHASH_PAIRS = f"""
 WITH {_DUCK_SIMHASH}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
-""",
-)
+"""
+
+
 def _simhash_near_pairs_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs theta-join form — O(n^2), kept ONLY as the small-sf
     cross-check for the blocked default (tests/test_blocked_pairs.py)."""
@@ -395,6 +464,7 @@ def _simhash_near_pairs_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_simhash_near_pairs", _DUCK_SIMHASH_PAIRS)
 def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: hamming distance <= 3 over the 32-bit
     signatures, via EXACT pigeonhole chunk-blocking: split each signature
@@ -415,7 +485,7 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"transform(sequence(0, {n_chunks - 1}),"
                 f" c -> struct(c AS chunk_id,"
-                f" (simhash >> (c * {chunk_bits})) & {(1 << chunk_bits) - 1}"
+                f" shiftright(simhash, c * {chunk_bits}) & {(1 << chunk_bits) - 1}"
                 f" AS chunk_val))"
             )
         ).alias("ck"),
@@ -440,9 +510,9 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_cosine_pairs",
-    f"""
+# Oracle for dedup_embedding_cosine_pairs: all-pairs spec (the block
+# grid merely repartitions the same pair set — provably lossless).
+_DUCK_COSINE_PAIRS = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
@@ -455,24 +525,150 @@ p AS (
 )
 SELECT vec_a, vec_b, ROUND(cosine, 6) AS cosine
 FROM p WHERE cosine >= {COSINE_THRESHOLD}
-""",
-)
-def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: exact cosine >= 0.3 over float vectors
-    (cast to double; zip_with/aggregate — JVM-side, no UDF). At scale the
-    pair set is pre-blocked by LSH buckets (see sim_lsh_bucket_topk);
-    all-pairs here keeps the oracle exact."""
+"""
+
+COSINE_BLOCKS = 8  # exact all-pairs block grid; raise with corpus size
+
+_COS_DOT = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
+_COS_NA = "sqrt(aggregate(transform(va, x -> x * x), 0d, (acc, x) -> acc + x))"
+_COS_NB = "sqrt(aggregate(transform(vb, x -> x * x), 0d, (acc, x) -> acc + x))"
+
+
+def _embedding_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs theta-join form — kept ONLY as the small-sf cross-check
+    for the block-partitioned default (tests/test_blocked_pairs.py)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
-    na = "sqrt(aggregate(transform(va, x -> x * x), 0d, (acc, x) -> acc + x))"
-    nb = "sqrt(aggregate(transform(vb, x -> x * x), 0d, (acc, x) -> acc + x))"
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.expr(f"({dot}) / (({na}) * ({nb}))"))
+        .withColumn("cosine", F.expr(f"({_COS_DOT}) / (({_COS_NA}) * ({_COS_NB}))"))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@register("dedup_embedding_cosine_pairs", _DUCK_COSINE_PAIRS)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: EXACT cosine >= threshold over float
+    vectors (cast to double; zip_with/aggregate — JVM-side, no UDF),
+    restructured from a theta join into a BLOCK-PARTITIONED equi-join
+    (the canonical distributed exact all-pairs shape): vectors hash into
+    P blocks, the tiny P*(P+1)/2 block-pair grid broadcasts, and each
+    side joins the grid on its block id so every (block_i, block_j) cell
+    becomes one equi-join key. Work per task = |b_i| x |b_j| dot
+    products — balanced, memory-bounded (two blocks per task), no
+    broadcast-nested-loop and no single-key skew. Identical output to
+    the theta join (the oracle runs all-pairs).
+
+    O(n^2) FLOPs are inherent to exact all-pairs; this bounds shuffle
+    and balances the grid. For the subquadratic path, see
+    dedup_embedding_cosine_lsh_pairs (RP-LSH candidates + verify)."""
+    P = COSINE_BLOCKS
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.pmod(F.col("vec_id"), F.lit(P)).cast("int").alias("blk"),
+    )
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(P) for j in range(i, P)], "i int, j int"
+    )
+    left = e.join(F.broadcast(grid), F.col("blk") == F.col("i")).select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "i", "j"
+    )
+    right = e.join(F.broadcast(grid), F.col("blk") == F.col("j")).select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "i", "j"
+    )
+    pairs = left.join(right, ["i", "j"]).filter(
+        (F.col("i") < F.col("j")) | (F.col("vec_a") < F.col("vec_b"))
+    )
+    return (
+        pairs.withColumn(
+            "cosine", F.expr(f"({_COS_DOT}) / (({_COS_NA}) * ({_COS_NB}))")
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select(
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+# Subquadratic cosine pairs: RP-LSH blocking + exact verify. Table/bit
+# counts are the recall dial; 16 tables x 4 bits is sized for the loose
+# test threshold (0.3 — 72 deg) where single-table recall is poor. Real
+# near-dup thresholds (>= 0.9) tighten buckets dramatically.
+DEDUP_RP_TABLES = 16
+DEDUP_RP_BITS = 4
+
+
+@register(
+    "dedup_embedding_cosine_lsh_pairs",
+    f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+{duck_rp_planes_sql(DEDUP_RP_TABLES * DEDUP_RP_BITS, DEDUP_RP_BITS).strip()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b
+    ON a.table_id = b.table_id AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         list_sum(list_transform(generate_series(1, 64), i -> ea.v[i] * eb.v[i]))
+           / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(eb.v, x -> x * x)))) AS cosine
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.vec_a
+  JOIN e eb ON eb.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, ROUND(cosine, 6) AS cosine
+FROM scored WHERE cosine >= {COSINE_THRESHOLD}
+""",
+)
+def dedup_embedding_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBQUADRATIC embedding near-dup pairs — the 100 TB default:
+    banded random-hyperplane LSH blocks the corpus (16 tables x 4 sign
+    bits, deterministic md5 planes), candidate pairs are generated
+    INSIDE each (table, bucket) via bucket-grouping (one shuffle, cost ~
+    sum(bucket^2)), then EXACT cosine verifies candidates only. The
+    oracle runs the identical plane/bucket math, so both engines see the
+    same candidate set bit-for-bit (the dedup_duplicate_clusters
+    pattern). Recall vs the exact all-pairs form is pinned in
+    tests/test_blocked_pairs.py; precision is 1.0 by construction
+    (every emitted pair passed exact verification)."""
+    planes = rp_planes_df(spark, DEDUP_RP_TABLES * DEDUP_RP_BITS, DEDUP_RP_BITS)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sigs = rp_sigs(e, planes, DEDUP_RP_BITS)
+    cand = (
+        sigs.groupBy("table_id", "bucket")
+        .agg(F.collect_list("vec_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds,"
+                    " x -> transform(filter(ds, y -> x < y),"
+                    " y -> struct(x AS vec_a, y AS vec_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cosine", F.expr(f"({_COS_DOT}) / (({_COS_NA}) * ({_COS_NB}))"))
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )

@@ -15,8 +15,14 @@ two DuckDB recursive CTEs. Differences by design:
   build and a single-partition window besides. The dense
   ``node_sort_order`` integer is computed scalably (range-partition +
   per-partition row_number + offsets), not with a global window.
-- Cycles / over-deep hierarchies raise instead of looping forever
-  (the reference's CTEs would spin on cyclic input).
+- Cycle/orphan semantics (uniform across strategies): a cycle in
+  parent_node_id can never be root-reachable (every node has ONE parent
+  pointer, so walking down from roots cannot enter a cycle) — cycles are
+  always detached islands. Builds with ``materialize=True`` detect them
+  (reached-count check + chain classification) and raise ValueError;
+  orphan subtrees (parent id absent from the table) are dropped
+  silently, matching the reference CTE's start-at-roots semantics.
+  Over-deep hierarchies raise instead of looping forever.
 
 Output column contract mirrors the reference:
 
@@ -95,14 +101,19 @@ class HierarchyDimension:
         reporting dim (the reference hardcodes 10; ref :147).
     materialize : cache the walk result (it feeds both dims), mirroring
         the reference's CTAS-then-reread (ref :162-173).
-    strategy : ``"cte"`` = Spark >= 4.0 native WITH RECURSIVE — the
-        whole walk is ONE query (one scheduling round-trip per build);
-        ``"iterative"`` = portable driver loop, one join+union per level
-        (also the path for engines/configs without recursive CTEs);
-        ``"doubling"`` = pointer-jumping path doubling, O(log depth)
-        self-joins — the pick for DEEP hierarchies (depth 1000 = 10
-        rounds, not 1000); ``"auto"`` = cte when the session supports
-        it, else iterative.
+    strategy : ``"doubling"`` = pointer-jumping path doubling, O(log
+        depth) self-joins — ceil(log2 depth)+1 rounds regardless of node
+        count, each round localCheckpointed so the plan stays O(1);
+        ``"cte"`` = Spark >= 4.0 native WITH RECURSIVE — the whole walk
+        is ONE query (one scheduling round-trip per build) but O(depth)
+        internal iterations; ``"iterative"`` = portable driver loop, one
+        join+union per level (the path for engines without recursive
+        CTEs). ``"auto"`` = doubling: measured on local[32] it wins at
+        BOTH ends — 4.6s vs 14.7s (cte) on a 15k-node depth-4 geo dim at
+        sf0.1, and 7.7s vs 46.8s (cte) on a 65k-node depth-16 binary
+        tree — because wall time is dominated by scheduling rounds and
+        re-analysis, which doubling minimizes (fewest rounds, truncated
+        lineage). All three produce identical output (agreement-tested).
     """
 
     def __init__(
@@ -132,8 +143,13 @@ class HierarchyDimension:
         # tables (e.g. DISTINCT-built brand/type levels) would otherwise
         # re-shuffle on every iteration
         self.nodes = prepare_nodes(nodes, node_id_col, parent_node_id_col)
+        self._nodes_base = None
+        self._n_nodes: int | None = None
         if materialize:
-            self.nodes = self.nodes.cache()
+            # first cache holds the (possibly expensive) source-derived
+            # node table while we count it; released after the walk is
+            # materialized (the repartitioned cache takes over)
+            self._nodes_base = self.nodes.cache()
             # Size the walk's parallelism to the DIMENSION, not to the
             # partitioning the source scans happened to leave behind:
             # each recursion level is a job over these partitions, so a
@@ -141,12 +157,13 @@ class HierarchyDimension:
             # task-scheduling overhead per level (measured 2.4x slower).
             # ~250k nodes/partition, floor 4 (cluster-safe: dims are
             # dim-sized), cap at the session shuffle width.
-            n = self.nodes.count()  # also materializes the cache
+            n = self._nodes_base.count()  # also materializes the cache
+            self._n_nodes = n
             cap = int(
                 self.nodes.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
             )
             parts = min(cap, max(4, n // 250_000 + 1))
-            self.nodes = self.nodes.repartition(parts).cache()
+            self.nodes = self._nodes_base.repartition(parts).cache()
         if sort_key_col is None:
             sort_key_col = (
                 "node_natural_key" if "node_natural_key" in self.nodes.columns else "node_id"
@@ -158,7 +175,7 @@ class HierarchyDimension:
 
         strat = strategy
         if strat == "auto":
-            strat = "cte" if self._supports_recursive_cte() else "iterative"
+            strat = "doubling"  # fastest at both depth extremes; see above
         walkers = {
             "cte": self._walk_cte,
             "iterative": self._walk,
@@ -167,8 +184,75 @@ class HierarchyDimension:
         self._walked = walkers[strat]()
         if materialize:
             self._walked = self._walked.cache()
+            walked_n = self._walked.count()  # materialize; enables reach check
+            self._nodes_base.unpersist()
+            self._nodes_base = None
+            if walked_n < (self._n_nodes or 0):
+                # some nodes never reached a root: orphan subtrees are
+                # dropped silently (reference CTE semantics); a cycle is
+                # data corruption and raises
+                self._classify_unreached()
         self.reporting_dim = self._build_reporting_dim()
         self.aggregation_dim = self._build_aggregation_dim()
+
+    # -- unreached-node classification (cycle vs orphan) -----------------
+    _UNREACHED_DRIVER_LIMIT = 100_000
+    _PEEL_MAX_ROUNDS = 200
+
+    def _classify_unreached(self) -> None:
+        """Nodes absent from the walk either hang off a MISSING parent
+        (orphan subtree — dropped silently) or sit in/under a detached
+        CYCLE (raise). Small sets classify on the driver with a colored
+        chain walk; larger sets run a distributed peel — repeatedly
+        semi-join away nodes whose parent already left the set; a
+        non-shrinking non-empty fixpoint proves a cycle."""
+        un = self.nodes.select("node_id", "parent_node_id").join(
+            self._walked.select("node_id"), "node_id", "left_anti"
+        )
+        rows = un.limit(self._UNREACHED_DRIVER_LIMIT + 1).collect()
+        if len(rows) <= self._UNREACHED_DRIVER_LIMIT:
+            parent = {r["node_id"]: r["parent_node_id"] for r in rows}
+            done: dict[str, bool] = {}
+            for start in parent:
+                if done.get(start):
+                    continue
+                chain: list = []
+                x = start
+                while x in parent and not done.get(x):
+                    if done.get(x) is False:  # in the CURRENT chain
+                        cyc = chain[chain.index(x):]
+                        raise ValueError(
+                            f"cycle detected in parent_node_id: "
+                            f"{' -> '.join(str(c) for c in cyc[:6])}"
+                            f"{' -> ...' if len(cyc) > 6 else ''}"
+                        )
+                    done[x] = False
+                    chain.append(x)
+                    x = parent[x]
+                for c in chain:
+                    done[c] = True
+            return  # every chain exits the set: orphans only
+        un = un.cache()
+        prev = un.count()
+        for _ in range(self._PEEL_MAX_ROUNDS):
+            in_set = un.select(F.col("node_id").alias("_p"))
+            nxt = un.join(
+                in_set, un["parent_node_id"] == in_set["_p"], "left_semi"
+            ).cache()
+            cur = nxt.count()
+            un.unpersist()
+            un = nxt
+            if cur == 0:
+                return  # peeled to nothing: orphan chains only
+            if cur == prev:
+                raise ValueError(
+                    f"cycle detected in parent_node_id ({cur} nodes in or "
+                    "under detached cycles)"
+                )
+            prev = cur
+        # rounds exhausted while still shrinking: pathologically long
+        # orphan chains — treat as orphans (no fixpoint was reached)
+        un.unpersist()
 
 
     def _rank(self, walked):
@@ -178,7 +262,11 @@ class HierarchyDimension:
             return walked.withColumn(
                 "node_sort_order", F.lit(None).cast("int")
             ).drop("_x_never")
-        return global_row_number(walked, ["_sort_path"], "node_sort_order")
+        # the node count (known when materialized) sizes the ranker's
+        # range partitioning up front, sparing it its own count pass
+        return global_row_number(
+            walked, ["_sort_path"], "node_sort_order", row_count=self._n_nodes
+        )
 
     def _supports_recursive_cte(self) -> bool:
         try:
@@ -198,8 +286,6 @@ class HierarchyDimension:
         self.nodes.createOrReplaceTempView(view)
         struct_sql = ", ".join(f"'{c}', n.{c}" for c in self._struct_cols)
         cols = ", ".join(f"n.{c}" for c in self._struct_cols)
-        spark.conf.set("spark.sql.cteRecursionLevelLimit", str(self.max_depth))
-        spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
         sql = f"""
         WITH RECURSIVE walk AS (
           SELECT {cols}, 1 AS level_number,
@@ -215,24 +301,42 @@ class HierarchyDimension:
         )
         SELECT * FROM walk
         """
-        # cache before ranking: the ranker makes three passes over its
-        # input (count, range sampling, shuffle) — without the cache the
-        # whole recursive fixpoint would re-run each time
-        walked = spark.sql(sql).cache()
-        self._levels = [walked]
+        # Recursion-limit confs are session-global and read at EXECUTION
+        # time, so: (1) save/restore them around the build; (2) force the
+        # fixpoint via an EAGER localCheckpoint — the result is
+        # materialized with truncated lineage, so later consumers (or
+        # cache eviction) can never re-run the recursion under someone
+        # else's limits.
+        conf = spark.conf
+        saved = {
+            k: conf.get(k, None)
+            for k in (
+                "spark.sql.cteRecursionLevelLimit",
+                "spark.sql.cteRecursionRowLimit",
+            )
+        }
         try:
-            # the ranker (or the depth probe below) runs the first action,
-            # so the depth guard (RECURSION_LEVEL_LIMIT) surfaces here
-            if not self.compute_sort_order:
-                walked.count()  # force fixpoint -> surface depth errors
-            return self._rank(walked)
+            conf.set("spark.sql.cteRecursionLevelLimit", str(self.max_depth))
+            conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
+            walked = spark.sql(sql).localCheckpoint(eager=True)
         except Exception as e:  # noqa: BLE001 - map recursion-limit to our contract
             if "RECURSION_LEVEL_LIMIT" in str(e):
+                # the walk only expands root-REACHABLE nodes (a cycle is
+                # never root-reachable — see module docstring), so
+                # tripping the limit means the tree is genuinely deeper
                 raise ValueError(
                     f"hierarchy deeper than max_depth={self.max_depth} "
-                    "(cycle in parent_node_id, or raise max_depth)"
+                    "(raise max_depth)"
                 ) from e
             raise
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
+        self._levels = [walked]
+        return self._rank(walked)
 
     # -- stage 1b: level-bounded walk -----------------------------------
     def _level_struct(self, level: Column) -> Column:
@@ -284,9 +388,11 @@ class HierarchyDimension:
                 break
             depth += 1
             if depth > self.max_depth:
+                # frontier only ever holds root-reachable nodes (cycles
+                # are never root-reachable), so this is genuine depth
                 raise ValueError(
                     f"hierarchy deeper than max_depth={self.max_depth} "
-                    "(cycle in parent_node_id, or raise max_depth)"
+                    "(raise max_depth)"
                 )
             levels.append(child.cache())
 
@@ -359,16 +465,39 @@ class HierarchyDimension:
                 .localCheckpoint()
             )
         else:
-            raise ValueError(
-                f"hierarchy deeper than max_depth={self.max_depth} "
-                "(cycle in parent_node_id, or raise max_depth)"
+            # jumps still pending after ceil(log2 max_depth)+1 rounds:
+            # either members of a detached cycle (their segment wraps, so
+            # node_ids repeat once it outgrows the cycle length — dropped
+            # silently here, exactly like the level walks never visit
+            # them; the materialized reach-check is the uniform raise
+            # point for cycles) or genuinely deeper nodes (raise: a
+            # silent drop would truncate a legitimate tree).
+            pending = state.filter(F.col("_jump").isNotNull())
+            too_deep = pending.filter(
+                F.expr(
+                    "size(_seg) = size(array_distinct(transform(_seg, s -> s.node_id)))"
+                )
             )
+            if not too_deep.isEmpty():
+                raise ValueError(
+                    f"hierarchy deeper than max_depth={self.max_depth} "
+                    "(raise max_depth)"
+                )
+            state = state.filter(F.col("_jump").isNull())
         # nodes with a parent missing from the table (orphans) never
         # terminate at a root: their first seg element is not a root.
         # The level walks drop them; do the same here.
         done = state.filter(
             F.element_at("_seg", 1).getField("is_root")
         )
+        # max_depth is a semantic contract, not just a rounds budget: the
+        # rounds bound has slack (2^(rounds+1) >= 2*max_depth), so a tree
+        # the level walks would reject could complete here — enforce it
+        if not done.filter(F.size("_seg") > self.max_depth).isEmpty():
+            raise ValueError(
+                f"hierarchy deeper than max_depth={self.max_depth} "
+                "(raise max_depth)"
+            )
         lvl = F.size("_seg")
         walked = done.select(
             *[
@@ -480,6 +609,13 @@ class HierarchyDimension:
         inserts change descendants' paths and sort orders → full rebuild.
         node_sort_order for appended leaves is NULL (a display concern;
         rollup correctness never depends on it) until the next rebuild.
+
+        Flag maintenance: parents receiving their first child stop being
+        leaves, so their pre-existing closure rows get is_leaf flipped to
+        false (both as ancestor and as descendant). New nodes whose
+        parent is absent from the existing closure raise (an interior /
+        orphan insert is outside this method's contract, and silently
+        dropping it would corrupt the rollup).
         """
         prepared = prepare_nodes(new_nodes)
         attr = self._attr_out_cols()
@@ -490,9 +626,53 @@ class HierarchyDimension:
         new = prepared.select(
             *[F.col(c).alias(f"new_{c}") for c in prepared.columns]
         )
+        # guard: every new node's parent must already be in the closure
+        known = self.aggregation_dim.filter("net_level = 0").select(
+            F.col("descendant_node_id").alias("_k")
+        )
+        missing = [
+            r["new_node_id"]
+            for r in new.join(
+                F.broadcast(known), new["new_parent_node_id"] == known["_k"], "left_anti"
+            )
+            .select("new_node_id")
+            .limit(5)
+            .collect()
+        ]
+        if missing:
+            raise ValueError(
+                "extend_closure_with_leaves: parent not in existing closure "
+                f"for new nodes {missing} (leaf appends only — rebuild for "
+                "interior inserts)"
+            )
+        # parents gaining their first child are no longer leaves: flip
+        # is_leaf on their existing rows (tiny parent set -> broadcast)
+        base = self.aggregation_dim
+        if "is_leaf" in attr:
+            new_parents = prepared.select(
+                F.col("parent_node_id").alias("_np")
+            ).distinct()
+            for side in ("ancestor", "descendant"):
+                hit = new_parents.select(
+                    F.col("_np").alias(f"_hit_{side}")
+                ).withColumn(f"_flip_{side}", F.lit(True))
+                base = (
+                    base.join(
+                        F.broadcast(hit),
+                        base[f"{side}_node_id"] == hit[f"_hit_{side}"],
+                        "left",
+                    )
+                    .withColumn(
+                        f"{side}_is_leaf",
+                        F.when(F.col(f"_flip_{side}"), F.lit(False)).otherwise(
+                            F.col(f"{side}_is_leaf")
+                        ),
+                    )
+                    .drop(f"_hit_{side}", f"_flip_{side}")
+                )
         # ancestors of the parent (including the parent itself = self-pair
         # rows of the parent) -> become ancestors of the new leaf
-        parent_anc = self.aggregation_dim.select(
+        parent_anc = base.select(
             *anc_cols, F.col("descendant_node_id").alias("_parent_id"),
             F.col("descendant_level_number").alias("_parent_level"),
         )
@@ -509,7 +689,7 @@ class HierarchyDimension:
             ),
         )
         # depth of the new leaf = parent's depth + 1 (distinct per parent)
-        parent_depth = self.aggregation_dim.filter("net_level = 0").select(
+        parent_depth = base.filter("net_level = 0").select(
             F.col("descendant_node_id").alias("_parent_id"),
             F.col("descendant_level_number").alias("_parent_level"),
         )
@@ -525,7 +705,7 @@ class HierarchyDimension:
             F.lit(None).cast("int").alias("descendant_node_sort_order"),
             F.lit(0).alias("net_level"),
         )
-        return self.aggregation_dim.unionByName(inherited).unionByName(self_pairs)
+        return base.unionByName(inherited).unionByName(self_pairs)
 
     # -- persistence: the reference's CTAS materialization, cross-session --
     def save(self, base_path: str, *, fmt: str = "parquet") -> None:
@@ -553,5 +733,8 @@ class HierarchyDimension:
     def unpersist(self) -> None:
         self._walked.unpersist()
         self.nodes.unpersist()
+        if self._nodes_base is not None:
+            self._nodes_base.unpersist()
+            self._nodes_base = None
         for lv in getattr(self, "_levels", ()):
             lv.unpersist()

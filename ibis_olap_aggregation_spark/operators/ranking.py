@@ -23,6 +23,7 @@ def global_row_number(
     order_cols: list[str],
     out_col: str = "row_num",
     num_partitions: int | None = None,
+    row_count: int | None = None,
 ) -> DataFrame:
     """Dense global 1-based rank ordered by ``order_cols``.
 
@@ -30,13 +31,26 @@ def global_row_number(
     broken arbitrarily). RangePartitioner assigns ascending key ranges
     to ascending partition ids, so partition-local ranks + cumulative
     partition-count offsets compose into the global rank.
+
+    ``row_count``: pass a known (upper-bound) size to skip the count
+    pass. Inputs that fit ONE range partition skip the offset-collect
+    pass too — a tiny dim is ranked in a single lazy window, zero extra
+    driver actions.
     """
     if num_partitions is None:
         # ~500k rows per range partition, capped at the session shuffle
         # width: tiny inputs get 1 partition (no per-stage overhead),
         # huge inputs still spread across the cluster
         cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-        num_partitions = max(1, min(cap, df.count() // 500_000 + 1))
+        n = row_count if row_count is not None else df.count()
+        num_partitions = max(1, min(cap, n // 500_000 + 1))
+    if num_partitions == 1:
+        # single range partition: the offsets are trivially zero, so the
+        # 2-pass offset machinery (count + collect) is pure overhead
+        w = Window.partitionBy(F.lit(0)).orderBy(*[F.col(c) for c in order_cols])
+        return df.repartition(1).withColumn(
+            out_col, F.row_number().over(w).cast("int")
+        )
     ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )

@@ -108,6 +108,84 @@ def test_closure_properties(spark):
             )
 
 
+_CYCLE_ROWS = [
+    ("r", 1, "Root", "Top", None),
+    ("c", 2, "Child", "Leaf", "r"),
+    # detached 3-cycle: never root-reachable, so the walk can't loop on
+    # it — but a materialized build must NAME it instead of silently
+    # shrinking the dim
+    ("x", 7, "X", "L", "z"),
+    ("y", 8, "Y", "L", "x"),
+    ("z", 9, "Z", "L", "y"),
+]
+
+
+@pytest.mark.parametrize("strategy", ["cte", "iterative", "doubling"])
+def test_cycle_detected_when_materialized(spark, strategy):
+    """A cycle in parent_node_id is data corruption: every strategy
+    raises an explicit cycle error on a materialized build (the
+    reached-count check classifies unreached nodes; doubling also
+    detects the wrapped segment directly)."""
+    with pytest.raises(ValueError, match="cycle detected"):
+        HierarchyDimension(
+            spark.createDataFrame(_CYCLE_ROWS, SCHEMA),
+            sort_key_col="node_natural_key",
+            strategy=strategy,
+            materialize=True,
+        )
+
+
+def test_orphans_still_silent_when_materialized(spark):
+    """Orphan subtrees (missing parent id) keep the reference's silent
+    drop semantics even under the materialized reach check."""
+    rows = [
+        ("r", 1, "Root", "Top", None),
+        ("c", 2, "Child", "Leaf", "r"),
+        ("o1", 3, "O1", "L", "missing"),
+        ("o2", 4, "O2", "L", "o1"),
+    ]
+    d = HierarchyDimension(
+        spark.createDataFrame(rows, SCHEMA),
+        sort_key_col="node_natural_key",
+        materialize=True,
+    )
+    assert {r.node_id for r in d.reporting_dim.collect()} == {"r", "c"}
+    d.unpersist()
+
+
+def test_deep_tree_raises_depth_not_cycle(spark):
+    """A legit depth-5 chain under max_depth=3 must raise the DEPTH
+    error (and never claim a cycle)."""
+    rows = [("n0", 0, "N0", "L", None)] + [
+        (f"n{i}", i, f"N{i}", "L", f"n{i-1}") for i in range(1, 6)
+    ]
+    for strategy in ("cte", "iterative", "doubling"):
+        with pytest.raises(ValueError, match="deeper than max_depth"):
+            HierarchyDimension(
+                spark.createDataFrame(rows, SCHEMA),
+                sort_key_col="node_natural_key",
+                strategy=strategy,
+                max_depth=3,
+                materialize=True,
+            )
+
+
+def test_cte_confs_restored(spark):
+    """_walk_cte must not leak session-global recursion limits."""
+    keys = ("spark.sql.cteRecursionLevelLimit", "spark.sql.cteRecursionRowLimit")
+    before = {k: spark.conf.get(k, None) for k in keys}
+    d = _dim(
+        spark,
+        [("r", 1, "Root", "Top", None), ("a", 2, "A", "Leaf", "r")],
+        sort_key_col="node_natural_key",
+        strategy="cte",
+        max_depth=7,
+    )
+    d.aggregation_dim.count()
+    after = {k: spark.conf.get(k, None) for k in keys}
+    assert before == after
+
+
 @pytest.mark.parametrize("strategy", ["cte", "iterative", "doubling"])
 def test_strategies_agree(spark, strategy):
     """The recursive-CTE and iterative walks produce identical dims."""

@@ -117,8 +117,11 @@ def test_cycle_detection(spark):
     )
     import pytest
 
-    # no root at all -> empty dims (reference returns empty silently; we match)
-    dim = HierarchyDimension(nodes, max_depth=5)
+    # materialized builds run the reach check and NAME the cycle
+    with pytest.raises(ValueError, match="cycle detected"):
+        HierarchyDimension(nodes, max_depth=5)
+    # lazy builds keep the walk's silent start-at-roots semantics
+    dim = HierarchyDimension(nodes, max_depth=5, materialize=False)
     assert dim.reporting_dim.count() == 0
 
     cyc = spark.createDataFrame(
@@ -126,8 +129,10 @@ def test_cycle_detection(spark):
         "node_id string, node_natural_key int, node_name string, "
         "level_name string, parent_node_id string",
     )
-    # orphan cycle unreachable from root -> silently dropped, like the walk
-    dim2 = HierarchyDimension(cyc, max_depth=5)
+    with pytest.raises(ValueError, match="cycle detected"):
+        HierarchyDimension(cyc, max_depth=5)
+    # orphan cycle unreachable from root -> silently dropped by the lazy walk
+    dim2 = HierarchyDimension(cyc, max_depth=5, materialize=False)
     assert dim2.reporting_dim.count() == 1
 
     # a chain deeper than max_depth raises (the reference's CTEs would

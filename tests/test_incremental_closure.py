@@ -26,8 +26,11 @@ NEW = [
 
 
 def _key(r):
+    # is_leaf included: parents gaining their first child must have the
+    # flag flipped in the extended closure, exactly as a rebuild would
     return (r.ancestor_node_id, r.descendant_node_id, r.net_level,
-            r.ancestor_level_number, r.descendant_level_number)
+            r.ancestor_level_number, r.descendant_level_number,
+            r.ancestor_is_leaf, r.descendant_is_leaf)
 
 
 def test_incremental_matches_full_rebuild(spark):
@@ -49,6 +52,21 @@ def test_incremental_matches_full_rebuild(spark):
     assert got == want
     # delta size: each new leaf at depth 3 adds depth(leaf)=3 rows
     assert len(got) == len({_key(r) for r in base_dim.aggregation_dim.collect()}) + 6
+
+
+def test_incremental_missing_parent_raises(spark):
+    import pytest
+
+    base_dim = HierarchyDimension(
+        spark.createDataFrame(BASE, SCHEMA),
+        sort_key_col="node_natural_key",
+        materialize=False,
+    )
+    orphan = [("z1", 9, "Z1", "Leaf", "nope")]
+    with pytest.raises(ValueError, match="parent not in existing closure"):
+        base_dim.extend_closure_with_leaves(
+            spark.createDataFrame(orphan, SCHEMA)
+        ).collect()
 
 
 def test_incremental_rollup_correct(spark):

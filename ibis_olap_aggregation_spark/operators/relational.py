@@ -1113,3 +1113,388 @@ def tpch_q4_order_priority(spark, sf_dir):
     return semi.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("order_count")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H shapes beyond round 1 (gap-family widening; SURVEY.md §2.9).
+# The testdata lacks partsupp / l_shipmode / l_commitdate / c_phone, so
+# Q2/Q11/Q12/Q16/Q19/Q20/Q21 are out of domain; the seven below keep the
+# canonical plan shapes on the columns that exist.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(vol) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS vol
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): bidirectional nation-pair predicate —
+    a disjunction over two dimension joins. Both nation lookups are
+    broadcast (25 rows); the disjunctive filter applies after, so the
+    fact chain shuffles only for the final 3-key aggregate."""
+    t = _t(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN vol ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS vol,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'AMERICA'
+    AND p.p_type = 'PROMO'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+) all_nations
+GROUP BY o_year
+""",
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): the widest join in the suite —
+    part+lineitem+orders+customer+2×nation+region+supplier — feeding a
+    conditional-ratio aggregate. Nation/region broadcast by hint; both
+    CASE sums are decimal-exact, the single division happens once per
+    group in double (same operands both engines -> bit-stable)."""
+    t = _t(
+        spark, sf_dir,
+        "part", "lineitem", "orders", "customer", "nation", "region", "supplier",
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    p = t["part"].filter(F.col("p_type") == "PROMO")
+    r = t["region"].filter(F.col("r_name") == "AMERICA")
+    n1 = t["nation"].join(
+        F.broadcast(r), t["nation"]["n_regionkey"] == r["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("n1_key"))
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    vol = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    j = (
+        t["lineitem"]
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(zero))
+            .cast("double")
+            .alias("_num"),
+            F.sum(vol).cast("double").alias("_den"),
+        )
+        .select(
+            "o_year", (F.col("_num") / F.col("_den")).cast("double").alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    """
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+""",
+)
+def tpch_q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit, adapted: the testdata has no
+    partsupp, so profit omits the ps_supplycost term). LIKE filter on
+    part prunes the fact early through the first join; nation broadcast;
+    2-key aggregate is the only full shuffle."""
+    t = _t(spark, sf_dir, "part", "lineitem", "supplier", "orders", "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    p = t["part"].filter(F.col("p_name").like("%red%"))
+    n = t["nation"].select(
+        F.col("n_nationkey").alias("n_key"), F.col("n_name").alias("nation")
+    )
+    j = (
+        t["lineitem"]
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_key"))
+    )
+    return j.groupBy(
+        "nation", F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("sum_profit")
+    )
+
+
+@register(
+    "tpch_q14_promo_effect",
+    """
+SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+              THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        AS DOUBLE) AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01'
+""",
+)
+def tpch_q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): one tight date-month scan filter,
+    one join, a global conditional-ratio aggregate producing a single
+    row — the degenerate-group path (no shuffle keys, partial+final)."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    vol = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    j = li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero))
+        .cast("double")
+        .alias("_num"),
+        F.sum(vol).cast("double").alias("_den"),
+    ).select(
+        (F.lit(100.0) * F.col("_num") / F.col("_den"))
+        .cast("double")
+        .alias("promo_revenue")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): an aggregate reused twice — once as the
+    join input, once reduced to a scalar MAX — the classic
+    view-plus-scalar-subquery shape. The revenue aggregate is computed
+    once and localCheckpoint-free: Spark reuses the exchange (AQE
+    ReusedExchange) for both branches; the 1-row max side is broadcast.
+    Revenue is decimal-exact then double, so MAX and the equality
+    compare are bit-stable across engines."""
+    t = _t(spark, sf_dir, "lineitem", "supplier")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        t["supplier"]
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+       AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (
+  SELECT l_partkey AS t_partkey,
+         0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                / COUNT(*)) AS threshold
+  FROM lineitem
+  GROUP BY l_partkey
+) t ON t.t_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < t.threshold
+""",
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar
+    subquery — each lineitem compares against ITS part's average
+    quantity — decorrelated into a per-part aggregate joined back on
+    partkey. The threshold is decimal-exact-sum / count (one double
+    division), so the `<` boundary cannot flip between engines the way
+    a float AVG could. Brand filter prunes parts before the join."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    per_part = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg(
+            (
+                F.lit(0.2)
+                * (
+                    F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+            ).alias("threshold")
+        )
+    )
+    p = t["part"].filter(F.col("p_brand") == "Brand#1")
+    j = (
+        t["lineitem"]
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+    )
+    return j.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.lit(7.0))
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    """
+SELECT nation_group, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT c.c_nationkey % 5 AS nation_group, c.c_acctbal
+  FROM customer c
+  WHERE c.c_acctbal > (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+) promising
+GROUP BY nation_group
+""",
+)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity, adapted: no c_phone in
+    the testdata, so country buckets come from c_nationkey % 5):
+    uncorrelated scalar AVG subquery (broadcast 1-row) + NOT EXISTS
+    anti-join against recent orders. The average is decimal-exact-sum /
+    count to keep the `>` boundary engine-stable."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_avg")
+        )
+    )
+    recent = t["orders"].filter(F.col("o_orderdate") >= "1999-01-01")
+    promising = (
+        t["customer"]
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return promising.groupBy(
+        (F.col("c_nationkey") % 5).alias("nation_group")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+    )

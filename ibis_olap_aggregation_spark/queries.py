@@ -62,7 +62,12 @@ _DIM_CACHE: dict[tuple[str, int, str], HierarchyDimension] = {}
 
 
 def _cached_dim(kind: str, spark: SparkSession, sf_dir: str, build) -> HierarchyDimension:
-    key = (kind, id(spark), sf_dir)
+    # keyed on applicationId, not id(spark): CPython reuses object ids
+    # after GC, so a fresh session could otherwise be served DataFrames
+    # belonging to a stopped SparkContext. applicationId changes on
+    # every context restart; sessions sharing one context share the
+    # cache manager, so reuse within an application stays valid.
+    key = (kind, spark.sparkContext.applicationId, sf_dir)
     if key not in _DIM_CACHE:
         _DIM_CACHE[key] = build()
     return _DIM_CACHE[key]

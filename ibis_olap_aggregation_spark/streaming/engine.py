@@ -146,7 +146,10 @@ def _running_totals_fn(
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int(round(pdf["value"].sum() * 100))
+        # round each element BEFORE accumulating: summing floats first
+        # would make the total depend on micro-batch boundaries (same
+        # stream, different trigger -> different cents)
+        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value_cents": [cents]}

@@ -36,6 +36,36 @@ def test_approx_percentile_close_to_exact(spark, sf_small):
     assert abs(row.approx - row.exact) / row.exact < 0.01
 
 
+def test_approx_rollup_within_bound_of_exact(spark, sf_small):
+    """`hierarchy_geo_rollup_orders_approx` is a permanent `no_oracle`
+    driver row (HLL sketches are engine-specific) — this is its signal:
+    per-node, the HLL++ estimate must stay within a bounded relative
+    error of the exact rollup's COUNT(DISTINCT), and every non-approx
+    column must match the exact query bit-for-bit."""
+    from ibis_olap_aggregation_spark.queries import QUERIES
+
+    exact = {
+        r["node_name"]: r
+        for r in QUERIES["hierarchy_geo_rollup_orders"](spark, sf_small).collect()
+    }
+    approx = {
+        r["node_name"]: r
+        for r in QUERIES["hierarchy_geo_rollup_orders_approx"](spark, sf_small).collect()
+    }
+    assert set(exact) == set(approx)
+    for name, a in approx.items():
+        e = exact[name]
+        # exact measures ride the same plan -> identical
+        assert a["sum_totalprice"] == e["sum_totalprice"], name
+        assert a["count_of_fact_records"] == e["count_of_fact_records"], name
+        # HLL++ rsd=0.02 -> 3-sigma bound 6%, floor 3 for tiny nodes
+        err_bound = max(3, 0.06 * e["distinct_customer_count"])
+        assert (
+            abs(a["approx_customer_count"] - e["distinct_customer_count"])
+            <= err_bound
+        ), f"{name}: approx {a['approx_customer_count']} vs exact {e['distinct_customer_count']}"
+
+
 def test_rollup_without_broadcast_matches(spark, sf_small):
     t = load_tables(spark, sf_small, ("region", "nation", "customer", "orders"))
     dim = HierarchyDimension(

@@ -656,13 +656,32 @@ _ROUND1_DRIVER_VERIFIED = frozenset(
 )
 
 
+# Queries ADDED in round 2 (no round-1 row, but also not yet owed one):
+# they sort AFTER the round-1-unverified families so those keep their
+# guaranteed slots in the 50-query driver prefix; whatever prefix room
+# remains goes to these, and round 3 front-loads the leftovers.
+_ADDED_ROUND2 = frozenset(
+    {
+        "tpch_q7_volume_shipping", "tpch_q8_market_share",
+        "tpch_q9_product_type_profit", "tpch_q14_promo_effect",
+        "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+        "tpch_q22_global_sales_opportunity",
+    }
+)
+
+
 def _reorder_for_driver_coverage() -> None:
     flagship = "hierarchy_grocery_rollup"
     unverified = [
-        n for n in QUERIES if n != flagship and n not in _ROUND1_DRIVER_VERIFIED
+        n
+        for n in QUERIES
+        if n != flagship
+        and n not in _ROUND1_DRIVER_VERIFIED
+        and n not in _ADDED_ROUND2
     ]
+    new = [n for n in QUERIES if n in _ADDED_ROUND2]
     verified = [n for n in QUERIES if n != flagship and n in _ROUND1_DRIVER_VERIFIED]
-    order = [flagship, *unverified, *verified]
+    order = [flagship, *unverified, *new, *verified]
     reordered = {n: QUERIES[n] for n in order}
     QUERIES.clear()
     QUERIES.update(reordered)

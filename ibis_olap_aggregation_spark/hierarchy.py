@@ -194,6 +194,12 @@ class HierarchyDimension:
                 self._classify_unreached()
         self.reporting_dim = self._build_reporting_dim()
         self.aggregation_dim = self._build_aggregation_dim()
+        if materialize:
+            # dims are ETL artifacts queried many times (the reference
+            # CTAS-materializes both; ref :162,220) — without this every
+            # consumer re-runs the path-explode + sort-order join
+            self.reporting_dim = self.reporting_dim.cache()
+            self.aggregation_dim = self.aggregation_dim.cache()
 
     # -- unreached-node classification (cycle vs orphan) -----------------
     _UNREACHED_DRIVER_LIMIT = 100_000
@@ -733,6 +739,8 @@ class HierarchyDimension:
     def unpersist(self) -> None:
         self._walked.unpersist()
         self.nodes.unpersist()
+        self.reporting_dim.unpersist()
+        self.aggregation_dim.unpersist()
         if self._nodes_base is not None:
             self._nodes_base.unpersist()
             self._nodes_base = None

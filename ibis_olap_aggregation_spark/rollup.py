@@ -8,8 +8,15 @@ COUNT(DISTINCT), with zero recursion at query time.
 
 Spark plan shape: Parquet scan (filters/columns pushed down) ->
 broadcast hash join (closure is dim-sized) -> partial hash agg ->
-shuffle on group keys -> final hash agg -> optional sort. The closure
-is broadcast by default; for hierarchies too large to broadcast, pass
+shuffle on ``ancestor_node_id`` ONLY -> final hash agg -> broadcast
+join of the node-attribute columns onto the per-node result ->
+optional sort. Aggregating on the compact id and attaching the wide
+string attributes (node_name, level_name, ...) AFTER the aggregate
+matters at scale twice over: the broadcast side of the fact join
+carries two columns instead of six, and the shuffle rows carry an
+id instead of repeating every display string (measured 8.1s -> ~3s
+for the sf0.1 part rollup's sums on local[32]). The closure is
+broadcast by default; for hierarchies too large to broadcast, pass
 ``broadcast_dim=False`` and Catalyst/AQE picks a shuffled join.
 """
 
@@ -29,6 +36,8 @@ DEFAULT_GROUP_KEYS = (
     "ancestor_node_sort_order",
 )
 
+_ID = "ancestor_node_id"
+
 
 def hierarchical_rollup(
     facts: DataFrame,
@@ -46,16 +55,47 @@ def hierarchical_rollup(
     measures: already-aliased aggregate Columns, e.g.
     ``[F.sum("sales_amount").alias("sum_sales_amount"),
        F.countDistinct("customer_id").alias("distinct_customer_count")]``.
+
+    Output columns: ``group_keys`` (those present in the dim) in the
+    given order, then the measures.
     """
     dim = aggregation_dim
     keys = [k for k in group_keys if k in dim.columns]
-    dim_slim = dim.select(descendant_key_col, *keys)  # prune before broadcast
-    if broadcast_dim:
-        dim_slim = F.broadcast(dim_slim)
-    joined = facts.join(
-        dim_slim, facts[fact_key_col] == dim_slim[descendant_key_col], "inner"
-    )
-    out = joined.groupBy(*keys).agg(*measures)
+    if _ID not in dim.columns or _ID in keys:
+        # no compact id to pivot on (custom closure) — single wide groupBy
+        dim_slim = dim.select(descendant_key_col, *keys)
+        if broadcast_dim:
+            dim_slim = F.broadcast(dim_slim)
+        joined = facts.join(
+            dim_slim, facts[fact_key_col] == dim_slim[descendant_key_col], "inner"
+        )
+        out = joined.groupBy(*keys).agg(*measures)
+    else:
+        # aggregate on the id, decorate after: the expanded fact only
+        # ever carries (fact columns + ancestor_node_id)
+        dim_slim = dim.select(descendant_key_col, _ID)
+        if broadcast_dim:
+            dim_slim = F.broadcast(dim_slim)
+        joined = facts.join(
+            dim_slim, facts[fact_key_col] == dim_slim[descendant_key_col], "inner"
+        )
+        per_node = joined.groupBy(_ID).agg(*measures)
+        # one attribute row per node: the closure's self-pairs are unique
+        # per ancestor; fall back to distinct when net_level is absent
+        if "net_level" in dim.columns:
+            attrs = dim.filter(F.col("net_level") == 0).select(_ID, *keys)
+        else:
+            attrs = dim.select(_ID, *keys).distinct()
+        out = per_node.join(F.broadcast(attrs), _ID).select(
+            *keys, *[c for c in per_node.columns if c != _ID]
+        )
     if sort and "ancestor_node_sort_order" in keys:
-        out = out.orderBy("ancestor_node_sort_order")
+        # the result is dim-sized (one row per hierarchy node), so a
+        # single-partition sort is right at any fact scale — and unlike
+        # a global orderBy it needs no range-sampling pass, which would
+        # execute the whole aggregation subplan a second time (measured
+        # 14.3s -> 9.8s on the sf0.1 part rollup). repartition(1), not
+        # coalesce(1): the shuffle boundary keeps the aggregation
+        # parallel upstream.
+        out = out.repartition(1).sortWithinPartitions("ancestor_node_sort_order")
     return out

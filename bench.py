@@ -47,6 +47,10 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 DIM_BUILDS = [
     ("geo_dim_build", lambda spark, sf: q._geo_dim(spark, sf).aggregation_dim),
     ("part_dim_build", lambda spark, sf: q._part_dim(spark, sf).aggregation_dim),
+    # deep-fixture walks timed explicitly: their queries hit the dim
+    # cache, so min-of-2 would otherwise hide the walk cost entirely
+    ("deep_binary_dim_build", lambda spark, sf: q._deep_dim(spark, sf).aggregation_dim),
+    ("deep_chain_dim_build", lambda spark, sf: q._chain_dim(spark, sf).aggregation_dim),
 ]
 
 HEADLINE = [

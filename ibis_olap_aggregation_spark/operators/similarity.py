@@ -202,7 +202,27 @@ def sim_ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sum order for the dot/norm accumulations differs between engines, so
     those aggregations run in DECIMAL (exact) on the Spark side too.
     """
-    e = _emb(spark, sf_dir)
+    ranked = _ivf_centroid_ranked(_emb(spark, sf_dir))
+    return (
+        ranked.filter("rk = 1")
+        .groupBy(
+            F.col("label").alias("true_label"),
+            F.col("c_label").alias("assigned_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def _ivf_centroid_ranked(e: DataFrame) -> DataFrame:
+    """Per-(vector, centroid) cosine with a dense per-vector rank.
+
+    Centroids are the per-label per-dimension means, exact-decimal so the
+    mean (and every dot/norm accumulation) is summation-order-proof —
+    the ranks must agree bit-for-bit with the DuckDB oracle or the two
+    engines would probe different inverted lists. Centroids are tiny
+    (labels x 64 dims) -> broadcast; explode/groupBy is map-side
+    combined.
+    """
     ex = e.select(
         "vec_id",
         "label",
@@ -237,15 +257,7 @@ def sim_ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = F.round(F.col("dot") / F.col("norms"), 6)
     w = Window.partitionBy("vec_id").orderBy(cos.desc(), "c_label")
-    ranked = scored.withColumn("cosine", cos).withColumn("rk", F.row_number().over(w))
-    return (
-        ranked.filter("rk = 1")
-        .groupBy(
-            F.col("label").alias("true_label"),
-            F.col("c_label").alias("assigned_label"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-    )
+    return scored.withColumn("cosine", cos).withColumn("rk", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------
@@ -507,6 +519,115 @@ def sim_rp_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
+            "cosine",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+NPROBE = 3  # inverted lists probed per query
+
+
+@register(
+    "sim_ivf_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+ex AS (
+  SELECT vec_id, label, i.i AS dim, v[i.i] AS val
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+),
+cent AS (
+  SELECT label AS c_label, dim,
+         CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cval
+  FROM ex GROUP BY 1, 2
+),
+scored AS (
+  SELECT x.vec_id, x.label, c.c_label,
+         CAST(SUM(CAST(x.val * c.cval AS DECIMAL(28,14))) AS DOUBLE) AS dot,
+         sqrt(CAST(SUM(CAST(x.val * x.val AS DECIMAL(28,14))) AS DOUBLE))
+           * sqrt(CAST(SUM(CAST(c.cval * c.cval AS DECIMAL(28,14))) AS DOUBLE))
+           AS norms
+  FROM ex x JOIN cent c ON x.dim = c.dim
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT vec_id, c_label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ROUND(dot / norms, 6) DESC, c_label) AS rk
+  FROM scored
+),
+assign AS (SELECT vec_id, c_label FROM ranked WHERE rk = 1),
+probes AS (
+  SELECT vec_id AS query_id, c_label
+  FROM ranked WHERE rk <= {{nprobe}} AND vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.c_label = p.c_label
+  WHERE a.vec_id <> p.query_id
+),
+rescored AS (
+  SELECT c.query_id, c.neighbor_id, ce.label AS neighbor_label,
+         ROUND({{cos}}, 6) AS cosine
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ce ON ce.vec_id = c.neighbor_id
+),
+final AS (
+  SELECT *, row_number()
+            OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM rescored
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine, rk
+FROM final WHERE rk <= {TOP_K}
+""".format(nprobe=3, cos=_DUCK_COS.format(a="qe.v", b="ce.v")),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF ANN search, the scale path past brute force:
+
+    1. coarse quantizer = per-label centroids (deterministic, exact
+       decimal means — no iterative k-means, so both engines agree);
+    2. every corpus vector lands in ONE inverted list (its nearest
+       centroid — `_ivf_centroid_ranked` rk=1);
+    3. each query probes its NPROBE nearest centroids;
+    4. exact cosine re-rank over the probed lists only -> top-5.
+
+    At 100 TB the corpus-side work is one map-side-combined centroid
+    pass + one broadcast-join assignment, and each query touches
+    ~NPROBE/K of the corpus instead of all of it; the probe join is an
+    equi-join on the centroid id. The brute-force twin
+    (`sim_bruteforce_topk`) stays as the exact baseline/recall yardstick.
+    """
+    e = _emb(spark, sf_dir)
+    ranked = _ivf_centroid_ranked(e).select("vec_id", "c_label", "rk")
+    assign = ranked.filter("rk = 1").select(
+        F.col("vec_id").alias("neighbor_id"), "c_label"
+    )
+    probes = ranked.filter(
+        (F.col("rk") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "c_label")
+    cand = probes.join(F.broadcast(assign.hint("broadcast")), "c_label").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("label").alias("neighbor_label"),
+    )
+    rescored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .withColumn("cosine", F.round(F.expr(_cosine("qv", "nv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
             "cosine",
             F.col("rk").cast("bigint").alias("rk"),
         )

@@ -457,6 +457,30 @@ def hierarchy_geo_direct_children(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _deep_dim(spark: SparkSession, sf_dir: str) -> HierarchyDimension:
+    def build():
+        n = 65535
+        nodes = spark.range(1, n + 1).select(
+            F.col("id").cast("string").alias("node_id"),
+            F.col("id").cast("bigint").alias("node_natural_key"),
+            F.col("id").cast("string").alias("node_name"),
+            F.lit("L").alias("level_name"),
+            F.when(F.col("id") > 1, (F.col("id") / 2).cast("long").cast("string")).alias(
+                "parent_node_id"
+            ),
+        )
+        return HierarchyDimension(
+            nodes,
+            dimension_name="deep",
+            sort_key_col="node_natural_key",
+            flatten_levels=4,
+            max_depth=20,
+            compute_sort_order=False,  # pure rollup: skip ranking passes
+        )
+
+    return _cached_dim("deep", spark, sf_dir, build)
+
+
 @register(
     "hierarchy_deep_binary_tree",
     """
@@ -485,27 +509,7 @@ def hierarchy_deep_binary_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     net_level so the driver compares 16 rows while the full closure is
     exercised underneath. Proves the walk scales in DEPTH (iterations),
     not just node count."""
-    def build():
-        n = 65535
-        nodes = spark.range(1, n + 1).select(
-            F.col("id").cast("string").alias("node_id"),
-            F.col("id").cast("bigint").alias("node_natural_key"),
-            F.col("id").cast("string").alias("node_name"),
-            F.lit("L").alias("level_name"),
-            F.when(F.col("id") > 1, (F.col("id") / 2).cast("long").cast("string")).alias(
-                "parent_node_id"
-            ),
-        )
-        return HierarchyDimension(
-            nodes,
-            dimension_name="deep",
-            sort_key_col="node_natural_key",
-            flatten_levels=4,
-            max_depth=20,
-            compute_sort_order=False,  # pure rollup: skip ranking passes
-        )
-
-    dim = _cached_dim("deep", spark, sf_dir, build)
+    dim = _deep_dim(spark, sf_dir)
     return (
         dim.aggregation_dim.groupBy("net_level")
         .agg(
@@ -516,6 +520,31 @@ def hierarchy_deep_binary_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("ancestor_node_id").alias("n_ancestors"),
         )
     )
+
+
+def _chain_dim(spark: SparkSession, sf_dir: str) -> HierarchyDimension:
+    def build():
+        n = 256
+        nodes = spark.range(1, n + 1).select(
+            F.col("id").cast("string").alias("node_id"),
+            F.col("id").cast("bigint").alias("node_natural_key"),
+            F.col("id").cast("string").alias("node_name"),
+            F.lit("L").alias("level_name"),
+            F.when(F.col("id") > 1, (F.col("id") - 1).cast("string")).alias(
+                "parent_node_id"
+            ),
+        )
+        return HierarchyDimension(
+            nodes,
+            dimension_name="chain",
+            sort_key_col="node_natural_key",
+            flatten_levels=2,
+            max_depth=512,
+            strategy="doubling",
+            compute_sort_order=False,  # pure rollup: skip ranking passes
+        )
+
+    return _cached_dim("chain", spark, sf_dir, build)
 
 
 @register(
@@ -538,28 +567,7 @@ def hierarchy_deep_chain_doubling(spark: SparkSession, sf_dir: str) -> DataFrame
     level joins (the O(log d) strategy for hierarchies whose depth, not
     width, is the problem). Closure = 32,896 pairs, summarized per
     net_level for the oracle."""
-    def build():
-        n = 256
-        nodes = spark.range(1, n + 1).select(
-            F.col("id").cast("string").alias("node_id"),
-            F.col("id").cast("bigint").alias("node_natural_key"),
-            F.col("id").cast("string").alias("node_name"),
-            F.lit("L").alias("level_name"),
-            F.when(F.col("id") > 1, (F.col("id") - 1).cast("string")).alias(
-                "parent_node_id"
-            ),
-        )
-        return HierarchyDimension(
-            nodes,
-            dimension_name="chain",
-            sort_key_col="node_natural_key",
-            flatten_levels=2,
-            max_depth=512,
-            strategy="doubling",
-            compute_sort_order=False,  # pure rollup: skip ranking passes
-        )
-
-    dim = _cached_dim("chain", spark, sf_dir, build)
+    dim = _chain_dim(spark, sf_dir)
     return dim.aggregation_dim.groupBy(
         F.col("net_level").cast("bigint").alias("net_level")
     ).agg(
@@ -665,7 +673,7 @@ _ADDED_ROUND2 = frozenset(
         "tpch_q7_volume_shipping", "tpch_q8_market_share",
         "tpch_q9_product_type_profit", "tpch_q14_promo_effect",
         "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
-        "tpch_q22_global_sales_opportunity",
+        "tpch_q22_global_sales_opportunity", "sim_ivf_topk",
     }
 )
 

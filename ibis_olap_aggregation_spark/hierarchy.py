@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ibis_olap_aggregation_spark.operators.ranking import global_row_number
 
@@ -51,6 +52,8 @@ def prepare_nodes(
     nodes: DataFrame,
     node_id_col: str = "node_id",
     parent_node_id_col: str = "parent_node_id",
+    *,
+    with_leaf: bool = True,
 ) -> DataFrame:
     """Normalize an adjacency-list dimension (ref :83-96).
 
@@ -58,11 +61,14 @@ def prepare_nodes(
     other columns as node attributes, and derives:
 
     - ``is_root``: parent id IS NULL (ref :89-90)
-    - ``is_leaf``: node id never appears as anyone's parent — the
-      reference uses ``NOT IN (subquery)`` (ref :91-93); we use a
-      left-anti join against the distinct parent ids, which Catalyst
-      plans as a (broadcast) anti hash join instead of a correlated
-      subquery.
+    - ``is_leaf`` (when ``with_leaf``): node id never appears as anyone's
+      parent — the reference uses ``NOT IN (subquery)`` (ref :91-93); we
+      use a left-anti join against the distinct parent ids, which
+      Catalyst plans as a (broadcast) anti hash join instead of a
+      correlated subquery. ``with_leaf=False`` skips the distinct+join
+      (a full shuffle of the node table) for consumers that compute the
+      flag themselves — the driver-local walk derives it from the same
+      collected rows for free.
     """
     attrs = [c for c in nodes.columns if c not in (node_id_col, parent_node_id_col)]
     df = nodes.select(
@@ -70,6 +76,8 @@ def prepare_nodes(
         *attrs,
         F.col(parent_node_id_col).alias("parent_node_id"),
     ).withColumn("is_root", F.col("parent_node_id").isNull())
+    if not with_leaf:
+        return df
     parents = (
         df.filter(F.col("parent_node_id").isNotNull())
         .select(F.col("parent_node_id").alias("node_id"))
@@ -101,19 +109,24 @@ class HierarchyDimension:
         reporting dim (the reference hardcodes 10; ref :147).
     materialize : cache the walk result (it feeds both dims), mirroring
         the reference's CTAS-then-reread (ref :162-173).
-    strategy : ``"doubling"`` = pointer-jumping path doubling, O(log
-        depth) self-joins — ceil(log2 depth)+1 rounds regardless of node
-        count, each round localCheckpointed so the plan stays O(1);
-        ``"cte"`` = Spark >= 4.0 native WITH RECURSIVE — the whole walk
-        is ONE query (one scheduling round-trip per build) but O(depth)
-        internal iterations; ``"iterative"`` = portable driver loop, one
-        join+union per level (the path for engines without recursive
-        CTEs). ``"auto"`` = doubling: measured on local[32] it wins at
-        BOTH ends — 4.6s vs 14.7s (cte) on a 15k-node depth-4 geo dim at
-        sf0.1, and 7.7s vs 46.8s (cte) on a 65k-node depth-16 binary
-        tree — because wall time is dominated by scheduling rounds and
-        re-analysis, which doubling minimizes (fewest rounds, truncated
-        lineage). All three produce identical output (agreement-tested).
+    strategy : ``"local"`` = driver-side DFS, bounded at 250k nodes —
+        dimension hierarchies are dim-sized, and below that bound every
+        distributed walk pays per-round job-scheduling costs that dwarf
+        the actual pointer chasing; ``"doubling"`` = pointer-jumping
+        path doubling, O(log depth) self-joins — ceil(log2 depth)+1
+        rounds regardless of node count, each round localCheckpointed so
+        the plan stays O(1); ``"cte"`` = Spark >= 4.0 native WITH
+        RECURSIVE — the whole walk is ONE query (one scheduling
+        round-trip per build) but O(depth) internal iterations;
+        ``"iterative"`` = portable driver loop, one join+union per level
+        (the path for engines without recursive CTEs). ``"auto"`` =
+        local when the (materialized) node count is under the bound,
+        else doubling — measured on local[32] doubling wins at BOTH
+        distributed ends: 4.6s vs 14.7s (cte) on a 15k-node depth-4 geo
+        dim at sf0.1, and 7.7s vs 46.8s (cte) on a 65k-node depth-16
+        binary tree, because wall time is dominated by scheduling rounds
+        and re-analysis. All four produce identical output
+        (agreement-tested).
     """
 
     def __init__(
@@ -145,10 +158,31 @@ class HierarchyDimension:
         self.nodes = prepare_nodes(nodes, node_id_col, parent_node_id_col)
         self._nodes_base = None
         self._n_nodes: int | None = None
-        if materialize:
-            # first cache holds the (possibly expensive) source-derived
-            # node table while we count it; released after the walk is
-            # materialized (the repartitioned cache takes over)
+        self._local_rows = None
+        if materialize and strategy in ("auto", "local"):
+            # ONE bounded collect doubles as the size probe and the
+            # local-walk input: dim-sized tables (the common case) never
+            # pay a cache-fill + count + repartition round-trip at all.
+            # The collect reads the NARROW prepared form (no is_leaf
+            # anti-join — that's a distinct+shuffle of the node table)
+            # and derives both flags on the driver from the same rows.
+            narrow = prepare_nodes(
+                nodes, node_id_col, parent_node_id_col, with_leaf=False
+            )
+            probe = narrow.limit(self._LOCAL_WALK_LIMIT + 1).collect()
+            if len(probe) <= self._LOCAL_WALK_LIMIT:
+                dicts = [r.asDict(recursive=False) for r in probe]
+                parent_ids = {
+                    d["parent_node_id"] for d in dicts if d["parent_node_id"] is not None
+                }
+                for d in dicts:
+                    d["is_leaf"] = d["node_id"] not in parent_ids
+                self._local_rows = dicts
+                self._n_nodes = len(dicts)
+        if materialize and self._local_rows is None:
+            # distributed path: cache the (possibly expensive)
+            # source-derived node table while we count it; released after
+            # the walk is materialized (the repartitioned cache takes over)
             self._nodes_base = self.nodes.cache()
             # Size the walk's parallelism to the DIMENSION, not to the
             # partitioning the source scans happened to leave behind:
@@ -175,18 +209,26 @@ class HierarchyDimension:
 
         strat = strategy
         if strat == "auto":
-            strat = "doubling"  # fastest at both depth extremes; see above
+            # dim-sized node tables walk on the DRIVER: a 1.5k-node geo
+            # dim costs ~4.5s of pure job-scheduling overhead through the
+            # distributed walk (3+ self-join rounds, each an eager
+            # checkpoint + isEmpty probe) vs milliseconds of BFS. Same
+            # bounded-driver-compute pattern as the union-find probe in
+            # dedup: explicit row limit, distributed path above it.
+            strat = "local" if self._local_rows is not None else "doubling"
         walkers = {
             "cte": self._walk_cte,
             "iterative": self._walk,
             "doubling": self._walk_doubling,
+            "local": self._walk_local,
         }
         self._walked = walkers[strat]()
         if materialize:
             self._walked = self._walked.cache()
             walked_n = self._walked.count()  # materialize; enables reach check
-            self._nodes_base.unpersist()
-            self._nodes_base = None
+            if self._nodes_base is not None:
+                self._nodes_base.unpersist()
+                self._nodes_base = None
             if walked_n < (self._n_nodes or 0):
                 # some nodes never reached a root: orphan subtrees are
                 # dropped silently (reference CTE semantics); a cycle is
@@ -204,6 +246,79 @@ class HierarchyDimension:
     # -- unreached-node classification (cycle vs orphan) -----------------
     _UNREACHED_DRIVER_LIMIT = 100_000
     _PEEL_MAX_ROUNDS = 200
+    _LOCAL_WALK_LIMIT = 250_000  # driver BFS above this is a collect() smell
+
+    # -- stage 1d: driver-local walk for dim-sized node tables -----------
+    def _walk_local(self) -> DataFrame:
+        """Driver-side DFS producing the identical walked schema
+        (attrs + level_number + node_json_path + _sort_path).
+
+        Dimension hierarchies are dim-sized by definition; under
+        ``_LOCAL_WALK_LIMIT`` nodes the adjacency list fits trivially in
+        driver memory and the walk is pointer chasing — every distributed
+        strategy pays per-ROUND scheduling costs that dwarf it. Output
+        parallelism is restored via createDataFrame (the dims derived
+        from it are joined/broadcast exactly as with the other walkers).
+        Orphans are dropped (start-at-roots semantics) and cycles are
+        left unreached for the uniform reach-check to classify; depth
+        overflow raises the same error as every other strategy.
+        """
+        rows = self._local_rows
+        if rows is None:
+            rows = self.nodes.limit(self._LOCAL_WALK_LIMIT + 1).collect()
+        self._local_rows = None  # walked carries the data from here on
+        if len(rows) > self._LOCAL_WALK_LIMIT:
+            raise ValueError(
+                f"strategy='local' is bounded at {self._LOCAL_WALK_LIMIT} "
+                "nodes — use 'doubling' (or 'auto') for larger hierarchies"
+            )
+        cols = self._struct_cols
+        sort_key = self.sort_key_col
+        children: dict = {}
+        roots = []
+        for r in rows:
+            d = r if isinstance(r, dict) else r.asDict(recursive=False)
+            if d["is_root"]:
+                roots.append(d)
+            else:
+                children.setdefault(d["parent_node_id"], []).append(d)
+        out = []
+        # iterative DFS (explicit stack: no recursion limit on deep chains)
+        stack = [(d, 1, (), ()) for d in reversed(roots)]
+        while stack:
+            d, level, path, sort_path = stack.pop()
+            if level > self.max_depth:
+                raise ValueError(
+                    f"hierarchy deeper than max_depth={self.max_depth} "
+                    "(raise max_depth)"
+                )
+            entry = tuple(d[c] for c in cols) + (level,)
+            path = path + (entry,)
+            sort_path = sort_path + (d[sort_key],)
+            out.append(tuple(d[c] for c in cols) + (level, list(path), list(sort_path)))
+            for ch in reversed(children.get(d["node_id"], ())):
+                stack.append((ch, level + 1, path, sort_path))
+        node_schema = self.nodes.schema
+        path_struct = T.StructType(
+            [node_schema[c] for c in cols]
+            + [T.StructField("level_number", T.IntegerType(), False)]
+        )
+        walked_schema = T.StructType(
+            [node_schema[c] for c in cols]
+            + [
+                T.StructField("level_number", T.IntegerType(), False),
+                T.StructField("node_json_path", T.ArrayType(path_struct), False),
+                T.StructField(
+                    "_sort_path",
+                    T.ArrayType(node_schema[sort_key].dataType),
+                    False,
+                ),
+            ]
+        )
+        spark = self.nodes.sparkSession
+        walked = spark.createDataFrame(out, walked_schema)
+        self._levels = []
+        return self._rank(walked)
 
     def _classify_unreached(self) -> None:
         """Nodes absent from the walk either hang off a MISSING parent

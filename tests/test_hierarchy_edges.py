@@ -120,7 +120,7 @@ _CYCLE_ROWS = [
 ]
 
 
-@pytest.mark.parametrize("strategy", ["cte", "iterative", "doubling"])
+@pytest.mark.parametrize("strategy", ["cte", "iterative", "doubling", "local"])
 def test_cycle_detected_when_materialized(spark, strategy):
     """A cycle in parent_node_id is data corruption: every strategy
     raises an explicit cycle error on a materialized build (the
@@ -159,7 +159,7 @@ def test_deep_tree_raises_depth_not_cycle(spark):
     rows = [("n0", 0, "N0", "L", None)] + [
         (f"n{i}", i, f"N{i}", "L", f"n{i-1}") for i in range(1, 6)
     ]
-    for strategy in ("cte", "iterative", "doubling"):
+    for strategy in ("cte", "iterative", "doubling", "local"):
         with pytest.raises(ValueError, match="deeper than max_depth"):
             HierarchyDimension(
                 spark.createDataFrame(rows, SCHEMA),
@@ -186,7 +186,7 @@ def test_cte_confs_restored(spark):
     assert before == after
 
 
-@pytest.mark.parametrize("strategy", ["cte", "iterative", "doubling"])
+@pytest.mark.parametrize("strategy", ["cte", "iterative", "doubling", "local"])
 def test_strategies_agree(spark, strategy):
     """The recursive-CTE and iterative walks produce identical dims."""
     rows = [

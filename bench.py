@@ -95,6 +95,12 @@ def _prev_bench() -> dict[str, float]:
             with open(path) as f:
                 payload = json.load(f)
             queries = payload.get("parsed", payload).get("queries", {})
+            if not queries and "tail" in payload:
+                # driver format: our JSON line is embedded in a captured
+                # stdout "tail" string — extract the last metric line
+                found = re.findall(r'\{"metric".*\}', payload["tail"])
+                if found:
+                    queries = json.loads(found[-1]).get("queries", {})
         except Exception:  # noqa: BLE001 - a malformed old file never blocks a bench
             continue
         n = int(m.group(1))

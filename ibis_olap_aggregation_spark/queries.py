@@ -629,6 +629,7 @@ from ibis_olap_aggregation_spark.operators import analytic  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import skew  # noqa: E402,F401
 from ibis_olap_aggregation_spark.functions import vectorized  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import quality  # noqa: E402,F401
+from ibis_olap_aggregation_spark.operators import pipeline  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -679,6 +680,10 @@ _ADDED_ROUND2 = frozenset(
         "tpch_q9_product_type_profit", "tpch_q14_promo_effect",
         "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
         "tpch_q22_global_sales_opportunity", "sim_ivf_topk",
+        "text_repetition_signals", "text_chunk_documents",
+        "text_redact_patterns", "dedup_shared_ngram_fraction",
+        "dedup_semantic_ivf", "sample_split_assign",
+        "sample_domain_weighted",
     }
 )
 

@@ -1,0 +1,129 @@
+"""Semantic invariants for the training-pipeline operators
+(operators/pipeline.py) — the oracle mirror (test_entry_oracle) already
+pins Spark==DuckDB; these pin that the SEMANTICS are right."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.operators import pipeline as P
+from ibis_olap_aggregation_spark.operators.text import tokens_col
+from ibis_olap_aggregation_spark.session import load_table
+
+
+def test_repetition_signal_bounds_and_flag(spark, sf_small):
+    rows = P.text_repetition_signals(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.top_token_fraction <= 1
+        assert 0 <= r.dup_bigram_fraction < 1
+        assert r.is_repetitive == (
+            r.top_token_fraction > P.TOP_TOKEN_MAX
+            or r.dup_bigram_fraction > P.DUP_BIGRAM_MAX
+        )
+    # the synthetic corpus repeats tokens heavily — both classes appear
+    flags = {r.is_repetitive for r in rows}
+    assert flags == {True, False}
+
+
+def test_chunks_reconstruct_documents(spark, sf_small):
+    """Dropping each chunk's overlap prefix and concatenating in
+    chunk_index order must reproduce the original token stream."""
+    chunks = P.text_chunk_documents(spark, sf_small)
+    overlap = P.CHUNK_TOKENS - P.CHUNK_STRIDE
+    rebuilt = (
+        chunks.withColumn("ct", F.split("chunk_text", " "))
+        .withColumn(
+            "keep",
+            F.when(
+                F.col("chunk_index") == 0, F.col("ct")
+            ).otherwise(F.expr(f"slice(ct, {overlap + 1}, {P.CHUNK_STRIDE})")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.flatten(F.array_sort(F.collect_list(F.struct("chunk_index", "keep"))).getField("keep"))
+            ).alias("rebuilt")
+        )
+    )
+    orig = load_table(spark, sf_small, "documents").select(
+        "doc_id", F.concat_ws(" ", tokens_col()).alias("orig")
+    )
+    bad = rebuilt.join(orig, "doc_id").filter("rebuilt <> orig").count()
+    assert bad == 0
+    # chunk length law: min(CHUNK_TOKENS, doc_tokens - stride*index) ≥ 1
+    doc_len = load_table(spark, sf_small, "documents").select(
+        "doc_id", F.size(tokens_col()).alias("doc_tokens")
+    )
+    off = (
+        chunks.join(doc_len, "doc_id")
+        .filter(
+            f"n_chunk_tokens <> least({P.CHUNK_TOKENS},"
+            f" doc_tokens - {P.CHUNK_STRIDE} * chunk_index)"
+            " or n_chunk_tokens < 1"
+        )
+        .count()
+    )
+    assert off == 0
+
+
+def test_redaction_counts_and_hash(spark, sf_small):
+    out = P.text_redact_patterns(spark, sf_small)
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_small, "documents").collect()}
+    rows = out.collect()
+    assert all(r.n_email == 0 for r in rows)  # corpus has no emails
+    assert any(r.n_term > 0 for r in rows)  # denylist words exist
+    pat = re.compile(r"\b(key|hash|secret)\b")
+    for r in rows[:50]:
+        text = docs[r.doc_id]
+        assert r.n_term == len(pat.findall(text))
+        expect = hashlib.md5(pat.sub("<TERM>", text).encode()).hexdigest()[:16]
+        assert r.redacted_hash == expect
+
+
+def test_shared_ngram_fraction_bounds(spark, sf_small):
+    out = P.dedup_shared_ngram_fraction(spark, sf_small)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r.n_shingles > 0
+        assert 0 <= r.shared_fraction <= 1
+    # docs shorter than k tokens are absent
+    short = (
+        load_table(spark, sf_small, "documents")
+        .withColumn("t", tokens_col())
+        .filter(F.size("t") < P.SHARED_NGRAM_K)
+        .count()
+    )
+    total = load_table(spark, sf_small, "documents").count()
+    assert len(rows) == total - short
+
+
+def test_semantic_dedup_accounting(spark, sf_small):
+    out = P.dedup_semantic_ivf(spark, sf_small).collect()
+    n_vec = load_table(spark, sf_small, "embeddings").count()
+    assert sum(r.n_vectors for r in out) == n_vec
+    for r in out:
+        assert r.n_kept + r.n_dropped == r.n_vectors
+        assert r.n_kept >= 1  # the lowest-id vector of a cluster survives
+
+
+def test_split_assign_partitions_corpus(spark, sf_small):
+    out = P.sample_split_assign(spark, sf_small).collect()
+    total = load_table(spark, sf_small, "documents").count()
+    assert sum(r.n for r in out) == total
+    assert {r.split for r in out} <= {"train", "validation", "test"}
+    # deterministic: a second run is identical
+    again = P.sample_split_assign(spark, sf_small).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_domain_weighted_sampling_bounds(spark, sf_small):
+    rows = P.sample_domain_weighted(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0.25 <= r.target_fraction <= 0.74
+        assert 0 <= r.n_sampled <= r.n_total

@@ -30,7 +30,10 @@ from ibis_olap_aggregation_spark.fixtures import (
 )
 from ibis_olap_aggregation_spark.functions.scalar import indented
 from ibis_olap_aggregation_spark.hierarchy import HierarchyDimension
-from ibis_olap_aggregation_spark.rollup import hierarchical_rollup
+from ibis_olap_aggregation_spark.rollup import (
+    hierarchical_rollup,
+    hierarchical_rollup_additive,
+)
 from ibis_olap_aggregation_spark.session import load_tables
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -332,15 +335,13 @@ def hierarchy_geo_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     every region/nation/customer node in one flat closure-join groupBy."""
     dim = _geo_dim(spark, sf_dir)
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
-    out = hierarchical_rollup(
+    out = hierarchical_rollup_additive(
         orders,
         dim.aggregation_dim,
         "o_custkey",
-        [
-            dsum("o_totalprice", "sum_totalprice"),
-            F.countDistinct("o_custkey").alias("distinct_customer_count"),
-            F.count(F.lit(1)).alias("count_of_fact_records"),
-        ],
+        sum_cols=[("o_totalprice", "sum_totalprice")],
+        count_alias="count_of_fact_records",
+        distinct_cols=[("o_custkey", "distinct_customer_count")],
     )
     return out.select(
         F.col("ancestor_node_name").alias("node_name"),
@@ -400,16 +401,16 @@ def hierarchy_part_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
     part); non-additive COUNT(DISTINCT l_orderkey) at every node."""
     dim = _part_dim(spark, sf_dir)
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    out = hierarchical_rollup(
+    out = hierarchical_rollup_additive(
         li,
         dim.aggregation_dim,
         "l_partkey",
-        [
-            dsum("l_extendedprice", "sum_extendedprice"),
-            dsum("l_quantity", "sum_quantity"),
-            F.countDistinct("l_orderkey").alias("distinct_order_count"),
-            F.count(F.lit(1)).alias("count_of_fact_records"),
+        sum_cols=[
+            ("l_extendedprice", "sum_extendedprice"),
+            ("l_quantity", "sum_quantity"),
         ],
+        count_alias="count_of_fact_records",
+        distinct_cols=[("l_orderkey", "distinct_order_count")],
     )
     return out.select(
         F.col("ancestor_node_name").alias("node_name"),
@@ -630,6 +631,7 @@ from ibis_olap_aggregation_spark.operators import skew  # noqa: E402,F401
 from ibis_olap_aggregation_spark.functions import vectorized  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import quality  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import pipeline  # noqa: E402,F401
+from ibis_olap_aggregation_spark.operators import tpch  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -683,7 +685,10 @@ _ADDED_ROUND2 = frozenset(
         "text_repetition_signals", "text_chunk_documents",
         "text_redact_patterns", "dedup_shared_ngram_fraction",
         "dedup_semantic_ivf", "sample_split_assign",
-        "sample_domain_weighted",
+        "sample_domain_weighted", "tpch_q2_min_cost_supplier",
+        "tpch_q11_important_stock", "tpch_q12_shipmode_priority",
+        "tpch_q16_supplier_part_count", "tpch_q19_disjunctive_revenue",
+        "tpch_q20_potential_promotion", "tpch_q21_waiting_orders",
     }
 )
 

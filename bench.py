@@ -75,6 +75,16 @@ HEADLINE = [
     "sim_rp_lsh_multiprobe_topk",
     "multimodal_media_features",
     "udf_grouped_zscore",
+    # round 2 additions (new keys are safe: deltas only compare the
+    # intersection with the previous round's set)
+    "text_chunk_documents",
+    "text_repetition_signals",
+    "dedup_shared_ngram_fraction",
+    "dedup_semantic_ivf",
+    "sample_split_assign",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_orders",
 ]
 
 

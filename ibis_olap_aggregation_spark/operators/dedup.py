@@ -26,12 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ibis_olap_aggregation_spark.operators.similarity import (
+from ibis_olap_aggregation_spark.functions.rp_lsh import (
     duck_rp_planes_sql,
     rp_planes_df,
     rp_sigs,
 )
-from ibis_olap_aggregation_spark.operators.text import tokens_col
+from ibis_olap_aggregation_spark.functions.idioms import tokens_col
 from ibis_olap_aggregation_spark.queries import register
 from ibis_olap_aggregation_spark.session import load_table
 
@@ -41,9 +41,11 @@ SIMHASH_MAX_HAMMING = 3
 JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.3
 
-# 60-bit md5-derived hash, identical in both engines
-_SPARK_MD5INT = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
-_DUCK_MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+# 60-bit md5-derived hash, identical in both engines (functions/idioms.py)
+from ibis_olap_aggregation_spark.functions.idioms import (  # noqa: E402
+    DUCK_MD5INT as _DUCK_MD5INT,
+    SPARK_MD5INT as _SPARK_MD5INT,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

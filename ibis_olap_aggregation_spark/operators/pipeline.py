@@ -30,20 +30,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ibis_olap_aggregation_spark.operators.dedup import (
-    _DUCK_MD5INT,
-    _SPARK_MD5INT,
-    shingles_col,
+from ibis_olap_aggregation_spark.functions.idioms import (
+    DUCK_COS as _DUCK_COS,
+    DUCK_MD5INT as _DUCK_MD5INT,
+    SPARK_MD5INT as _SPARK_MD5INT,
+    spark_cosine as _cosine,
 )
-from ibis_olap_aggregation_spark.operators.similarity import (
-    _DUCK_COS,
-    _cosine,
-    _emb,
-    _ivf_centroid_ranked,
-)
-from ibis_olap_aggregation_spark.operators.text import tokens_col
 from ibis_olap_aggregation_spark.queries import register
 from ibis_olap_aggregation_spark.session import load_table
+
+# sibling operator modules (shingles_col, tokens_col, IVF assignment)
+# are imported INSIDE the query functions: at import time this module is
+# loaded from the bottom of queries.py, which sibling modules themselves
+# import — a module-level import here would re-enter a partially
+# initialized sibling whenever that sibling is the interpreter's entry
+# point (e.g. `import ...operators.dedup` in a test).
 
 # Gopher-style repetition thresholds (applied to ROUNDED fractions so
 # the boolean flag cannot diverge between engines at the boundary)
@@ -108,6 +109,8 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     of duplicated bigrams. Documents over either threshold are flagged
     repetitive (the boilerplate/template filter of a corpus build).
     Map-only — no shuffle; pipelines over the scan."""
+    from ibis_olap_aggregation_spark.operators.text import tokens_col
+
     d = _docs(spark, sf_dir).withColumn("t", tokens_col())
     top_cnt = F.expr(
         "array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))"
@@ -168,6 +171,8 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks, stride {CHUNK_STRIDE}): the context-window packing stage that
     turns documents into training sequences. One explode per document —
     map-only, no shuffle; output rows ≈ corpus_tokens / stride."""
+    from ibis_olap_aggregation_spark.operators.text import tokens_col
+
     d = _docs(spark, sf_dir).withColumn("t", tokens_col())
     c = d.select(
         "doc_id",
@@ -270,6 +275,9 @@ def dedup_shared_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: inverted index on an 8-byte md5-derived shingle key —
     one map-side-combined groupBy + one join back. Cost ~ total shingle
     count; never materializes document pairs."""
+    from ibis_olap_aggregation_spark.operators.dedup import shingles_col
+    from ibis_olap_aggregation_spark.operators.text import tokens_col
+
     d = (
         _docs(spark, sf_dir)
         .withColumn("t", tokens_col())
@@ -365,6 +373,11 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster cardinality stays bounded (the SemDeDup design point).
     τ={SEMDEDUP_TAU} is corpus-calibrated (synthetic embeddings are
     near-orthogonal; p99 pairwise cosine ≈ 0.29)."""
+    from ibis_olap_aggregation_spark.operators.similarity import (
+        _emb,
+        _ivf_centroid_ranked,
+    )
+
     e = _emb(spark, sf_dir)
     assign = (
         _ivf_centroid_ranked(e)

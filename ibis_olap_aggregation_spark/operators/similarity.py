@@ -30,25 +30,19 @@ N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
 LSH_BITS = 8  # sign bits of the first 8 dimensions
 
-_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
-_NORM = "sqrt(aggregate(transform({a}, x -> x * x), 0d, (acc, x) -> acc + x))"
+# shared cross-engine idioms (functions/idioms.py)
+from ibis_olap_aggregation_spark.functions.idioms import (  # noqa: E402
+    DUCK_COS as _DUCK_COS,
+    SPARK_DOT as _DOT,
+    SPARK_NORM as _NORM,
+    spark_cosine as _cosine,
+)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
-
-
-def _cosine(a: str, b: str) -> str:
-    return f"({_DOT.format(a=a, b=b)}) / (({_NORM.format(a=a)}) * ({_NORM.format(a=b)}))"
-
-
-_DUCK_COS = """
-list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))
-  / (sqrt(list_sum(list_transform({a}, x -> x * x)))
-     * sqrt(list_sum(list_transform({b}, x -> x * x))))
-"""
 
 
 @register(
@@ -268,66 +262,14 @@ RP_TABLES = 4  # hash tables (bands)
 RP_BITS = 4  # sign bits per table; bucket space per table = 2^4
 RP_PLANES = RP_TABLES * RP_BITS
 
-
-def rp_planes_df(spark: SparkSession, n_planes: int, bits: int) -> DataFrame:
-    """Deterministic md5-derived random hyperplanes: n_planes rows of
-    (plane_id, table_id, w[64]) with weights in [-1, 1]. Identical to the
-    DuckDB construction (duck_rp_planes_sql) — both engines derive the
-    SAME planes, so bucket assignments match bit-for-bit."""
-    h = (
-        "cast(conv(substr(md5(concat(cast(plane_id as string), '|',"
-        " cast(i as string))), 1, 15), 16, 10) as bigint)"
-    )
-    return (
-        spark.range(n_planes)
-        .select(F.col("id").cast("int").alias("plane_id"))
-        .select(
-            "plane_id",
-            (F.col("plane_id") / bits).cast("int").alias("table_id"),
-            F.expr(
-                f"transform(sequence(1, 64), i -> (({h} % 2001) - 1000) / 1000.0)"
-            ).alias("w"),
-        )
-    )
-
-
-def rp_sigs(e: DataFrame, planes: DataFrame, bits: int) -> DataFrame:
-    """Banded sign signatures: one (vec_id, table_id, bucket) row per
-    vector per table. Broadcast crossJoin against the tiny plane table +
-    a map-side-combined groupBy — map-only per vector."""
-    dot = "aggregate(zip_with(v, w, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
-    return (
-        e.crossJoin(F.broadcast(planes))
-        .withColumn(
-            "bit",
-            F.when(
-                F.expr(dot) > 0, F.expr(f"shiftleft(1L, plane_id % {bits})")
-            ).otherwise(F.lit(0).cast("bigint")),
-        )
-        .groupBy("vec_id", "table_id")
-        .agg(F.sum("bit").alias("bucket"))
-    )
-
-
-def duck_rp_planes_sql(n_planes: int, bits: int) -> str:
-    """DuckDB twin of rp_planes_df + rp_sigs (CTEs `planes`, `sigs`;
-    expects CTE `e(vec_id, v)` in scope)."""
-    return f"""
-planes AS (
-  SELECT p.p AS plane_id, p.p // {bits} AS table_id,
-         list_transform(generate_series(1, 64),
-           i -> ((('0x' || substr(md5(p.p::VARCHAR || '|' || i::VARCHAR), 1, 15))::BIGINT
-                  % 2001) - 1000) / 1000.0) AS w
-  FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) p
-),
-sigs AS (
-  SELECT e.vec_id, pl.table_id,
-         SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
-                    i -> e.v[i] * pl.w[i])) > 0
-                  THEN 1 << (pl.plane_id % {bits}) ELSE 0 END) AS bucket
-  FROM e CROSS JOIN planes pl
-  GROUP BY 1, 2
-)"""
+# machinery lives in the leaf module functions/rp_lsh.py (shared with
+# operators/dedup.py without an operator→operator import edge);
+# re-exported here for the public API surface
+from ibis_olap_aggregation_spark.functions.rp_lsh import (  # noqa: E402
+    duck_rp_planes_sql,
+    rp_planes_df,
+    rp_sigs,
+)
 
 
 @register(

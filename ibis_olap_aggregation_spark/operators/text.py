@@ -35,9 +35,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
-def tokens_col(text_col: str = "text") -> F.Column:
-    """Whitespace tokenizer (documents.text is space-separated lowercase)."""
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+# shared with dedup/pipeline via the leaf module (no operator→operator
+# import edge); re-exported here for the public API surface
+from ibis_olap_aggregation_spark.functions.idioms import tokens_col  # noqa: E402
 
 
 @register(

@@ -262,6 +262,95 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_containment",
+    f"""
+WITH {_DUCK_HASHED_SHINGLES},
+{_DUCK_MINHASH_SIG},
+bands AS (
+  SELECT doc_id, i.i AS band_id, ms[i.i + 1] AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS i) i
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.hs, sb.hs)) AS n_common,
+         len(sa.hs) AS n_a, len(sb.hs) AS n_b
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(n_common / n_a, 6) AS containment_a_in_b,
+       ROUND(n_common / n_b, 6) AS containment_b_in_a
+FROM scored
+WHERE n_common / n_a >= 0.8 OR n_common / n_b >= 0.8
+""",
+)
+def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: containment |A∩B| / |A| — high when one
+    document mostly sits INSIDE another (quotes, excerpts, wire copy)
+    even when Jaccard is low because the containing doc is much larger.
+    LSH candidates (bucket-grouped, never all-pairs) are verified with
+    the exact shingle-set intersection; pairs where either direction
+    reaches 0.8 survive.
+
+    Scale shape: candidate generation is the shared LSH bucket join;
+    verification joins each candidate to two shingle SETS (array
+    intersect per pair, JVM-side) — cost ~ candidates, not corpus²."""
+    sig = dedup_minhash_signatures(spark, sf_dir).select("doc_id", "minhash_sig")
+    bands = sig.select(
+        "doc_id", F.posexplode_outer("minhash_sig").alias("band_id", "band_hash")
+    ).filter(F.col("band_hash").isNotNull())
+    buckets = bands.groupBy("band_id", "band_hash").agg(
+        F.collect_list("doc_id").alias("ds")
+    )
+    cand = (
+        buckets.filter(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds,"
+                    " x -> transform(filter(ds, y -> x < y),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    hs = _docs(spark, sf_dir).withColumn("t", tokens_col()).select(
+        "doc_id", hashed_shingles_col().alias("hs")
+    )
+    a = hs.select(F.col("doc_id").alias("_da"), F.col("hs").alias("hs_a"))
+    b = hs.select(F.col("doc_id").alias("_db"), F.col("hs").alias("hs_b"))
+    scored = (
+        cand.join(a, cand["doc_a"] == a["_da"])
+        .join(b, cand["doc_b"] == b["_db"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("n_common"),
+            F.size("hs_a").alias("n_a"),
+            F.size("hs_b").alias("n_b"),
+        )
+    )
+    ca = F.col("n_common") / F.col("n_a")
+    cb = F.col("n_common") / F.col("n_b")
+    return scored.filter((ca >= 0.8) | (cb >= 0.8)).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.round(ca, 6).alias("containment_a_in_b"),
+        F.round(cb, 6).alias("containment_b_in_a"),
+    )
+
+
 # Oracle for dedup_ngram_jaccard_pairs: the EXHAUSTIVE inverted-index
 # form — prefix filtering is provably lossless, so the oracle can stay
 # the simple spec while the engine runs the blocked plan.

@@ -300,3 +300,65 @@ def events_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_clicks, n_conv, float(n_conv) / n_clicks)],
         "n_clicks bigint, n_converted bigint, conversion_rate double",
     )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+firsts AS (
+  SELECT user_id, MIN(wk) AS cohort_week FROM act GROUP BY 1
+),
+ret AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS BIGINT) AS week_offset,
+         COUNT(*) AS n_users
+  FROM act a JOIN firsts f ON f.user_id = a.user_id
+  GROUP BY 1, 2
+),
+base AS (SELECT cohort_week, n_users AS cohort_size FROM ret WHERE week_offset = 0)
+SELECT r.cohort_week, r.week_offset, r.n_users,
+       ROUND(r.n_users / b.cohort_size, 6) AS retention_rate
+FROM ret r JOIN base b ON b.cohort_week = r.cohort_week
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    again at each later week they return — the (cohort week, offset)
+    retention triangle with rates against the cohort's own size.
+
+    Scale shape: activity dedups to (user, week) with map-side combine
+    (one shuffle on user_id); firsts is a groupBy on the SAME key — AQE
+    reuses the partitioning, no second full shuffle; the triangle and
+    the offset-0 base are cohort-week-sized (tiny) -> broadcast join."""
+    ev = _events(spark, sf_dir)
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    ret = (
+        act.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    base = ret.filter(F.col("week_offset") == 0).select(
+        F.col("cohort_week").alias("_cw"), F.col("n_users").alias("cohort_size")
+    )
+    return (
+        ret.join(F.broadcast(base), ret["cohort_week"] == base["_cw"])
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            F.round(F.col("n_users") / F.col("cohort_size"), 6).alias(
+                "retention_rate"
+            ),
+        )
+    )

@@ -27,14 +27,12 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ibis_olap_aggregation_spark.functions.idioms import (
-    DUCK_COS as _DUCK_COS,
     DUCK_MD5INT as _DUCK_MD5INT,
     SPARK_MD5INT as _SPARK_MD5INT,
-    spark_cosine as _cosine,
 )
 from ibis_olap_aggregation_spark.queries import register
 from ibis_olap_aggregation_spark.session import load_table
@@ -251,7 +249,7 @@ sh AS (
   FROM tok
 ),
 p AS (
-  SELECT doc_id, {_DUCK_MD5INT.format(x="u.s")} AS k
+  SELECT doc_id, u.s AS k
   FROM sh, UNNEST(shingles) AS u(s)
 ),
 c AS (SELECT k, COUNT(*) AS nd FROM p GROUP BY 1)
@@ -272,9 +270,24 @@ def dedup_shared_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     make line-level meaningful). Docs shorter than k tokens have no
     shingles and drop out — same on both engines.
 
-    Scale shape: inverted index on an 8-byte md5-derived shingle key —
-    one map-side-combined groupBy + one join back. Cost ~ total shingle
-    count; never materializes document pairs."""
+    Scale shape: inverted index via ONE window count over the 8-byte
+    xxhash64 shingle key — shuffle on the key, count per frame, shuffle
+    back to doc_id. Compared to the textbook groupBy-then-join-back,
+    the window form evaluates the shingle-explode chain ONCE (Catalyst
+    re-executes the whole tokenize→shingle→explode subtree for each
+    reference; measured 12.5s → ~3s at sf0.1) and moves one fewer
+    shuffle. The key is engine-local (the oracle compares only the
+    per-doc fractions), so the cheap JVM xxhash64 replaces md5; at
+    100 TB the same plan holds — cost ~ total shingle count, never
+    document pairs.
+
+    explode_OUTER, not explode: a plain explode makes Catalyst infer a
+    size(sh) > 0 pre-filter that embeds TWO copies of the whole shingle
+    expression and pushes them to the scan — evaluated per input row
+    before the real projection computes it a third time (measured 4.7s
+    of the 5.7s total at sf0.1; same pathology dedup's LSH banding hit).
+    Outer explode infers nothing; empty docs surface one null shingle
+    dropped by a cheap IS NOT NULL afterwards."""
     from ibis_olap_aggregation_spark.operators.dedup import shingles_col
     from ibis_olap_aggregation_spark.operators.text import tokens_col
 
@@ -283,12 +296,14 @@ def dedup_shared_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("t", tokens_col())
         .withColumn("sh", shingles_col(SHARED_NGRAM_K))
     )
-    pairs = d.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", F.expr(_SPARK_MD5INT.format(x="s")).alias("k")
+    pairs = (
+        d.select("doc_id", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .select("doc_id", F.xxhash64("s").alias("k"))
     )
-    counts = pairs.groupBy("k").agg(F.count(F.lit(1)).alias("nd"))
+    w = Window.partitionBy("k")
     return (
-        pairs.join(counts, "k")
+        pairs.withColumn("nd", F.count(F.lit(1)).over(w))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
@@ -343,10 +358,16 @@ asg AS (
     "dedup_semantic_ivf",
     f"""
 WITH {_DUCK_IVF_ASSIGN},
-vv AS (SELECT e.vec_id, e.v, a.cluster FROM e JOIN asg a USING (vec_id)),
+vv AS (
+  SELECT e.vec_id, a.cluster,
+         list_transform(e.v,
+           x -> x / sqrt(list_sum(list_transform(e.v, y -> y * y)))) AS vn
+  FROM e JOIN asg a USING (vec_id)
+),
 pr AS (
   SELECT x.cluster, y.vec_id AS vb,
-         ROUND({_DUCK_COS.format(a="x.v", b="y.v")}, 6) AS cos
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+                                       i -> x.vn[i] * y.vn[i])), 6) AS cos
   FROM vv x JOIN vv y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
 ),
 drp AS (SELECT DISTINCT cluster, vb FROM pr WHERE cos >= {SEMDEDUP_TAU})
@@ -371,6 +392,15 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the pair join is equi on cluster id — cost ~ Σ
     cluster², never all-pairs; cluster count grows with the corpus so
     cluster cardinality stays bounded (the SemDeDup design point).
+    Two plan decisions matter as much as the join shape (together
+    21s → ~2s at sf0.1): vectors are L2-NORMALIZED once in the
+    assignment table, so each pair costs a single 64-element dot fold
+    (per-pair norm recomputation tripled the work), and the assignment
+    is CACHED — it is referenced five times (both self-join sides, the
+    cluster sizes, and through the pair/drop chain), and Catalyst
+    re-executes the whole explode+centroid+rank subtree for every
+    reference of an uncached plan. At 100 TB that cache is the
+    materialized assignment table any IVF deployment persists anyway.
     τ={SEMDEDUP_TAU} is corpus-calibrated (synthetic embeddings are
     near-orthogonal; p99 pairwise cosine ≈ 0.29)."""
     from ibis_olap_aggregation_spark.operators.similarity import (
@@ -384,20 +414,33 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rk = 1")
         .select("vec_id", F.col("c_label").alias("cluster"))
     )
-    vv = e.select("vec_id", "v").join(assign, "vec_id")
+    nrm = "sqrt(aggregate(transform(v, y -> y * y), 0d, (acc, y) -> acc + y))"
+    vv = (
+        e.select("vec_id", "v")
+        .join(assign, "vec_id")
+        .select(
+            "vec_id",
+            "cluster",
+            F.expr(f"transform(v, x -> x / {nrm})").alias("vn"),
+        )
+        .cache()
+    )
     x = vv.select(
         F.col("cluster"),
         F.col("vec_id").alias("va"),
-        F.col("v").alias("xv"),
+        F.col("vn").alias("xvn"),
     )
     y = vv.select(
         F.col("cluster").alias("cluster_y"),
         F.col("vec_id").alias("vb"),
-        F.col("v").alias("yv"),
+        F.col("vn").alias("yvn"),
+    )
+    dot = (
+        "aggregate(zip_with(xvn, yvn, (p, q) -> p * q), 0d, (acc, p) -> acc + p)"
     )
     pairs = (
         x.join(y, (x["cluster"] == y["cluster_y"]) & (x["va"] < y["vb"]))
-        .withColumn("cos", F.round(F.expr(_cosine("xv", "yv")), 6))
+        .withColumn("cos", F.round(F.expr(dot), 6))
         .filter(F.col("cos") >= SEMDEDUP_TAU)
     )
     dropped = (

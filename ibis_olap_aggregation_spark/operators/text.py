@@ -273,16 +273,19 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k
     then a tiny driver merge) — never a global sort of all n-grams."""
     d = _docs(spark, sf_dir).withColumn("t", tokens_col())
-    # short-doc guard: 1-token docs produce no bigrams (empty array
-    # explodes to zero rows), matching DuckDB's empty generate_series
+    # short-doc guard: 1-token docs produce no bigrams, matching
+    # DuckDB's empty generate_series. explode_OUTER + null-filter, not
+    # explode: the inferred size>0 pre-filter of a plain explode embeds
+    # two extra copies of the bigram chain into the scan (see
+    # dedup_shared_ngram_fraction)
     bg = d.select(
-        F.explode(
+        F.explode_outer(
             F.expr(
                 "if(size(t) < 2, cast(array() as array<string>),"
                 " transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2))))"
             )
         ).alias("bigram")
-    )
+    ).filter(F.col("bigram").isNotNull())
     return (
         bg.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -574,3 +574,70 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall of the approximate index vs exact truth
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH truth AS ({{truth_sql}}),
+approx AS ({{approx_sql}})
+SELECT t.query_id,
+       COUNT(*) AS n_truth,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS recall_at_{TOP_K}
+FROM truth t
+LEFT JOIN approx a
+       ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY 1
+"""
+
+
+def _register_recall_eval() -> None:
+    """Registered via a function so the oracle can SPLICE the two member
+    queries' oracle texts (registered above in this module) — the eval
+    is definitionally 'whatever those queries return', never a drifting
+    re-statement."""
+    from ibis_olap_aggregation_spark.queries import ORACLES
+
+    oracle = _RECALL_ORACLE.format(
+        truth_sql=ORACLES["sim_bruteforce_topk"].strip(),
+        approx_sql=ORACLES["sim_rp_lsh_multiprobe_topk"].strip(),
+    )
+
+    @register("sim_ann_recall_eval", oracle)
+    def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ANN evaluation harness as a query: per-query recall@k of the
+        banded multiprobe RP-LSH index against the exact brute-force
+        top-k. The measurement every index tuning loop needs — run it at
+        a sampled SF, turn RP_TABLES/RP_BITS/probes, re-run.
+
+        Scale shape: truth is the expensive side (exact top-k over a
+        broadcast query set); the eval join is per-(query, neighbor)
+        equi — negligible against the inputs it measures."""
+        from ibis_olap_aggregation_spark.queries import QUERIES
+
+        truth = QUERIES["sim_bruteforce_topk"](spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        )
+        approx = QUERIES["sim_rp_lsh_multiprobe_topk"](spark, sf_dir).select(
+            F.col("query_id").alias("_aq"), F.col("neighbor_id").alias("_an")
+        )
+        j = truth.join(
+            approx,
+            (truth["query_id"] == approx["_aq"])
+            & (truth["neighbor_id"] == approx["_an"]),
+            "left",
+        )
+        hit = F.sum(F.when(F.col("_an").isNotNull(), 1).otherwise(0))
+        return j.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            hit.cast("bigint").alias("n_hit"),
+            F.round(hit / F.count(F.lit(1)), 6).alias(f"recall_at_{TOP_K}"),
+        )
+
+
+_register_recall_eval()

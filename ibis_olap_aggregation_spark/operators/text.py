@@ -348,3 +348,64 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rk <= 3")
         .select("doc_id", "term", "tfidf", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+@register(
+    "text_unigram_logprob",
+    """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+ex AS (SELECT doc_id, unnest(t) AS w FROM tok),
+cnt AS (SELECT w, COUNT(*) AS c FROM ex GROUP BY 1),
+tot AS (SELECT SUM(c) AS n FROM cnt),
+sc AS (
+  SELECT e.doc_id,
+         CAST(ROUND(-ln(c.c / t.n), 12) AS DECIMAL(20,12)) AS nl
+  FROM ex e JOIN cnt c USING (w) CROSS JOIN tot t
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(nl) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob
+FROM sc
+GROUP BY 1
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM scoring — the perplexity-proxy quality
+    filter (the CCNet stage, with a unigram model standing in for the
+    external KenLM): train token probabilities on the corpus itself in
+    one aggregation pass, then score every document by its average
+    negative log-probability. High scorers are lexically atypical.
+
+    Scale shape: two passes over the token stream — one map-side-
+    combined groupBy for the model (vocabulary-sized output), one
+    broadcast join of the model back onto the stream + per-doc
+    aggregate. The model table is the only state and it is
+    vocabulary-sized, not corpus-sized.
+
+    Determinism: each token's -ln p is rounded to 12 decimals and summed
+    in DECIMAL (exact, associative) — partial-aggregation order cannot
+    move the per-doc average, which is rounded to 6 like every derived
+    double in the registry."""
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col())
+    ex = d.select(
+        "doc_id", F.explode_outer("t").alias("w")
+    ).filter(F.col("w").isNotNull())
+    cnt = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    sc = (
+        ex.join(F.broadcast(cnt), "w")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("c") / F.col("n")), 12)
+            .cast("decimal(20,12)")
+            .alias("nl"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.sum("nl").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_neg_logprob"
+        ),
+    )

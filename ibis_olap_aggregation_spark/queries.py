@@ -690,6 +690,7 @@ _ADDED_ROUND2 = frozenset(
         "tpch_q16_supplier_part_count", "tpch_q19_disjunctive_revenue",
         "tpch_q20_potential_promotion", "tpch_q21_waiting_orders",
         "dedup_minhash_containment", "events_retention_cohorts",
+        "sim_ann_recall_eval", "text_unigram_logprob",
     }
 )
 

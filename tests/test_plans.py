@@ -58,3 +58,49 @@ def test_lsh_candidates_shuffle_on_bucket_only(spark, sf_small):
 def test_rollup_is_codegened(spark, sf_small):
     df = q.QUERIES["hierarchy_geo_rollup_orders"](spark, sf_small)
     assert pi.codegen_stage_count(df) >= 2
+
+
+def test_pipeline_map_only_operators_have_no_shuffle(spark, sf_small):
+    for name in ("text_repetition_signals", "text_chunk_documents",
+                 "text_redact_patterns"):
+        df = q.QUERIES[name](spark, sf_small)
+        assert pi.count_exchanges(df) == 0, f"{name} should be map-only"
+
+
+def test_samplers_single_aggregation_shuffle(spark, sf_small):
+    # at most the one groupBy exchange (a single-partition input at this
+    # sf can satisfy the aggregation with none at all)
+    for name in ("sample_split_assign", "sample_domain_weighted"):
+        df = q.QUERIES[name](spark, sf_small)
+        assert pi.count_exchanges(df) <= 1, f"{name}: one groupBy shuffle"
+
+
+def test_additive_rollup_has_no_expand(spark, sf_small):
+    """The leaf-grain rollup replaces the countDistinct-with-other-aggs
+    Expand plan (which doubles the shuffled row count) with independent
+    single-purpose aggregation branches."""
+    df = q.QUERIES["hierarchy_part_rollup_lineitem"](spark, sf_small)
+    assert "Expand" not in pi.physical_plan(df)
+    assert pi.has_broadcast_join(df)
+
+
+def test_semantic_dedup_joins_are_equi(spark, sf_small):
+    """SemDeDup's pair generation must join equi on the cluster id —
+    a cartesian/nested-loop pair join is the all-pairs anti-pattern."""
+    plan = pi.physical_plan(q.QUERIES["dedup_semantic_ivf"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_never_all_pairs(spark, sf_small):
+    plan = pi.physical_plan(q.QUERIES["dedup_minhash_containment"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_disjunction_pushes_to_scans(spark, sf_small):
+    """Q19's OR-of-brackets: Catalyst must extract the per-side residual
+    disjunctions and push them into both parquet scans."""
+    df = q.QUERIES["tpch_q19_disjunctive_revenue"](spark, sf_small)
+    pushed = " ".join(pi.pushed_filters(df))
+    assert "Or(" in pushed, pushed

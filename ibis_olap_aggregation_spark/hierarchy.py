@@ -159,6 +159,7 @@ class HierarchyDimension:
         self._nodes_base = None
         self._n_nodes: int | None = None
         self._local_rows = None
+        self._walked_local_count: int | None = None
         if materialize and strategy in ("auto", "local"):
             # ONE bounded collect doubles as the size probe and the
             # local-walk input: dim-sized tables (the common case) never
@@ -169,21 +170,38 @@ class HierarchyDimension:
             narrow = prepare_nodes(
                 nodes, node_id_col, parent_node_id_col, with_leaf=False
             )
-            # count first, THEN fetch: a bounded limit().collect() looks
-            # cheaper but executes as CollectLimit's serial scale-up
-            # rounds (1 partition, then 4, 20, ... — measured 3.1s for
-            # the sf0.1 geo node table); two fully-parallel jobs (count +
-            # Arrow collect) finish in a fraction of that.
-            n = narrow.count()
-            if n <= self._LOCAL_WALK_LIMIT:
+            # Size guard WITHOUT a job: the optimizer's sizeInBytes
+            # estimate (parquet file sizes for scans) bounds what a
+            # direct Arrow fetch can pull to the driver. Under the bound
+            # we fetch immediately and use len() as the row probe — one
+            # job total. (A count-then-fetch runs the node-table plan
+            # twice — measured 1.6s extra per sf0.1 geo build; a bounded
+            # limit().collect() is worse still: CollectLimit's serial
+            # scale-up rounds measured 3.1s.) Above the bound, or when
+            # the estimate is unavailable, fall back to counting first.
+            n = None
+            try:
+                approx_bytes = int(
+                    narrow._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+            except Exception:  # noqa: BLE001 - stats unavailable (e.g. connect)
+                approx_bytes = None
+            if approx_bytes is None or approx_bytes > self._LOCAL_FETCH_MAX_BYTES:
+                n = narrow.count()
+            if n is None or n <= self._LOCAL_WALK_LIMIT:
                 dicts = self._fetch_local(narrow)
-                parent_ids = {
-                    d["parent_node_id"] for d in dicts if d["parent_node_id"] is not None
-                }
-                for d in dicts:
-                    d["is_leaf"] = d["node_id"] not in parent_ids
-                self._local_rows = dicts
-                self._n_nodes = n
+                if len(dicts) <= self._LOCAL_WALK_LIMIT:
+                    parent_ids = {
+                        d["parent_node_id"]
+                        for d in dicts
+                        if d["parent_node_id"] is not None
+                    }
+                    for d in dicts:
+                        d["is_leaf"] = d["node_id"] not in parent_ids
+                    self._local_rows = dicts
+                    self._n_nodes = len(dicts)
+                else:
+                    dicts = None  # larger than the bound: distributed walk
         if materialize and self._local_rows is None:
             # distributed path: cache the (possibly expensive)
             # source-derived node table while we count it; released after
@@ -229,8 +247,14 @@ class HierarchyDimension:
         }
         self._walked = walkers[strat]()
         if materialize:
-            self._walked = self._walked.cache()
-            walked_n = self._walked.count()  # materialize; enables reach check
+            if self._walked_local_count is not None:
+                # the local walk already knows its row count AND is
+                # eagerly checkpointed (executor-side blocks) — a
+                # cache()+count() on top would re-scan and double-store
+                walked_n = self._walked_local_count
+            else:
+                self._walked = self._walked.cache()
+                walked_n = self._walked.count()  # materialize; enables reach check
             if self._nodes_base is not None:
                 self._nodes_base.unpersist()
                 self._nodes_base = None
@@ -252,6 +276,10 @@ class HierarchyDimension:
     _UNREACHED_DRIVER_LIMIT = 100_000
     _PEEL_MAX_ROUNDS = 200
     _LOCAL_WALK_LIMIT = 250_000  # driver BFS above this is a collect() smell
+    # plan-stats bound for fetching the node table without a count probe:
+    # 512 MB of estimated input is far above any dim-sized table and far
+    # below anything that could hurt a driver
+    _LOCAL_FETCH_MAX_BYTES = 512 * 1024 * 1024
 
     @staticmethod
     def _fetch_local(df: DataFrame) -> list[dict]:
@@ -371,6 +399,7 @@ class HierarchyDimension:
         except Exception:  # noqa: BLE001 - exotic type unsupported by Arrow
             walked = spark.createDataFrame(out, walked_schema)
         self._levels = []
+        self._walked_local_count = len(out)
         # Eagerly checkpoint OFF the driver: a local relation embeds its
         # rows in every task that scans it, so each downstream job that
         # misses the (evictable) cache re-ships the full path table from

@@ -154,3 +154,48 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value", "sum_value"),
         F.countDistinct("user_id").alias("distinct_users"),
     )
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    *,
+    delete_where: str | None = None,
+) -> None:
+    """SCD-1 upsert against a parquet table without a table format:
+    existing rows matched by ``key_cols`` are REPLACED by the update
+    row, unmatched update rows are appended, and rows matching
+    ``delete_where`` (evaluated on the merged result) are dropped.
+
+    Implementation: anti-join existing∖updates ∪ updates, written to a
+    staging directory first and atomically swapped in (a failed write
+    never corrupts the target — the parquet twin of a format-layer
+    MERGE). The anti-join shuffles on the key; at scale, key-partitioned
+    or bucketed layouts (write_bucketed) keep it co-located.
+
+    For streams of small upserts a real table format (e.g. an LSM-style
+    log + compaction) wins; this is the bounded-batch maintenance op a
+    corpus-metadata table needs (quality re-scores, redaction patches,
+    license revocations via delete_where).
+    """
+    import shutil
+    import uuid as _uuid
+
+    existing = spark.read.parquet(path)
+    missing = [c for c in existing.columns if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates missing columns {missing}")
+    kept = existing.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    merged = kept.unionByName(updates.select(*existing.columns))
+    if delete_where is not None:
+        merged = merged.filter(f"NOT ({delete_where})")
+    staging = f"{path}.staging-{_uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    backup = f"{path}.old-{_uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)

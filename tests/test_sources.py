@@ -100,3 +100,53 @@ def test_csv_json_registry_roundtrips_covered_by_oracle():
     """source_csv_roundtrip / source_json_roundtrip run under the oracle
     differential gate (tests/test_entry_oracle.py) — nothing to re-assert
     here; this is a signpost."""
+
+
+def test_upsert_parquet_replaces_appends_deletes(spark, sf_small, workdir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ibis_olap_aggregation_spark.sources.io import upsert_parquet
+
+    path = os.path.join(workdir, "docs_meta")
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    docs.write.mode("overwrite").parquet(path)
+    n0 = spark.read.parquet(path).count()
+
+    updates = spark.createDataFrame(
+        [(0, "xx", 1), (10**9, "new", 42)],
+        "doc_id bigint, lang string, n_chars bigint",
+    )
+    upsert_parquet(spark, path, updates, ["doc_id"])
+    after = spark.read.parquet(path)
+    assert after.count() == n0 + 1  # one replace + one insert
+    assert after.filter("doc_id = 0").collect()[0].lang == "xx"
+    assert after.filter("doc_id = 1000000000").count() == 1
+
+    # delete_where drops matching rows from the merged result
+    upsert_parquet(
+        spark,
+        path,
+        updates.limit(0),
+        ["doc_id"],
+        delete_where="lang = 'xx'",
+    )
+    final = spark.read.parquet(path)
+    assert final.filter("doc_id = 0").count() == 0
+    assert final.count() == n0  # replace-row deleted, insert remains
+
+    # idempotence: re-applying the same (empty) upsert changes nothing
+    upsert_parquet(spark, path, updates.limit(0), ["doc_id"])
+    assert spark.read.parquet(path).count() == n0
+
+    # missing columns are rejected before touching the table
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing columns"):
+        upsert_parquet(
+            spark, path, updates.select("doc_id", "lang"), ["doc_id"]
+        )
+    assert spark.read.parquet(path).count() == n0

@@ -491,6 +491,70 @@ def window_ntile(spark, sf_dir):
     )
 
 
+@register(
+    "window_dist_functions",
+    """
+SELECT c_custkey, c_nationkey,
+       ROUND(cume_dist() OVER w, 6) AS cd,
+       ROUND(percent_rank() OVER w, 6) AS pr,
+       first_value(c_custkey) OVER w AS poorest_custkey,
+       last_value(c_custkey) OVER (
+         PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS richest_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""",
+)
+def window_dist_functions(spark, sf_dir):
+    """Distribution window functions (cume_dist / percent_rank) plus
+    first_value / last_value with an explicit full-partition frame
+    (last_value under the default frame is the CURRENT row — the classic
+    trap). Partitioned per nation — never a global single-partition
+    window."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.first("c_custkey").over(w).alias("poorest_custkey"),
+        F.last("c_custkey").over(w_full).alias("richest_custkey"),
+    )
+
+
+@register(
+    "agg_stats_pack",
+    """
+SELECT o_orderstatus,
+       ROUND(stddev_samp(o_totalprice), 6) AS sd_price,
+       ROUND(var_samp(o_totalprice), 6) AS var_price,
+       ROUND(covar_samp(o_totalprice, o_custkey), 6) AS cov_price_cust,
+       ROUND(corr(o_totalprice, o_custkey), 6) AS corr_price_cust,
+       ROUND(avg(o_totalprice), 6) AS avg_price
+FROM orders
+GROUP BY 1
+""",
+)
+def agg_stats_pack(spark, sf_dir):
+    """Statistical aggregates (stddev/variance/covariance/correlation):
+    distributed via partial moment accumulation (map-side combined);
+    results rounded to 6 — the moment formulas agree across engines far
+    below that precision."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 6).alias("sd_price"),
+        F.round(F.var_samp("o_totalprice"), 6).alias("var_price"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 6).alias(
+            "cov_price_cust"
+        ),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_price_cust"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Sorts / limits / top-k (§2.6) and set operations (§2.7)
 # --------------------------------------------------------------------------

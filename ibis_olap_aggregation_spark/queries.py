@@ -725,6 +725,7 @@ _ADDED_ROUND2 = frozenset(
         "tpch_q20_potential_promotion", "tpch_q21_waiting_orders",
         "dedup_minhash_containment", "events_retention_cohorts",
         "sim_ann_recall_eval", "text_unigram_logprob",
+        "window_dist_functions", "agg_stats_pack",
     }
 )
 

@@ -530,8 +530,8 @@ def window_dist_functions(spark, sf_dir):
     """
 SELECT o_orderstatus,
        ROUND(stddev_samp(o_totalprice), 6) AS sd_price,
-       ROUND(var_samp(o_totalprice), 6) AS var_price,
-       ROUND(covar_samp(o_totalprice, o_custkey), 6) AS cov_price_cust,
+       ROUND(var_samp(o_totalprice), 2) AS var_price,
+       ROUND(covar_samp(o_totalprice, o_custkey), 2) AS cov_price_cust,
        ROUND(corr(o_totalprice, o_custkey), 6) AS corr_price_cust,
        ROUND(avg(o_totalprice), 6) AS avg_price
 FROM orders
@@ -541,13 +541,16 @@ GROUP BY 1
 def agg_stats_pack(spark, sf_dir):
     """Statistical aggregates (stddev/variance/covariance/correlation):
     distributed via partial moment accumulation (map-side combined);
-    results rounded to 6 — the moment formulas agree across engines far
-    below that precision."""
+    results rounded to magnitude-aware precision: variance/covariance
+    values are ~1e10 here and partial-aggregation order moves them at
+    the ~1e-5 ABSOLUTE level (observed run-to-run in Spark itself), so
+    they round to 2 decimals; stddev/corr/avg are small-magnitude and
+    round to 6."""
     o = _t(spark, sf_dir, "orders")["orders"]
     return o.groupBy("o_orderstatus").agg(
         F.round(F.stddev_samp("o_totalprice"), 6).alias("sd_price"),
-        F.round(F.var_samp("o_totalprice"), 6).alias("var_price"),
-        F.round(F.covar_samp("o_totalprice", "o_custkey"), 6).alias(
+        F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias(
             "cov_price_cust"
         ),
         F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_price_cust"),

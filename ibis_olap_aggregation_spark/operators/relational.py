@@ -482,12 +482,31 @@ FROM customer
 """,
 )
 def window_ntile(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")["customer"]
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    """Global ntile WITHOUT the single-partition window the naive
+    `ntile(k) OVER (ORDER BY ...)` compiles to: rank with the
+    range-partitioned global ranker, then derive the bucket from the
+    closed-form ntile split (the first n%k buckets take one extra row).
+    Bit-identical to the window function; scales like the ranker."""
+    from ibis_olap_aggregation_spark.operators.ranking import global_row_number
+
+    k = 4
+    c = _t(spark, sf_dir, "customer")["customer"].select("c_custkey", "c_acctbal")
+    n = c.count()
+    small, extra = divmod(n, k)
+    boundary = extra * (small + 1)
+    ranked = global_row_number(
+        c, ["c_acctbal", "c_custkey"], "_rn", row_count=n
+    )
+    bucket = F.when(
+        F.col("_rn") <= boundary,
+        F.expr(f"(_rn - 1) div {small + 1} + 1"),
+    ).otherwise(
+        F.expr(f"{extra} + (_rn - {boundary} - 1) div {max(small, 1)} + 1")
+    )
+    return ranked.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
+        bucket.cast("bigint").alias("balance_quartile"),
     )
 
 

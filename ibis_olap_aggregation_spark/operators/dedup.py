@@ -175,18 +175,13 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_signatures",
-    f"""
-WITH {_DUCK_HASHED_SHINGLES},
-{_DUCK_MINHASH_SIG}
-SELECT doc_id, ms AS minhash_sig, n_shingles FROM sig
-""",
-)
-def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: one md5 per distinct 5-token shingle, then 16
-    affine universal-hash rehashes. Map-only: nested array lambdas, no
-    explode, no shuffle, one pass over the text."""
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw signature form (doc_id, minhash_sig array<bigint>, n_shingles)
+    consumed by the LSH banding/containment operators. The REGISTERED
+    query wraps this with a string rendering: array-typed result columns
+    are not sortable by the driver's pandas canonicalizer (lexsort dies
+    on `unhashable type: 'list'` — CORRECTNESS_r02), so the registered
+    query surface emits only sortable scalars."""
     d = _docs(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
         "hs", hashed_shingles_col()
     )
@@ -194,6 +189,39 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         minhash_sig_col().alias("minhash_sig"),
         F.size("hs").cast("bigint").alias("n_shingles"),
+    )
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+WITH {_DUCK_HASHED_SHINGLES},
+{_DUCK_MINHASH_SIG}
+SELECT doc_id,
+       array_to_string(list_transform(ms,
+         v -> coalesce(CAST(v AS VARCHAR), 'x')), ',') AS minhash_sig_str,
+       n_shingles
+FROM sig
+""",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: one md5 per distinct 5-token shingle, then 16
+    affine universal-hash rehashes. Map-only: nested array lambdas, no
+    explode, no shuffle, one pass over the text.
+
+    Output shape: the 16-slot signature is rendered as one
+    comma-joined string column (null slots -> 'x' sentinel — both
+    engines would otherwise SKIP nulls when joining, silently equating
+    [1,NULL,3] with [1,3]). Arrays are kept internal (_minhash_signatures)
+    because array-typed result cells are unsortable by the driver's
+    pandas canonicalizer."""
+    return _minhash_signatures(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "concat_ws(',', transform(minhash_sig,"
+            " v -> coalesce(cast(v as string), 'x')))"
+        ).alias("minhash_sig_str"),
+        "n_shingles",
     )
 
 
@@ -227,7 +255,7 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~25x slower). Cost ~ sum(bucket^2); oversized buckets are visible
     here and cappable. Signature agreement fraction estimates Jaccard
     (r=1, b=16 → recall-heavy candidates)."""
-    sig = dedup_minhash_signatures(spark, sf_dir).select("doc_id", "minhash_sig")
+    sig = _minhash_signatures(spark, sf_dir).select("doc_id", "minhash_sig")
     # posexplode_OUTER: plain posexplode makes Catalyst infer a
     # size(sig)>0 pre-filter that re-evaluates the whole signature
     # expression chain per row (measured 6x slower); outer + a cheap
@@ -303,7 +331,7 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: candidate generation is the shared LSH bucket join;
     verification joins each candidate to two shingle SETS (array
     intersect per pair, JVM-side) — cost ~ candidates, not corpus²."""
-    sig = dedup_minhash_signatures(spark, sf_dir).select("doc_id", "minhash_sig")
+    sig = _minhash_signatures(spark, sf_dir).select("doc_id", "minhash_sig")
     bands = sig.select(
         "doc_id", F.posexplode_outer("minhash_sig").alias("band_id", "band_hash")
     ).filter(F.col("band_hash").isNotNull())

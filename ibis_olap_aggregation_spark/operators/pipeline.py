@@ -249,7 +249,7 @@ sh AS (
   FROM tok
 ),
 p AS (
-  SELECT doc_id, u.s AS k
+  SELECT doc_id, {_DUCK_MD5INT.format(x="u.s")} AS k
   FROM sh, UNNEST(shingles) AS u(s)
 ),
 c AS (SELECT k, COUNT(*) AS nd FROM p GROUP BY 1)
@@ -271,13 +271,15 @@ def dedup_shared_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles and drop out — same on both engines.
 
     Scale shape: inverted index via ONE window count over the 8-byte
-    xxhash64 shingle key — shuffle on the key, count per frame, shuffle
-    back to doc_id. Compared to the textbook groupBy-then-join-back,
-    the window form evaluates the shingle-explode chain ONCE (Catalyst
-    re-executes the whole tokenize→shingle→explode subtree for each
-    reference; measured 12.5s → ~3s at sf0.1) and moves one fewer
-    shuffle. The key is engine-local (the oracle compares only the
-    per-doc fractions), so the cheap JVM xxhash64 replaces md5; at
+    60-bit-md5 shingle key — shuffle on the key, count per frame,
+    shuffle back to doc_id. Compared to the textbook
+    groupBy-then-join-back, the window form evaluates the
+    shingle-explode chain ONCE (Catalyst re-executes the whole
+    tokenize→shingle→explode subtree for each reference; measured
+    12.5s → ~3s at sf0.1) and moves one fewer shuffle. The ORACLE keys
+    on the SAME md5 idiom — a (astronomically unlikely) 60-bit
+    collision would merge the same shingles on both engines, so parity
+    stays bit-exact rather than depending on collision-freedom. At
     100 TB the same plan holds — cost ~ total shingle count, never
     document pairs.
 
@@ -299,7 +301,7 @@ def dedup_shared_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         d.select("doc_id", F.explode_outer("sh").alias("s"))
         .filter(F.col("s").isNotNull())
-        .select("doc_id", F.xxhash64("s").alias("k"))
+        .select("doc_id", F.expr(_SPARK_MD5INT.format(x="s")).alias("k"))
     )
     w = Window.partitionBy("k")
     return (

@@ -175,7 +175,10 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     thresh = v.agg(
-        (F.sum(_dec("part_value").cast("decimal(28,2)")).cast("double") * F.lit(0.001)).alias(
+        # direct 28,2 cast — routing through the 18,2 _dec helper would
+        # overflow part_value to NULL beyond ~10^16 while the oracle's
+        # direct DECIMAL(28,2) cast keeps it, diverging the threshold
+        (F.sum(F.col("part_value").cast("decimal(28,2)")).cast("double") * F.lit(0.001)).alias(
             "_th"
         )
     )

@@ -170,19 +170,36 @@ def upsert_parquet(
     ``delete_where`` (evaluated on the merged result) are dropped.
 
     Implementation: anti-join existing∖updates ∪ updates, written to a
-    staging directory first and atomically swapped in (a failed write
-    never corrupts the target — the parquet twin of a format-layer
-    MERGE). The anti-join shuffles on the key; at scale, key-partitioned
-    or bucketed layouts (write_bucketed) keep it co-located.
+    staging directory first, then swapped in via two ``os.rename`` calls
+    (target -> backup, staging -> target). A failed WRITE never corrupts
+    the target (the merge lands in staging), but the swap itself is NOT
+    atomic: between the two renames the table path does not exist, so a
+    concurrent reader can see it missing, and a crash in that window
+    strands the data at the ``.old-*`` backup path (the next call
+    restores the newest dangling backup before merging). Single-writer
+    is assumed. ``os.rename`` semantics are
+    local-filesystem-only — on an object store use a table format or a
+    manifest-flip layout instead. The anti-join shuffles on the key; at
+    scale, key-partitioned or bucketed layouts (write_bucketed) keep it
+    co-located.
 
     For streams of small upserts a real table format (e.g. an LSM-style
     log + compaction) wins; this is the bounded-batch maintenance op a
     corpus-metadata table needs (quality re-scores, redaction patches,
     license revocations via delete_where).
     """
+    import glob as _glob
     import shutil
     import uuid as _uuid
 
+    if not os.path.exists(path):
+        # crash-recovery: a previous call died between its two renames,
+        # leaving the table only at the backup path — restore the newest
+        backups = sorted(_glob.glob(f"{path}.old-*"), key=os.path.getmtime)
+        if backups:
+            os.rename(backups[-1], path)
+        else:
+            raise FileNotFoundError(path)
     existing = spark.read.parquet(path)
     missing = [c for c in existing.columns if c not in updates.columns]
     if missing:

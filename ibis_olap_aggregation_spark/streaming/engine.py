@@ -28,19 +28,40 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
 
 
+# Fallback stream-source schema: the events table contract (TESTDATA.md).
+# Used only when the source directory is empty at stream start — the
+# normal streaming startup order, where the consumer comes up before the
+# first producer file lands and a batch probe has nothing to infer from.
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint,"
+    " event_type string, value double, props string"
+)
+
+
 def stream_events(
-    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    schema=None,
 ) -> DataFrame:
     """File-source stream over events parquet: each file becomes (part
     of) a micro-batch. `ts` normalizes to TIMESTAMP exactly like the
     batch loader (session.load_table), whichever physical type the files
     carry — TIMESTAMP(NANOS) (surfaced as bigint nanos under the legacy
     conf) or plain TIMESTAMP(MICROS). Streaming sources need an explicit
-    schema, so a one-off batch read of the same path probes it; assuming
-    a fixed bigint schema here silently reinterprets micros as nanos
-    (1970-dated windows) when the upstream writer changes precision."""
+    schema: pass one, or a one-off batch read of the same path probes it
+    (assuming a fixed bigint schema silently reinterprets micros as
+    nanos — 1970-dated windows — when the upstream writer changes
+    precision). When the directory is EMPTY at start (consumer-first
+    startup), the probe cannot infer and the EVENTS_SCHEMA contract is
+    the fallback."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    if schema is None:
+        try:
+            schema = spark.read.parquet(path).schema
+        except Exception:  # noqa: BLE001 - empty dir: nothing to infer from
+            schema = EVENTS_SCHEMA
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -150,3 +150,26 @@ def test_upsert_parquet_replaces_appends_deletes(spark, sf_small, workdir):
             spark, path, updates.select("doc_id", "lang"), ["doc_id"]
         )
     assert spark.read.parquet(path).count() == n0
+
+
+def test_upsert_parquet_recovers_dangling_backup(spark, sf_small, workdir):
+    """A crash between upsert's two renames leaves the table only at the
+    .old-* backup path; the next call must restore it before merging."""
+    import os
+    import shutil
+
+    from ibis_olap_aggregation_spark.sources.io import upsert_parquet
+
+    path = os.path.join(workdir, "docs_meta_recover")
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "lang")
+    docs.write.mode("overwrite").parquet(path)
+    n0 = spark.read.parquet(path).count()
+
+    # simulate the crash window: table renamed to backup, swap never done
+    os.rename(path, f"{path}.old-deadbeef")
+
+    updates = spark.createDataFrame([(10**9, "new")], "doc_id bigint, lang string")
+    upsert_parquet(spark, path, updates, ["doc_id"])
+    assert spark.read.parquet(path).count() == n0 + 1
+    assert not os.path.exists(f"{path}.old-deadbeef")
+    shutil.rmtree(path)

@@ -284,3 +284,36 @@ def test_running_totals_accumulate_across_batches(spark, workdir):
     final = max((r for r in rows if r.user_id == 7), key=lambda r: r.n_events)
     assert final.n_events == 2
     assert final.total_value_cents == 375
+
+
+def test_stream_starts_on_empty_source_dir(spark, sf_small, workdir):
+    """Consumer-first startup: the stream must come up on an EMPTY source
+    directory (batch schema probe has nothing to infer from -> falls back
+    to the EVENTS_SCHEMA contract) and then process files that land after
+    the query started."""
+    src = os.path.join(workdir, "empty_input")
+    os.makedirs(src)
+    stream = se.stream_events(spark, src)  # must not raise
+    agg = se.tumbling_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("empty_start")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("SELECT * FROM empty_start").count() == 0
+
+    # first producer file lands after the consumer existed
+    ev = load_table(spark, sf_small, "events").limit(100)
+    _write_batch_files(workdir, src, ev)
+    stream2 = se.stream_events(spark, src)
+    se.run_to_memory(
+        se.tumbling_counts(stream2),
+        "empty_start2",
+        checkpoint_dir=os.path.join(workdir, "ckpt_empty2"),
+        output_mode="update",  # emit open windows too: count all 100
+    )
+    got = spark.sql("SELECT SUM(event_count) AS n FROM empty_start2").collect()[0].n
+    assert got == 100

@@ -23,7 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ibis_olap_aggregation_spark.functions.rp_lsh import (
@@ -50,6 +50,88 @@ from ibis_olap_aggregation_spark.functions.idioms import (  # noqa: E402
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
+
+
+# Max bucket members a single task materializes (collect_list) when
+# generating in-bucket pairs. Buckets above the cap are SPLIT, not
+# dropped — output is identical, so there is no silent approximation.
+BUCKET_PAIR_CAP = 4096
+
+
+def bucket_pairs(
+    members: DataFrame, keys: list[str], member_col: str, cap: int | None = None
+) -> DataFrame:
+    """All unordered member pairs within each bucket — the shared pair
+    generator behind every LSH/prefix blocking operator — with per-task
+    memory BOUNDED regardless of bucket degeneracy.
+
+    The naive shape (groupBy(keys).collect_list → in-list pairs) puts an
+    entire bucket in one task's memory: a degenerate bucket (an
+    all-identical near-dup class, an empty-signature band, an
+    ultra-common prefix shingle) means one task holding the whole class
+    and emitting O(b²) rows. Here each bucket is salted into
+    ceil(n/cap) sub-buckets by member hash, so any collect_list holds at
+    most ~cap members:
+
+      pairs(bucket) = Σ_s pairs(sub_s)                     [same salt]
+                    ∪ Σ_{s<t} sub_s × sub_t                [cross salt]
+
+    both produced by ONE equi-join of the sub-bucket table with itself:
+    each sub-bucket row fans out to targets _t in [_s, _ns-1]; at
+    _t = _s the in-list `x < y` filter yields the within pairs, at
+    _t > _s the full combination (oriented by `<`) yields the cross
+    pairs. The join key (keys, _t) matches a single sub-bucket row on
+    the right, so a join task buffers at most two ≤cap lists. Every
+    unordered pair appears exactly once per bucket (same salt, or
+    exactly one (lower, higher) salt combination), so counting
+    consumers (band-match counts) stay exact.
+
+    Members must be distinct within a bucket and totally ordered by `<`
+    (atomic ids, or structs whose first field is a unique id) — the
+    orientation `a < b` relies on it. The salt hash is engine-internal
+    (xxhash64): it never reaches the output, so cross-engine parity is
+    unaffected.
+
+    Plan shape: bucket sizes come from a window count (NOT a separate
+    aggregate + join — that re-evaluates the member lineage, often an
+    expensive signature chain, a second time), and the sub-bucket table
+    is cached because the self-join reads it twice. Cost vs the naive
+    collect_list shape: one extra shuffle (window on keys, then group
+    on (keys, salt)); the cross fan-out is empty whenever no bucket
+    exceeds the cap."""
+    if cap is None:
+        cap = BUCKET_PAIR_CAP
+    m = members.select(*keys, F.col(member_col).alias("m"))
+    w = Window.partitionBy(*keys)
+    sub = (
+        m.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_ns", F.ceil(F.col("_n") / F.lit(cap)).cast("int"))
+        .withColumn("_s", F.pmod(F.xxhash64("m"), F.col("_ns")).cast("int"))
+        .groupBy(*keys, "_s")
+        .agg(F.collect_list("m").alias("ms"), F.first("_ns").alias("_ns"))
+        .cache()
+    )
+    left = sub.filter((F.size("ms") > 1) | (F.col("_ns") > 1)).select(
+        *keys,
+        "ms",
+        "_s",
+        F.explode(F.expr("sequence(_s, _ns - 1)")).alias("_t"),
+    )
+    right = sub.select(*keys, F.col("_s").alias("_t"), F.col("ms").alias("ms2"))
+    return (
+        left.join(right, [*keys, "_t"])
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, x -> transform("
+                    " filter(ms2, y -> _s != _t OR x < y),"
+                    " y -> if(x < y, struct(x AS a, y AS b),"
+                    " struct(y AS a, x AS b)))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
 
 
 def shingles_col(k: int = 3) -> F.Column:
@@ -263,21 +345,9 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.posexplode_outer("minhash_sig").alias("band_id", "band_hash")
     ).filter(F.col("band_hash").isNotNull())
-    buckets = bands.groupBy("band_id", "band_hash").agg(
-        F.collect_list("doc_id").alias("ds")
-    )
-    pairs = buckets.filter(F.size("ds") > 1).select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds,"
-                " x -> transform(filter(ds, y -> x < y),"
-                " y -> struct(x AS doc_a, y AS doc_b))))"
-            )
-        ).alias("p")
-    )
     cand = (
-        pairs.select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
+        bucket_pairs(bands, ["band_id", "band_hash"], "doc_id")
+        .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_band_matches"))
     )
     return cand.select(
@@ -335,21 +405,9 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.posexplode_outer("minhash_sig").alias("band_id", "band_hash")
     ).filter(F.col("band_hash").isNotNull())
-    buckets = bands.groupBy("band_id", "band_hash").agg(
-        F.collect_list("doc_id").alias("ds")
-    )
     cand = (
-        buckets.filter(F.size("ds") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds,"
-                    " x -> transform(filter(ds, y -> x < y),"
-                    " y -> struct(x AS doc_a, y AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
+        bucket_pairs(bands, ["band_id", "band_hash"], "doc_id")
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .distinct()
     )
     hs = _docs(spark, sf_dir).withColumn("t", tokens_col()).select(
@@ -461,21 +519,11 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bucket-group the prefix index: pairs are generated INSIDE each
     # shingle's posting list (one shuffle on the shingle, never a
-    # self-join that re-evaluates the shingle chain on both sides)
+    # self-join that re-evaluates the shingle chain on both sides);
+    # bucket_pairs salts ultra-common prefix shingles over the cap
     cand = (
-        pref.groupBy("s")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds,"
-                    " x -> transform(filter(ds, y -> x < y),"
-                    " y -> struct(x AS doc_a, y AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
+        bucket_pairs(pref, ["s"], "doc_id")
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .distinct()
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("ha"))
@@ -608,22 +656,16 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" AS chunk_val))"
             )
         ).alias("ck"),
-    ).select("doc_id", "simhash", "ck.chunk_id", "ck.chunk_val")
-    buckets = chunks.groupBy("chunk_id", "chunk_val").agg(
-        F.collect_list(F.struct("doc_id", "simhash")).alias("ds")
+    ).select(
+        "ck.chunk_id", "ck.chunk_val", F.struct("doc_id", "simhash").alias("m")
     )
-    pairs = buckets.filter(F.size("ds") > 1).select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, x -> transform("
-                "  filter(ds, y -> x.doc_id < y.doc_id),"
-                "  y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
-                "              bit_count(x.simhash ^ y.simhash) AS hamming))))"
-            )
-        ).alias("p")
-    )
+    pairs = bucket_pairs(chunks, ["chunk_id", "chunk_val"], "m")
     return (
-        pairs.select("p.doc_a", "p.doc_b", F.col("p.hamming").cast("bigint").alias("hamming"))
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").alias("hamming"),
+        )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()  # a pair can collide in several chunks
     )
@@ -767,19 +809,8 @@ def dedup_embedding_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     )
     sigs = rp_sigs(e, planes, DEDUP_RP_BITS)
     cand = (
-        sigs.groupBy("table_id", "bucket")
-        .agg(F.collect_list("vec_id").alias("ds"))
-        .filter(F.size("ds") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds,"
-                    " x -> transform(filter(ds, y -> x < y),"
-                    " y -> struct(x AS vec_a, y AS vec_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.vec_a", "p.vec_b")
+        bucket_pairs(sigs, ["table_id", "bucket"], "vec_id")
+        .select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"))
         .distinct()
     )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))

@@ -61,12 +61,19 @@ def test_lsh_cosine_subset_and_recall(spark, sf_small):
         (dedup.dedup_embedding_cosine_pairs, False),
         # the LSH query fans every vector out against the broadcast
         # 64-row PLANE table (a map-side crossJoin, cost 64n, not a pair
-        # join) — that one BroadcastNestedLoopJoin is the intended shape
+        # join) — that BroadcastNestedLoopJoin is the intended shape. It
+        # PRINTS twice: bucket_pairs self-joins the cached sub-bucket
+        # table, and the cached plan's lineage appears under each of the
+        # two scan references (the cache executes it once).
         (dedup.dedup_embedding_cosine_lsh_pairs, True),
     ],
 )
 def test_no_unpartitioned_join_in_plan(spark, sf_small, fn, allow_plane_fanout):
+    # cached plans from earlier tests get substituted by plan-equality
+    # and reprint their lineage under each InMemoryTableScan, making
+    # text counts order-dependent — clear for a deterministic plan
+    spark.catalog.clearCache()
     plan = fn(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     n_bnlj = plan.count("BroadcastNestedLoopJoin")
-    assert n_bnlj <= (1 if allow_plane_fanout else 0), plan[:2000]
+    assert n_bnlj <= (2 if allow_plane_fanout else 0), plan[:2000]

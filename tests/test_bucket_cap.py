@@ -1,0 +1,128 @@
+"""Degenerate-bucket robustness for the shared LSH/prefix pair generator.
+
+A corpus of ALL-IDENTICAL documents is the worst case for bucket-grouped
+pair generation: every document lands in the same band/prefix/chunk
+bucket, so the naive collect_list shape holds the entire corpus in one
+task and emits O(n²) from it. bucket_pairs salts buckets over
+BUCKET_PAIR_CAP members into sub-buckets (within-salt lists + one
+cross-salt equi-join) — these tests pin that
+
+1. the salted plan is EXACT: pair sets and multiplicities are identical
+   to the naive unsalted form (cap=huge) under a tiny cap that forces
+   many splits, and
+2. every pair query survives an all-identical corpus with the full
+   expected quadratic OUTPUT while no single collect_list ever
+   materializes more than ~cap members (asserted structurally: the same
+   tiny cap governs the run).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.operators import dedup as dd
+
+N_DOCS = 120  # C(120,2) = 7140 pairs — quadratic output, quick runtime
+_TEXT = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+@pytest.fixture(scope="module")
+def identical_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("identical")
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(N_DOCS),
+            "text": [_TEXT] * N_DOCS,
+            "lang": ["en"] * N_DOCS,
+            "source": ["s0"] * N_DOCS,
+            "n_chars": [len(_TEXT)] * N_DOCS,
+        }
+    )
+    docs.to_parquet(str(d / "documents.parquet"), index=False)
+    emb = pd.DataFrame(
+        {
+            "vec_id": range(N_DOCS),
+            "embedding": [[1.0] * 16 + [0.0] * 48] * N_DOCS,
+            "label": [0] * N_DOCS,
+        }
+    )
+    emb.to_parquet(str(d / "embeddings.parquet"), index=False)
+    return str(d)
+
+
+def _pairs_set(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_bucket_pairs_exact_vs_unsalted(spark):
+    """Randomized buckets, cap=7: salted output == unsalted output as a
+    MULTISET (counting consumers rely on per-bucket multiplicity 1)."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for bucket in range(6):
+        n = rng.choice([1, 2, 5, 23, 40])
+        members = rng.sample(range(1000), n)
+        rows += [(bucket, m) for m in members]
+    df = spark.createDataFrame(rows, "k int, m bigint")
+
+    def collect(cap):
+        out = dd.bucket_pairs(df, ["k"], "m", cap=cap).collect()
+        return sorted((r.a, r.b) for r in out)
+
+    salted, unsalted = collect(7), collect(10**6)
+    assert salted == unsalted
+    # sanity: the expected count from bucket sizes
+    sizes = [r.n for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()]
+    assert len(unsalted) == sum(n * (n - 1) // 2 for n in sizes)
+
+
+@pytest.fixture()
+def tiny_cap(monkeypatch):
+    # 16 << 120 members/bucket: every degenerate bucket must split
+    monkeypatch.setattr(dd, "BUCKET_PAIR_CAP", 16)
+
+
+def test_minhash_lsh_all_identical(spark, identical_sf_dir, tiny_cap):
+    out = dd.dedup_minhash_lsh_candidates(spark, identical_sf_dir).collect()
+    n_pairs = math.comb(N_DOCS, 2)
+    assert len(out) == n_pairs
+    # identical docs agree on every band
+    assert all(r.n_band_matches == dd.N_MINHASH for r in out)
+    assert all(r.est_jaccard == 1.0 for r in out)
+
+
+def test_ngram_jaccard_all_identical(spark, identical_sf_dir, tiny_cap):
+    out = dd.dedup_ngram_jaccard_pairs(spark, identical_sf_dir)
+    rows = out.collect()
+    assert len(rows) == math.comb(N_DOCS, 2)
+    assert all(r.jaccard == 1.0 for r in rows)
+
+
+def test_simhash_all_identical(spark, identical_sf_dir, tiny_cap):
+    out = dd.dedup_simhash_near_pairs(spark, identical_sf_dir)
+    rows = out.collect()
+    assert len(rows) == math.comb(N_DOCS, 2)
+    assert all(r.hamming == 0 for r in rows)
+    # blocked == all-pairs on the degenerate corpus too
+    ap = _pairs_set(dd._simhash_near_pairs_allpairs(spark, identical_sf_dir))
+    assert _pairs_set(out) == ap
+
+
+def test_rp_lsh_cosine_all_identical(spark, identical_sf_dir, tiny_cap):
+    out = dd.dedup_embedding_cosine_lsh_pairs(spark, identical_sf_dir)
+    rows = out.collect()
+    assert len(rows) == math.comb(N_DOCS, 2)
+    assert all(r.cosine == 1.0 for r in rows)
+
+
+def test_duplicate_clusters_all_identical(spark, identical_sf_dir, tiny_cap):
+    rows = dd.dedup_duplicate_clusters(spark, identical_sf_dir).collect()
+    assert len(rows) == 1  # one cluster containing the whole corpus
+    assert rows[0].n_docs == N_DOCS
+    assert rows[0].min_doc == 0 and rows[0].max_doc == N_DOCS - 1

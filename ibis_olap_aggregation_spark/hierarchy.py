@@ -177,16 +177,30 @@ class HierarchyDimension:
             # job total. (A count-then-fetch runs the node-table plan
             # twice — measured 1.6s extra per sf0.1 geo build; a bounded
             # limit().collect() is worse still: CollectLimit's serial
-            # scale-up rounds measured 3.1s.) Above the bound, or when
-            # the estimate is unavailable, fall back to counting first.
+            # scale-up rounds measured 3.1s.) The fast path is gated
+            # THREE ways — the estimate must exist, must be produced by
+            # a plan whose default size estimation cannot UNDER-estimate
+            # (no Generate/Join/Window/Expand: e.g. Generate reports its
+            # pre-explosion child size, so an exploded node table looks
+            # tiny), and must imply a ROW count under the walk limit at
+            # a conservative per-row width (on-disk bytes vastly
+            # understate in-memory Python row cost: a narrow 2-column
+            # table near the byte bound alone can be tens of millions
+            # of rows). Anything else counts first — one extra job, only
+            # for inputs that were never dim-shaped to begin with.
             n = None
-            try:
-                approx_bytes = int(
-                    narrow._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-                )
-            except Exception:  # noqa: BLE001 - stats unavailable (e.g. connect)
-                approx_bytes = None
-            if approx_bytes is None or approx_bytes > self._LOCAL_FETCH_MAX_BYTES:
+            fetch_direct = False
+            if self._plan_estimate_is_safe(narrow):
+                try:
+                    approx_bytes = int(
+                        narrow._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                    )
+                except Exception:  # noqa: BLE001 - stats unavailable (e.g. connect)
+                    approx_bytes = None
+                if approx_bytes is not None and approx_bytes <= self._LOCAL_FETCH_MAX_BYTES:
+                    est_rows = approx_bytes // self._est_row_width(narrow.schema)
+                    fetch_direct = est_rows <= self._LOCAL_WALK_LIMIT
+            if not fetch_direct:
                 n = narrow.count()
             if n is None or n <= self._LOCAL_WALK_LIMIT:
                 dicts = self._fetch_local(narrow)
@@ -280,6 +294,35 @@ class HierarchyDimension:
     # 512 MB of estimated input is far above any dim-sized table and far
     # below anything that could hurt a driver
     _LOCAL_FETCH_MAX_BYTES = 512 * 1024 * 1024
+
+    @staticmethod
+    def _plan_estimate_is_safe(df: DataFrame) -> bool:
+        """True when the optimized plan contains no operator whose
+        default (non-CBO) size estimation can UNDER-estimate output.
+        Scan/Project/Filter/Union/Aggregate estimates are conservative
+        (file sizes, width scaling, no selectivity discounts), but
+        Generate reports its pre-explosion child size, and Join/Window/
+        Expand estimates are similarly untrustworthy — a fetch gated on
+        them is unbounded. Unreadable plans count as unsafe."""
+        import re as _re
+
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception:  # noqa: BLE001 - plan unavailable (e.g. connect)
+            return False
+        return not _re.search(r"\b(Join|Generate|Window|Expand)\b", plan)
+
+    @staticmethod
+    def _est_row_width(schema) -> int:
+        """Conservatively SMALL per-row byte width (strings/nested at 20,
+        scalars at 8): dividing the plan's size estimate by it biases the
+        row estimate HIGH, which can only route a fetch to the count
+        probe, never skip the guard."""
+        width = 0
+        for f in schema.fields:
+            s = f.dataType.simpleString()
+            width += 20 if (s == "string" or "<" in s) else 8
+        return max(width, 8)
 
     @staticmethod
     def _fetch_local(df: DataFrame) -> list[dict]:

@@ -39,6 +39,20 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_query_matches_oracle(spark, sf_small, name):
     sdf = entry_mod.queries()[name](spark, sf_small).toPandas()
     odf = run_oracle(entry_mod.oracle_sql()[name], sf_small)
+    # the DRIVER canonicalizes via a pandas column lexsort, which dies
+    # with `unhashable type: 'list'` on array/struct-typed result cells
+    # (the dedup_minhash_signatures r2 red row). Reproduce that exact
+    # canonicalization here so an unsortable output shape fails the
+    # local mirror too, not just at round end.
+    for df, side in ((sdf, "spark"), (odf, "oracle")):
+        if len(df):
+            try:
+                df.sort_values(by=sorted(df.columns))
+            except TypeError as exc:
+                raise AssertionError(
+                    f"{name}: {side} result not driver-canonicalizable "
+                    f"(emit sortable scalars, not arrays/structs): {exc}"
+                ) from exc
     assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} != {len(odf)}"
     assert sorted(sdf.columns) == sorted(odf.columns), (
         f"{name}: columns {sorted(sdf.columns)} != {sorted(odf.columns)}"

@@ -201,3 +201,115 @@ def test_strategies_agree(spark, strategy):
         for r in d.reporting_dim.collect()
     )
     assert rep == [("a", 2, 2), ("a1", 3, 3), ("b", 2, 4), ("r", 1, 1)]
+
+
+def test_misestimated_input_never_direct_fetched(spark, monkeypatch):
+    """A Generate (explode) plan reports its tiny pre-explosion child
+    size, so the stats-gated fast path would pull every exploded row to
+    the driver before any bound applied. The gate must detect the unsafe
+    estimate and take the count probe, which routes an over-limit node
+    table to the distributed walk without ever calling _fetch_local."""
+    fetches = []
+    real_fetch = HierarchyDimension._fetch_local
+    monkeypatch.setattr(
+        HierarchyDimension,
+        "_fetch_local",
+        staticmethod(lambda df: fetches.append(1) or real_fetch(df)),
+    )
+    # 30 seed rows explode to 300k nodes (> _LOCAL_WALK_LIMIT) under a
+    # kilobytes-sized plan estimate; depth-2 star forest so the
+    # distributed walk itself converges in two rounds
+    per = 10_000
+    nodes = (
+        spark.range(30)
+        .select(F.explode(F.expr(f"sequence(id * {per}, id * {per} + {per - 1})")).alias("i"))
+        .select(
+            F.col("i").cast("string").alias("node_id"),
+            F.col("i").cast("bigint").alias("node_natural_key"),
+            F.col("i").cast("string").alias("node_name"),
+            F.lit("L").alias("level_name"),
+            F.when(
+                F.col("i") % per != 0, (F.col("i") - (F.col("i") % per)).cast("string")
+            ).alias("parent_node_id"),
+        )
+    )
+    dim = HierarchyDimension(
+        nodes,
+        dimension_name="exploded",
+        max_depth=32,
+        flatten_levels=2,
+        compute_sort_order=False,
+    )
+    assert not fetches, "mis-estimated input was fetched to the driver"
+    assert dim._local_rows is None  # distributed walk owns it
+    # the walk is still correct: every node reaches the closure
+    assert dim.aggregation_dim.filter("net_level = 0").count() == 30 * per
+
+
+def test_additive_rollup_equals_generic_on_skewed_facts(spark):
+    """hierarchical_rollup_additive must stay bit-identical to the
+    generic path on a HOT-KEY fact table (one leaf carries ~90% of the
+    rows, with heavy duplicate values under the COUNT(DISTINCT) column)
+    — pinning the Expand-free leaf-grain distinct path under exactly the
+    skew it exists to absorb."""
+    from ibis_olap_aggregation_spark.rollup import (
+        hierarchical_rollup,
+        hierarchical_rollup_additive,
+    )
+
+    nodes = spark.createDataFrame(
+        [
+            ("root", None, "Root", "Total", None),
+            ("a", None, "A", "Cat", "root"),
+            ("b", None, "B", "Cat", "root"),
+            ("a1", 1, "A1", "Leaf", "a"),
+            ("a2", 2, "A2", "Leaf", "a"),
+            ("b1", 3, "B1", "Leaf", "b"),
+        ],
+        "node_id string, node_natural_key bigint, node_name string,"
+        " level_name string, parent_node_id string",
+    )
+    dim = HierarchyDimension(nodes, dimension_name="skewdim")
+    # 90k facts on leaf 1 (hot), 5k each on 2 and 3; customer ids repeat
+    # heavily (100 distinct under the hot key, 50 under the others)
+    facts = (
+        spark.range(100_000)
+        .select(
+            F.when(F.col("id") < 90_000, F.lit(1))
+            .when(F.col("id") < 95_000, F.lit(2))
+            .otherwise(F.lit(3))
+            .alias("k"),
+            (F.col("id") % F.when(F.col("id") < 90_000, 100).otherwise(50)).alias(
+                "cust"
+            ),
+            (F.col("id") % 7).cast("double").alias("amount"),
+        )
+    )
+    generic = hierarchical_rollup(
+        facts,
+        dim.aggregation_dim,
+        "k",
+        [
+            F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("s"),
+            F.countDistinct("cust").alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    ).toPandas()
+    additive = hierarchical_rollup_additive(
+        facts,
+        dim.aggregation_dim,
+        "k",
+        sum_cols=[("amount", "s")],
+        count_alias="n",
+        distinct_cols=[("cust", "d")],
+    ).toPandas()
+    import pandas as pd
+
+    cols = sorted(generic.columns)
+    assert sorted(additive.columns) == cols
+    g = generic[cols].sort_values(cols).reset_index(drop=True)
+    a = additive[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, g, check_dtype=False, check_exact=True)
+    # sanity: the root aggregates everything
+    root = g[g.ancestor_node_name == "Root"].iloc[0]
+    assert root.n == 100_000 and root.d == 100

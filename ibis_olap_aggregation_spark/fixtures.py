@@ -81,6 +81,19 @@ def _pad_id(prefix: str, col) -> F.Column:
     return F.concat(F.lit(prefix), F.lpad(col.cast("string"), 9, "0"))
 
 
+def _one_row(spark, *, node_id: str, node_name: str, level_name: str):
+    """Single hierarchy-root row with PLAN-ESTIMABLE stats: projected off
+    range(1) so Catalyst knows its exact size (8 bytes scaled), keeping
+    the downstream union's sizeInBytes estimate meaningful."""
+    return spark.range(1).select(
+        F.lit(node_id).alias("node_id"),
+        F.lit(None).cast("bigint").alias("node_natural_key"),
+        F.lit(node_name).alias("node_name"),
+        F.lit(level_name).alias("level_name"),
+        F.lit(None).cast("string").alias("parent_node_id"),
+    )
+
+
 def geo_nodes(region: DataFrame, nation: DataFrame, customer: DataFrame) -> DataFrame:
     """Adjacency list: All Regions -> region -> nation -> customer.
 
@@ -88,10 +101,15 @@ def geo_nodes(region: DataFrame, nation: DataFrame, customer: DataFrame) -> Data
     natural keys are NULL so facts can never join an interior node.
     """
     spark = region.sparkSession
-    root = spark.createDataFrame(
-        [("root", None, "All Regions", "Total", None)],
-        "node_id string, node_natural_key bigint, node_name string, "
-        "level_name string, parent_node_id string",
+    # range(1).select(lits), NOT createDataFrame: a Python-list DataFrame
+    # plans as LogicalRDD with UNKNOWN stats (defaultSizeInBytes ~
+    # Long.Max), which poisons the whole union's size estimate and costs
+    # every dim build the stats-gated single-job fetch in hierarchy.py
+    root = _one_row(
+        spark,
+        node_id="root",
+        node_name="All Regions",
+        level_name="Total",
     )
     regions = region.select(
         _pad_id("r:", F.col("r_regionkey")).alias("node_id"),
@@ -123,10 +141,12 @@ def part_nodes(part: DataFrame) -> DataFrame:
     Leaf natural key = p_partkey (joins lineitem.l_partkey).
     """
     spark = part.sparkSession
-    root = spark.createDataFrame(
-        [("root", None, "All Parts", "Total", None)],
-        "node_id string, node_natural_key bigint, node_name string, "
-        "level_name string, parent_node_id string",
+    # see geo_nodes: estimable root row keeps the build's fetch fast path
+    root = _one_row(
+        spark,
+        node_id="root",
+        node_name="All Parts",
+        level_name="Total",
     )
     brands = part.select(F.col("p_brand")).distinct().select(
         F.concat(F.lit("b:"), F.col("p_brand")).alias("node_id"),

@@ -36,6 +36,16 @@ def main() -> None:
                 print(f"SKIP(no_oracle) {name} rows={len(sdf)}")
                 continue
             odf = run_oracle(oracles[name], SF_DIR)
+            # the driver canonicalizes via a pandas column lexsort —
+            # array/struct cells die there (unhashable type: 'list')
+            for df, side in ((sdf, "spark"), (odf, "oracle")):
+                if len(df):
+                    try:
+                        df.sort_values(by=sorted(df.columns))
+                    except TypeError as exc:
+                        raise AssertionError(
+                            f"{side} result not driver-sortable: {exc}"
+                        ) from exc
             assert len(sdf) == len(odf), f"rows {len(sdf)} != {len(odf)}"
             assert sorted(sdf.columns) == sorted(odf.columns), "schema"
             pd.testing.assert_frame_equal(

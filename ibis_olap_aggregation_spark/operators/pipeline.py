@@ -550,3 +550,48 @@ def sample_domain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_sampled"),
     )
+
+
+@register(
+    "dedup_survivor_stats",
+    """
+WITH h AS (
+  SELECT doc_id, source, n_chars, md5(lower(trim(text))) AS ch FROM documents
+),
+k AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY ch) AS canon FROM h
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id = canon THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN doc_id <> canon THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN doc_id <> canon THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_dropped
+FROM k
+GROUP BY 1
+""",
+)
+def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the dedup decision — the stage after candidate generation:
+    exact-content clusters elect the min-doc_id survivor and every other
+    copy is dropped, reported per source (the accounting a corpus build
+    publishes: how much each provider shrank under dedup).
+
+    Plan shape: one window MIN over the content hash (no groupBy +
+    join-back, which would re-evaluate the normalize→md5 chain on both
+    sides), then one per-source aggregation — two shuffles total, both
+    map-side combined, at any corpus size. The same survivor-election
+    idiom applies unchanged to near-dup cluster ids
+    (dedup_duplicate_clusters.cluster_id) in place of the content hash."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text"))))
+    k = d.withColumn("canon", F.min("doc_id").over(w))
+    kept = F.col("doc_id") == F.col("canon")
+    return k.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(~kept, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(~kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_dropped"),
+    )

@@ -12,7 +12,7 @@ fully scalable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ibis_olap_aggregation_spark.queries import register
@@ -173,3 +173,63 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") != "en") & (F.col("bk") < 5000)
     )
     return d.filter(keep).groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+# shared 60-bit md5 idiom (functions/idioms.py) for the rank sampler
+from ibis_olap_aggregation_spark.functions.idioms import (  # noqa: E402
+    DUCK_MD5INT as _DUCK_MD5INT,
+    SPARK_MD5INT as _SPARK_MD5INT,
+)
+
+TOPK_PER_SOURCE = 50
+
+
+@register(
+    "sample_hash_topk_per_source",
+    f"""
+WITH h AS (
+  SELECT source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_DUCK_MD5INT.format(x="doc_id::VARCHAR")}, doc_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n_total
+  FROM documents
+)
+SELECT source,
+       CAST(MAX(n_total) AS BIGINT) AS n_total,
+       COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+FROM h
+WHERE rn <= {TOPK_PER_SOURCE}
+GROUP BY 1
+""",
+)
+def sample_hash_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source BOUNDED downsampling: keep exactly the
+    {TOPK_PER_SOURCE} documents with the smallest md5-hash rank within
+    each source — the deterministic equivalent of per-group reservoir
+    sampling (same survivors on every engine, run, and cluster layout,
+    unlike rand()-seeded reservoirs). The cap is exact even when a
+    source's share of the corpus explodes — the property a
+    per-provider quota needs.
+
+    Plan: ONE window pass partitioned by source (rank + total in the
+    same frame; never a global window), then a per-source aggregate.
+    At 100 TB the window's sort is per-source and spills; for heavily
+    skewed sources a pre-filter on the hash (keep bucket < ~10x
+    quota/|source| estimate) bounds the sort input first."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr(_SPARK_MD5INT.format(x="cast(doc_id as string)"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    wt = Window.partitionBy("source")
+    k = (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_total", F.count(F.lit(1)).over(wt))
+        .filter(F.col("rn") <= TOPK_PER_SOURCE)
+    )
+    return k.groupBy("source").agg(
+        F.max("n_total").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )

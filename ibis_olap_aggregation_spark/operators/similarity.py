@@ -641,3 +641,61 @@ def _register_recall_eval() -> None:
 
 
 _register_recall_eval()
+
+
+@register(
+    "emb_int8_quantize_error",
+    """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> x - round(x / scale) * scale) AS err
+  FROM s
+  WHERE scale > 0
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale_r,
+       ROUND(list_sum(list_transform(err, x -> x * x)) / 64.0, 6) AS mse,
+       ROUND(list_max(list_transform(err, x -> abs(x))), 6) AS max_abs_err
+FROM q
+""",
+)
+def emb_int8_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector INT8 quantization error analysis — the
+    compression step an ANN index applies before storing 100 TB of
+    embeddings (4x smaller, dot products in int arithmetic): scale =
+    max|v|/127, q = round(v/scale), and the reconstruction error
+    v - q*scale reported as per-vector MSE and max absolute error.
+    Map-only (array lambdas inside codegen, no shuffle, no UDF); at
+    scale this pipelines over the embedding scan and writes the
+    quantized column alongside. All-zero vectors (scale 0) are excluded
+    on both engines."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    s = e.withColumn(
+        "scale",
+        F.expr("array_max(transform(v, x -> abs(x))) / 127.0D"),
+    ).filter(F.col("scale") > 0)
+    q = s.withColumn(
+        "err", F.expr("transform(v, x -> x - round(x / scale) * scale)")
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.round(
+            F.expr("aggregate(transform(err, x -> x * x), 0d, (a, x) -> a + x)")
+            / F.lit(64.0),
+            6,
+        ).alias("mse"),
+        F.round(F.expr("array_max(transform(err, x -> abs(x)))"), 6).alias(
+            "max_abs_err"
+        ),
+    )

@@ -978,6 +978,18 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME minhash math, so both engines see the same candidate set
     bit-for-bit). The oracle recomputes components with a recursive
     reachability CTE."""
+    comp = _near_dup_components(spark, sf_dir)
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("node").cast("bigint").alias("min_doc"),
+        F.max("node").cast("bigint").alias("max_doc"),
+    )
+
+
+def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, component) membership of the verified near-dup graph —
+    shared tail of the cluster pipeline (LSH candidates -> exact Jaccard
+    verify -> connected components); component = min doc_id."""
     docs = _docs(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
         "hs", hashed_shingles_col()
     )
@@ -995,9 +1007,125 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
-    comp = connected_components(pairs, "doc_a", "doc_b")
-    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+    return connected_components(pairs, "doc_a", "doc_b")
+
+
+# same pipeline tail as dedup_duplicate_clusters' oracle, reused by the
+# survivor accounting below
+_DUCK_NEAR_DUP_COMP = f"""WITH RECURSIVE {_DUCK_HASHED_SHINGLES},
+{_DUCK_MINHASH_SIG},
+bands AS (
+  SELECT doc_id, i.i AS band_id, ms[i.i + 1] AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS i) i
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+vpairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_a
+  JOIN sh sb ON sb.doc_id = cand.doc_b
+  WHERE len(list_intersect(sa.hs, sb.hs))
+        / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+        >= {JACCARD_THRESHOLD}
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM vpairs
+  UNION SELECT doc_b, doc_a FROM vpairs
+),
+reach AS (
+  SELECT a AS node, a AS r FROM und
+  UNION
+  SELECT e.a, reach.r FROM und e JOIN reach ON reach.node = e.b
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY 1)"""
+
+
+@register(
+    "dedup_cluster_survivor_stats",
+    _DUCK_NEAR_DUP_COMP
+    + """
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN c.component IS NULL OR c.component = d.doc_id
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN c.component IS NOT NULL AND c.component <> d.doc_id
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN c.component IS NOT NULL AND c.component <> d.doc_id
+                THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+GROUP BY 1
+""",
+)
+def dedup_cluster_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup survivor accounting — the per-provider shrinkage report
+    after the full cluster pipeline: every document outside the near-dup
+    graph survives; inside a cluster only the min-doc_id member does.
+    Complements dedup_survivor_stats (exact-content grain) at semantic
+    grain. The components table is a tiny fraction of the corpus, so the
+    docs LEFT JOIN broadcasts it at any scale."""
+    comp = _near_dup_components(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    j = d.join(
+        F.broadcast(comp.withColumnRenamed("node", "doc_id")), "doc_id", "left"
+    )
+    kept = F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+    return j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.min("node").cast("bigint").alias("min_doc"),
-        F.max("node").cast("bigint").alias("max_doc"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(~kept, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(~kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_dropped"),
+    )
+
+
+@register(
+    "dedup_lsh_bucket_stats",
+    f"""
+WITH {_DUCK_HASHED_SHINGLES},
+{_DUCK_MINHASH_SIG},
+bands AS (
+  SELECT doc_id, i.i AS band_id, ms[i.i + 1] AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS i) i
+  WHERE ms[i.i + 1] IS NOT NULL
+),
+b AS (SELECT band_id, band_hash, COUNT(*) AS n FROM bands GROUP BY 1, 2)
+SELECT band_id,
+       COUNT(*) AS n_buckets,
+       CAST(MAX(n) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+       CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS candidate_pairs
+FROM b
+GROUP BY 1
+""",
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-size OBSERVABILITY — the monitoring a capped pair
+    generator needs (no silent caps: bucket_pairs splits oversized
+    buckets, and this query is how you SEE them): per band, the bucket
+    count, the largest bucket, singleton count, and the exact candidate-
+    pair workload Σ n(n-1)/2 the band contributes. Watching max_bucket
+    against BUCKET_PAIR_CAP tells you when a corpus has degenerate
+    near-dup classes and what the candidate volume will cost before
+    running the pair join. One aggregation over the banded signatures —
+    map-side combined, no pair materialization at all."""
+    sig = _minhash_signatures(spark, sf_dir).select("doc_id", "minhash_sig")
+    bands = sig.select(
+        "doc_id", F.posexplode_outer("minhash_sig").alias("band_id", "band_hash")
+    ).filter(F.col("band_hash").isNotNull())
+    b = bands.groupBy(
+        F.col("band_id").cast("bigint").alias("band_id"), "band_hash"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return b.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_singletons"),
+        F.sum(F.expr("n * (n - 1) div 2")).cast("bigint").alias("candidate_pairs"),
     )

@@ -960,6 +960,69 @@ class HierarchyDimension:
         )
         return base.unionByName(inherited).unionByName(self_pairs)
 
+    def remove_subtree_from_closure(self, node_id: str) -> DataFrame:
+        """Closure rows after deleting ``node_id`` and its ENTIRE subtree
+        — the churn/retirement twin of :meth:`extend_closure_with_leaves`
+        (retired product line, closed account, revoked license).
+
+        Every closure row touching the subtree has its DESCENDANT inside
+        it (descendants of subtree members are subtree members, and a
+        doomed ancestor's rows all point at doomed descendants), so ONE
+        anti-join against the doomed id set removes exactly the right
+        rows. The doomed set is the removed node's own descendant list —
+        subtree-sized, broadcast.
+
+        Flag maintenance mirrors the append path: the removed node's
+        parent becomes a leaf again iff it has no remaining direct
+        children. ``node_sort_order`` keeps its original (now gapped)
+        values — relative depth-first order is deletion-invariant, dense
+        renumbering waits for the next rebuild.
+
+        Scope: whole-subtree deletes. An interior delete that REPARENTS
+        surviving children changes their paths → full rebuild. Unknown
+        node ids raise (a silent no-op would mask an upstream id bug).
+        """
+        base = self.aggregation_dim
+        doomed = base.filter(F.col("ancestor_node_id") == node_id).select(
+            F.col("descendant_node_id").alias("_gone")
+        )
+        if doomed.limit(1).count() == 0:
+            raise ValueError(
+                f"remove_subtree_from_closure: node {node_id!r} not in closure"
+            )
+        kept = base.join(
+            F.broadcast(doomed),
+            base["descendant_node_id"] == doomed["_gone"],
+            "left_anti",
+        )
+        if "ancestor_is_leaf" in base.columns:
+            parent = base.filter(
+                (F.col("descendant_node_id") == node_id) & (F.col("net_level") == 1)
+            ).select(F.col("ancestor_node_id").alias("_p"))
+            still_parents = kept.filter(F.col("net_level") == 1).select(
+                F.col("ancestor_node_id").alias("_p")
+            )
+            newly_leaf = parent.join(still_parents, "_p", "left_anti")
+            for side in ("ancestor", "descendant"):
+                hit = newly_leaf.select(
+                    F.col("_p").alias(f"_hit_{side}")
+                ).withColumn(f"_flip_{side}", F.lit(True))
+                kept = (
+                    kept.join(
+                        F.broadcast(hit),
+                        kept[f"{side}_node_id"] == hit[f"_hit_{side}"],
+                        "left",
+                    )
+                    .withColumn(
+                        f"{side}_is_leaf",
+                        F.when(F.col(f"_flip_{side}"), F.lit(True)).otherwise(
+                            F.col(f"{side}_is_leaf")
+                        ),
+                    )
+                    .drop(f"_hit_{side}", f"_flip_{side}")
+                )
+        return kept
+
     # -- persistence: the reference's CTAS materialization, cross-session --
     def save(self, base_path: str, *, fmt: str = "parquet") -> None:
         """Persist both dims (the reference materializes them as DuckDB

@@ -126,3 +126,55 @@ def test_duplicate_clusters_all_identical(spark, identical_sf_dir, tiny_cap):
     assert len(rows) == 1  # one cluster containing the whole corpus
     assert rows[0].n_docs == N_DOCS
     assert rows[0].min_doc == 0 and rows[0].max_doc == N_DOCS - 1
+
+
+# -- property-based: random bucket shapes, random caps ----------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def bucket_layout(draw):
+    n_buckets = draw(st.integers(min_value=1, max_value=4))
+    rows = []
+    for b in range(n_buckets):
+        size = draw(st.integers(min_value=1, max_value=30))
+        members = draw(
+            st.lists(
+                st.integers(min_value=0, max_value=500),
+                min_size=size,
+                max_size=size,
+                unique=True,
+            )
+        )
+        rows += [(b, m) for m in members]
+    cap = draw(st.integers(min_value=1, max_value=40))
+    return rows, cap
+
+
+@settings(
+    max_examples=8,  # each example is a Spark job round-trip
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(layout=bucket_layout())
+def test_bucket_pairs_property(spark, layout):
+    """For ANY bucket layout and ANY cap (including cap=1, maximal
+    splitting), the salted generator emits exactly the naive pair
+    multiset."""
+    rows, cap = layout
+    df = spark.createDataFrame(rows, "k int, m bigint")
+    got = sorted(
+        (r.a, r.b) for r in dd.bucket_pairs(df, ["k"], "m", cap=cap).collect()
+    )
+    by_bucket: dict[int, list[int]] = {}
+    for k, m in rows:
+        by_bucket.setdefault(k, []).append(m)
+    want = sorted(
+        (min(x, y), max(x, y))
+        for ms in by_bucket.values()
+        for i, x in enumerate(ms)
+        for y in ms[i + 1 :]
+    )
+    assert got == want

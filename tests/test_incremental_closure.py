@@ -93,3 +93,89 @@ def test_incremental_rollup_correct(spark):
     )
     got = {r.ancestor_node_id: r.s for r in out.collect()}
     assert got == {"r": 111.0, "a": 11.0, "b": 100.0, "a1": 1.0, "a2": 10.0, "b1": 100.0}
+
+
+def test_subtree_delete_matches_full_rebuild(spark):
+    """Removing subtree 'a' from r(a(a1,a2), b(b1)) must equal rebuilding
+    from the surviving node rows (minus display sort order, same contract
+    as the append path)."""
+    full = HierarchyDimension(
+        spark.createDataFrame(BASE + NEW, SCHEMA),
+        sort_key_col="node_natural_key",
+        materialize=False,
+    )
+    got = {_key(r) for r in full.remove_subtree_from_closure("a").collect()}
+    survivors = [r for r in BASE + NEW if r[0] not in ("a", "a1", "a2")]
+    rebuilt = HierarchyDimension(
+        spark.createDataFrame(survivors, SCHEMA),
+        sort_key_col="node_natural_key",
+        materialize=False,
+    )
+    want = {_key(r) for r in rebuilt.aggregation_dim.collect()}
+    assert got == want
+
+
+def test_subtree_delete_flips_parent_to_leaf(spark):
+    """A parent whose ONLY child subtree is removed becomes a leaf again
+    on every remaining row, exactly as a rebuild would flag it."""
+    rows = [
+        ("r", 1, "Root", "Top", None),
+        ("a", 2, "A", "Mid", "r"),
+        ("a1", 3, "A1", "Leaf", "a"),
+    ]
+    dim = HierarchyDimension(
+        spark.createDataFrame(rows, SCHEMA),
+        sort_key_col="node_natural_key",
+        materialize=False,
+    )
+    kept = dim.remove_subtree_from_closure("a").collect()
+    assert {(r.ancestor_node_id, r.descendant_node_id) for r in kept} == {("r", "r")}
+    assert all(r.ancestor_is_leaf and r.descendant_is_leaf for r in kept)
+
+
+def test_subtree_delete_root_empties_closure(spark):
+    dim = HierarchyDimension(
+        spark.createDataFrame(BASE, SCHEMA),
+        sort_key_col="node_natural_key",
+        materialize=False,
+    )
+    assert dim.remove_subtree_from_closure("r").count() == 0
+
+
+def test_subtree_delete_unknown_node_raises(spark):
+    import pytest
+
+    dim = HierarchyDimension(
+        spark.createDataFrame(BASE, SCHEMA),
+        sort_key_col="node_natural_key",
+        materialize=False,
+    )
+    with pytest.raises(ValueError, match="not in closure"):
+        dim.remove_subtree_from_closure("nope")
+
+
+def test_subtree_delete_then_rollup_conserves(spark):
+    """End-to-end: facts joined through the pruned closure roll up only
+    surviving leaves, and the root total equals their sum."""
+    from ibis_olap_aggregation_spark.rollup import hierarchical_rollup
+
+    full = HierarchyDimension(
+        spark.createDataFrame(BASE + NEW, SCHEMA),
+        sort_key_col="node_natural_key",
+        materialize=False,
+    )
+    pruned = full.remove_subtree_from_closure("a")
+    facts = spark.createDataFrame(
+        [(4, 10.0), (5, 20.0), (6, 40.0)], "k bigint, v double"
+    )  # keys 4,5 live under the removed 'a'; only 6 (b1) survives
+    out = hierarchical_rollup(
+        facts,
+        pruned,
+        "k",
+        [F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s")],
+        descendant_key_col="descendant_node_natural_key",
+        group_keys=("ancestor_node_name",),
+        sort=False,
+    )
+    got = {r.ancestor_node_name: r.s for r in out.collect()}
+    assert got == {"Root": 40.0, "B": 40.0, "B1": 40.0}

@@ -217,7 +217,16 @@ def _ivf_centroid_ranked(e: DataFrame) -> DataFrame:
     (labels x 64 dims) -> broadcast; explode/groupBy is map-side
     combined.
     """
-    ex = e.select(
+    # hash-repartition BEFORE the 64x explode: a small embeddings file
+    # scans as ONE partition, and a narrow single-file scan keeps the
+    # explode + decimal centroid aggregations in a single task (~9s of
+    # the query's cold cost measured at sf0.1). Hash (not round-robin)
+    # partitioning: Catalyst pushes projections/generators below
+    # round-robin exchanges, which would put the work right back in the
+    # scan partition. Values are unaffected — every downstream
+    # aggregation is summation-order-proof decimal.
+    parts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ex = e.repartition(parts, "vec_id").select(
         "vec_id",
         "label",
         F.posexplode("v").alias("dim0", "val"),

@@ -142,6 +142,15 @@ def main() -> None:
         )
         stats.append((name, row.docs, row.tokens))
 
+    # 7. provider accounting + quota (round-3 stages): how much each
+    # source shrank under dedup, and the deterministic per-source cap
+    shrink = QUERIES["dedup_survivor_stats"](spark, SF_DIR)
+    n_src = shrink.count()
+    quota = QUERIES["sample_hash_topk_per_source"](spark, SF_DIR)
+    quota_row = quota.agg(
+        F.sum("n_kept").alias("kept"), F.sum("n_total").alias("total")
+    ).collect()[0]
+
     print(f"corpus:            {n0} docs")
     print(f"quality >= {QUALITY_MIN}:   {n1} docs  (-{n0 - n1})")
     print(f"repetition gate:   {n1b} docs  (-{n1 - n1b})")
@@ -151,6 +160,8 @@ def main() -> None:
     print(f"train chunks (32 tok / stride 24): {n_chunks}")
     for name, nd, nt in stats:
         print(f"{name:12s} {nd:5d} docs  {nt:8d} tokens")
+    print(f"provider accounting: {n_src} sources; per-source quota keeps "
+          f"{quota_row.kept}/{quota_row.total} docs")
     assert stats[0][1] + stats[1][1] == n3
 
 

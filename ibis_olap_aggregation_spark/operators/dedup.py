@@ -35,10 +35,23 @@ from ibis_olap_aggregation_spark.functions.idioms import tokens_col
 from ibis_olap_aggregation_spark.queries import register
 from ibis_olap_aggregation_spark.session import load_table
 
-N_MINHASH = 16  # r=1, b=16: one band per hash -> high-recall candidates
+# minhash constants + oracle CTEs live in the LEAF module
+# functions/minhash_sql.py so sibling operators (pipeline.py) can reuse
+# them at module level without import cycles
+from ibis_olap_aggregation_spark.functions.minhash_sql import (  # noqa: E402
+    DUCK_HASHED_SHINGLES as _DUCK_HASHED_SHINGLES,
+    DUCK_MINHASH_SIG as _DUCK_MINHASH_SIG,
+    DUCK_NEAR_DUP_COMP as _DUCK_NEAR_DUP_COMP,
+    JACCARD_THRESHOLD,
+    MH_A as _MH_A,
+    MH_B as _MH_B,
+    MH_MOD as _MH_MOD,
+    MINHASH_SHINGLE_K,
+    N_MINHASH,
+)
+
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 3
-JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.3
 
 # 60-bit md5-derived hash, identical in both engines (functions/idioms.py)
@@ -161,42 +174,6 @@ sh AS (
   FROM tok
 )
 """
-
-# MinHash uses 5-token shingles (3-grams collide massively on a small
-# vocabulary -> degenerate LSH buckets) hashed ONCE with md5, then 16
-# affine rehashes h_i = (A_i*h32 + B_i) mod M — the standard universal-
-# hash construction, 16x cheaper than 16 md5 passes and identical in
-# both engines (products stay < 2^52: no overflow divergence).
-MINHASH_SHINGLE_K = 5
-_MH_MOD = 2147483647
-_MH_A = "(1000003 + 7919 * i)"
-_MH_B = "(12345 + 271 * i)"
-
-_DUCK_HASHED_SHINGLES = f"""
-tok AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         list_transform(
-           list_distinct(list_transform(generate_series(1, len(t) - {MINHASH_SHINGLE_K - 1}),
-                         i -> array_to_string(t[i:i+{MINHASH_SHINGLE_K - 1}], ' '))),
-           s -> {_DUCK_MD5INT.format(x="s")} & 4294967295) AS hs
-  FROM tok
-)
-"""
-
-_DUCK_MINHASH_SIG = f"""
-sig AS (
-  SELECT doc_id,
-         list_transform(generate_series(0, {N_MINHASH - 1}),
-           i -> list_min(list_transform(hs,
-                  h -> ({_MH_A} * h + {_MH_B}) % {_MH_MOD}))) AS ms,
-         len(hs) AS n_shingles
-  FROM sh
-)
-"""
-
 
 def hashed_shingles_col() -> F.Column:
     """32-bit md5-derived hashes of distinct 5-token shingles.
@@ -1008,41 +985,6 @@ def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     return connected_components(pairs, "doc_a", "doc_b")
-
-
-# same pipeline tail as dedup_duplicate_clusters' oracle, reused by the
-# survivor accounting below
-_DUCK_NEAR_DUP_COMP = f"""WITH RECURSIVE {_DUCK_HASHED_SHINGLES},
-{_DUCK_MINHASH_SIG},
-bands AS (
-  SELECT doc_id, i.i AS band_id, ms[i.i + 1] AS band_hash
-  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS i) i
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-   AND a.doc_id < b.doc_id
-),
-vpairs AS (
-  SELECT doc_a, doc_b
-  FROM cand
-  JOIN sh sa ON sa.doc_id = cand.doc_a
-  JOIN sh sb ON sb.doc_id = cand.doc_b
-  WHERE len(list_intersect(sa.hs, sb.hs))
-        / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
-        >= {JACCARD_THRESHOLD}
-),
-und AS (
-  SELECT doc_a AS a, doc_b AS b FROM vpairs
-  UNION SELECT doc_b, doc_a FROM vpairs
-),
-reach AS (
-  SELECT a AS node, a AS r FROM und
-  UNION
-  SELECT e.a, reach.r FROM und e JOIN reach ON reach.node = e.b
-),
-comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY 1)"""
 
 
 @register(

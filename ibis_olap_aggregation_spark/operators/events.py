@@ -362,3 +362,62 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_hourly_anomaly",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, hour, n,
+         COUNT(*) OVER w AS k,
+         CAST(SUM(n) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(n * n) OVER w AS DOUBLE) AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type)
+),
+z AS (
+  SELECT event_type, hour, n,
+         (n - s1 / k) / sqrt((s2 - s1 * s1 / k) / (k - 1)) AS zv
+  FROM m
+  WHERE k > 1 AND (s2 - s1 * s1 / k) > 0
+)
+SELECT event_type, hour, n, ROUND(zv, 4) AS z_r
+FROM z WHERE abs(zv) >= 2
+""",
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hours whose event count sits >= 2
+    standard deviations from that event type's hourly mean — the ops
+    query behind traffic-spike/outage alerting, and the batch twin of a
+    streaming rate monitor.
+
+    Moments are computed from EXACT integer window sums (counts < 2^53
+    are exactly representable, so s1/s2 are bit-identical doubles on
+    both engines and the z comparison cannot diverge at the threshold —
+    engine-native stddev_samp implementations are not guaranteed to
+    agree in the last ulp). One aggregation + one window over
+    event_type: two shuffles at any scale."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    m = (
+        hourly.withColumn("k", F.count(F.lit(1)).over(w))
+        .withColumn("s1", F.sum("n").over(w).cast("double"))
+        .withColumn("s2", F.sum(F.col("n") * F.col("n")).over(w).cast("double"))
+    )
+    var_num = F.col("s2") - F.col("s1") * F.col("s1") / F.col("k")
+    z = (F.col("n") - F.col("s1") / F.col("k")) / F.sqrt(
+        var_num / (F.col("k") - 1)
+    )
+    return (
+        m.filter((F.col("k") > 1) & (var_num > 0))
+        .withColumn("zv", z)
+        .filter(F.abs(F.col("zv")) >= 2)
+        .select("event_type", "hour", "n", F.round("zv", 4).alias("z_r"))
+    )

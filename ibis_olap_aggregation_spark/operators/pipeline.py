@@ -34,6 +34,9 @@ from ibis_olap_aggregation_spark.functions.idioms import (
     DUCK_MD5INT as _DUCK_MD5INT,
     SPARK_MD5INT as _SPARK_MD5INT,
 )
+from ibis_olap_aggregation_spark.functions.minhash_sql import (
+    DUCK_NEAR_DUP_COMP as _DUCK_NEAR_DUP_COMP,
+)
 from ibis_olap_aggregation_spark.queries import register
 from ibis_olap_aggregation_spark.session import load_table
 
@@ -594,4 +597,48 @@ def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~kept, F.col("n_chars")).otherwise(0))
         .cast("bigint")
         .alias("chars_dropped"),
+    )
+
+
+@register(
+    "dedup_crosslingual_contamination",
+    # the near-dup component construction is shared from the LEAF module
+    # functions/minhash_sql.py so both engines see identical clusters
+    # (and so this module never imports a sibling at decoration time)
+    _DUCK_NEAR_DUP_COMP
+    + """
+SELECT CAST(c.component AS BIGINT) AS cluster_id,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT d.lang) AS n_langs,
+       array_to_string(list_sort(list_distinct(list(d.lang))), ',') AS langs
+FROM comp c JOIN documents d ON d.doc_id = c.node
+GROUP BY 1
+HAVING COUNT(DISTINCT d.lang) > 1
+""",
+)
+def dedup_crosslingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-LINGUAL contamination: near-dup clusters whose members carry
+    DIFFERENT language labels — translated boilerplate, mislabeled
+    copies, or wire content republished across language sites. These
+    break language-stratified sampling (the same content lands in two
+    strata) and leak evaluation translations into training splits, so a
+    corpus build surfaces them before the per-language mixers run.
+
+    Shape: the verified near-dup components (corpus-tiny) broadcast-join
+    the documents table; one aggregation per cluster. The language list
+    is emitted as a sorted comma-joined STRING — set-typed cells are
+    unsortable by the external comparator."""
+    from ibis_olap_aggregation_spark.operators.dedup import _near_dup_components
+
+    comp = _near_dup_components(spark, sf_dir)
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"), "lang")
+    j = d.join(F.broadcast(comp), "node")
+    return (
+        j.groupBy(F.col("component").cast("bigint").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.concat_ws(",", F.sort_array(F.collect_set("lang"))).alias("langs"),
+        )
+        .filter(F.col("n_langs") > 1)
     )

@@ -421,3 +421,168 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zv")) >= 2)
         .select("event_type", "hour", "n", F.round("zv", 4).alias("z_r"))
     )
+
+
+@register(
+    "events_gapfill_hourly",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, g.h AS hour
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                  (SELECT hi FROM bounds),
+                                  INTERVAL '1 hour')) AS h
+  ) g
+)
+SELECT gr.event_type, gr.hour,
+       COALESCE(h.n, 0) AS event_count,
+       COALESCE(h.sv, 0.0) AS sum_value
+FROM grid gr
+LEFT JOIN hourly h ON h.event_type = gr.event_type AND h.hour = gr.hour
+""",
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (resample to a dense hourly grid): every
+    (event_type, hour) cell between the corpus' first and last hour,
+    zero-filled where no events landed — the shape behind downsampled
+    dashboards and models that need dense regular inputs.
+
+    Scale shape: the fact table is scanned twice (hourly agg + min/max
+    bounds), both map-side combined; the dense grid itself is
+    hours x types — independent of event count, tiny at any data scale —
+    built by exploding ONE sequence() off the 1-row bounds aggregate and
+    cross-joined with the distinct types (both driver-free). The grid
+    side broadcasts into the final left join, so no extra fact shuffle."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "sv"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(bounds)
+        .withColumn("hour", F.explode(F.expr("sequence(lo, hi, interval 1 hour)")))
+        .select("event_type", "hour")
+    )
+    return (
+        F.broadcast(grid)
+        .join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).alias("event_count"),
+            F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "events_activity_islands",
+    """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                   date_trunc('hour', ts)) AS hour_idx
+  FROM events
+),
+isl AS (
+  SELECT user_id, hour_idx,
+         hour_idx - row_number() OVER (PARTITION BY user_id
+                                       ORDER BY hour_idx) AS island_key
+  FROM active
+),
+runs AS (
+  SELECT user_id, island_key, COUNT(*) AS run_len
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(run_len) AS BIGINT) AS n_active_hours,
+       COUNT(*) AS n_islands,
+       CAST(MAX(run_len) AS BIGINT) AS max_island_len
+FROM runs GROUP BY 1
+""",
+)
+def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, maximal runs of CONSECUTIVE active
+    hours (the classic sessionization-by-calendar variant — session
+    windows use inter-event gaps; islands use the discretized clock).
+    The island key is hour_index - row_number(), constant within each
+    consecutive run.
+
+    Scale shape: dedup to (user, hour) grain first (one shuffle, grain
+    bounded by users x hours << events), then a user-partitioned window
+    — never a global sort. The hour index is an integer difference from
+    a fixed epoch, identical in both engines (no timezone surface)."""
+    ev = _events(spark, sf_dir)
+    active = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "timestampdiff(HOUR, timestamp'2024-01-01 00:00:00',"
+                " date_trunc('hour', ts))"
+            ).alias("hour_idx"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("hour_idx")
+    isl = active.withColumn(
+        "island_key", F.col("hour_idx") - F.row_number().over(w)
+    )
+    runs = isl.groupBy("user_id", "island_key").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").cast("bigint").alias("n_active_hours"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").cast("bigint").alias("max_island_len"),
+    )
+
+
+@register(
+    "events_user_lifecycle",
+    """
+SELECT user_id,
+       MIN(ts) AS first_event_ts,
+       MAX(ts) AS last_event_ts,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifecycle profile: first/last touch, activity span,
+    distinct-type breadth, purchase count, exact total value — the
+    feature block behind churn/LTV models and the per-entity profile
+    stage of a training pipeline.
+
+    One shuffle on user_id; every aggregate is map-side combinable
+    (the two COUNT(DISTINCT)s expand on (user, type) / (user, day) —
+    grains bounded by users x small factors)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_event_ts"),
+        F.max("ts").alias("last_event_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_active_days"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        dsum("value", "total_value"),
+    )

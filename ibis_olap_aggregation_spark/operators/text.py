@@ -409,3 +409,135 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_neg_logprob"
         ),
     )
+
+
+@register(
+    "text_gopher_rules_funnel",
+    f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+         len(t) AS n_tokens,
+         list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t) AS avg_len,
+         len(list_distinct(t)) * 1.0 / len(t) AS ttr,
+         len(list_filter(t, x -> x IN {_STOP_SQL})) > 0 AS has_stop
+  FROM tok
+),
+flags AS (
+  SELECT source,
+         (n_tokens < 20 OR n_tokens > 1000) AS f_len,
+         (avg_len < 2 OR avg_len > 8) AS f_avg,
+         (NOT has_stop) AS f_stop,
+         (ttr < 0.3) AS f_rep
+  FROM m
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE f_len) AS n_fail_length,
+       COUNT(*) FILTER (WHERE f_avg) AS n_fail_avg_token_len,
+       COUNT(*) FILTER (WHERE f_stop) AS n_fail_stopword,
+       COUNT(*) FILTER (WHERE f_rep) AS n_fail_repetition,
+       COUNT(*) FILTER (WHERE NOT (f_len OR f_avg OR f_stop OR f_rep))
+         AS n_pass,
+       ROUND(COUNT(*) FILTER (WHERE NOT (f_len OR f_avg OR f_stop OR f_rep))
+             * 1.0 / COUNT(*), 6) AS pass_rate
+FROM flags
+GROUP BY 1
+""",
+)
+def text_gopher_rules_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard rule-gate funnel (Gopher/MassiveText-style quality rules,
+    Rae et al. 2021 appendix A): token-count bounds, mean-word-length
+    bounds, must-contain-a-stopword, repetition (type/token ratio)
+    floor — with per-source pass/fail accounting, the report a pipeline
+    owner reads before deciding which source to drop. Complements
+    text_quality_score (continuous score) with the production gate form.
+
+    Map-only per-doc flags (whole-stage codegen over the scan) + one
+    tiny groupBy(source): no shuffle of document text, ever. Thresholds
+    are tuned to this corpus' synthetic vocabulary; each rule fires on
+    a nonempty, non-universal subset so the funnel is informative."""
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col())
+    m = d.select(
+        "source",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        (
+            F.expr("aggregate(transform(t, x -> length(x)), 0L, (a, x) -> a + x)")
+            * 1.0
+            / F.size("t")
+        ).alias("avg_len"),
+        (F.size(F.array_distinct("t")) * 1.0 / F.size("t")).alias("ttr"),
+        F.expr(f"size(filter(t, x -> x IN ({stop}))) > 0").alias("has_stop"),
+    )
+    flags = m.select(
+        "source",
+        ((F.col("n_tokens") < 20) | (F.col("n_tokens") > 1000)).alias("f_len"),
+        ((F.col("avg_len") < 2) | (F.col("avg_len") > 8)).alias("f_avg"),
+        (~F.col("has_stop")).alias("f_stop"),
+        (F.col("ttr") < 0.3).alias("f_rep"),
+    )
+    n_pass = F.count(
+        F.when(
+            ~(F.col("f_len") | F.col("f_avg") | F.col("f_stop") | F.col("f_rep")), 1
+        )
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("f_len"), 1)).alias("n_fail_length"),
+        F.count(F.when(F.col("f_avg"), 1)).alias("n_fail_avg_token_len"),
+        F.count(F.when(F.col("f_stop"), 1)).alias("n_fail_stopword"),
+        F.count(F.when(F.col("f_rep"), 1)).alias("n_fail_repetition"),
+        n_pass.alias("n_pass"),
+        F.round(n_pass * 1.0 / F.count(F.lit(1)), 6).alias("pass_rate"),
+    )
+
+
+@register(
+    "text_token_histogram",
+    """
+WITH tok AS (
+  SELECT lang, n_chars, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       n_tokens // 20 AS token_bucket,
+       (n_tokens // 20) * 20 AS bucket_lo,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       ROUND(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars
+FROM tok
+GROUP BY 1, 2
+""",
+)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram by language: fixed-width 20-token buckets
+    with per-bucket doc counts and char stats — the length-distribution
+    report used to pick truncation/packing lengths for training. Integer
+    floor-division bucketing (identical semantics both engines; no
+    width_bucket dependency). Map-only + one tiny groupBy."""
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col())
+    m = d.select(
+        "lang",
+        "n_chars",
+        F.size("t").cast("bigint").alias("n_tokens"),
+    )
+    return (
+        m.withColumn("token_bucket", F.expr("n_tokens div 20"))
+        .groupBy("lang", "token_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.round(F.sum("n_chars") * 1.0 / F.count(F.lit(1)), 6).alias("avg_chars"),
+        )
+        .withColumn("bucket_lo", F.col("token_bucket") * 20)
+        .select(
+            "lang", "token_bucket", "bucket_lo", "n_docs",
+            "min_tokens", "max_tokens", "avg_chars",
+        )
+    )

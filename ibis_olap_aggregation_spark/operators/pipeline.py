@@ -642,3 +642,86 @@ def dedup_crosslingual_contamination(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .filter(F.col("n_langs") > 1)
     )
+
+
+@register(
+    "dedup_exact_substring_spans",
+    f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, g,
+         {_DUCK_MD5INT.format(x="array_to_string(t[(g*8+1):(g*8+8)], ' ')")} AS k,
+         least(8, len(t) - g*8) AS seg_len
+  FROM tok, (SELECT unnest(generate_series(0, 511)) AS g) gs
+  WHERE g*8 < len(t)
+),
+cnt AS (
+  SELECT doc_id, seg_len,
+         COUNT(*) OVER (PARTITION BY k) AS k_count
+  FROM seg
+)
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       COUNT(*) FILTER (WHERE k_count > 1) AS n_dup_segments,
+       ROUND(SUM(CASE WHEN k_count > 1 THEN seg_len ELSE 0 END) * 1.0
+             / SUM(seg_len), 6) AS dup_token_fraction
+FROM cnt
+GROUP BY 1
+""",
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup accounting (the fixed-stride form of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): each document is cut into NON-OVERLAPPING
+    8-token spans; a span whose text occurs anywhere else in the corpus
+    (any doc, or twice in the same doc) is duplicated. Output per doc:
+    span count, duplicated-span count, and the fraction of tokens
+    sitting inside duplicated spans — the signal that drives span-level
+    cut-out (vs whole-doc drop) in a production dedup stage.
+
+    Scale shape: spans are keyed by the shared 60-bit md5 idiom (same
+    expression both engines — collision-proof parity); one shuffle on
+    the span key (window count, map-side combinable via the count form)
+    + one shuffle back to doc grain. Cost ~ corpus token count / 8,
+    never pairs. The suffix-array generality of the paper (arbitrary
+    50-token matches at any offset) trades to fixed strides, which is
+    what keeps this a two-shuffle relational plan at 100 TB; the DuckDB
+    twin generates stride indices from a bounded series (512 spans =
+    4096 tokens, comfortably above this corpus' max; the Spark side's
+    sequence() is unbounded).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from ibis_olap_aggregation_spark.functions.idioms import tokens_col
+
+    seg = (
+        d.withColumn("t", tokens_col())
+        .withColumn(
+            "g",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.expr("cast(ceil(size(t) / 8.0) as bigint) - 1")
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                _SPARK_MD5INT.format(x="concat_ws(' ', slice(t, g*8+1, 8))")
+            ).alias("k"),
+            F.least(F.lit(8), F.size("t") - F.col("g") * 8).alias("seg_len"),
+        )
+    )
+    cnt = seg.withColumn("k_count", F.count(F.lit(1)).over(Window.partitionBy("k")))
+    return cnt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count(F.when(F.col("k_count") > 1, 1)).alias("n_dup_segments"),
+        F.round(
+            F.sum(F.when(F.col("k_count") > 1, F.col("seg_len")).otherwise(0))
+            * 1.0
+            / F.sum("seg_len"),
+            6,
+        ).alias("dup_token_fraction"),
+    )

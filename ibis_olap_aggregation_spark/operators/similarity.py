@@ -708,3 +708,72 @@ def emb_int8_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_err"
         ),
     )
+
+
+@register(
+    "sim_ivf_cluster_stats",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+ex AS (
+  SELECT vec_id, label, i.i AS dim, v[i.i] AS val
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+),
+cent AS (
+  SELECT label AS c_label, dim,
+         CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cval
+  FROM ex GROUP BY 1, 2
+),
+scored AS (
+  SELECT x.vec_id, x.label, c.c_label,
+         CAST(SUM(CAST(x.val * c.cval AS DECIMAL(28,14))) AS DOUBLE) AS dot,
+         sqrt(CAST(SUM(CAST(x.val * x.val AS DECIMAL(28,14))) AS DOUBLE))
+           * sqrt(CAST(SUM(CAST(c.cval * c.cval AS DECIMAL(28,14))) AS DOUBLE))
+           AS norms
+  FROM ex x JOIN cent c ON x.dim = c.dim
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT vec_id, label, c_label, ROUND(dot / norms, 6) AS cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ROUND(dot / norms, 6) DESC, c_label) AS rk
+  FROM scored
+)
+SELECT c_label AS cluster_label,
+       COUNT(*) AS n_vectors,
+       COUNT(DISTINCT label) AS n_true_labels,
+       ROUND(CAST(SUM(CAST(cosine AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_cosine,
+       MIN(cosine) AS min_cosine
+FROM ranked WHERE rk = 1
+GROUP BY 1
+""",
+)
+def sim_ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-quality report: per coarse cluster, member count, how
+    many TRUE labels landed in it (purity), mean cosine to the centroid
+    (tightness) and the worst member (radius in cosine terms). This is
+    the health check run after building an IVF index — skewed cluster
+    sizes mean probe-cost skew, low min_cosine means a cluster whose
+    tail will miss at query time.
+
+    Same centroid/assignment skeleton as sim_ivf_centroid_assign
+    (exact-decimal means and dot products — summation-order-proof, so
+    both engines assign identically); the stats aggregate sums the
+    ROUNDED cosine through DECIMAL(18,6), making the mean immune to
+    double addition order. Cost: one |vectors| x |centroids| broadcast
+    score pass + two tiny aggregations — no pair joins."""
+    ranked = _ivf_centroid_ranked(_emb(spark, sf_dir))
+    return (
+        ranked.filter("rk = 1")
+        .groupBy(F.col("c_label").alias("cluster_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("label").alias("n_true_labels"),
+            F.round(
+                F.sum(F.col("cosine").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cosine"),
+            F.min("cosine").alias("min_cosine"),
+        )
+    )

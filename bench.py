@@ -85,6 +85,12 @@ HEADLINE = [
     "tpch_q2_min_cost_supplier",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_orders",
+    # round 3 additions (same rule: new keys never affect deltas of
+    # existing ones)
+    "dedup_exact_substring_spans",
+    "events_gapfill_hourly",
+    "events_activity_islands",
+    "sim_ivf_cluster_stats",
 ]
 
 

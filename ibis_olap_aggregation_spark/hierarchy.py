@@ -1023,6 +1023,182 @@ class HierarchyDimension:
                 )
         return kept
 
+    def move_subtree_in_closure(
+        self, node_id: str, new_parent_id: str
+    ) -> DataFrame:
+        """Closure rows after REPARENTING ``node_id`` (with its entire
+        subtree) under ``new_parent_id`` — the reorg twin completing the
+        incremental-maintenance trio (append / delete / move): category
+        recut, org change, folder move. The reference rebuilds its dim
+        tables from scratch on any node change (ref
+        classes/hierarchy_dimension_table.py:162,220); at 100 TB-dim
+        scale a move touching one subtree must not re-walk the tree.
+
+        Closure algebra: with S = the moved subtree's member set,
+        * rows with descendant IN S and ancestor NOT IN S are exactly
+          the old outside-links — dropped (one broadcast membership
+          join; descendants of S-members are S-members, so no other row
+          touches S),
+        * rows WITHIN S keep their shape; both absolute level numbers
+          shift by delta = level(new_parent) + 1 - level(node),
+        * new rows = (ancestors of new_parent, incl. its self-pairs) x
+          (members of S at their shifted levels) — both sides are
+          path/subtree-sized, so the cross join is broadcast-tiny.
+
+        Flag maintenance mirrors delete/append: the old parent becomes
+        a leaf again iff the move removed its last direct child; the
+        new parent stops being one. Moved rows' ``node_sort_order``
+        becomes NULL (display-only, deferred to the next rebuild, same
+        contract as leaf appends). Raises on an unknown node, an
+        unknown new parent, or a new parent inside the moved subtree
+        (which would create a cycle).
+        """
+        base = self.aggregation_dim
+        attr = self._attr_out_cols()
+        members = (
+            base.filter(F.col("ancestor_node_id") == node_id)
+            .select(F.col("descendant_node_id").alias("_m"))
+            .distinct()
+        )
+        # three limit-bounded driver probes (levels + guards), all tiny
+        old = (
+            base.filter(
+                (F.col("descendant_node_id") == node_id)
+                & (F.col("net_level") == 0)
+            )
+            .select("descendant_level_number")
+            .limit(1)
+            .collect()
+        )
+        if not old:
+            raise ValueError(
+                f"move_subtree_in_closure: node {node_id!r} not in closure"
+            )
+        new_parent = (
+            base.filter(
+                (F.col("descendant_node_id") == new_parent_id)
+                & (F.col("net_level") == 0)
+            )
+            .select("descendant_level_number")
+            .limit(1)
+            .collect()
+        )
+        if not new_parent:
+            raise ValueError(
+                f"move_subtree_in_closure: new parent {new_parent_id!r} "
+                "not in closure"
+            )
+        if members.filter(F.col("_m") == new_parent_id).limit(1).count():
+            raise ValueError(
+                f"move_subtree_in_closure: new parent {new_parent_id!r} is "
+                f"inside the subtree of {node_id!r} (would create a cycle)"
+            )
+        delta = new_parent[0][0] + 1 - old[0][0]
+
+        memb_d = members.select(F.col("_m").alias("_md"))
+        memb_a = members.select(F.col("_m").alias("_ma"))
+        in_d, in_a = F.col("_md").isNotNull(), F.col("_ma").isNotNull()
+        kept = (
+            base.join(
+                F.broadcast(memb_d), base["descendant_node_id"] == F.col("_md"), "left"
+            )
+            .join(
+                F.broadcast(memb_a), base["ancestor_node_id"] == F.col("_ma"), "left"
+            )
+            # drop old outside-links; keep outside-outside + within-S rows
+            .filter(~(in_d & ~in_a))
+            .withColumn(
+                "ancestor_level_number",
+                F.when(in_a, F.col("ancestor_level_number") + delta).otherwise(
+                    F.col("ancestor_level_number")
+                ),
+            )
+            .withColumn(
+                "descendant_level_number",
+                F.when(in_d, F.col("descendant_level_number") + delta).otherwise(
+                    F.col("descendant_level_number")
+                ),
+            )
+            .withColumn(
+                "ancestor_node_sort_order",
+                F.when(in_a, F.lit(None).cast("int")).otherwise(
+                    F.col("ancestor_node_sort_order")
+                ),
+            )
+            .withColumn(
+                "descendant_node_sort_order",
+                F.when(in_d, F.lit(None).cast("int")).otherwise(
+                    F.col("descendant_node_sort_order")
+                ),
+            )
+            .drop("_md", "_ma")
+        )
+
+        anc_cols = [f"ancestor_{c}" for c in attr] + [
+            "ancestor_level_number",
+            "ancestor_node_sort_order",
+        ]
+        new_anc = base.filter(
+            F.col("descendant_node_id") == new_parent_id
+        ).select(*anc_cols)
+        memb_rows = (
+            base.filter("net_level = 0")
+            .join(F.broadcast(members), F.col("descendant_node_id") == F.col("_m"))
+            .select(
+                *[F.col(f"descendant_{c}") for c in attr],
+                (F.col("descendant_level_number") + delta).alias(
+                    "descendant_level_number"
+                ),
+                F.lit(None).cast("int").alias("descendant_node_sort_order"),
+            )
+        )
+        cross = new_anc.crossJoin(F.broadcast(memb_rows)).withColumn(
+            "net_level",
+            F.col("descendant_level_number") - F.col("ancestor_level_number"),
+        )
+        out = kept.unionByName(cross)
+
+        if "ancestor_is_leaf" in base.columns:
+            old_parent = base.filter(
+                (F.col("descendant_node_id") == node_id) & (F.col("net_level") == 1)
+            ).select(F.col("ancestor_node_id").alias("_p"))
+            still_parents = out.filter(F.col("net_level") == 1).select(
+                F.col("ancestor_node_id").alias("_p")
+            )
+            flips = (
+                old_parent.join(still_parents, "_p", "left_anti")
+                .withColumn("_leaf", F.lit(True))
+                .unionByName(
+                    base.filter(
+                        (F.col("descendant_node_id") == new_parent_id)
+                        & (F.col("net_level") == 0)
+                    )
+                    .select(F.col("descendant_node_id").alias("_p"))
+                    .withColumn("_leaf", F.lit(False))
+                )
+            )
+            for side in ("ancestor", "descendant"):
+                hit = flips.select(
+                    F.col("_p").alias(f"_hit_{side}"),
+                    F.col("_leaf").alias(f"_leaf_{side}"),
+                )
+                out = (
+                    out.join(
+                        F.broadcast(hit),
+                        out[f"{side}_node_id"] == hit[f"_hit_{side}"],
+                        "left",
+                    )
+                    .withColumn(
+                        f"{side}_is_leaf",
+                        F.when(
+                            F.col(f"_leaf_{side}").isNotNull(),
+                            F.col(f"_leaf_{side}"),
+                        ).otherwise(F.col(f"{side}_is_leaf")),
+                    )
+                    .drop(f"_hit_{side}", f"_leaf_{side}")
+                )
+        return out
+
     # -- persistence: the reference's CTAS materialization, cross-session --
     def save(self, base_path: str, *, fmt: str = "parquet") -> None:
         """Persist both dims (the reference materializes them as DuckDB

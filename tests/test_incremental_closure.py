@@ -179,3 +179,88 @@ def test_subtree_delete_then_rollup_conserves(spark):
     )
     got = {r.ancestor_node_name: r.s for r in out.collect()}
     assert got == {"Root": 40.0, "B": 40.0, "B1": 40.0}
+
+
+def _rebuild(spark, rows):
+    return HierarchyDimension(
+        spark.createDataFrame(rows, SCHEMA),
+        sort_key_col="node_natural_key",
+        materialize=False,
+    ).aggregation_dim
+
+
+def test_move_subtree_matches_full_rebuild(spark):
+    base_dim = HierarchyDimension(
+        spark.createDataFrame(BASE, SCHEMA),
+        sort_key_col="node_natural_key",
+        materialize=False,
+    )
+    moved = base_dim.move_subtree_in_closure("a", "b")
+    # rebuild with a reparented under b (a and a1 both one level deeper)
+    rebuilt_rows = [
+        ("r", 1, "Root", "Top", None),
+        ("a", 2, "A", "Mid", "b"),
+        ("b", 3, "B", "Mid", "r"),
+        ("a1", 4, "A1", "Leaf", "a"),
+    ]
+    got = {_key(r) for r in moved.collect()}
+    want = {_key(r) for r in _rebuild(spark, rebuilt_rows).collect()}
+    assert got == want
+
+
+def test_move_leaf_flips_old_parent_back_to_leaf(spark):
+    base_dim = HierarchyDimension(
+        spark.createDataFrame(BASE, SCHEMA),
+        sort_key_col="node_natural_key",
+        materialize=False,
+    )
+    # a1 is a's only child: moving it under b must make a a leaf again
+    moved = base_dim.move_subtree_in_closure("a1", "b")
+    rebuilt_rows = [
+        ("r", 1, "Root", "Top", None),
+        ("a", 2, "A", "Mid", "r"),
+        ("b", 3, "B", "Mid", "r"),
+        ("a1", 4, "A1", "Leaf", "b"),
+    ]
+    got = {_key(r) for r in moved.collect()}
+    want = {_key(r) for r in _rebuild(spark, rebuilt_rows).collect()}
+    assert got == want
+
+
+def test_move_rollup_correct_after_reparent(spark):
+    from ibis_olap_aggregation_spark.rollup import hierarchical_rollup
+
+    base_dim = HierarchyDimension(
+        spark.createDataFrame(BASE, SCHEMA),
+        sort_key_col="node_natural_key",
+        materialize=False,
+    )
+    moved = base_dim.move_subtree_in_closure("a", "b")
+    facts = spark.createDataFrame([(4, 7.0)], "k bigint, v double")
+    out = hierarchical_rollup(
+        facts,
+        moved,
+        "k",
+        [F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s")],
+    )
+    vals = {r.ancestor_node_name: r.s for r in out.collect()}
+    # a1's 7.0 now rolls through b (and no longer ONLY through a->r)
+    assert vals["B"] == 7.0 and vals["A"] == 7.0 and vals["Root"] == 7.0
+
+
+def test_move_guards(spark):
+    import pytest
+
+    base_dim = HierarchyDimension(
+        spark.createDataFrame(BASE, SCHEMA),
+        sort_key_col="node_natural_key",
+        materialize=False,
+    )
+    with pytest.raises(ValueError, match="not in closure"):
+        base_dim.move_subtree_in_closure("zz", "b")
+    with pytest.raises(ValueError, match="new parent 'zz'"):
+        base_dim.move_subtree_in_closure("a", "zz")
+    with pytest.raises(ValueError, match="cycle"):
+        base_dim.move_subtree_in_closure("a", "a1")
+    with pytest.raises(ValueError, match="cycle"):
+        base_dim.move_subtree_in_closure("r", "a1")

@@ -868,3 +868,151 @@ def hierarchy_cross_geo_part_rollup(spark: SparkSession, sf_dir: str) -> DataFra
 # call (the cross-hierarchy rollup above) must still front-load into the
 # verified-prefix rotation
 _reorder_for_driver_coverage()
+
+
+@register(
+    "hierarchy_share_of_parent",
+    _GEO_PRELUDE
+    + """
+, node_tot AS (
+  SELECT c.ancestor_node_id AS nid,
+         SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS tot
+  FROM closure c
+  JOIN so d ON d.node_id = c.descendant_node_id
+  JOIN orders f ON f.o_custkey = d.node_natural_key
+  GROUP BY 1
+)
+SELECT a.node_name AS node_name, a.level_name AS level_name,
+       a.level_number AS level_number,
+       CAST(n.tot AS DOUBLE) AS sum_totalprice,
+       CAST(p.tot AS DOUBLE) AS parent_sum_totalprice,
+       ROUND(CAST(n.tot AS DOUBLE) / CAST(p.tot AS DOUBLE), 6)
+         AS share_of_parent
+FROM node_tot n
+JOIN base b ON b.node_id = n.nid
+JOIN node_tot p ON p.nid = b.parent_node_id
+JOIN so a ON a.node_id = n.nid
+""",
+)
+def hierarchy_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent — the classic OLAP ratio report the reference's
+    flagship feeds ("what % of EMEA is Germany?"): every non-root node's
+    subtree total as a fraction of its parent's subtree total.
+
+    Built from ONE leaf-grain additive rollup (the flagship's 100 TB
+    shape — fact shuffle at |leaf keys|, not |facts| x depth), reused
+    for both sides of the ratio: the node-total table is dim-sized, so
+    the child->parent join is a broadcast self-join, costing nothing at
+    fact scale. Nodes with no facts in their subtree drop out (inner
+    join semantics, both engines); the root drops (no parent). Both
+    totals come from the same exact-decimal sums, so the double division
+    is bit-identical across engines."""
+    dim = _geo_dim(spark, sf_dir)
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    tot = hierarchical_rollup_additive(
+        orders,
+        dim.aggregation_dim,
+        "o_custkey",
+        sum_cols=[("o_totalprice", "tot")],
+        group_keys=(
+            "ancestor_node_name",
+            "ancestor_level_name",
+            "ancestor_level_number",
+        ),
+        sort=False,
+        keep_node_id=True,
+    )
+    parent_of = dim.reporting_dim.select(
+        F.col("node_id").alias("_nid"), F.col("parent_node_id").alias("_pid")
+    )
+    ptot = tot.select(
+        F.col("ancestor_node_id").alias("_pnid"),
+        F.col("tot").alias("parent_sum_totalprice"),
+    )
+    return (
+        tot.join(F.broadcast(parent_of), tot["ancestor_node_id"] == F.col("_nid"))
+        .join(F.broadcast(ptot), F.col("_pid") == F.col("_pnid"))
+        .select(
+            F.col("ancestor_node_name").alias("node_name"),
+            F.col("ancestor_level_name").alias("level_name"),
+            F.col("ancestor_level_number").alias("level_number"),
+            F.col("tot").alias("sum_totalprice"),
+            "parent_sum_totalprice",
+            F.round(F.col("tot") / F.col("parent_sum_totalprice"), 6).alias(
+                "share_of_parent"
+            ),
+        )
+    )
+
+
+@register(
+    "hierarchy_topk_descendants",
+    _GEO_PRELUDE
+    + """
+, rev AS (
+  SELECT f.o_custkey AS custkey,
+         SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS tot
+  FROM orders f
+  GROUP BY 1
+)
+SELECT region_name, custkey, sum_totalprice, rk
+FROM (
+  SELECT a.node_name AS region_name,
+         d.node_natural_key AS custkey,
+         CAST(r.tot AS DOUBLE) AS sum_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY c.ancestor_node_id
+           ORDER BY r.tot DESC, d.node_natural_key
+         ) AS BIGINT) AS rk
+  FROM closure c
+  JOIN so a ON a.node_id = c.ancestor_node_id AND a.level_number = 2
+  JOIN so d ON d.node_id = c.descendant_node_id
+               AND d.node_natural_key IS NOT NULL
+  JOIN rev r ON r.custkey = d.node_natural_key
+) x
+WHERE rk <= 3
+""",
+)
+def hierarchy_topk_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k descendants per ancestor — "each region's top 3 customers
+    by lifetime revenue": the drill-down companion of the rollup (which
+    answers totals; this answers WHO drives them).
+
+    Scale shape: per-customer revenue is one fact shuffle at customer
+    grain (map-side combined); the closure join restricting to level-2
+    ancestors x leaf descendants is broadcast; the top-k window
+    partitions by ancestor over a dim-sized input — never a global
+    sort, and the fact table is touched exactly once. Exact-decimal
+    totals + custkey tiebreak make the ranking engine-invariant."""
+    dim = _geo_dim(spark, sf_dir)
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("tot")
+    )
+    pairs = dim.aggregation_dim.filter(
+        (F.col("ancestor_level_number") == 2)
+        & F.col("descendant_node_natural_key").isNotNull()
+    ).select(
+        "ancestor_node_id",
+        F.col("ancestor_node_name").alias("region_name"),
+        F.col("descendant_node_natural_key").alias("custkey"),
+    )
+    from pyspark.sql import Window as W
+
+    joined = rev.join(F.broadcast(pairs), "custkey")
+    w = W.partitionBy("ancestor_node_id").orderBy(F.col("tot").desc(), "custkey")
+    return (
+        joined.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "region_name",
+            "custkey",
+            F.col("tot").cast("double").alias("sum_totalprice"),
+            "rk",
+        )
+    )
+
+
+# final driver-coverage reorder: the ratio/top-k hierarchy queries above
+# must front-load with the other never-checked round-3 additions
+_reorder_for_driver_coverage()

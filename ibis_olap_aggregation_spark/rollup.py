@@ -113,6 +113,7 @@ def hierarchical_rollup_additive(
     group_keys: Sequence[str] = DEFAULT_GROUP_KEYS,
     broadcast_dim: bool = True,
     sort: bool = True,
+    keep_node_id: bool = False,
 ) -> DataFrame:
     """Closure rollup for STRUCTURED measures, aggregated at leaf grain
     first — the 100 TB shape of :func:`hierarchical_rollup`.
@@ -192,8 +193,12 @@ def hierarchical_rollup_additive(
         attrs = dim.filter(F.col("net_level") == 0).select(_ID, *keys)
     else:
         attrs = dim.select(_ID, *keys).distinct()
+    # keep_node_id=True retains the compact node id for consumers that
+    # self-join the rolled table (share-of-parent, drill paths)
     out = per_node.join(F.broadcast(attrs), _ID).select(
-        *keys, *[c for c in per_node.columns if c != _ID]
+        *([_ID] if keep_node_id else []),
+        *keys,
+        *[c for c in per_node.columns if c != _ID],
     )
     if sort and "ancestor_node_sort_order" in keys:
         out = out.repartition(1).sortWithinPartitions("ancestor_node_sort_order")

@@ -1584,3 +1584,143 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
         F.count(F.lit(1)).alias("numcust"),
         F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
     )
+
+
+@register(
+    "affinity_part_pairs_topk",
+    """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, COUNT(*) AS n_orders
+FROM pairs
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+""",
+)
+def affinity_part_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the 20 part pairs most often bought in
+    the SAME order — the co-occurrence mining primitive behind
+    recommenders and assortment analysis.
+
+    Scale shape: the self-join co-partitions on l_orderkey, so pair
+    generation is per-basket and costs Σ basket_size² — bounded by the
+    max items per order (7 in TPC-H), NEVER |parts|². The a<b predicate
+    halves the output and canonicalizes the pair. The top-20 is
+    orderBy+limit → TakeOrderedAndProject (per-partition heaps), no
+    global sort; count ties are broken by the pair itself so the cut is
+    engine-invariant. A whale basket would blow the per-basket square —
+    the same salted-sub-bucket cap as the LSH pair generators
+    (operators/dedup.py) applies if baskets were unbounded."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    right = items.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = items.join(
+        right,
+        (items["l_orderkey"] == right["_ok"])
+        & (items["l_partkey"] < right["part_b"]),
+    )
+    return (
+        pairs.groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey, frequency, monetary,
+         ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_seg,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_seg,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_seg
+  FROM cust
+)
+SELECT CAST(r_seg AS BIGINT) AS r_seg, CAST(f_seg AS BIGINT) AS f_seg,
+       CAST(m_seg AS BIGINT) AS m_seg,
+       COUNT(*) AS n_customers,
+       CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+FROM scored
+GROUP BY 1, 2, 3
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers quartiled independently on Recency
+    (last order date), Frequency (order count) and Monetary (exact
+    lifetime spend), reported as the 4x4x4 segment grid with counts and
+    spend — the classic CRM cohort cube.
+
+    Each quartile is a GLOBAL ntile, computed WITHOUT the
+    single-partition window the naive `ntile(k) OVER (ORDER BY ...)`
+    compiles to: rank via the range-partitioned global ranker, then
+    derive the bucket from the closed-form split (first n%k buckets
+    take one extra row) — bit-identical to the window function, scales
+    like a range sort. DESC orders rank ascending on order-isomorphic
+    negated keys (recency via a negated epoch difference), with the
+    custkey tiebreak making every quartile engine-invariant. Input to
+    the rankers is the customer-grain aggregate (one fact shuffle);
+    the final grid is at most k³ rows."""
+    from ibis_olap_aggregation_spark.operators.ranking import global_row_number
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    n = cust.count()
+    k = 4
+    small, extra = divmod(n, k)
+    boundary = extra * (small + 1)
+
+    def bucket(rn: str) -> F.Column:
+        return (
+            F.when(
+                F.col(rn) <= boundary,
+                F.expr(f"({rn} - 1) div {small + 1} + 1"),
+            )
+            .otherwise(
+                F.expr(f"{extra} + ({rn} - {boundary} - 1) div {max(small, 1)} + 1")
+            )
+            .cast("bigint")
+        )
+
+    scored = cust.withColumn(
+        "_neg_recency",
+        -F.expr("timestampdiff(SECOND, timestamp'1990-01-01', last_order)"),
+    ).withColumn("_neg_freq", -F.col("frequency")).withColumn(
+        "_neg_mon", -F.col("monetary")
+    )
+    scored = global_row_number(scored, ["_neg_recency", "o_custkey"], "_rn_r", row_count=n)
+    scored = global_row_number(scored, ["_neg_freq", "o_custkey"], "_rn_f", row_count=n)
+    scored = global_row_number(scored, ["_neg_mon", "o_custkey"], "_rn_m", row_count=n)
+    return (
+        scored.select(
+            bucket("_rn_r").alias("r_seg"),
+            bucket("_rn_f").alias("f_seg"),
+            bucket("_rn_m").alias("m_seg"),
+            "monetary",
+        )
+        .groupBy("r_seg", "f_seg", "m_seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").cast("double").alias("total_monetary"),
+        )
+    )

@@ -1071,3 +1071,80 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_singletons"),
         F.sum(F.expr("n * (n - 1) div 2")).cast("bigint").alias("candidate_pairs"),
     )
+
+
+@register(
+    "dedup_minhash_jaccard_error",
+    f"""
+WITH {_DUCK_HASHED_SHINGLES},
+{_DUCK_MINHASH_SIG},
+bands AS (
+  SELECT doc_id, i.i AS band_id, ms[i.i + 1] AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS i) i
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_band_matches
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT c.doc_a, c.doc_b, c.n_band_matches,
+         c.n_band_matches / {N_MINHASH}.0 AS est,
+         len(list_intersect(sa.hs, sb.hs))
+           / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+           AS tj
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_band_matches,
+       ROUND(est, 6) AS est_jaccard,
+       ROUND(tj, 6) AS true_jaccard,
+       ROUND(abs(est - tj), 6) AS abs_error
+FROM j
+""",
+)
+def dedup_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality report: for every LSH candidate pair,
+    the signature-estimated Jaccard (matching slots / 16) next to the
+    EXACT shingle Jaccard and the absolute error — the evaluation a
+    pipeline owner runs before trusting a signature width / band
+    configuration on a new corpus (E[error] ~ 1/sqrt(k); k=16 is
+    recall-tuned, and this query shows what that costs in precision).
+
+    Scale shape: candidates come from the capped bucket-grouped LSH
+    generator (never all-pairs); the exact-Jaccard verify joins shingle
+    sets for CANDIDATE pairs only — the same verify-on-candidates cost
+    profile as the production cluster pipeline. Both engines compute
+    est and true from identical integers, so the doubles (and the
+    rounded error) are bit-equal."""
+    cand = dedup_minhash_lsh_candidates(spark, sf_dir).select(
+        "doc_a", "doc_b", "n_band_matches"
+    )
+    hs = (
+        _docs(spark, sf_dir)
+        .withColumn("t", tokens_col())
+        .select("doc_id", hashed_shingles_col().alias("hs"))
+    )
+    a = hs.select(F.col("doc_id").alias("_ida"), F.col("hs").alias("_hsa"))
+    b = hs.select(F.col("doc_id").alias("_idb"), F.col("hs").alias("_hsb"))
+    j = (
+        cand.join(a, F.col("doc_a") == F.col("_ida"))
+        .join(b, F.col("doc_b") == F.col("_idb"))
+        .withColumn("_i", F.size(F.array_intersect("_hsa", "_hsb")))
+        .withColumn(
+            "_tj",
+            F.col("_i") / (F.size("_hsa") + F.size("_hsb") - F.col("_i")),
+        )
+        .withColumn("_est", F.col("n_band_matches") / F.lit(float(N_MINHASH)))
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "n_band_matches",
+        F.round("_est", 6).alias("est_jaccard"),
+        F.round("_tj", 6).alias("true_jaccard"),
+        F.round(F.abs(F.col("_est") - F.col("_tj")), 6).alias("abs_error"),
+    )

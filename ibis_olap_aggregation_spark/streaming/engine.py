@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 
 # Fallback stream-source schema: the events table contract (TESTDATA.md).
@@ -238,3 +238,85 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+# -- silence / gap detection: event-time state timeouts ---------------------
+_SILENCE_OUT = StructType(
+    [
+        StructField("event_type", StringType(), False),
+        StructField("last_seen_ms", LongType(), True),
+        StructField("n_events_seen", LongType(), True),
+    ]
+)
+_SILENCE_STATE = StructType(
+    [
+        StructField("last_seen_ms", LongType(), True),
+        StructField("n_events", LongType(), True),
+    ]
+)
+
+
+def _make_silence_fn(gap_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # the watermark passed last_seen + gap with NO new data for
+            # this key: emit the alert and drop the state (a later event
+            # for the key re-creates it — i.e. alerts re-arm)
+            last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "last_seen_ms": [last],
+                    "n_events_seen": [n],
+                }
+            )
+            return
+        last, n = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if len(pdf):
+                ms = (pdf["ts"].astype("int64") // 1_000_000).max()
+                last = max(last, int(ms))
+                n += len(pdf)
+        state.update((last, n))
+        state.setTimeoutTimestamp(last + gap_ms)
+        yield pd.DataFrame(
+            {"event_type": [], "last_seen_ms": [], "n_events_seen": []}
+        ).astype({"event_type": "object"})
+
+    return fn
+
+
+def silence_alerts(
+    events: DataFrame, *, gap_ms: int, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Silence (missing-heartbeat) detector — the alert behind "source X
+    stopped sending": emits one row per event_type whose stream has
+    been silent for `gap_ms` of EVENT TIME, carrying the last-seen
+    timestamp and the count seen before the gap.
+
+    This is the capability Spark's built-in stateful operators cannot
+    express — an output triggered by the ABSENCE of input — implemented
+    with applyInPandasWithState + EventTimeTimeout: every batch with
+    data re-arms a per-key timeout at last_seen + gap; when the
+    watermark (driven by OTHER keys still flowing) passes that mark
+    with no new data, Spark invokes the function with hasTimedOut=True
+    and the alert is emitted, after which the state is dropped (alerts
+    re-arm if the key resumes). State is one (long, long) per key,
+    partitioned by key across executors; the watermark bounds both
+    state and timeout bookkeeping.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .select("event_type", "ts")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _make_silence_fn(gap_ms),
+            outputStructType=_SILENCE_OUT,
+            stateStructType=_SILENCE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -317,3 +317,48 @@ def test_stream_starts_on_empty_source_dir(spark, sf_small, workdir):
     )
     got = spark.sql("SELECT SUM(event_count) AS n FROM empty_start2").collect()[0].n
     assert got == 100
+
+
+def test_silence_alert_fires_on_event_time_gap(spark, workdir):
+    """Silence detection via EventTimeTimeout: 'heartbeat' stops after
+    12:30 while 'click' keeps flowing (advancing the watermark); once
+    the watermark passes heartbeat's last_seen + gap, the alert row is
+    emitted with the pre-gap count. The still-flowing type never
+    alerts. Timeouts use the watermark committed by the PREVIOUS batch
+    (same SPARK-40925 semantics as late-drop), so the advancing batches
+    precede a final flush batch."""
+    src = os.path.join(workdir, "silence_input")
+    os.makedirs(src)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.unix_micros(F.to_timestamp("ts")) * 1000)
+
+    b0 = mk([(1, "2024-06-10 12:00:00", 1, "heartbeat", 1.0, "{}"),
+             (2, "2024-06-10 12:30:00", 1, "heartbeat", 1.0, "{}"),
+             (3, "2024-06-10 12:30:00", 1, "click", 1.0, "{}")])
+    b1 = mk([(4, "2024-06-10 15:00:00", 1, "click", 1.0, "{}")])
+    b2 = mk([(5, "2024-06-10 16:00:00", 1, "click", 1.0, "{}")])
+    b3 = mk([(6, "2024-06-10 16:30:00", 1, "click", 1.0, "{}")])
+    _write_batch_files(workdir, src, b0, b1, b2, b3)
+
+    stream = se.stream_events(spark, src, max_files_per_trigger=1)
+    se.run_to_memory(
+        se.silence_alerts(stream, gap_ms=60 * 60 * 1000),  # 1h gap
+        "t_silence",
+        checkpoint_dir=workdir,
+        output_mode="append",
+    )
+    alerts = {r.event_type: r for r in spark.table("t_silence").collect()}
+    assert "heartbeat" in alerts, alerts
+    hb = alerts["heartbeat"]
+    import datetime as _dt
+    assert hb.last_seen_ms == int(
+        _dt.datetime(2024, 6, 10, 12, 30, tzinfo=_dt.timezone.utc).timestamp() * 1000
+    )
+    assert hb.n_events_seen == 2
+    # click kept flowing through the end: its timeout never fired
+    assert "click" not in alerts, alerts

@@ -142,6 +142,25 @@ def main() -> None:
         )
         stats.append((name, row.docs, row.tokens))
 
+    # 6b. span-level duplication accounting (round-3): fraction of each
+    # surviving doc's tokens sitting in corpus-duplicated 8-token spans
+    # (what a span-cut-out stage would remove instead of whole docs)
+    spans = QUERIES["dedup_exact_substring_spans"](spark, SF_DIR)
+    span_row = (
+        spans.join(docs.select("doc_id"), "doc_id")
+        .agg(
+            F.round(F.avg("dup_token_fraction"), 4).alias("avg_dup_frac"),
+            F.count(F.when(F.col("n_dup_segments") > 0, 1)).alias("n_docs_hit"),
+        )
+        .collect()[0]
+    )
+
+    # 6c. hard rule-gate funnel report (round-3, Gopher-style): what the
+    # per-source pass rates would have been — the report a pipeline
+    # owner reads before dropping a source entirely
+    funnel = QUERIES["text_gopher_rules_funnel"](spark, SF_DIR)
+    worst = funnel.orderBy("pass_rate").limit(1).collect()[0]
+
     # 7. provider accounting + quota (round-3 stages): how much each
     # source shrank under dedup, and the deterministic per-source cap
     shrink = QUERIES["dedup_survivor_stats"](spark, SF_DIR)
@@ -162,6 +181,9 @@ def main() -> None:
         print(f"{name:12s} {nd:5d} docs  {nt:8d} tokens")
     print(f"provider accounting: {n_src} sources; per-source quota keeps "
           f"{quota_row.kept}/{quota_row.total} docs")
+    print(f"span-dup residue in survivors: {span_row.n_docs_hit} docs touched, "
+          f"avg dup-token fraction {span_row.avg_dup_frac}")
+    print(f"worst rule-gate source: {worst.source} (pass rate {worst.pass_rate})")
     assert stats[0][1] + stats[1][1] == n3
 
 

@@ -148,3 +148,35 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified exactly."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_media_features(attach_media(docs))
+
+
+def ingest_binary_dir(
+    spark: SparkSession, path: str, *, pattern: str = "*.bin"
+) -> DataFrame:
+    """Opaque-file ingest — how media actually ARRIVES at 100 TB: a
+    directory (bucket prefix) of raw files read with Spark's binaryFile
+    source into (doc_id, media, media_len, modified) rows, doc_id parsed
+    from the file name. Each file is read ONCE on an executor local to
+    its split — content bytes never touch the driver, listing is
+    distributed, and `pathGlobFilter` prunes non-media files at the
+    listing stage. Downstream (mapInPandas featurization, metadata
+    joins) is identical to the synthetic attach_media path — the ingest
+    swaps in without touching the plan shape.
+
+    binaryFile loads whole files (no splitting): fine for media objects
+    (MBs); for giant archives, shard upstream or use a manifest +
+    range-read featurizer instead.
+    """
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+    return df.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.[^.]+$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("media"),
+        F.col("length").alias("media_len"),
+        F.col("modificationTime").alias("modified"),
+    )

@@ -127,3 +127,31 @@ def test_domain_weighted_sampling_bounds(spark, sf_small):
     for r in rows:
         assert 0.25 <= r.target_fraction <= 0.74
         assert 0 <= r.n_sampled <= r.n_total
+
+
+def test_binaryfile_ingest_roundtrip(spark, sf_small, tmp_path):
+    """Media written as raw files and re-ingested via the binaryFile
+    source must carry byte-identical payloads per doc_id (the swap-in
+    contract: real-file ingest == synthetic attach_media)."""
+    import os
+
+    from ibis_olap_aggregation_spark.operators.multimodal import (
+        attach_media,
+        ingest_binary_dir,
+    )
+    from ibis_olap_aggregation_spark.session import load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(20)
+    media = attach_media(docs).select("doc_id", "media").collect()
+    src = tmp_path / "blobs"
+    os.makedirs(src)
+    for r in media:
+        (src / f"{r.doc_id}.bin").write_bytes(bytes(r.media))
+    (src / "ignore.txt").write_text("not media")  # pruned by glob
+
+    got = {
+        r.doc_id: bytes(r.media)
+        for r in ingest_binary_dir(spark, str(src)).collect()
+    }
+    want = {r.doc_id: bytes(r.media) for r in media}
+    assert got == want

@@ -112,3 +112,44 @@ def test_q19_disjunction_pushes_to_scans(spark, sf_small):
     df = q.QUERIES["tpch_q19_disjunctive_revenue"](spark, sf_small)
     pushed = " ".join(pi.pushed_filters(df))
     assert "Or(" in pushed, pushed
+
+
+def test_gapfill_grid_broadcasts_into_fact_join(spark, sf_small):
+    """The dense grid (hours x types — data-size-independent) must be
+    the broadcast side of the final left join; the fact table must
+    never shuffle for that join."""
+    df = q.QUERIES["events_gapfill_hourly"](spark, sf_small)
+    assert pi.has_broadcast_join(df), pi.physical_plan(df)
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan  # 1-row bounds x types is BNLJ/broadcast
+
+
+def test_affinity_pairs_join_is_equi_on_orderkey(spark, sf_small):
+    """Basket self-join must co-partition on l_orderkey (pair cost ~
+    per-basket square) — never a cartesian/broadcast-nested-loop over
+    items."""
+    df = q.QUERIES["affinity_part_pairs_topk"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # top-20 via per-partition heaps, not a global sort
+    assert "TakeOrderedAndProject" in pi.physical_plan(df, executed=True)
+
+
+def test_rfm_has_no_single_partition_window(spark, sf_small):
+    """All three global ntiles must run through the range-partitioned
+    ranker: no window may execute on a single partition spanning the
+    whole customer table (SinglePartition only for sub-window-width
+    inputs ranked in ONE range partition is fine — assert instead that
+    no `ntile` window function appears at all)."""
+    df = q.QUERIES["customer_rfm_segments"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert "ntile(" not in plan, plan
+
+
+def test_span_dedup_shuffles_on_key_and_doc_only(spark, sf_small):
+    """Span dedup: exactly the documented two shuffle families (span-key
+    window + doc-grain regroup); the document text itself is never
+    joined pairwise."""
+    df = q.QUERIES["dedup_exact_substring_spans"](spark, sf_small)
+    assert pi.count_exchanges(df) <= 2, pi.physical_plan(df)

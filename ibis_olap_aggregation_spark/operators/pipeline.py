@@ -725,3 +725,76 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_token_fraction"),
     )
+
+
+PACK_LEN = 512  # tokens per training example (concat-and-cut packing)
+
+
+@register(
+    "sample_pack_sequences",
+    f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(CEIL(SUM(n_tokens) / {PACK_LEN}.0) AS BIGINT) AS n_examples,
+       COUNT(*) FILTER (WHERE (cum - n_tokens) // {PACK_LEN} != (cum - 1) // {PACK_LEN})
+         AS n_boundary_docs,
+       ROUND((SUM(n_tokens) - (CEIL(SUM(n_tokens) / {PACK_LEN}.0) - 1) * {PACK_LEN})
+             / {PACK_LEN}.0, 6) AS last_fill_fraction
+FROM c
+GROUP BY 1
+""",
+)
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence-packing accounting (the GPT-style packing
+    stage: concatenate a source's docs in deterministic doc_id order,
+    cut every {PACK_LEN} tokens): per source, how many training
+    examples result, how many documents straddle an example boundary
+    (candidates for attention-mask resets / document-boundary tokens),
+    and how full the final example is — the report that decides pack
+    length and whether boundary-aware packing is worth it.
+
+    One source-partitioned cumulative-sum window (running token offset)
+    + one groupBy: two shuffles on source, both map-side combinable
+    after the window. The offset arithmetic is pure integers — the
+    boundary-crossing predicate and fill fraction are engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    from ibis_olap_aggregation_spark.functions.idioms import tokens_col
+
+    tok = d.select(
+        "doc_id", "source", F.size(tokens_col()).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = tok.withColumn("cum", F.sum("n_tokens").over(w))
+    crosses = F.expr(
+        f"(cum - n_tokens) div {PACK_LEN} != (cum - 1) div {PACK_LEN}"
+    )
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.ceil(F.sum("n_tokens") / float(PACK_LEN)).cast("bigint").alias("n_examples"),
+        F.count(F.when(crosses, 1)).alias("n_boundary_docs"),
+        F.round(
+            (
+                F.sum("n_tokens")
+                - (F.ceil(F.sum("n_tokens") / float(PACK_LEN)) - 1) * PACK_LEN
+            )
+            / float(PACK_LEN),
+            6,
+        ).alias("last_fill_fraction"),
+    )

@@ -233,3 +233,89 @@ def sample_hash_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").cast("bigint").alias("chars_kept"),
     )
+
+
+@register(
+    "quality_table_profile",
+    """
+SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+       COUNT(o_orderkey) AS n_nonnull,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+       COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))),
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
+       COUNT(DISTINCT CAST(o_orderdate AS DATE)),
+       CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR),
+       CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+""",
+)
+def quality_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling — the data-quality summary every warehouse tool
+    ships (null counts, cardinalities, value ranges per column), long
+    form: one row per profiled column of `orders`.
+
+    Spark-first shape: ONE aggregation pass computes every column's
+    stats simultaneously (single scan, map-side combined — the oracle's
+    UNION ALL of per-column scans is the SQL-engine idiom; scanning the
+    fact table five times at 100 TB is exactly what not to do), then the
+    wide row unpivots to long form with stack() — driver-free, executed
+    on the 1-row aggregate. Doubles/dates profile through exact casts
+    (DECIMAL / DATE) so the stringified ranges render identically in
+    both engines; COUNT(DISTINCT)s expand per column but dedup at
+    column-value grain with map-side combine."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    dt = F.col("o_orderdate").cast("date")
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("nn_ok"),
+        F.countDistinct("o_orderkey").alias("nd_ok"),
+        F.min("o_orderkey").cast("string").alias("mn_ok"),
+        F.max("o_orderkey").cast("string").alias("mx_ok"),
+        F.count("o_custkey").alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").cast("string").alias("mn_ck"),
+        F.max("o_custkey").cast("string").alias("mx_ck"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct(dec).alias("nd_tp"),
+        F.min(dec).cast("string").alias("mn_tp"),
+        F.max(dec).cast("string").alias("mx_tp"),
+        F.count("o_orderdate").alias("nn_od"),
+        F.countDistinct(dt).alias("nd_od"),
+        F.min(dt).cast("string").alias("mn_od"),
+        F.max(dt).cast("string").alias("mx_od"),
+        F.count("o_orderpriority").alias("nn_op"),
+        F.countDistinct("o_orderpriority").alias("nd_op"),
+        F.min("o_orderpriority").alias("mn_op"),
+        F.max("o_orderpriority").alias("mx_op"),
+    )
+    return wide.selectExpr(
+        """stack(5,
+             'o_orderkey',      nn_ok, nd_ok, mn_ok, mx_ok,
+             'o_custkey',       nn_ck, nd_ck, mn_ck, mx_ck,
+             'o_totalprice',    nn_tp, nd_tp, mn_tp, mx_tp,
+             'o_orderdate',     nn_od, nd_od, mn_od, mx_od,
+             'o_orderpriority', nn_op, nd_op, mn_op, mx_op
+           ) AS (column_name, n_nonnull, n_distinct, min_value, max_value)""",
+        "n AS n_rows",
+    ).select(
+        "column_name", "n_rows", "n_nonnull", "n_distinct", "min_value", "max_value"
+    )

@@ -1,0 +1,104 @@
+"""Brute-force cross-checks for the round-3 batch operators: each Spark
+result is recomputed with plain Python over the same rows. The DuckDB
+oracle gate proves engine parity; these prove both engines implement
+the INTENDED semantics on adversarial shapes (single-hour users, all
+docs identical, doc shorter than one span/pack length)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.operators import events as ev_ops  # noqa: F401
+from ibis_olap_aggregation_spark.operators import pipeline as pl_ops  # noqa: F401
+from ibis_olap_aggregation_spark.queries import QUERIES
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_islands_brute_force(spark, tmp_path):
+    import datetime as dt
+    import itertools
+
+    base = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    # user 1: hours 0,1,2, 5, 9,10 -> islands (3,1,2); user 2: one hour;
+    # user 3: duplicate events in the same hour (must count once)
+    spec = {1: [0, 1, 2, 5, 9, 10], 2: [4], 3: [7, 7, 7]}
+    for u, hours in spec.items():
+        for h in hours:
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=eid % 60),
+                         u, "click", 1.0, "{}"))
+            eid += 1
+    sf = str(tmp_path / "sf")
+    _events_df(spark, rows).write.parquet(sf + "/events.parquet")
+    out = {
+        r.user_id: (r.n_active_hours, r.n_islands, r.max_island_len)
+        for r in QUERIES["events_activity_islands"](spark, sf).collect()
+    }
+
+    def brute(hours):
+        hs = sorted(set(hours))
+        islands = [
+            len(list(g))
+            for _, g in itertools.groupby(enumerate(hs), lambda p: p[1] - p[0])
+        ]
+        return (len(hs), len(islands), max(islands))
+
+    assert out == {u: brute(hs) for u, hs in spec.items()}
+
+
+def test_pack_sequences_brute_force(spark, tmp_path):
+    docs = [
+        # source A: 600 + 20 + 500 tokens -> 1120 total, 3 examples
+        (0, " ".join(["w"] * 600), "en", "A", 0),
+        (1, " ".join(["w"] * 20), "en", "A", 0),
+        (2, " ".join(["w"] * 500), "en", "A", 0),
+        # source B: single short doc -> 1 example, fill 10/512
+        (3, " ".join(["w"] * 10), "en", "B", 0),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf + "/documents.parquet")
+    out = {r.source: r for r in QUERIES["sample_pack_sequences"](spark, sf).collect()}
+
+    a = out["A"]
+    assert (a.n_docs, a.n_tokens, a.n_examples) == (3, 1120, 3)
+    # doc0 spans examples 0->1 (600 tokens), doc2 spans 1->2: 2 boundary docs
+    assert a.n_boundary_docs == 2
+    assert abs(a.last_fill_fraction - (1120 - 2 * 512) / 512) < 1e-6
+    b = out["B"]
+    assert (b.n_docs, b.n_examples, b.n_boundary_docs) == (1, 1, 0)
+    assert abs(b.last_fill_fraction - 10 / 512) < 1e-6
+
+
+def test_span_dedup_identical_and_short_docs(spark, tmp_path):
+    text = " ".join(f"t{i}" for i in range(20))  # 20 tokens -> 3 spans
+    docs = [
+        (0, text, "en", "A", 0),
+        (1, text, "en", "A", 0),        # exact duplicate: every span dup
+        (2, " ".join(["u"] * 5), "en", "A", 0),  # shorter than one span
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf + "/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in QUERIES["dedup_exact_substring_spans"](spark, sf).collect()
+    }
+    for d in (0, 1):
+        assert out[d].n_segments == 3
+        assert out[d].n_dup_segments == 3
+        assert out[d].dup_token_fraction == 1.0
+    # the lone 5-token doc has one partial span, nothing duplicated
+    assert out[2].n_segments == 1
+    assert out[2].n_dup_segments == 0
+    assert out[2].dup_token_fraction == 0.0

@@ -102,3 +102,35 @@ def test_span_dedup_identical_and_short_docs(spark, tmp_path):
     assert out[2].n_segments == 1
     assert out[2].n_dup_segments == 0
     assert out[2].dup_token_fraction == 0.0
+
+
+def test_results_invariant_to_shuffle_partitioning(spark, sf_small):
+    """Partitioning-determinism probe: results must not depend on
+    spark.sql.shuffle.partitions (at 100 TB the partition count is a
+    tuning knob, never a semantics knob). Exercises the ops whose
+    implementations touch partition structure most: range-partitioned
+    global ntiles (RFM), per-partition rank offsets (top-k), window
+    cumsum (packing), bucket-grouped pair generation (LSH candidates),
+    and the islands window."""
+    names = [
+        "customer_rfm_segments",
+        "hierarchy_topk_descendants",
+        "sample_pack_sequences",
+        "dedup_minhash_lsh_candidates",
+        "events_activity_islands",
+    ]
+    conf = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(conf)
+    results = {}
+    try:
+        for parts in ("32", "7"):
+            spark.conf.set(conf, parts)
+            for n in names:
+                pdf = QUERIES[n](spark, sf_small).toPandas()
+                pdf = pdf[sorted(pdf.columns)]
+                key = sorted(pdf.astype(str).itertuples(index=False, name=None))
+                results.setdefault(n, []).append(key)
+    finally:
+        spark.conf.set(conf, orig)
+    for n, (a, b) in results.items():
+        assert a == b, f"{n} result depends on shuffle partitioning"

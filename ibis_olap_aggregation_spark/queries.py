@@ -654,15 +654,23 @@ from ibis_olap_aggregation_spark.operators import tpch  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 
-def _driver_verified_names() -> frozenset[str]:
+def _driver_verified_rounds() -> dict[str, int]:
+    """name -> LATEST round whose CORRECTNESS file has a green row for
+    it. Drives both coverage (unchecked queries front-load into the
+    50-slot prefix) and, once coverage is total, STALENESS-first
+    re-verification: greens checked longest ago rotate back into the
+    prefix before recently-checked ones, so a regression in any query
+    is caught within ~(registry/50) rounds instead of never."""
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    verified: set[str] = set()
+    rounds: dict[str, int] = {}
     found = False
     for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         try:
             with open(path) as f:
                 rows = _json.load(f)
@@ -670,14 +678,19 @@ def _driver_verified_names() -> frozenset[str]:
             continue
         if isinstance(rows, dict):
             found = True
+            rnd = int(m.group(1)) if m else 0
             for name, row in rows.items():
                 ok = isinstance(row, dict) and (
                     row.get("hash_match") is True
                     or (row.get("err") == "no_oracle" and row.get("spark_rows"))
                 )
                 if ok:
-                    verified.add(name)
-    return frozenset(verified) if found else _ROUND1_DRIVER_VERIFIED
+                    rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds if found else {n: 1 for n in _ROUND1_DRIVER_VERIFIED}
+
+
+def _driver_verified_names() -> frozenset[str]:
+    return frozenset(_driver_verified_rounds())
 
 
 _ROUND1_DRIVER_VERIFIED = frozenset(
@@ -742,7 +755,15 @@ def _reorder_for_driver_coverage() -> None:
         if n != flagship and n not in checked and n not in _ADDED_ROUND2
     ]
     new = [n for n in QUERIES if n != flagship and n not in checked and n in _ADDED_ROUND2]
-    verified = [n for n in QUERIES if n != flagship and n in checked]
+    # verified queries fill the remaining prefix slots STALEST-FIRST
+    # (longest since a green driver row), so re-verification rotates
+    # through the whole registry over successive rounds; registry order
+    # tiebreaks within a round (python sort is stable)
+    rounds = _driver_verified_rounds()
+    verified = sorted(
+        (n for n in QUERIES if n != flagship and n in checked),
+        key=lambda n: rounds.get(n, 0),
+    )
     order = [flagship, *waiting, *new, *verified]
     reordered = {n: QUERIES[n] for n in order}
     QUERIES.clear()

@@ -134,3 +134,31 @@ def test_results_invariant_to_shuffle_partitioning(spark, sf_small):
         spark.conf.set(conf, orig)
     for n, (a, b) in results.items():
         assert a == b, f"{n} result depends on shuffle partitioning"
+
+
+def test_results_invariant_to_aqe_toggle(spark, sf_small):
+    """AQE determinism probe: adaptive execution re-plans shuffles and
+    joins at runtime (coalesced partitions, demoted broadcasts) — it
+    must never change RESULTS. Exercises the join-strategy-sensitive ops:
+    the flagship rollup (broadcast closure), the basket self-join, and
+    the gap-fill's broadcast grid."""
+    names = [
+        "hierarchy_geo_rollup_orders",
+        "affinity_part_pairs_topk",
+        "events_gapfill_hourly",
+    ]
+    conf = "spark.sql.adaptive.enabled"
+    orig = spark.conf.get(conf)
+    results = {}
+    try:
+        for flag in ("true", "false"):
+            spark.conf.set(conf, flag)
+            for n in names:
+                pdf = QUERIES[n](spark, sf_small).toPandas()
+                pdf = pdf[sorted(pdf.columns)]
+                key = sorted(pdf.astype(str).itertuples(index=False, name=None))
+                results.setdefault(n, []).append(key)
+    finally:
+        spark.conf.set(conf, orig)
+    for n, (a, b) in results.items():
+        assert a == b, f"{n} result depends on AQE"

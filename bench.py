@@ -110,13 +110,20 @@ def _prev_bench() -> dict[str, float]:
         try:
             with open(path) as f:
                 payload = json.load(f)
-            queries = payload.get("parsed", payload).get("queries", {})
+            queries = (payload.get("parsed") or payload).get("queries", {})
             if not queries and "tail" in payload:
                 # driver format: our JSON line is embedded in a captured
                 # stdout "tail" string — extract the last metric line
                 found = re.findall(r'\{"metric".*\}', payload["tail"])
                 if found:
                     queries = json.loads(found[-1]).get("queries", {})
+            if not queries and "tail" in payload:
+                # the tail capture may TRUNCATE the line's head (r2's file
+                # starts mid-key: 'etric": ...'): the queries dict itself
+                # is flat {name: number}, so brace-match it directly
+                found = re.findall(r'"queries":\s*(\{[^{}]*\})', payload["tail"])
+                if found:
+                    queries = json.loads(found[-1])
         except Exception:  # noqa: BLE001 - a malformed old file never blocks a bench
             continue
         n = int(m.group(1))

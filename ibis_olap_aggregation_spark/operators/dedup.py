@@ -1148,3 +1148,35 @@ def dedup_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_tj", 6).alias("true_jaccard"),
         F.round(F.abs(F.col("_est") - F.col("_tj")), 6).alias("abs_error"),
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    _DUCK_NEAR_DUP_COMP
+    + """
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM (
+  SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+) s
+GROUP BY 1
+""",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: how many verified duplicate
+    clusters have 2 members, 3 members, ... — the observability report
+    that distinguishes a corpus with scattered pair-dups from one with
+    a few mega-clusters (mega-clusters mean template/boilerplate
+    content, and they are what degrades LSH bucket bounds — this
+    histogram is the early-warning for the bucket caps).
+
+    Reuses the shared verified-components tail (LSH candidates → exact
+    Jaccard verify → connected components); the two counting
+    aggregations run over the component table, a tiny fraction of the
+    corpus — cost is the pipeline itself, the histogram is free."""
+    comp = _near_dup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )

@@ -1037,3 +1037,64 @@ def hierarchy_topk_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
 # final driver-coverage reorder: the ratio/top-k hierarchy queries above
 # must front-load with the other never-checked round-3 additions
 _reorder_for_driver_coverage()
+
+
+@register(
+    "hierarchy_level_summary",
+    _GEO_PRELUDE
+    + """
+, ch AS (
+  SELECT c.ancestor_node_id AS pid, COUNT(*) AS n_children
+  FROM closure c WHERE c.net_level = 1 GROUP BY 1
+)
+SELECT w.level_number,
+       COUNT(*) AS n_nodes,
+       COUNT(*) FILTER (WHERE ch.pid IS NULL) AS n_leaves,
+       CAST(COALESCE(SUM(ch.n_children), 0) AS BIGINT) AS n_children_total,
+       ROUND(COALESCE(SUM(ch.n_children), 0) * 1.0
+             / NULLIF(COUNT(*) FILTER (WHERE ch.pid IS NOT NULL), 0), 6)
+         AS avg_fanout
+FROM so w
+LEFT JOIN ch ON ch.pid = w.node_id
+GROUP BY 1
+""",
+)
+def hierarchy_level_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-health report: per hierarchy level, node count, leaf
+    count, total direct children and average fanout of the interior
+    nodes — the shape diagnostics (ragged? skewed? degenerate chains?)
+    an OLAP modeler checks before trusting a new hierarchy, and the
+    input to closure-size forecasting (closure rows = Σ depth(n)).
+
+    Built entirely from the materialized closure: direct-children
+    counts are the net_level=1 slice grouped by ancestor (dim-sized,
+    broadcast), self-pairs give one row per node — no re-walk, no
+    fact-table involvement."""
+    dim = _geo_dim(spark, sf_dir)
+    agg = dim.aggregation_dim
+    ch = (
+        agg.filter(F.col("net_level") == 1)
+        .groupBy(F.col("ancestor_node_id").alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n_children"))
+    )
+    nodes = agg.filter(F.col("net_level") == 0).select(
+        F.col("descendant_node_id").alias("node_id"),
+        F.col("descendant_level_number").alias("level_number"),
+    )
+    j = nodes.join(F.broadcast(ch), nodes["node_id"] == ch["pid"], "left")
+    interior = F.count(F.when(F.col("pid").isNotNull(), 1))
+    return j.groupBy("level_number").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.count(F.when(F.col("pid").isNull(), 1)).alias("n_leaves"),
+        F.coalesce(F.sum("n_children"), F.lit(0))
+        .cast("bigint")
+        .alias("n_children_total"),
+        F.round(
+            F.coalesce(F.sum("n_children"), F.lit(0)) * 1.0
+            / F.nullif(interior, F.lit(0)),
+            6,
+        ).alias("avg_fanout"),
+    )
+
+
+_reorder_for_driver_coverage()

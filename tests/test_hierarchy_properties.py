@@ -147,3 +147,64 @@ def test_rollup_conservation_random_trees(spark, parents, seed):
     )
     joined_total = sum(v for k, v in facts if k <= n)
     assert root_total == pytest.approx(joined_total)
+
+
+@pytest.mark.parametrize("x", [0])  # pytest collection anchor
+@given(parents=random_tree(), data=st.data())
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_move_subtree_equals_rebuild_random_trees(spark, x, parents, data):
+    """Reparent equivalence on RANDOM shapes: moving any non-root node
+    under any target outside its own subtree must equal a rebuild of
+    the edited adjacency list (chains, stars, combs — the shapes where
+    the level-shift arithmetic of move_subtree_in_closure could slip)."""
+    n = len(parents)
+    if n < 3:
+        return
+    node = data.draw(st.integers(min_value=2, max_value=n), label="node")
+
+    # subtree membership in the python model
+    def in_subtree(t, root):
+        j = t
+        while j is not None:
+            if j == root:
+                return True
+            j = parents[j - 1]
+        return False
+
+    candidates = [t for t in range(1, n + 1) if not in_subtree(t, node)]
+    if not candidates:
+        return
+    target = data.draw(st.sampled_from(candidates), label="target")
+
+    def rows(pl):
+        return [
+            (str(i), i, f"n{i}", "L", str(pl[i - 1]) if pl[i - 1] else None)
+            for i in range(1, n + 1)
+        ]
+
+    dim = HierarchyDimension(
+        spark.createDataFrame(rows(parents), SCHEMA),
+        sort_key_col="node_natural_key",
+        materialize=False,
+    )
+    moved = dim.move_subtree_in_closure(str(node), str(target))
+    edited = list(parents)
+    edited[node - 1] = target
+    rebuilt = HierarchyDimension(
+        spark.createDataFrame(rows(edited), SCHEMA),
+        sort_key_col="node_natural_key",
+        materialize=False,
+    ).aggregation_dim
+
+    def key(r):
+        return (r.ancestor_node_id, r.descendant_node_id, r.net_level,
+                r.ancestor_level_number, r.descendant_level_number,
+                r.ancestor_is_leaf, r.descendant_is_leaf)
+
+    assert {key(r) for r in moved.collect()} == {
+        key(r) for r in rebuilt.collect()
+    }

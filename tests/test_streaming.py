@@ -362,3 +362,51 @@ def test_silence_alert_fires_on_event_time_gap(spark, workdir):
     assert hb.n_events_seen == 2
     # click kept flowing through the end: its timeout never fired
     assert "click" not in alerts, alerts
+
+
+def test_silence_alert_rearms_after_resume(spark, workdir):
+    """After an alert fires, a resumed key re-creates state and a SECOND
+    silence window fires a second alert with the post-resume count —
+    the detector is a recurring monitor, not a one-shot."""
+    src = os.path.join(workdir, "silence_rearm")
+    os.makedirs(src)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.unix_micros(F.to_timestamp("ts")) * 1000)
+
+    batches = [
+        mk([(1, "2024-06-10 10:00:00", 1, "heartbeat", 1.0, "{}"),
+            (2, "2024-06-10 10:00:00", 1, "click", 1.0, "{}")]),
+        mk([(3, "2024-06-10 12:00:00", 1, "click", 1.0, "{}")]),   # hb gap 1
+        mk([(4, "2024-06-10 12:30:00", 1, "click", 1.0, "{}")]),   # alert 1 fires
+        mk([(5, "2024-06-10 13:00:00", 1, "heartbeat", 1.0, "{}")]),  # resume
+        mk([(6, "2024-06-10 15:00:00", 1, "click", 1.0, "{}")]),   # hb gap 2
+        mk([(7, "2024-06-10 15:30:00", 1, "click", 1.0, "{}")]),   # alert 2 fires
+        mk([(8, "2024-06-10 16:00:00", 1, "click", 1.0, "{}")]),
+    ]
+    _write_batch_files(workdir, src, *batches)
+    stream = se.stream_events(spark, src, max_files_per_trigger=1)
+    se.run_to_memory(
+        se.silence_alerts(stream, gap_ms=60 * 60 * 1000),
+        "t_sil_rearm",
+        checkpoint_dir=workdir,
+        output_mode="append",
+    )
+    hb = sorted(
+        (r.last_seen_ms, r.n_events_seen)
+        for r in spark.table("t_sil_rearm").collect()
+        if r.event_type == "heartbeat"
+    )
+    import datetime as _dt
+
+    def ms(h):
+        return int(_dt.datetime(2024, 6, 10, h, tzinfo=_dt.timezone.utc)
+                   .timestamp() * 1000)
+
+    # alert 1: last seen 10:00 with 1 event; alert 2 (re-armed): last
+    # seen 13:00, count restarted at 1 after the state was dropped
+    assert hb == [(ms(10), 1), (ms(13), 1)], hb

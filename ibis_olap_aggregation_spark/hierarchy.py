@@ -1199,6 +1199,53 @@ class HierarchyDimension:
                 )
         return out
 
+
+    def update_node_attributes(self, updates: DataFrame) -> DataFrame:
+        """Closure rows with DISPLAY attributes replaced for the given
+        nodes — SCD-1 at closure grain, completing the incremental
+        maintenance quartet (append / delete / move / update): renames
+        and relabels happen constantly in real dimensions and change no
+        structure, so rebuilding (or re-walking) for them is pure waste.
+
+        ``updates`` carries ``node_id`` plus any subset of
+        {node_name, level_name}: the NON-structural attributes. A
+        structural column (parent_node_id, node_natural_key,
+        level_number, sort order) in ``updates`` raises — parent changes
+        are :meth:`move_subtree_in_closure`, natural-key changes alter
+        fact joinability and need an explicit rebuild decision.
+
+        One broadcast join per closure side (updates are change-sized);
+        every row mentioning an updated node — as ancestor AND as
+        descendant — gets the new values, exactly like a rebuild from
+        the edited node table.
+        """
+        allowed = {"node_name", "level_name"}
+        extra = set(updates.columns) - allowed - {"node_id"}
+        if "node_id" not in updates.columns or extra:
+            raise ValueError(
+                "update_node_attributes: updates must carry node_id plus "
+                f"a subset of {sorted(allowed)}; got {sorted(updates.columns)}"
+            )
+        attrs = [c for c in updates.columns if c != "node_id"]
+        out = self.aggregation_dim
+        for side in ("ancestor", "descendant"):
+            u = updates.select(
+                F.col("node_id").alias(f"_uid_{side}"),
+                *[F.col(c).alias(f"_u_{side}_{c}") for c in attrs],
+            )
+            out = out.join(
+                F.broadcast(u),
+                out[f"{side}_node_id"] == u[f"_uid_{side}"],
+                "left",
+            )
+            for c in attrs:
+                out = out.withColumn(
+                    f"{side}_{c}",
+                    F.coalesce(F.col(f"_u_{side}_{c}"), F.col(f"{side}_{c}")),
+                )
+            out = out.drop(f"_uid_{side}", *[f"_u_{side}_{c}" for c in attrs])
+        return out
+
     # -- persistence: the reference's CTAS materialization, cross-session --
     def save(self, base_path: str, *, fmt: str = "parquet") -> None:
         """Persist both dims (the reference materializes them as DuckDB

@@ -264,3 +264,46 @@ def test_move_guards(spark):
         base_dim.move_subtree_in_closure("a", "a1")
     with pytest.raises(ValueError, match="cycle"):
         base_dim.move_subtree_in_closure("r", "a1")
+
+
+def test_update_attributes_matches_full_rebuild(spark):
+    base_dim = HierarchyDimension(
+        spark.createDataFrame(BASE, SCHEMA),
+        sort_key_col="node_natural_key",
+        materialize=False,
+    )
+    updates = spark.createDataFrame(
+        [("a", "A-renamed", "Division"), ("a1", "A1-renamed", "Leaf")],
+        "node_id string, node_name string, level_name string",
+    )
+    updated = base_dim.update_node_attributes(updates)
+    rebuilt_rows = [
+        ("r", 1, "Root", "Top", None),
+        ("a", 2, "A-renamed", "Division", "r"),
+        ("b", 3, "B", "Mid", "r"),
+        ("a1", 4, "A1-renamed", "Leaf", "a"),
+    ]
+
+    def key(r):
+        return (r.ancestor_node_id, r.descendant_node_id, r.net_level,
+                r.ancestor_node_name, r.descendant_node_name,
+                r.ancestor_level_name, r.descendant_level_name)
+
+    got = {key(r) for r in updated.collect()}
+    want = {key(r) for r in _rebuild(spark, rebuilt_rows).collect()}
+    assert got == want
+
+
+def test_update_attributes_rejects_structural_columns(spark):
+    import pytest
+
+    base_dim = HierarchyDimension(
+        spark.createDataFrame(BASE, SCHEMA),
+        sort_key_col="node_natural_key",
+        materialize=False,
+    )
+    bad = spark.createDataFrame(
+        [("a", "r2")], "node_id string, parent_node_id string"
+    )
+    with pytest.raises(ValueError, match="subset of"):
+        base_dim.update_node_attributes(bad)

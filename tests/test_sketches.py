@@ -1,0 +1,83 @@
+"""Sketch layer: merge-losslessness, error bounds, and set algebra —
+the properties that make sketches safe to pre-aggregate at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.functions import sketches as sk
+from ibis_olap_aggregation_spark.session import load_table
+
+
+def test_hll_merge_lossless(spark, sf_small):
+    """Rolling up per-nation HLL partials must give the IDENTICAL
+    estimate to sketching the whole table directly — merge is lossless,
+    so per-segment sketch cubes re-aggregate to any grain."""
+    c = load_table(spark, sf_small, "customer")
+    partials = sk.hll_partial(c, ["c_nationkey"], "c_custkey")
+    rolled = sk.hll_rollup(
+        partials.withColumn("all", F.lit(1)), ["all"]
+    ).collect()[0].approx_distinct
+    direct = sk.hll_rollup(
+        sk.hll_partial(c.withColumn("all", F.lit(1)), ["all"], "c_custkey"),
+        ["all"],
+    ).collect()[0].approx_distinct
+    assert rolled == direct
+
+
+def test_hll_error_bound(spark, sf_small):
+    c = load_table(spark, sf_small, "customer")
+    exact = c.select("c_custkey").distinct().count()
+    est = sk.hll_rollup(
+        sk.hll_partial(c.withColumn("g", F.lit(1)), ["g"], "c_custkey"), ["g"]
+    ).collect()[0].approx_distinct
+    # lgk=12 -> rsd ~1.6%; allow 3 sigma
+    assert abs(est - exact) <= max(3, 0.05 * exact), (est, exact)
+
+
+def test_theta_set_algebra(spark, sf_small):
+    """Theta intersection/difference across overlapping segments: for
+    segment sizes far below the sketch's exact-mode threshold the
+    estimates are exact, so the algebra is checked against set math."""
+    c = load_table(spark, sf_small, "customer").select("c_custkey")
+    n = c.count()
+    a = c.filter(F.col("c_custkey") % 3 != 0)   # ~2/3 of keys
+    b = c.filter(F.col("c_custkey") % 2 != 0)   # ~1/2 of keys
+    sa = sk.theta_partial(a.withColumn("g", F.lit(1)), ["g"], "c_custkey")
+    sb = sk.theta_partial(b.withColumn("g", F.lit(1)), ["g"], "c_custkey")
+    j = sa.select(F.col("theta_sketch").alias("ta")).crossJoin(
+        sb.select(F.col("theta_sketch").alias("tb"))
+    )
+    row = sk.theta_overlap(j, "ta", "tb").collect()[0]
+    exact_a = {r.c_custkey for r in a.collect()}
+    exact_b = {r.c_custkey for r in b.collect()}
+    assert row.union_distinct == len(exact_a | exact_b)
+    assert row.intersection_distinct == len(exact_a & exact_b)
+    assert row.difference_distinct == len(exact_a - exact_b)
+    assert n >= row.union_distinct
+
+
+def test_approx_topk_matches_exact_on_small_cardinality(spark, sf_small):
+    d = load_table(spark, sf_small, "documents")
+    got = {
+        r.item: r.est_count
+        for r in sk.approx_topk(d, "source", k=5, max_items=1000).collect()
+    }
+    exact = {
+        r.source: r.n
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "source").limit(5).collect()
+    }
+    # cardinality (20 sources) << max_items: sketch counts are exact;
+    # compare as count multisets (ties may order differently)
+    assert sorted(got.values()) == sorted(exact.values())
+
+
+def test_approx_quantiles_bounds(spark, sf_small):
+    o = load_table(spark, sf_small, "orders")
+    qs = sk.approx_quantiles(o, "o_totalprice", [0.0, 0.5, 1.0])
+    exact_min, exact_max = o.agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).collect()[0]
+    assert qs[0] == exact_min and qs[2] == exact_max
+    assert exact_min <= qs[1] <= exact_max

@@ -27,7 +27,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hierarchical_rollup", "hierarchical_rollup_additive"]
+__all__ = [
+    "hierarchical_rollup",
+    "hierarchical_rollup_additive",
+    "hierarchical_rollup_sketch",
+]
 
 DEFAULT_GROUP_KEYS = (
     "ancestor_node_name",
@@ -203,3 +207,49 @@ def hierarchical_rollup_additive(
     if sort and "ancestor_node_sort_order" in keys:
         out = out.repartition(1).sortWithinPartitions("ancestor_node_sort_order")
     return out
+
+
+def hierarchical_rollup_sketch(
+    facts: DataFrame,
+    aggregation_dim: DataFrame,
+    fact_key_col: str,
+    distinct_col: str,
+    *,
+    lgk: int = 12,
+    group_keys: Sequence[str] = DEFAULT_GROUP_KEYS,
+    descendant_key_col: str = "descendant_node_natural_key",
+    out: str = "approx_distinct",
+) -> DataFrame:
+    """Distinct-count rollup via MERGEABLE HLL sketches at leaf grain —
+    the sketch-cube form of the flagship for hierarchies where even the
+    dedup-at-leaf-grain exact path (`hierarchical_rollup_additive`) is
+    too heavy: one sketch per leaf key (fact shuffle at leaf grain,
+    map-side combined), then the closure join ships CONSTANT-size
+    binaries (~2^lgk bytes) instead of distinct value sets, and
+    `hll_union_agg` merges them per ancestor.
+
+    HLL union at fixed lgk is LOSSLESS w.r.t. sketching the merged set
+    directly, so every ancestor's estimate is bit-identical to what a
+    per-ancestor re-scan would produce (pinned in tests/
+    test_sketches.py::test_hierarchical_sketch_rollup_equals_direct) —
+    the pre-aggregated leaf sketches can be stored and re-rolled to any
+    grain without touching facts again. Estimates carry the standard
+    HLL error (~1.04/sqrt(2^lgk)); exact paths remain the default."""
+    dim = aggregation_dim
+    keys = [k for k in group_keys if k in dim.columns]
+    leaf = facts.groupBy(fact_key_col).agg(
+        F.expr(f"hll_sketch_agg({distinct_col}, {lgk})").alias("_sk")
+    )
+    dim_slim = F.broadcast(dim.select(descendant_key_col, _ID))
+    per_node = (
+        leaf.join(dim_slim, leaf[fact_key_col] == dim_slim[descendant_key_col])
+        .groupBy(_ID)
+        .agg(F.expr("hll_union_agg(_sk)").alias("_u"))
+    )
+    if "net_level" in dim.columns:
+        attrs = dim.filter(F.col("net_level") == 0).select(_ID, *keys)
+    else:
+        attrs = dim.select(_ID, *keys).distinct()
+    return per_node.join(F.broadcast(attrs), _ID).select(
+        *keys, F.expr("hll_sketch_estimate(_u)").alias(out)
+    )

@@ -81,3 +81,43 @@ def test_approx_quantiles_bounds(spark, sf_small):
     ).collect()[0]
     assert qs[0] == exact_min and qs[2] == exact_max
     assert exact_min <= qs[1] <= exact_max
+
+
+def test_hierarchical_sketch_rollup_equals_direct(spark, sf_small):
+    """Sketch-cube rollup: merging LEAF-grain HLL partials up the
+    closure must give the identical estimate at every node to sketching
+    that node's fact slice directly (HLL union losslessness composed
+    with the hierarchy), and land within HLL error of the exact rollup."""
+    from ibis_olap_aggregation_spark.queries import _geo_dim
+    from ibis_olap_aggregation_spark.rollup import hierarchical_rollup_sketch
+
+    dim = _geo_dim(spark, sf_small).aggregation_dim
+    orders = load_table(spark, sf_small, "orders")
+    got = {
+        r.ancestor_node_name: r.approx_distinct
+        for r in hierarchical_rollup_sketch(
+            orders, dim, "o_custkey", "o_custkey"
+        ).collect()
+    }
+    # direct per-node sketch: expand facts to ancestors FIRST, sketch per node
+    expanded = orders.join(
+        dim.select("descendant_node_natural_key", "ancestor_node_id", "ancestor_node_name"),
+        orders["o_custkey"] == F.col("descendant_node_natural_key"),
+    )
+    direct = {
+        r.ancestor_node_name: r.est
+        for r in expanded.groupBy("ancestor_node_id", "ancestor_node_name")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 12))").alias("est"))
+        .collect()
+    }
+    assert got == direct
+    exact = {
+        r.ancestor_node_name: r.n
+        for r in expanded.groupBy("ancestor_node_name")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for name, est in got.items():
+        assert abs(est - exact[name]) <= max(3, 0.05 * exact[name]), (
+            name, est, exact[name],
+        )

@@ -50,7 +50,15 @@ from ibis_olap_aggregation_spark.functions.minhash_sql import (  # noqa: E402
     N_MINHASH,
 )
 
-SIMHASH_BITS = 32
+# 60 bits (all the entropy the shared 15-hex-digit md5 idiom carries,
+# sign bit untouched): with 4-chunk pigeonhole blocking each chunk has
+# 2^15 values, so buckets stay discriminating at large corpus sizes.
+# The original 32-bit form OOMed a 24g heap at 100k docs — 8-bit chunks
+# give only 256 bucket values, forcing sum(bucket^2) >= n^2/256 no
+# matter the content (found by tools/scale_smoke.py). 64-bit signatures
+# with k=3 chunking is the production design (Manku et al. 2007,
+# "Detecting Near-Duplicates for Web Crawling").
+SIMHASH_BITS = 60
 SIMHASH_MAX_HAMMING = 3
 COSINE_THRESHOLD = 0.3
 
@@ -547,7 +555,7 @@ sig AS (
     f"WITH {_DUCK_SIMHASH} SELECT doc_id, simhash FROM sig",
 )
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document: token-frequency-weighted bit votes
+    """60-bit SimHash per document: token-frequency-weighted bit votes
     over md5-derived token hashes. Shuffles only on doc_id (the token
     count + bit-vote aggregations are map-side combined)."""
     d = _docs(spark, sf_dir).withColumn("t", tokens_col())
@@ -610,9 +618,9 @@ def _simhash_near_pairs_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash_near_pairs", _DUCK_SIMHASH_PAIRS)
 def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: hamming distance <= 3 over the 32-bit
+    """SimHash near-dup pairs: hamming distance <= 3 over the 60-bit
     signatures, via EXACT pigeonhole chunk-blocking: split each signature
-    into 4 byte chunks — any pair within hamming 3 differs in at most 3
+    into 4 15-bit chunks — any pair within hamming 3 differs in at most 3
     chunks, so at least one chunk is EQUAL (pigeonhole) and the pair
     meets inside that chunk's bucket. Identical output to the all-pairs
     theta join (the oracle runs all-pairs; the blocking loses nothing),

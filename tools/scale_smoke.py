@@ -1,0 +1,78 @@
+"""Empirical scale smoke for the dedup/text family: amplify the sf0.1
+documents corpus Nx (default 20x ~ 100k docs) with mutated copies,
+then time the bucketed pipelines end-to-end. The point is the SHAPE of
+the numbers: bucketed LSH/span costs must grow ~linearly in corpus
+size (never quadratically), and the salted bucket caps must keep
+per-task pair generation bounded even though amplification multiplies
+every near-dup class.
+
+Usage: python tools/scale_smoke.py [amplification]
+Writes nothing to the repo; amplified parquet lives under /tmp.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.queries import QUERIES
+from ibis_olap_aggregation_spark.session import get_spark, load_table
+
+AMP = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+SRC = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    spark = get_spark("scale-smoke")
+    base = load_table(spark, SRC, "documents")
+    n0 = base.count()
+    work = tempfile.mkdtemp(prefix="scale_smoke_")
+    # each copy k mutates the text tail (append a copy marker word) so
+    # copies are NEAR-dups (high Jaccard) not exact dups — the worst
+    # case for LSH bucket sizes: every original spawns an AMP-sized
+    # near-duplicate class
+    copies = base.crossJoin(
+        spark.range(AMP).select(F.col("id").alias("k"))
+    ).select(
+        (F.col("doc_id") * AMP + F.col("k")).alias("doc_id"),
+        F.when(F.col("k") == 0, F.col("text")).otherwise(
+            F.concat_ws(" ", F.col("text"), F.lit("copy"),
+                        F.col("k").cast("string"))
+        ).alias("text"),
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+    )
+    copies.write.parquet(os.path.join(work, "documents.parquet"))
+    # embeddings table untouched (only doc-keyed queries here)
+    spark.read.parquet(os.path.join(SRC, "embeddings.parquet")).write.parquet(
+        os.path.join(work, "embeddings.parquet")
+    )
+    n1 = spark.read.parquet(os.path.join(work, "documents.parquet")).count()
+    print(f"amplified corpus: {n0} -> {n1} docs (x{AMP})")
+
+    for name in (
+        "dedup_exact_content",
+        "dedup_minhash_lsh_candidates",
+        "dedup_exact_substring_spans",
+        "dedup_simhash_near_pairs",
+        "dedup_duplicate_clusters",
+        "text_tfidf_top_terms",
+    ):
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, work)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        print(f"{name:32s} {dt:7.2f}s")
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

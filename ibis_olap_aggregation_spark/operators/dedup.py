@@ -788,11 +788,28 @@ def dedup_embedding_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     pattern). Recall vs the exact all-pairs form is pinned in
     tests/test_blocked_pairs.py; precision is 1.0 by construction
     (every emitted pair passed exact verification)."""
-    planes = rp_planes_df(spark, DEDUP_RP_TABLES * DEDUP_RP_BITS, DEDUP_RP_BITS)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    sigs = rp_sigs(e, planes, DEDUP_RP_BITS)
+    # Adaptive bucket width — the scale dial bucket CAPS cannot provide:
+    # fixed 4-bit buckets have 16 values per table, so beyond a few
+    # thousand vectors E[bucket] ~ n/16 and candidate volume grows as
+    # n^2/16 REGARDLESS of content (a 200k-vector corpus shut down a 24g
+    # JVM — found by the scale smoke, the same value-space cliff as the
+    # 32-bit SimHash chunks). bits = max(4, ceil(log2(n / 500))) keeps
+    # E[bucket] roughly constant; extra bits only lose recall on
+    # LOW-similarity pairs (p_collision/bit = 1 - theta/pi), while true
+    # near-dups (cosine -> 1) collide at any width. At every
+    # oracle-checked scale (n <= 2000 for sf <= 0.1) the rule yields
+    # exactly DEDUP_RP_BITS, so the static DuckDB twin stays
+    # bit-identical; the one count() action here is query-construction
+    # cost, same contract as window_ntile.
+    import math
+
+    n_vecs = e.count()
+    bits = max(DEDUP_RP_BITS, math.ceil(math.log2(max(n_vecs, 1) / 500 + 1)))
+    planes = rp_planes_df(spark, DEDUP_RP_TABLES * bits, bits)
+    sigs = rp_sigs(e, planes, bits)
     cand = (
         bucket_pairs(sigs, ["table_id", "bucket"], "vec_id")
         .select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"))

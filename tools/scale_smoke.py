@@ -76,3 +76,56 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# -- extended sweeps (embeddings / events), run as: scale_smoke.py --all ----
+def amplified_embeddings(spark, work: str, amp: int) -> None:
+    from ibis_olap_aggregation_spark.session import load_table as _lt
+
+    emb = _lt(spark, SRC, "embeddings")
+    emb.crossJoin(spark.range(amp).select(F.col("id").alias("k"))).select(
+        (F.col("vec_id") * amp + F.col("k")).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) ->"
+            " CAST(x + IF(i = 0, k / 1000.0, 0.0) AS FLOAT))"
+        ).alias("embedding"),
+        "label",
+    ).write.parquet(os.path.join(work, "embeddings.parquet"))
+
+
+def amplified_events(spark, work: str, amp: int) -> None:
+    from ibis_olap_aggregation_spark.session import load_table as _lt
+
+    ev = _lt(spark, SRC, "events")
+    ev.crossJoin(spark.range(amp).select(F.col("id").alias("k"))).select(
+        (F.col("event_id") * amp + F.col("k")).alias("event_id"),
+        (F.col("ts") + F.make_interval(secs=F.col("k") * 7)).alias("ts"),
+        (F.col("user_id") * amp + F.col("k")).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).write.parquet(os.path.join(work, "events.parquet"))
+
+
+EMB_QUERIES = (
+    "sim_rp_lsh_multiprobe_topk",
+    "sim_ivf_centroid_assign",
+    "dedup_embedding_cosine_lsh_pairs",
+    "dedup_semantic_ivf",
+)
+EVENT_QUERIES = (
+    "events_tumbling_window",
+    "events_session_window",
+    "events_activity_islands",
+    "events_gapfill_hourly",
+    "events_asof_prev_error",
+    "events_hourly_anomaly",
+    "events_user_lifecycle",
+    "events_retention_cohorts",
+)
+# Round-3 measured reference points (local[32], 24g heap):
+#   documents x20 (100k docs):  exact 2.3s | minhash-LSH 24.6s |
+#     spans 2.9s | simhash pairs 34.9s | clusters 18.9s | tfidf 6.7s
+#   events x100 (10M rows): 2.8-18.1s per query, linear shapes
+#   embeddings: pair listing is OUTPUT-bound after the adaptive-bits
+#     fix (20k vecs -> 932k pairs 57s; 60k -> 6.2M pairs 201s)

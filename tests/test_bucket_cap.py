@@ -178,3 +178,37 @@ def test_bucket_pairs_property(spark, layout):
         for y in ms[i + 1 :]
     )
     assert got == want
+
+
+def test_simhash_chunk_value_space_is_wide():
+    """Design guard for the round-3 scale fix: the pigeonhole chunks
+    must keep a wide value space (>= 2^15 values per chunk) — 8-bit
+    chunks force sum(bucket^2) >= n^2/256 regardless of content and
+    OOMed a 24g heap at 100k docs."""
+    from ibis_olap_aggregation_spark.operators.dedup import (
+        SIMHASH_BITS,
+        SIMHASH_MAX_HAMMING,
+    )
+
+    n_chunks = SIMHASH_MAX_HAMMING + 1
+    chunk_bits = SIMHASH_BITS // n_chunks
+    assert chunk_bits >= 15, (SIMHASH_BITS, chunk_bits)
+    assert SIMHASH_BITS <= 60  # md5 idiom carries 60 usable bits
+
+
+def test_rp_lsh_adaptive_bits_match_oracle_at_checked_scales():
+    """The adaptive RP-LSH width must reproduce the static oracle's
+    DEDUP_RP_BITS at every oracle-checked corpus size (sf0.001: 500
+    vectors, sf0.01: 500, sf0.1: 2000) and grow logarithmically
+    beyond — the exact rule dedup_embedding_cosine_lsh_pairs inlines."""
+    import math
+
+    from ibis_olap_aggregation_spark.operators.dedup import DEDUP_RP_BITS
+
+    def bits(n):
+        return max(DEDUP_RP_BITS, math.ceil(math.log2(max(n, 1) / 500 + 1)))
+
+    for n in (1, 500, 2000):
+        assert bits(n) == DEDUP_RP_BITS, n
+    assert bits(200_000) >= 8  # wide enough that E[bucket] stays bounded
+    assert bits(20_000_000) <= 16  # and recall on true near-dups survives

@@ -751,6 +751,18 @@ DEDUP_RP_TABLES = 16
 DEDUP_RP_BITS = 4
 
 
+def adaptive_rp_bits(n_vecs: int) -> int:
+    """RP-LSH bucket width for a corpus of n vectors:
+    max(DEDUP_RP_BITS, ceil(log2(n/500 + 1))). Keeps E[bucket size]
+    roughly constant as the corpus grows (the value-space cliff found by
+    tools/scale_smoke.py); reproduces the static oracle's DEDUP_RP_BITS
+    at every oracle-checked scale (n <= 2000). Pinned by
+    tests/test_bucket_cap.py."""
+    import math
+
+    return max(DEDUP_RP_BITS, math.ceil(math.log2(max(n_vecs, 1) / 500 + 1)))
+
+
 @register(
     "dedup_embedding_cosine_lsh_pairs",
     f"""
@@ -804,10 +816,7 @@ def dedup_embedding_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     # exactly DEDUP_RP_BITS, so the static DuckDB twin stays
     # bit-identical; the one count() action here is query-construction
     # cost, same contract as window_ntile.
-    import math
-
-    n_vecs = e.count()
-    bits = max(DEDUP_RP_BITS, math.ceil(math.log2(max(n_vecs, 1) / 500 + 1)))
+    bits = adaptive_rp_bits(e.count())
     planes = rp_planes_df(spark, DEDUP_RP_TABLES * bits, bits)
     sigs = rp_sigs(e, planes, bits)
     cand = (

@@ -201,12 +201,10 @@ def test_rp_lsh_adaptive_bits_match_oracle_at_checked_scales():
     DEDUP_RP_BITS at every oracle-checked corpus size (sf0.001: 500
     vectors, sf0.01: 500, sf0.1: 2000) and grow logarithmically
     beyond — the exact rule dedup_embedding_cosine_lsh_pairs inlines."""
-    import math
-
-    from ibis_olap_aggregation_spark.operators.dedup import DEDUP_RP_BITS
-
-    def bits(n):
-        return max(DEDUP_RP_BITS, math.ceil(math.log2(max(n, 1) / 500 + 1)))
+    from ibis_olap_aggregation_spark.operators.dedup import (
+        DEDUP_RP_BITS,
+        adaptive_rp_bits as bits,
+    )
 
     for n in (1, 500, 2000):
         assert bits(n) == DEDUP_RP_BITS, n

@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "hierarchical_rollup",
     "hierarchical_rollup_additive",
+    "hierarchical_rollup_partials",
     "hierarchical_rollup_sketch",
+    "merge_rollup_partials",
+    "finalize_rollup_partials",
 ]
 
 DEFAULT_GROUP_KEYS = (
@@ -253,3 +256,127 @@ def hierarchical_rollup_sketch(
     return per_node.join(F.broadcast(attrs), _ID).select(
         *keys, F.expr("hll_sketch_estimate(_u)").alias(out)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance: mergeable per-node partials
+# ---------------------------------------------------------------------------
+#
+# The materialized-view form of the flagship rollup. A 100 TB fact table
+# grows by appends; recomputing every node's totals from scratch per
+# batch rescans the world. Additive measures decompose instead:
+#
+#     partials(base ∪ delta) == merge(partials(base), partials(delta))
+#
+# so the steady state is: keep ONE node-sized partial table (exact
+# decimals, never the lossy double rendering), and per batch aggregate
+# ONLY the delta (|delta leaf keys| x depth shuffle rows) and merge —
+# cost is independent of the base fact count. `finalize` renders the
+# partial table to the same shape/types the one-shot rollup emits, and
+# the registry query `hierarchy_rollup_incremental` pins
+# merge-then-finalize bit-equal to a full recompute via the DuckDB
+# oracle over the WHOLE fact table.
+#
+# COUNT(DISTINCT) is deliberately absent here: it is not additive, and
+# pretending otherwise is how incremental cubes go wrong. Its exact
+# incremental form is the (leaf key, value) pair table
+# (hierarchical_rollup_additive's dedup-at-fact-grain input, itself
+# mergeable by union+distinct) or the mergeable-sketch path
+# (hierarchical_rollup_sketch — HLL unions are the textbook
+# incremental distinct).
+
+
+def hierarchical_rollup_partials(
+    facts: DataFrame,
+    aggregation_dim: DataFrame,
+    fact_key_col: str,
+    *,
+    sum_cols: Sequence[tuple[str, str]] = (),
+    count_alias: str | None = None,
+    descendant_key_col: str = "descendant_node_natural_key",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Per-node ADDITIVE partials for a batch of facts: one row per
+    ancestor_node_id carrying exact-decimal sums (decimal(38,2) — no
+    double cast, so merged partials re-sum associativity-proof) and the
+    contributing fact count. Same leaf-grain pre-aggregation as
+    hierarchical_rollup_additive: the closure join and shuffle see one
+    row per leaf key, not per fact."""
+    if not sum_cols and not count_alias:
+        raise ValueError("no measures declared")
+    dim_slim = aggregation_dim.select(descendant_key_col, _ID)
+    if broadcast_dim:
+        dim_slim = F.broadcast(dim_slim)
+    partial_aggs = [
+        F.sum(F.col(c).cast("decimal(18,2)")).alias(a) for c, a in sum_cols
+    ]
+    if count_alias:
+        partial_aggs.append(F.count(F.lit(1)).alias(count_alias))
+    leaf = facts.groupBy(fact_key_col).agg(*partial_aggs)
+    rolled = [
+        F.sum(a).cast("decimal(38,2)").alias(a) for _, a in sum_cols
+    ]
+    if count_alias:
+        rolled.append(F.sum(count_alias).cast("bigint").alias(count_alias))
+    return (
+        leaf.join(dim_slim, leaf[fact_key_col] == dim_slim[descendant_key_col])
+        .groupBy(_ID)
+        .agg(*rolled)
+    )
+
+
+def merge_rollup_partials(
+    partials: Sequence[DataFrame],
+    *,
+    sum_aliases: Sequence[str] = (),
+    count_alias: str | None = None,
+) -> DataFrame:
+    """Merge per-node partial tables (union + re-sum per node). Nodes
+    absent from a batch (no facts under them) are simply absent from
+    that batch's partials — union semantics handle sparsity for free.
+    Exact: decimal + bigint sums are associative/commutative, so any
+    merge tree (per-batch, pairwise, all-at-once) yields identical
+    bits. The shuffle is node-table-sized regardless of how many
+    batches merged."""
+    if not partials:
+        raise ValueError("no partials to merge")
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.unionByName(p)
+    aggs = [F.sum(a).cast("decimal(38,2)").alias(a) for a in sum_aliases]
+    if count_alias:
+        aggs.append(F.sum(count_alias).cast("bigint").alias(count_alias))
+    return merged.groupBy(_ID).agg(*aggs)
+
+
+def finalize_rollup_partials(
+    merged: DataFrame,
+    aggregation_dim: DataFrame,
+    *,
+    sum_aliases: Sequence[str] = (),
+    group_keys: Sequence[str] = DEFAULT_GROUP_KEYS,
+    sort: bool = True,
+) -> DataFrame:
+    """Render a merged partial table to the one-shot rollup's output
+    shape: decorate node attributes (broadcast — one row per node),
+    cast the exact-decimal sums to the presentation double, sort by the
+    hierarchy's display order. Keeping this a separate step is the
+    point: the STORED partials stay exact and mergeable; only the
+    query-time view pays the lossy cast."""
+    dim = aggregation_dim
+    keys = [k for k in group_keys if k in dim.columns]
+    if "net_level" in dim.columns:
+        attrs = dim.filter(F.col("net_level") == 0).select(_ID, *keys)
+    else:
+        attrs = dim.select(_ID, *keys).distinct()
+    out = merged.join(F.broadcast(attrs), _ID).select(
+        *keys,
+        *[
+            (F.col(c).cast("double").alias(c) if c in sum_aliases else F.col(c))
+            for c in merged.columns
+            if c != _ID
+        ],
+    )
+    if sort and "ancestor_node_sort_order" in keys:
+        out = out.repartition(1).sortWithinPartitions("ancestor_node_sort_order")
+    return out

@@ -156,6 +156,65 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_orc_roundtrip",
+    """
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY 1
+""",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip: project orders, write ORC (Spark's
+    second columnar format — native reader/writer, predicate pushdown,
+    column pruning like parquet), read back, aggregate. The oracle
+    aggregates the original parquet directly, proving the ORC path is
+    lossless for these types (DuckDB has no ORC reader, so equality to
+    the parquet-derived answer IS the check)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    path = _roundtrip_dir("orc")
+    write_table(o, path, "orc")
+    back = read_table(spark, path, "orc")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )
+
+
+@register(
+    "source_partitioned_pruning",
+    """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY 1
+""",
+)
+def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition-pruned read: write events
+    partitioned BY event_type, then read back filtering to two
+    partition values and aggregate. The filter on the partition column
+    is satisfied at file-LISTING time — the pruned partitions' files
+    are never opened (the plan's PartitionFilters carries the IN; no
+    data filter remains — pinned in tests/test_sources.py). At 100 TB
+    this is the difference between scanning 2/5 of the table and all
+    of it. Oracle: same filter+aggregate on the original table."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    path = _roundtrip_dir("part_events")
+    write_partitioned(ev, path, ["event_type"])
+    back = read_table(spark, path, "parquet").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    )
+
+
 def upsert_parquet(
     spark: SparkSession,
     path: str,

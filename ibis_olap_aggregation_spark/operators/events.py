@@ -586,3 +586,74 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
         dsum("value", "total_value"),
     )
+
+
+@register(
+    "window_session_features",
+    """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+),
+sessions AS (
+  SELECT *, SUM(is_new_session)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+FROM sessions
+GROUP BY 1, 2
+""",
+)
+def window_session_features(spark, sf_dir):
+    """Per-session feature vectors via the explicit lag/cumulative-sum
+    sessionization idiom (the window-function twin of the native
+    F.session_window used by events_session_window): a session boundary
+    is a >=30-minute gap, session_seq is the running count of
+    boundaries, and each (user, session) group yields the features a
+    behavioral-training pipeline consumes (event count, duration,
+    type diversity, spend, purchases).
+
+    Robust to timestamp ties: tied rows see a 0 gap in any tie order,
+    so session membership (and every downstream feature) is
+    deterministic even though the lag order itself breaks ties
+    arbitrarily. One shuffle on user_id serves both windows, and the
+    final (user_id, session_seq) groupBy reuses it (hash partitioning
+    on user_id satisfies the superset clustering requirement).
+    """
+    ev = _events(spark, sf_dir)
+    # ts is TIMESTAMP_NTZ; the UTC session timezone (session.py) makes
+    # the NTZ->TIMESTAMP cast an identity, so epoch math is exact
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "is_new_session",
+        F.when(ts_us - F.lag(ts_us).over(w) >= 30 * 60 * 1_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_seq",
+        F.sum("is_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp"))
+        ).alias("duration_us"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        dsum("value", "sum_value"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )

@@ -207,6 +207,36 @@ def sim_ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_exploded(e: DataFrame) -> DataFrame:
+    """(vec_id, label, dim 1-based, val) rows — the shared explode.
+
+    Hash-repartition BEFORE the 64x explode: a small embeddings file
+    scans as ONE partition, and a narrow single-file scan keeps the
+    explode + decimal centroid aggregations in a single task (~9s of
+    the query's cold cost measured at sf0.1). Hash (not round-robin)
+    partitioning: Catalyst pushes projections/generators below
+    round-robin exchanges, which would put the work right back in the
+    scan partition. Values are unaffected — every downstream
+    aggregation is summation-order-proof decimal."""
+    parts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        e.repartition(parts, "vec_id")
+        .select("vec_id", "label", F.posexplode("v").alias("dim0", "val"))
+        .select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "val")
+    )
+
+
+def _ivf_centroids(ex: DataFrame, cluster_col: str = "label") -> DataFrame:
+    """Per-cluster per-dimension mean in exact decimal (summation-order
+    -proof, so both engines produce bit-identical centroid doubles)."""
+    return ex.groupBy(F.col(cluster_col).alias("c_label"), "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cval")
+    )
+
+
 def _ivf_centroid_ranked(e: DataFrame) -> DataFrame:
     """Per-(vector, centroid) cosine with a dense per-vector rank.
 
@@ -217,26 +247,14 @@ def _ivf_centroid_ranked(e: DataFrame) -> DataFrame:
     (labels x 64 dims) -> broadcast; explode/groupBy is map-side
     combined.
     """
-    # hash-repartition BEFORE the 64x explode: a small embeddings file
-    # scans as ONE partition, and a narrow single-file scan keeps the
-    # explode + decimal centroid aggregations in a single task (~9s of
-    # the query's cold cost measured at sf0.1). Hash (not round-robin)
-    # partitioning: Catalyst pushes projections/generators below
-    # round-robin exchanges, which would put the work right back in the
-    # scan partition. Values are unaffected — every downstream
-    # aggregation is summation-order-proof decimal.
-    parts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    ex = e.repartition(parts, "vec_id").select(
-        "vec_id",
-        "label",
-        F.posexplode("v").alias("dim0", "val"),
-    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "val")
-    cent = ex.groupBy(F.col("label").alias("c_label"), "dim").agg(
-        (
-            F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("cval")
-    )
+    ex = _ivf_exploded(e)
+    cent = _ivf_centroids(ex)
+    return _ivf_score_rank(ex, cent)
+
+
+def _ivf_score_rank(ex: DataFrame, cent: DataFrame) -> DataFrame:
+    """Score every vector against every centroid (exact-decimal dot and
+    norms) and rank centroids per vector: rk=1 is the assignment."""
     scored = (
         ex.join(F.broadcast(cent), "dim")
         .groupBy("vec_id", "label", "c_label")
@@ -775,5 +793,113 @@ def sim_ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_cosine"),
             F.min("cosine").alias("min_cosine"),
+        )
+    )
+
+
+@register(
+    "sim_kmeans_refine",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+ex AS (
+  SELECT vec_id, label, i.i AS dim, v[i.i] AS val
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+),
+cent AS (
+  SELECT label AS c_label, dim,
+         CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cval
+  FROM ex GROUP BY 1, 2
+),
+scored AS (
+  SELECT x.vec_id, x.label, c.c_label,
+         CAST(SUM(CAST(x.val * c.cval AS DECIMAL(28,14))) AS DOUBLE) AS dot,
+         sqrt(CAST(SUM(CAST(x.val * x.val AS DECIMAL(28,14))) AS DOUBLE))
+           * sqrt(CAST(SUM(CAST(c.cval * c.cval AS DECIMAL(28,14))) AS DOUBLE))
+           AS norms
+  FROM ex x JOIN cent c ON x.dim = c.dim
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT vec_id, label, c_label, ROUND(dot / norms, 6) AS cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ROUND(dot / norms, 6) DESC, c_label) AS rk
+  FROM scored
+),
+assign AS (SELECT vec_id, c_label FROM ranked WHERE rk = 1),
+cent2 AS (
+  SELECT a.c_label, x.dim,
+         CAST(SUM(CAST(x.val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cval2
+  FROM ex x JOIN assign a ON x.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+shift AS (
+  SELECT c.c_label,
+         ROUND(CAST(SUM(CAST(ABS(c2.cval2 - c.cval) AS DECIMAL(28,14))) AS DOUBLE), 6)
+           AS centroid_shift_l1
+  FROM cent c JOIN cent2 c2 ON c.c_label = c2.c_label AND c.dim = c2.dim
+  GROUP BY 1
+),
+n_init AS (SELECT label AS c_label, COUNT(*) AS n_init FROM e GROUP BY 1),
+n_asgn AS (SELECT c_label, COUNT(*) AS n_assigned FROM assign GROUP BY 1)
+SELECT i.c_label AS cluster_label,
+       i.n_init,
+       COALESCE(a.n_assigned, 0) AS n_assigned,
+       s.centroid_shift_l1
+FROM n_init i
+LEFT JOIN n_asgn a ON a.c_label = i.c_label
+LEFT JOIN shift s ON s.c_label = i.c_label
+""",
+)
+def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd (k-means) refinement step on the IVF coarse
+    centroids: init centroids = per-label means, assign every vector to
+    its nearest centroid by cosine, recompute centroids over the
+    ASSIGNED clusters, and report per cluster the membership change
+    (n_init vs n_assigned) and the L1 centroid movement — the
+    convergence signal a full Lloyd loop would iterate on.
+
+    Every mean/dot/norm accumulates in exact DECIMAL (summation-order
+    -proof), so assignments and the movement metric match the oracle
+    bit-for-bit — the property that lets a Spark-built IVF index be
+    verified against (or refined by) any other engine. Cost per step:
+    one |vectors| x |centroids| broadcast score pass + two map-side
+    combined aggregations; the loop is rounds x that, no pair joins.
+    Clusters that lose every member report n_assigned=0 and a NULL
+    shift (their centroid is retired, the standard k-means edge case).
+    """
+    e = _emb(spark, sf_dir)
+    ex = _ivf_exploded(e)
+    cent = _ivf_centroids(ex)
+    ranked = _ivf_score_rank(ex, cent)
+    assign = ranked.filter("rk = 1").select("vec_id", F.col("c_label").alias("nl"))
+    cent2 = _ivf_centroids(
+        ex.join(assign, "vec_id").select("vec_id", "nl", "dim", "val"), "nl"
+    ).withColumnRenamed("cval", "cval2")
+    shift = (
+        cent.join(cent2, ["c_label", "dim"])
+        .groupBy("c_label")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(F.col("cval2") - F.col("cval")).cast("decimal(28,14)")
+                ).cast("double"),
+                6,
+            ).alias("centroid_shift_l1")
+        )
+    )
+    n_init = e.groupBy(F.col("label").alias("c_label")).agg(
+        F.count(F.lit(1)).alias("n_init")
+    )
+    n_asgn = assign.groupBy(F.col("nl").alias("c_label")).agg(
+        F.count(F.lit(1)).alias("n_assigned")
+    )
+    return (
+        n_init.join(n_asgn, "c_label", "left")
+        .join(shift, "c_label", "left")
+        .select(
+            F.col("c_label").alias("cluster_label"),
+            "n_init",
+            F.coalesce("n_assigned", F.lit(0)).alias("n_assigned"),
+            "centroid_shift_l1",
         )
     )

@@ -635,6 +635,7 @@ from ibis_olap_aggregation_spark.functions import vectorized  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import quality  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import pipeline  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import tpch  # noqa: E402,F401
+from ibis_olap_aggregation_spark.operators import layout  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -754,6 +755,7 @@ _ADDED_ROUND4 = frozenset(
         "source_orc_roundtrip", "source_partitioned_pruning",
         "hierarchy_rollup_incremental", "sim_kmeans_refine",
         "agg_approx_distinct_rollup", "window_session_features",
+        "layout_zorder_file_skipping", "sample_shard_manifest",
     }
 )
 
@@ -1188,6 +1190,40 @@ def hierarchy_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ancestor_node_sort_order").cast("bigint").alias("node_sort_order"),
         "sum_totalprice",
         "count_of_fact_records",
+    )
+
+
+_reorder_for_driver_coverage()
+
+
+# -- sketch rollup: mergeable HLL distinct counts at every node --------------
+
+
+@register("agg_approx_distinct_rollup")  # no oracle: HLL estimates are
+# engine-specific (Datasketches lgk-12 HLL has no DuckDB twin); the
+# driver records the weaker rows-only check. The strong guarantees are
+# pinned locally instead: tests/test_sketches.py proves the closure-
+# merged sketch estimate EQUALS a direct per-node sketch bit-for-bit
+# (HLL union is lossless at fixed lgk) and tracks exact within HLL
+# error; the exact twin of this query is hierarchy_geo_rollup_orders.
+def agg_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate COUNT(DISTINCT customer) at EVERY hierarchy node via
+    mergeable HLL sketches (rollup.hierarchical_rollup_sketch): one
+    sketch per leaf key, closure join ships constant-size binaries,
+    hll_union_agg merges per ancestor. The 100 TB shape for non-additive
+    distincts: fact shuffle is |leaf keys|, re-rollable to any grain
+    without rescanning facts."""
+    from ibis_olap_aggregation_spark.rollup import hierarchical_rollup_sketch
+
+    dim = _geo_dim(spark, sf_dir)
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    out = hierarchical_rollup_sketch(
+        orders, dim.aggregation_dim, "o_custkey", "o_custkey", lgk=12
+    )
+    return out.select(
+        F.col("ancestor_node_name").alias("node_name"),
+        F.col("ancestor_level_number").alias("level_number"),
+        F.col("approx_distinct").cast("bigint").alias("approx_distinct_customers"),
     )
 
 

@@ -260,6 +260,24 @@ def upsert_parquet(
         else:
             raise FileNotFoundError(path)
     existing = spark.read.parquet(path)
+    merged = _merge_upsert(existing, updates, key_cols, delete_where)
+    staging = f"{path}.staging-{_uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    backup = f"{path}.old-{_uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+
+
+def _merge_upsert(
+    existing: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete_where: str | None,
+) -> DataFrame:
+    """Shared SCD-1 merge plan: keep existing rows not matched by an
+    update key (left-anti on the key — co-located when both sides are
+    bucketed on it), append the updates, apply the optional delete."""
     missing = [c for c in existing.columns if c not in updates.columns]
     if missing:
         raise ValueError(f"updates missing columns {missing}")
@@ -269,9 +287,126 @@ def upsert_parquet(
     merged = kept.unionByName(updates.select(*existing.columns))
     if delete_where is not None:
         merged = merged.filter(f"NOT ({delete_where})")
-    staging = f"{path}.staging-{_uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(staging)
-    backup = f"{path}.old-{_uuid.uuid4().hex[:8]}"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
+    return merged
+
+
+class VersionedParquetTable:
+    """Crash-atomic multi-version parquet table: the manifest-flip
+    layout `upsert_parquet`'s docstring points at, and the simplest
+    member of the Delta/Iceberg family of designs.
+
+    Layout::
+
+        root/
+          _CURRENT          <- tiny JSON {"version": N}; THE commit point
+          v-00000/          <- immutable full snapshots (plain parquet)
+          v-00001/
+
+    Every write lands in a brand-new ``v-<N+1>`` directory; committing
+    is ONE atomic replace of the ``_CURRENT`` manifest file
+    (``os.replace`` of a same-filesystem temp file — atomic on POSIX;
+    the object-store analogue is a single manifest PUT, which is why
+    this layout survives S3-style semantics where directory renames do
+    not). Crash anywhere before the flip leaves ``_CURRENT`` pointing
+    at the last complete version and only an orphan ``v-*`` directory
+    behind, which the next write garbage-collects. Readers resolve
+    ``_CURRENT`` once and then read an immutable directory — no
+    missing-table window, and old versions stay readable (bounded time
+    travel) until ``keep_versions`` retires them. Single WRITER is
+    still assumed (no optimistic-concurrency loop); readers are
+    unrestricted.
+    """
+
+    _MANIFEST = "_CURRENT"
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- manifest ----------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, self._MANIFEST)
+
+    def current_version(self) -> int:
+        import json as _json
+
+        with open(self._manifest_path()) as f:
+            return int(_json.load(f)["version"])
+
+    def _version_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"v-{version:05d}")
+
+    def _flip(self, version: int) -> None:
+        import json as _json
+        import uuid as _uuid
+
+        tmp = os.path.join(self.root, f"._manifest-{_uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            _json.dump({"version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path())  # the atomic commit
+
+    def versions(self) -> list[int]:
+        import re as _re
+
+        out = []
+        for name in os.listdir(self.root):
+            m = _re.fullmatch(r"v-(\d{5})", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, root: str, df: DataFrame
+    ) -> "VersionedParquetTable":
+        """Initialize the table at version 0 with ``df``'s rows."""
+        t = cls(spark, root)
+        os.makedirs(root, exist_ok=True)
+        df.write.mode("overwrite").parquet(t._version_dir(0))
+        t._flip(0)
+        return t
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the current (or a retained historical) snapshot."""
+        v = self.current_version() if version is None else version
+        d = self._version_dir(v)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"version {v} not present (retired by keep_versions?)"
+            )
+        return self.spark.read.parquet(d)
+
+    def upsert(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        *,
+        delete_where: str | None = None,
+        keep_versions: int = 2,
+    ) -> int:
+        """SCD-1 merge into a NEW version; returns the committed version.
+
+        Sequence: GC orphan dirs from crashed writes (any ``v-*`` above
+        the committed version) -> write the merged snapshot to the next
+        version directory -> atomic manifest flip -> retire versions
+        older than ``keep_versions``. A crash at ANY point leaves the
+        committed version complete and readable."""
+        import shutil as _shutil
+
+        current = self.current_version()
+        for v in self.versions():
+            if v > current:  # orphan from a crashed write
+                _shutil.rmtree(self._version_dir(v), ignore_errors=True)
+        merged = _merge_upsert(self.read(), updates, key_cols, delete_where)
+        new_v = current + 1
+        merged.write.mode("overwrite").parquet(self._version_dir(new_v))
+        self._flip(new_v)
+        for v in self.versions():
+            if v <= new_v - keep_versions:
+                _shutil.rmtree(self._version_dir(v), ignore_errors=True)
+        return new_v

@@ -173,3 +173,66 @@ def test_upsert_parquet_recovers_dangling_backup(spark, sf_small, workdir):
     assert spark.read.parquet(path).count() == n0 + 1
     assert not os.path.exists(f"{path}.old-deadbeef")
     shutil.rmtree(path)
+
+
+def test_versioned_table_upsert_and_time_travel(spark, sf_small, workdir):
+    import os
+
+    from ibis_olap_aggregation_spark.sources.io import VersionedParquetTable
+
+    root = os.path.join(workdir, "versioned")
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = VersionedParquetTable.create(spark, root, docs)
+    n0 = t.read().count()
+    assert t.current_version() == 0
+
+    updates = spark.createDataFrame(
+        [(0, "xx", 1), (10**9, "new", 42)],
+        "doc_id bigint, lang string, n_chars bigint",
+    )
+    v = t.upsert(updates, ["doc_id"])
+    assert v == 1 and t.current_version() == 1
+    after = t.read()
+    assert after.count() == n0 + 1
+    assert after.filter("doc_id = 0").collect()[0].lang == "xx"
+    # time travel: version 0 still readable (keep_versions=2) and intact
+    assert t.read(0).count() == n0
+    assert t.read(0).filter("doc_id = 0").collect()[0].lang != "xx"
+
+    # delete + retention: after the next commit version 0 is retired
+    v = t.upsert(updates.limit(0), ["doc_id"], delete_where="lang = 'xx'")
+    assert v == 2
+    assert t.read().filter("doc_id = 0").count() == 0
+    assert t.versions() == [1, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read(0)
+
+
+def test_versioned_table_crash_before_flip_is_invisible(spark, sf_small, workdir):
+    """A writer that dies after writing its snapshot but BEFORE the
+    manifest flip must leave readers on the old version; the orphan
+    directory is garbage-collected by the next successful upsert."""
+    import os
+
+    from ibis_olap_aggregation_spark.sources.io import VersionedParquetTable
+
+    root = os.path.join(workdir, "versioned_crash")
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "lang")
+    t = VersionedParquetTable.create(spark, root, docs)
+    n0 = t.read().count()
+
+    # simulate the crashed write: full v-00001 exists, manifest not flipped
+    docs.limit(10).write.parquet(t._version_dir(1))
+    assert t.current_version() == 0
+    assert t.read().count() == n0  # readers unaffected
+
+    updates = spark.createDataFrame([(10**9, "new")], "doc_id bigint, lang string")
+    v = t.upsert(updates, ["doc_id"])
+    # the orphan was discarded, NOT committed: the new version has the
+    # full merged table, not the 10-row orphan content
+    assert v == 1 and t.read().count() == n0 + 1
+    assert t.current_version() == 1

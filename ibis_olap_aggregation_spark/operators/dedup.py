@@ -1214,3 +1214,54 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters")
     )
+
+
+@register(
+    "sample_leakage_safe_split",
+    _DUCK_NEAR_DUP_COMP
+    + f"""
+, base AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS canon
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT CASE WHEN {_DUCK_MD5INT.format(x="canon::VARCHAR")} % 10000 < 8000 THEN 'train'
+            WHEN {_DUCK_MD5INT.format(x="canon::VARCHAR")} % 10000 < 9000 THEN 'validation'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT canon) AS n_groups,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM base
+GROUP BY 1
+""",
+)
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/validation/test split: the split key is
+    the NEAR-DUP CLUSTER canonical (component min doc_id; singletons are
+    their own canonical), not the document — so two near-duplicate
+    documents can never land on opposite sides of the train/eval fence.
+    Plain per-doc hash splits leak: a mutated copy of a training
+    document in the test set inflates eval scores; splitting at cluster
+    grain is the standard fix (tests pin that the naive doc-hash split
+    DOES straddle clusters on this corpus while this one cannot).
+
+    80/10/10 by md5(canonical) — deterministic across runs and engines,
+    same bucket idiom as sample_split_assign. Cost: the cluster
+    pipeline (LSH -> verify-on-candidates -> components) + one
+    broadcast-sized membership join + one aggregation; at corpus scale
+    the cluster membership table is a tiny fraction of the corpus."""
+    comp = _near_dup_components(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    base = (
+        d.select("doc_id", "n_chars")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn("canon", F.coalesce("component", "doc_id"))
+    )
+    bk = F.expr(_SPARK_MD5INT.format(x="cast(canon as string)") + " % 10000")
+    split = (
+        F.when(bk < 8000, "train").when(bk < 9000, "validation").otherwise("test")
+    )
+    return base.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("canon").alias("n_groups"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )

@@ -756,6 +756,7 @@ _ADDED_ROUND4 = frozenset(
         "hierarchy_rollup_incremental", "sim_kmeans_refine",
         "agg_approx_distinct_rollup", "window_session_features",
         "layout_zorder_file_skipping", "sample_shard_manifest",
+        "sample_leakage_safe_split",
     }
 )
 

@@ -162,3 +162,44 @@ def test_results_invariant_to_aqe_toggle(spark, sf_small):
         spark.conf.set(conf, orig)
     for n, (a, b) in results.items():
         assert a == b, f"{n} result depends on AQE"
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark, sf_small):
+    """The cluster-canonical split keeps every near-dup cluster on ONE
+    side of the train/eval fence; the naive per-doc hash split (same
+    buckets, doc_id key) demonstrably does not on this corpus — the
+    difference IS the operator's reason to exist."""
+    from ibis_olap_aggregation_spark.operators import dedup
+
+    comp = dedup._near_dup_components(spark, sf_small).cache()
+
+    def split_col(key_col):
+        bk = F.expr(
+            dedup._SPARK_MD5INT.format(x=f"cast({key_col} as string)") + " % 10000"
+        )
+        return (
+            F.when(bk < 8000, "train")
+            .when(bk < 9000, "validation")
+            .otherwise("test")
+        )
+
+    def straddled(assignment):
+        return (
+            assignment.groupBy("component")
+            .agg(F.countDistinct("split").alias("ns"))
+            .filter("ns > 1")
+            .count()
+        )
+
+    safe = comp.withColumn("split", split_col("component"))
+    naive = comp.withColumn("split", split_col("node"))
+    assert straddled(safe) == 0
+    assert straddled(naive) > 0  # the leak the operator prevents
+    # and the registry query's totals cover the whole corpus
+    rows = QUERIES["sample_leakage_safe_split"](spark, sf_small).collect()
+    from ibis_olap_aggregation_spark.session import load_table
+
+    assert sum(r["n_docs"] for r in rows) == load_table(
+        spark, sf_small, "documents"
+    ).count()
+    comp.unpersist()

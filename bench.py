@@ -91,6 +91,11 @@ HEADLINE = [
     "events_gapfill_hourly",
     "events_activity_islands",
     "sim_ivf_cluster_stats",
+    # round 3 continuation additions (same rule)
+    "layout_zorder_file_skipping",
+    "window_session_features",
+    "sim_kmeans_refine",
+    "sample_leakage_safe_split",
 ]
 
 

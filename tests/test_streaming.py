@@ -410,3 +410,40 @@ def test_silence_alert_rearms_after_resume(spark, workdir):
     # alert 1: last seen 10:00 with 1 event; alert 2 (re-armed): last
     # seen 13:00, count restarted at 1 after the state was dropped
     assert hb == [(ms(10), 1), (ms(13), 1)], hb
+
+
+def test_streaming_upsert_sink_versions_atomically(spark, tmp_path):
+    """foreachBatch + VersionedParquetTable: streamed updates merge into
+    the table with one committed version per non-empty micro-batch, and
+    the final state equals the same upsert applied in batch."""
+    from ibis_olap_aggregation_spark.sources.io import VersionedParquetTable
+    from ibis_olap_aggregation_spark.streaming.engine import run_upsert_sink
+
+    base = spark.createDataFrame(
+        [(1, "en", 10), (2, "de", 20), (3, "fr", 30)],
+        "doc_id bigint, lang string, n_chars bigint",
+    )
+    root = str(tmp_path / "versioned_sink")
+    table = VersionedParquetTable.create(spark, root, base)
+
+    # stream source: one parquet file of updates (replace doc 2, add 4)
+    src = str(tmp_path / "updates_src")
+    updates = spark.createDataFrame(
+        [(2, "xx", 99), (4, "es", 40)],
+        "doc_id bigint, lang string, n_chars bigint",
+    )
+    updates.write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id bigint, lang string, n_chars bigint"
+    ).parquet(src)
+
+    run_upsert_sink(
+        stream, table, ["doc_id"], checkpoint_dir=str(tmp_path / "ckpt")
+    )
+
+    assert table.current_version() == 1
+    got = {r["doc_id"]: (r["lang"], r["n_chars"]) for r in table.read().collect()}
+    assert got == {1: ("en", 10), 2: ("xx", 99), 3: ("fr", 30), 4: ("es", 40)}
+    # previous snapshot still readable: the pre-stream state
+    old = {r["doc_id"]: r["lang"] for r in table.read(0).collect()}
+    assert old == {1: "en", 2: "de", 3: "fr"}

@@ -756,7 +756,7 @@ _ADDED_ROUND4 = frozenset(
         "hierarchy_rollup_incremental", "sim_kmeans_refine",
         "agg_approx_distinct_rollup", "window_session_features",
         "layout_zorder_file_skipping", "sample_shard_manifest",
-        "sample_leakage_safe_split",
+        "sample_leakage_safe_split", "hierarchy_time_rollup",
     }
 )
 
@@ -1225,6 +1225,69 @@ def agg_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ancestor_node_name").alias("node_name"),
         F.col("ancestor_level_number").alias("level_number"),
         F.col("approx_distinct").cast("bigint").alias("approx_distinct_customers"),
+    )
+
+
+_reorder_for_driver_coverage()
+
+
+# -- hierarchy x calendar composite rollup -----------------------------------
+
+_TIME_ROLLUP_SQL = f"""
+WITH RECURSIVE gbase AS ({GEO_NODES_SQL}),
+gwalk AS (
+  SELECT node_id, node_natural_key, node_name, 1 AS level_number
+  FROM gbase WHERE parent_node_id IS NULL
+  UNION ALL
+  SELECT n.node_id, n.node_natural_key, n.node_name, w.level_number + 1
+  FROM gbase n JOIN gwalk w ON n.parent_node_id = w.node_id
+),
+gclosure AS (
+  SELECT node_id AS anc, node_id AS dsc FROM gbase
+  UNION ALL
+  SELECT c.anc, n.node_id FROM gclosure c JOIN gbase n ON n.parent_node_id = c.dsc
+)
+SELECT a.node_name, a.level_number,
+       CAST(year(o.o_orderdate) AS INT) AS order_year,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice,
+       COUNT(*) AS n_orders
+FROM gclosure c
+JOIN gwalk a ON a.node_id = c.anc AND a.level_number <= 2
+JOIN gwalk d ON d.node_id = c.dsc AND d.node_natural_key IS NOT NULL
+JOIN orders o ON o.o_custkey = d.node_natural_key
+GROUP BY 1, 2, 3
+"""
+
+
+@register("hierarchy_time_rollup", _TIME_ROLLUP_SQL)
+def hierarchy_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy x calendar composite rollup: orders rolled up the geo
+    closure AND sliced by order year in the same flat groupBy — the
+    standard OLAP cube slice (region/nation node x year). The closure
+    join adds the hierarchy dimension without recursion at query time;
+    the year column comes straight off the fact row, so on a
+    date-partitioned 100 TB fact table a year predicate would prune
+    partitions BEFORE the join. Ancestors capped at level <= 2
+    (region/nation) to keep the output at reporting grain."""
+    dim = _geo_dim(spark, sf_dir)
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    agg = dim.aggregation_dim.filter(F.col("ancestor_level_number") <= 2).select(
+        "ancestor_node_name", "ancestor_level_number", "descendant_node_natural_key"
+    )
+    return (
+        orders.join(
+            F.broadcast(agg),
+            orders["o_custkey"] == agg["descendant_node_natural_key"],
+        )
+        .groupBy(
+            F.col("ancestor_node_name").alias("node_name"),
+            F.col("ancestor_level_number").alias("level_number"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            dsum("o_totalprice", "sum_totalprice"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
     )
 
 

@@ -209,8 +209,12 @@ def layout_zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     zkeyed = li.withColumn(
         "zkey", zorder_key(["pk", "sk"], {"pk": maxp, "sk": maxs})
     )
-    stats = file_stats(zkeyed, ["zkey", "pk", "sk"], "zorder").unionByName(
-        file_stats(li, ["pk", "sk"], "linear")
+    # 2 x 64 stat rows feed BOTH the probe-overlap branch and the
+    # n_files count: cache so the two global rankings run once, not twice
+    stats = (
+        file_stats(zkeyed, ["zkey", "pk", "sk"], "zorder")
+        .unionByName(file_stats(li, ["pk", "sk"], "linear"))
+        .cache()
     )
 
     pw, sw = maxp // _PROBE_DENOM, maxs // _PROBE_DENOM

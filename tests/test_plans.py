@@ -153,3 +153,47 @@ def test_span_dedup_shuffles_on_key_and_doc_only(spark, sf_small):
     joined pairwise."""
     df = q.QUERIES["dedup_exact_substring_spans"](spark, sf_small)
     assert pi.count_exchanges(df) <= 2, pi.physical_plan(df)
+
+
+def test_time_rollup_broadcasts_closure_and_prunes_orders(spark, sf_small):
+    df = q.QUERIES["hierarchy_time_rollup"](spark, sf_small)
+    assert pi.has_broadcast_join(df), "closure slice must broadcast-join"
+    for cols in pi.scan_columns(df):
+        if "o_custkey" in cols:
+            # only the join key, the date, and the measure are read
+            assert set(cols) <= {"o_custkey", "o_orderdate", "o_totalprice"}, cols
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_manifest_single_aggregation_shuffle(spark, sf_small):
+    # map-side-combined groupBy on the md5 shard id: exactly one exchange
+    df = q.QUERIES["sample_shard_manifest"](spark, sf_small)
+    assert pi.count_exchanges(df, executed=True) == 1, pi.physical_plan(
+        df, executed=True
+    )
+
+
+def test_session_features_single_user_shuffle(spark, sf_small):
+    # both windows AND the final (user_id, session_seq) groupBy must ride
+    # ONE hash exchange on user_id (hash on a prefix satisfies the
+    # superset clustering requirement) — a second shuffle here would
+    # re-move the whole event stream at scale
+    df = q.QUERIES["window_session_features"](spark, sf_small)
+    assert pi.count_exchanges(df, executed=True) == 1, pi.physical_plan(
+        df, executed=True
+    )
+
+
+def test_zorder_skipping_only_intended_broadcast_fanout(spark, sf_small):
+    # the probe-grid fanout (128 stat rows x 32 probes) is an intended
+    # tiny broadcast nested loop; there must be no CartesianProduct and
+    # no OTHER nested-loop join in the plan
+    spark.catalog.clearCache()
+    df = q.QUERIES["layout_zorder_file_skipping"](spark, sf_small)
+    plan = pi.physical_plan(df, executed=True)
+    assert "CartesianProduct" not in plan
+    # <= 2: the fanout subtree PRINTS twice because the file-stats
+    # lineage is referenced by both the hits and n_files branches (same
+    # duplicated-lineage artifact the dedup plane-fanout test documents)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:2000]

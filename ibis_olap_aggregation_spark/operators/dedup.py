@@ -1265,3 +1265,180 @@ def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("canon").alias("n_groups"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+# -- incremental dedup: new batch vs existing corpus -------------------------
+
+# Deterministic batch split for the registered query: ~10% of documents
+# play the "newly arrived" batch, the rest the already-deduplicated
+# corpus. Same md5-bucket idiom as sample_split_assign so both engines
+# agree exactly.
+INCREMENTAL_NEW_PCT = 10
+
+
+@register(
+    "dedup_incremental_new_docs",
+    f"""
+WITH {_DUCK_HASHED_SHINGLES},
+{_DUCK_MINHASH_SIG},
+split AS (
+  SELECT doc_id,
+         {_DUCK_MD5INT.format(x="doc_id::VARCHAR")} % 100 AS bk
+  FROM documents
+),
+newdocs AS (SELECT doc_id FROM split WHERE bk >= {100 - INCREMENTAL_NEW_PCT}),
+corpus AS (SELECT doc_id FROM split WHERE bk < {100 - INCREMENTAL_NEW_PCT}),
+chash AS (
+  SELECT doc_id, md5(lower(trim(text))) AS ch FROM documents
+),
+exact_m AS (
+  SELECT n.doc_id, MIN(c.doc_id) AS exact_match
+  FROM chash n
+  JOIN newdocs nd ON n.doc_id = nd.doc_id
+  JOIN chash c ON c.ch = n.ch
+  JOIN corpus co ON c.doc_id = co.doc_id
+  GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, i.i AS band_id, ms[i.i + 1] AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS i) i
+),
+cand AS (
+  SELECT DISTINCT nb.doc_id AS new_doc, cb.doc_id AS corpus_doc
+  FROM bands nb
+  JOIN newdocs nd ON nb.doc_id = nd.doc_id
+  JOIN bands cb ON cb.band_id = nb.band_id AND cb.band_hash = nb.band_hash
+  JOIN corpus co ON cb.doc_id = co.doc_id
+),
+ver AS (
+  SELECT cand.new_doc, MIN(cand.corpus_doc) AS near_match
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.new_doc
+  JOIN sh sb ON sb.doc_id = cand.corpus_doc
+  WHERE len(list_intersect(sa.hs, sb.hs))
+        / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+        >= {JACCARD_THRESHOLD}
+  GROUP BY 1
+),
+nc AS (
+  SELECT new_doc, COUNT(*) AS n_lsh_candidates FROM cand GROUP BY 1
+)
+SELECT nd.doc_id,
+       CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+            WHEN v.near_match IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS verdict,
+       coalesce(e.exact_match, v.near_match) AS matched_doc_id,
+       coalesce(nc.n_lsh_candidates, 0) AS n_lsh_candidates
+FROM newdocs nd
+LEFT JOIN exact_m e ON e.doc_id = nd.doc_id
+LEFT JOIN ver v ON v.new_doc = nd.doc_id
+LEFT JOIN nc ON nc.new_doc = nd.doc_id
+""",
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup: classify a newly-arrived batch against an
+    already-deduplicated corpus WITHOUT re-pairing the corpus with
+    itself — the production shape for a training pipeline that ingests
+    continuously (a full-corpus re-dedup per increment is O(corpus) per
+    batch; this is O(batch + matched buckets)).
+
+    Tiers, cheapest first:
+      1. exact: md5(normalized text) of the new batch equi-joined
+         against the corpus content-hash store.
+      2. near: the new batch's MinHash LSH bands equi-joined against
+         the corpus BAND STORE on (band_id, band_hash) — only buckets a
+         new document actually lands in are touched — then candidates
+         verified with exact shingle-set Jaccard >= t. Never
+         new-batch x corpus.
+    Verdict precedence: exact_dup > near_dup > unique; the canonical
+    match is the smallest qualifying corpus doc_id.
+
+    Scale shape: at 100 TB the corpus content-hash and band tables are
+    PERSISTED stores (written once by the batch dedup pass, e.g.
+    bucketed by band_hash); an increment computes signatures for the
+    new batch only — map-side — and its band join shuffles only the new
+    bands into the store's bucketing. Here both sides derive from the
+    same `documents` table with a deterministic md5 split (~%s%%
+    "new") so the DuckDB oracle can mirror the split exactly.
+    Candidate verification joins shingle SETS per candidate pair
+    (array_intersect, JVM-side) — cost ~ candidates, not batch x corpus.
+    """ % INCREMENTAL_NEW_PCT
+    d = _docs(spark, sf_dir)
+    bk = F.expr(_SPARK_MD5INT.format(x="cast(doc_id as string)") + " % 100")
+    base = (
+        d.withColumn("t", tokens_col())
+        .withColumn("hs", hashed_shingles_col())
+        .select(
+            "doc_id",
+            minhash_sig_col().alias("ms"),
+            "hs",
+            F.md5(F.lower(F.trim("text"))).alias("ch"),
+            (bk >= F.lit(100 - INCREMENTAL_NEW_PCT)).alias("is_new"),
+        )
+    )
+    newdocs = base.filter("is_new")
+    corpus = base.filter(~F.col("is_new"))
+
+    # tier 1: exact content-hash match against the corpus store
+    exact_m = (
+        newdocs.select("doc_id", "ch")
+        .join(
+            corpus.select(F.col("doc_id").alias("_cid"), F.col("ch").alias("_cch")),
+            F.col("ch") == F.col("_cch"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("_cid").alias("exact_match"))
+    )
+
+    # tier 2: new-batch bands against the corpus band store. The new
+    # side is the SMALL side at scale; posexplode_outer + null-filter
+    # keeps the signature chain evaluated once (see lsh_candidates).
+    def _bands(df: DataFrame, id_alias: str) -> DataFrame:
+        return (
+            df.select(
+                F.col("doc_id").alias(id_alias),
+                F.posexplode_outer("ms").alias("band_id", "band_hash"),
+            ).filter(F.col("band_hash").isNotNull())
+        )
+
+    cand = (
+        _bands(newdocs, "new_doc")
+        .join(_bands(corpus, "corpus_doc"), ["band_id", "band_hash"])
+        .select("new_doc", "corpus_doc")
+        .distinct()
+    )
+
+    sh_new = newdocs.select(F.col("doc_id").alias("_na"), F.col("hs").alias("hs_a"))
+    sh_cor = corpus.select(F.col("doc_id").alias("_ca"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = inter / (F.size("hs_a") + F.size("hs_b") - inter)
+    ver = (
+        cand.join(sh_new, cand["new_doc"] == sh_new["_na"])
+        .join(sh_cor, cand["corpus_doc"] == sh_cor["_ca"])
+        .filter(jac >= F.lit(JACCARD_THRESHOLD))
+        .groupBy("new_doc")
+        .agg(F.min("corpus_doc").alias("near_match"))
+    )
+    nc = cand.groupBy("new_doc").agg(
+        F.count(F.lit(1)).alias("n_lsh_candidates")
+    )
+
+    out = (
+        newdocs.select("doc_id")
+        .join(exact_m, "doc_id", "left")
+        .join(ver.withColumnRenamed("new_doc", "doc_id"), "doc_id", "left")
+        .join(nc.withColumnRenamed("new_doc", "doc_id"), "doc_id", "left")
+    )
+    verdict = (
+        F.when(F.col("exact_match").isNotNull(), "exact_dup")
+        .when(F.col("near_match").isNotNull(), "near_dup")
+        .otherwise("unique")
+    )
+    return out.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        F.coalesce("exact_match", "near_match").alias("matched_doc_id"),
+        F.coalesce("n_lsh_candidates", F.lit(0)).cast("bigint").alias(
+            "n_lsh_candidates"
+        ),
+    )

@@ -761,10 +761,20 @@ _ADDED_ROUND4 = frozenset(
 )
 
 
+# Queries ADDED in round 3's third build session: same deal as
+# _ADDED_ROUND4 — last in line for prefix slots, covered by the local
+# oracle mirrors until a driver slot frees up.
+_ADDED_ROUND5 = frozenset(
+    {
+        "dedup_incremental_new_docs",
+    }
+)
+
+
 def _reorder_for_driver_coverage() -> None:
     flagship = "hierarchy_grocery_rollup"
     checked = _driver_verified_names()
-    later = _ADDED_ROUND2 | _ADDED_ROUND4
+    later = _ADDED_ROUND2 | _ADDED_ROUND4 | _ADDED_ROUND5
     # never-driver-checked queries, oldest families first: the ones that
     # have been WAITING (not in a later-additions set) outrank the
     # newest additions for the guaranteed prefix slots
@@ -781,6 +791,10 @@ def _reorder_for_driver_coverage() -> None:
         n
         for n in QUERIES
         if n != flagship and n not in checked and n in _ADDED_ROUND4
+    ] + [
+        n
+        for n in QUERIES
+        if n != flagship and n not in checked and n in _ADDED_ROUND5
     ]
     # verified queries fill the remaining prefix slots STALEST-FIRST
     # (longest since a green driver row), so re-verification rotates

@@ -31,6 +31,7 @@ from pyspark.sql.types import (
     BinaryType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -180,3 +181,108 @@ def ingest_binary_dir(
         F.col("length").alias("media_len"),
         F.col("modificationTime").alias("modified"),
     )
+
+
+# -- frame sampling: one video row -> K frame rows ---------------------------
+
+# Uniform-sampling budget per video; short clips yield fewer frames
+# (one per whole second) so k = min(N_SAMPLE_FRAMES, duration_s).
+N_SAMPLE_FRAMES = 4
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame_hash", StringType()),
+        StructField("brightness", IntegerType()),
+    ]
+)
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampler: expands each video row into its
+    sampled-frame rows. A real implementation seeks the container at
+    each timestamp and decodes (ffmpeg/PyAV — absent here, see
+    decode_media); the deterministic fake fingerprints frame i of a
+    payload as md5(payload_hex ':' i), so the oracle can recompute every
+    output cell. The EXPANSION shape (iterator of batches in, more rows
+    out, frames never buffered per-partition) is the real plumbing."""
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {k.name: [] for k in FRAME_SCHEMA.fields}
+        for doc_id, hexstr, dur_s in zip(
+            pdf["doc_id"], pdf["hex"], pdf["dur_s"], strict=True
+        ):
+            k = min(N_SAMPLE_FRAMES, int(dur_s))
+            for i in range(k):
+                fh = hashlib.md5(f"{hexstr}:{i}".encode()).hexdigest()
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["ts_ms"].append(i * (int(dur_s) * 1000) // k)
+                out["frame_hash"].append(fh)
+                out["brightness"].append(int(fh[:2], 16))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "ts_ms": pd.Series(out["ts_ms"], dtype="int64"),
+                "frame_hash": pd.Series(out["frame_hash"], dtype="object"),
+                "brightness": pd.Series(out["brightness"], dtype="int32"),
+            }
+        )
+
+
+def sample_video_frames(docs_with_media: DataFrame) -> DataFrame:
+    """Uniform frame sampling over the video-typed media rows: filter to
+    media_type = 'video' (pushed to the scan — frame sampling never
+    touches image/audio rows), derive clip duration from metadata, and
+    expand each clip into k = min(N_SAMPLE_FRAMES, duration_s) frame
+    rows at evenly spaced timestamps via mapInPandas.
+
+    Scale notes: map-only row EXPANSION — no shuffle, no state; output
+    row count is bounded by N_SAMPLE_FRAMES x videos regardless of clip
+    length, so a skewed long-video partition cannot blow up a task.
+    Payload bytes stay on the executor; only the sampled frames'
+    features leave the stage."""
+    vids = docs_with_media.filter(
+        F.col("media_meta.media_type") == "video"
+    ).select(
+        "doc_id",
+        F.hex(F.col("media")).alias("hex"),
+        (F.lit(2) + F.col("doc_id") % 29).cast("int").alias("dur_s"),
+    )
+    # hex() uppercases; the fake fingerprint is defined over the
+    # lowercase md5 hex so both engines hash identical strings
+    vids = vids.withColumn("hex", F.lower("hex"))
+    return vids.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+WITH v AS (
+  SELECT doc_id, md5(text) AS hex, 2 + doc_id % 29 AS dur_s
+  FROM documents
+  WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+       CAST(u.i AS INTEGER) AS frame_idx,
+       CAST((u.i * (dur_s * 1000)) // least({N_SAMPLE_FRAMES}, dur_s) AS BIGINT)
+         AS ts_ms,
+       md5(hex || ':' || u.i) AS frame_hash,
+       CAST(('0x' || substr(md5(hex || ':' || u.i), 1, 2))::INT AS INTEGER)
+         AS brightness
+FROM v, UNNEST(generate_series(0, least({N_SAMPLE_FRAMES}, dur_s) - 1)) AS u(i)
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: documents -> attach media ->
+    filter video rows -> mapInPandas expansion to one row per sampled
+    frame (timestamp, fingerprint, brightness). The deterministic fake
+    decode makes every cell SQL-recomputable, so the Arrow expansion
+    path — schema, batching, per-row fan-out — is oracle-verified
+    exactly; a real decoder replaces only the bytes->pixels step."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_video_frames(attach_media(docs))

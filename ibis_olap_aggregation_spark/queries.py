@@ -767,6 +767,7 @@ _ADDED_ROUND4 = frozenset(
 _ADDED_ROUND5 = frozenset(
     {
         "dedup_incremental_new_docs",
+        "multimodal_frame_sample",
     }
 )
 

@@ -541,3 +541,66 @@ def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_tokens", "max_tokens", "avg_chars",
         )
     )
+
+
+# -- regex pretokenizer (BPE-style) ------------------------------------------
+
+# GPT-2-style pretokenizer, restricted to the lookahead-free common
+# subset of Java regex (Spark) and RE2 (DuckDB): contraction suffixes,
+# space-prefixed letter runs, 1-3 digit groups (BPE tokenizers split
+# long numbers), space-prefixed punctuation runs. Whitespace between
+# matches is absorbed by the following token's optional leading space —
+# the property that makes BPE vocabularies encode " word" tokens.
+PRETOKEN_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^ A-Za-z0-9]+"
+)
+
+
+@register(
+    "text_pretoken_count",
+    """
+WITH p AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^ A-Za-z0-9]+')
+           AS toks
+  FROM documents
+)
+SELECT doc_id, lang,
+       len(toks) AS n_pretokens,
+       len(list_distinct(toks)) AS n_distinct_pretokens,
+       CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+         AS sum_pretoken_chars,
+       ROUND(n_chars * 1.0 / len(toks), 6) AS chars_per_pretoken
+FROM p JOIN documents USING (doc_id, lang)
+""",
+)
+def text_pretoken_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token counting via the regex PRETOKENIZER (the stage
+    before merges in a real BPE tokenizer): pretoken count, distinct
+    pretokens, and chars-per-pretoken — the compression proxy used to
+    budget training tokens from raw bytes. Both engines run the
+    IDENTICAL lookahead-free pattern, so counts match exactly (unlike
+    the length/4 estimate in text_token_stats, this is a real
+    tokenization). Map-only: one regex pass per document inside
+    whole-stage codegen, no shuffle."""
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all("text", F.lit(PRETOKEN_PATTERN), F.lit(0))
+    tl = "transform(toks, x -> cast(length(x) as bigint))"
+    return (
+        d.withColumn("toks", toks)
+        .select(
+            "doc_id",
+            "lang",
+            F.size("toks").cast("bigint").alias("n_pretokens"),
+            F.size(F.array_distinct("toks")).cast("bigint").alias(
+                "n_distinct_pretokens"
+            ),
+            F.expr(f"aggregate({tl}, 0L, (a, x) -> a + x)").alias(
+                "sum_pretoken_chars"
+            ),
+            F.round(F.col("n_chars") * 1.0 / F.size("toks"), 6).alias(
+                "chars_per_pretoken"
+            ),
+        )
+    )

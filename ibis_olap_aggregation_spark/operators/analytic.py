@@ -186,3 +186,47 @@ def agg_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(F.col("o_orderkey"), orderer).alias("last_order_key"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "unpivot_measures_long",
+    """
+SELECT l_returnflag, measure,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+       ROUND(CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_val
+FROM (
+  UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount, l_tax
+           FROM lineitem)
+  ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME measure VALUE val
+)
+GROUP BY 1, 2
+""",
+)
+def unpivot_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long, the inverse of pivot): stack the four
+    lineitem measure columns into (measure, val) rows, then aggregate
+    per (returnflag, measure) — the melt every metrics store /
+    long-format export needs. Spark's native `unpivot` expands rows
+    MAP-SIDE (an Expand node, no shuffle, no UDF); the only shuffle is
+    the final aggregation, whose key space is |flags| x |measures|.
+    Sums accumulate in DECIMAL(18,2) — the repo's exact-sum idiom; all
+    four measures are generated at 2 decimal places, so the double ->
+    decimal cast is unambiguous in both engines (a wider scale like
+    (28,10) would round double noise digits, where the engines' tie
+    rules differ by ulps)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    s = F.sum(F.col("val").cast("decimal(18,2)")).cast("double")
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        s.alias("sum_val"),
+        F.round(s / F.count(F.lit(1)), 6).alias("avg_val"),
+    )

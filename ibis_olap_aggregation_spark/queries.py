@@ -769,6 +769,7 @@ _ADDED_ROUND5 = frozenset(
         "dedup_incremental_new_docs",
         "multimodal_frame_sample",
         "text_pretoken_count",
+        "unpivot_measures_long",
     }
 )
 

@@ -64,7 +64,10 @@ def main() -> None:
         "dedup_exact_substring_spans",
         "dedup_simhash_near_pairs",
         "dedup_duplicate_clusters",
+        "dedup_incremental_new_docs",
         "text_tfidf_top_terms",
+        "text_pretoken_count",
+        "multimodal_frame_sample",
     ):
         t0 = time.perf_counter()
         df = QUERIES[name](spark, work)

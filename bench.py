@@ -96,6 +96,11 @@ HEADLINE = [
     "window_session_features",
     "sim_kmeans_refine",
     "sample_leakage_safe_split",
+    # round 3 third-session additions (same rule)
+    "dedup_incremental_new_docs",
+    "multimodal_frame_sample",
+    "text_pretoken_count",
+    "unpivot_measures_long",
 ]
 
 

@@ -197,3 +197,29 @@ def test_zorder_skipping_only_intended_broadcast_fanout(spark, sf_small):
     # lineage is referenced by both the hits and n_files branches (same
     # duplicated-lineage artifact the dedup plane-fanout test documents)
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:2000]
+
+
+def test_pretoken_and_frame_sample_map_only(spark, sf_small):
+    for name in ("text_pretoken_count", "multimodal_frame_sample"):
+        df = q.QUERIES[name](spark, sf_small)
+        assert pi.count_exchanges(df) == 0, f"{name} should be map-only"
+
+
+def test_unpivot_expands_map_side_single_agg_shuffle(spark, sf_small):
+    df = q.QUERIES["unpivot_measures_long"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert "Expand" in plan, "unpivot should compile to an Expand node"
+    # Expand happens map-side; the only shuffle is the final aggregation
+    # (elided entirely when the sf0.001 scan is a single partition)
+    assert pi.count_exchanges(df) <= 1, plan
+
+
+def test_incremental_dedup_joins_are_equi(spark, sf_small):
+    spark.catalog.clearCache()
+    df = q.QUERIES["dedup_incremental_new_docs"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate generation joins bands on (band_id, band_hash) — never
+    # a new-batch x corpus cross pair
+    assert "band_hash" in plan

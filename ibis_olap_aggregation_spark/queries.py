@@ -636,6 +636,7 @@ from ibis_olap_aggregation_spark.operators import quality  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import pipeline  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import tpch  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import layout  # noqa: E402,F401
+from ibis_olap_aggregation_spark.operators import allocation  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -770,6 +771,7 @@ _ADDED_ROUND5 = frozenset(
         "multimodal_frame_sample",
         "text_pretoken_count",
         "unpivot_measures_long",
+        "hierarchy_weighted_rollup",
     }
 )
 

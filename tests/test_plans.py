@@ -223,3 +223,42 @@ def test_incremental_dedup_joins_are_equi(spark, sf_small):
     # candidate generation joins bands on (band_id, band_hash) — never
     # a new-batch x corpus cross pair
     assert "band_hash" in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_small):
+    """Spark's runtime bloom-filter join pruning — the 100 TB lever that
+    drops non-matching fact rows BEFORE the shuffle when the other side
+    is selectively filtered. At production scale it fires out of the box
+    (application-side scan >= 10 GiB, creation side <= 10 MiB); test
+    scans are far below the gate, so this pins the behavior with the
+    thresholds scoped down — if an engine upgrade or a session conf
+    change silently disables the rewrite, this fails."""
+    keep = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: broadcast joins don't need the filter
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ord_ = load_table(spark, sf_small, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_small, "lineitem")
+        j = (
+            li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in keep.items():
+            spark.conf.set(k, v)

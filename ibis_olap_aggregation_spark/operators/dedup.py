@@ -1365,20 +1365,37 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ % INCREMENTAL_NEW_PCT
     d = _docs(spark, sf_dir)
     bk = F.expr(_SPARK_MD5INT.format(x="cast(doc_id as string)") + " % 100")
-    base = (
-        d.withColumn("t", tokens_col())
+    base = doc_signatures(d).withColumn(
+        "is_new", bk >= F.lit(100 - INCREMENTAL_NEW_PCT)
+    )
+    return classify_new_vs_corpus(
+        base.filter("is_new").drop("is_new"),
+        base.filter(~F.col("is_new")).drop("is_new"),
+    )
+
+
+def doc_signatures(docs: DataFrame) -> DataFrame:
+    """The dedup signature bundle for a document table: (doc_id, ms
+    minhash signature, hs shingle-hash set, ch content hash). Map-only;
+    this is the row layout of a persisted corpus SIGNATURE STORE."""
+    return (
+        docs.withColumn("t", tokens_col())
         .withColumn("hs", hashed_shingles_col())
         .select(
             "doc_id",
             minhash_sig_col().alias("ms"),
             "hs",
             F.md5(F.lower(F.trim("text"))).alias("ch"),
-            (bk >= F.lit(100 - INCREMENTAL_NEW_PCT)).alias("is_new"),
         )
     )
-    newdocs = base.filter("is_new")
-    corpus = base.filter(~F.col("is_new"))
 
+
+def classify_new_vs_corpus(newdocs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Classify a signature batch against a corpus signature store (both
+    in the `doc_signatures` layout) — the shared core of the batch
+    `dedup_incremental_new_docs` query and the streaming pipeline
+    (streaming/dedup_stream.py). Returns one row per new doc:
+    (doc_id, verdict, matched_doc_id, n_lsh_candidates)."""
     # tier 1: exact content-hash match against the corpus store
     exact_m = (
         newdocs.select("doc_id", "ch")

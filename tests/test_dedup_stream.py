@@ -1,0 +1,160 @@
+"""Streaming incremental dedup: stream == sequential batch, store grows.
+
+Feeds the sf0.001 documents table as three file-batches through
+run_dedup_stream and pins:
+- the streamed verdict log equals running dedup_batch_against_store
+  sequentially over the same splits (stream==batch);
+- the signature store grows by exactly the unique docs;
+- a SECOND drain with the same checkpoint processes nothing new
+  (restartability), and a newly dropped file IS processed and dedupes
+  against docs from earlier batches;
+- in-batch exact copies resolve to the batch canonical.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.operators.dedup import doc_signatures
+from ibis_olap_aggregation_spark.session import load_table
+from ibis_olap_aggregation_spark.streaming.dedup_stream import (
+    dedup_batch_against_store,
+    run_dedup_stream,
+    seed_signature_store,
+)
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dedup_stream")
+    d = {
+        k: str(root / k)
+        for k in ("source", "store", "verdicts", "chk", "store_seq")
+    }
+    os.makedirs(d["source"])
+    return d
+
+
+def _drop_file(spark, df, source_dir: str, name: str) -> None:
+    """Write df as ONE parquet file named `name` directly in source_dir
+    (the streaming file source does not recurse into nested dirs)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(os.path.join(td, "out"))
+        part = glob.glob(os.path.join(td, "out", "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(source_dir, name))
+
+
+def _splits(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    b0 = docs.filter("doc_id % 4 = 0")  # seed corpus
+    b1 = docs.filter("doc_id % 4 = 1")
+    b2 = docs.filter("doc_id % 4 = 2")
+    b3 = docs.filter("doc_id % 4 = 3")
+    return b0, b1, b2, b3
+
+
+def test_stream_equals_sequential_batches(spark, sf_small, dirs):
+    b0, b1, b2, b3 = _splits(spark, sf_small)
+    seed_signature_store(b0, dirs["store"])
+    seed_signature_store(b0, dirs["store_seq"])
+
+    # sequential ground truth over the same splits
+    expected = {}
+    for b in (b1, b2):
+        verdicts, new_rows = dedup_batch_against_store(
+            spark, b, dirs["store_seq"]
+        )
+        for r in verdicts.collect():
+            expected[r["doc_id"]] = (r["verdict"], r["matched_doc_id"])
+        new_rows.write.mode("append").parquet(dirs["store_seq"])
+
+    # stream the same two batches as files (the file source lists the
+    # directory flat: drop single parquet FILES, not nested dirs)
+    _drop_file(spark, b1, dirs["source"], "batch1.parquet")
+    _drop_file(spark, b2, dirs["source"], "batch2.parquet")
+    run_dedup_stream(
+        spark, dirs["source"], dirs["store"], dirs["verdicts"],
+        checkpoint_dir=dirs["chk"],
+    )
+    got = {
+        r["doc_id"]: (r["verdict"], r["matched_doc_id"])
+        for r in spark.read.parquet(dirs["verdicts"]).collect()
+    }
+    assert got == expected
+
+    # store grew by exactly the unique docs, in signature layout
+    n_seed = b0.count()
+    n_unique = sum(1 for v, _ in expected.values() if v == "unique")
+    store = spark.read.parquet(dirs["store"])
+    assert store.count() == n_seed + n_unique
+    assert set(store.columns) == {"doc_id", "ms", "hs", "ch"}
+
+
+def test_restart_processes_only_new_files(spark, sf_small, dirs):
+    # depends on test_stream_equals_sequential_batches having run
+    before = spark.read.parquet(dirs["verdicts"]).count()
+    run_dedup_stream(
+        spark, dirs["source"], dirs["store"], dirs["verdicts"],
+        checkpoint_dir=dirs["chk"],
+    )
+    assert spark.read.parquet(dirs["verdicts"]).count() == before
+
+    # drop a new file that duplicates batch-1 docs exactly: every doc
+    # must classify exact_dup against the store built by earlier batches
+    _, b1, _, _ = _splits(spark, sf_small)
+    b1_copy = b1.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    _drop_file(spark, b1_copy, dirs["source"], "batch3.parquet")
+    run_dedup_stream(
+        spark, dirs["source"], dirs["store"], dirs["verdicts"],
+        checkpoint_dir=dirs["chk"],
+    )
+    new = (
+        spark.read.parquet(dirs["verdicts"])
+        .filter(F.col("doc_id") >= 1_000_000)
+        .collect()
+    )
+    assert len(new) == b1.count()
+    # every copy is a duplicate of SOMETHING already absorbed: the
+    # original (if it entered the store as unique) or the store doc the
+    # original itself duplicated — never unique
+    assert all(r["verdict"] != "unique" for r in new)
+    # copies of originals that DID enter the store exact-match them
+    stored = {
+        r["doc_id"]
+        for r in spark.read.parquet(dirs["store"])
+        .filter(F.col("doc_id") < 1_000_000)
+        .collect()
+    }
+    for r in new:
+        if r["doc_id"] - 1_000_000 in stored:
+            assert r["verdict"] == "exact_dup"
+            assert r["matched_doc_id"] == r["doc_id"] - 1_000_000, r
+
+
+def test_in_batch_exact_copies_resolve_to_canonical(spark, sf_small, dirs2=None):
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        store = os.path.join(td, "store")
+        docs = load_table(spark, sf_small, "documents").limit(0)
+        seed_signature_store(docs, store)  # empty corpus
+        batch = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 46),
+                (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 46),
+                (3, "completely different content words here now ok", "en", "s", 46),
+            ],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+        verdicts, new_rows = dedup_batch_against_store(spark, batch, store)
+        v = {r["doc_id"]: (r["verdict"], r["matched_doc_id"]) for r in verdicts.collect()}
+        assert v[1][0] == "unique" and v[3][0] == "unique"
+        assert v[2] == ("exact_dup", 1)
+        assert sorted(r["doc_id"] for r in new_rows.collect()) == [1, 3]

@@ -101,6 +101,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "text_pretoken_count",
     "unpivot_measures_long",
+    "hierarchy_weighted_rollup",
 ]
 
 

@@ -224,6 +224,10 @@ def unpivot_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     )
+    # contract: NULL measure cells are EXCLUDED (Spark's unpivot keeps
+    # them as rows; DuckDB's UNPIVOT drops them by default) — pinned
+    # here so the parity holds on tables with nullable measures too
+    long = long.filter(F.col("val").isNotNull())
     s = F.sum(F.col("val").cast("decimal(18,2)")).cast("double")
     return long.groupBy("l_returnflag", "measure").agg(
         F.count(F.lit(1)).alias("n"),

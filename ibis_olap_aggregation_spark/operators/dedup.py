@@ -1358,11 +1358,12 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed by band_hash); an increment computes signatures for the
     new batch only — map-side — and its band join shuffles only the new
     bands into the store's bucketing. Here both sides derive from the
-    same `documents` table with a deterministic md5 split (~%s%%
-    "new") so the DuckDB oracle can mirror the split exactly.
-    Candidate verification joins shingle SETS per candidate pair
-    (array_intersect, JVM-side) — cost ~ candidates, not batch x corpus.
-    """ % INCREMENTAL_NEW_PCT
+    same `documents` table with a deterministic md5 split
+    (INCREMENTAL_NEW_PCT = ~10% "new") so the DuckDB oracle can mirror
+    the split exactly. Candidate verification joins shingle SETS per
+    candidate pair (array_intersect, JVM-side) — cost ~ candidates,
+    not batch x corpus.
+    """
     d = _docs(spark, sf_dir)
     bk = F.expr(_SPARK_MD5INT.format(x="cast(doc_id as string)") + " % 100")
     base = doc_signatures(d).withColumn(

@@ -556,14 +556,17 @@ PRETOKEN_PATTERN = (
 )
 
 
+# single source of truth: the SQL oracle interpolates the same
+# constant (single quotes doubled for the SQL literal)
+_PRETOKEN_SQL = PRETOKEN_PATTERN.replace("'", "''")
+
+
 @register(
     "text_pretoken_count",
-    """
+    f"""
 WITH p AS (
   SELECT doc_id, lang,
-         regexp_extract_all(text,
-           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^ A-Za-z0-9]+')
-           AS toks
+         regexp_extract_all(text, '{_PRETOKEN_SQL}') AS toks
   FROM documents
 )
 SELECT doc_id, lang,

@@ -26,10 +26,14 @@ the store.
 Scale notes: the store grows by unique docs only; its band join is the
 same asymmetric bucket equi-join as the batch query (shuffles the
 batch's bands, not the store, when the store is bucketed on
-(band_id, band_hash)). foreachBatch gives per-batch exactly-once on
-the store as long as appends are idempotent per batch_id — here a
-failed batch is simply re-run (append of the same unique docs by the
-restarted batch; doc_id-keyed readers dedupe, documented contract).
+(band_id, band_hash)).
+
+Exactly-once: both sinks are partitioned by the micro-batch id and
+written with dynamic partition overwrite, and classification excludes
+store rows tagged with the CURRENT batch id. A batch that crashes
+after either write (before the checkpoint commit) is replayed against
+the exact pre-batch store view and simply REPLACES its own partitions
+— bit-identical verdicts, no duplicate store rows, no self-matches.
 """
 
 from __future__ import annotations
@@ -58,14 +62,29 @@ DOCS_SCHEMA = (
 )
 
 
+# Store rows carry the id of the micro-batch that appended them
+# (seed rows: -1). Classification for batch N excludes rows tagged N,
+# so re-running a crashed batch sees EXACTLY the pre-batch store — no
+# self-matches, bit-identical verdicts (see run_dedup_stream).
+SEED_BATCH_ID = -1
+
+
 def seed_signature_store(docs: DataFrame, store_dir: str) -> None:
     """Initialize the corpus signature store from an existing
-    (already-deduplicated) document table."""
-    doc_signatures(docs).write.mode("overwrite").parquet(store_dir)
+    (already-deduplicated) document table.
+
+    Writes INTO the `_batch_id=-1` partition directory rather than via
+    partitionBy: a partitioned write of an EMPTY seed (a pipeline that
+    starts from nothing) would emit no files at all, leaving the store
+    unreadable; the static-subdir write always lands a schema-bearing
+    file and partition discovery still reads it as `_batch_id=-1`."""
+    doc_signatures(docs).write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"_batch_id={SEED_BATCH_ID}")
+    )
 
 
 def dedup_batch_against_store(
-    spark: SparkSession, batch: DataFrame, store_dir: str
+    spark: SparkSession, batch: DataFrame, store_dir: str, batch_id: int = None
 ) -> tuple[DataFrame, DataFrame]:
     """One increment: returns (verdicts, new_store_rows).
 
@@ -73,7 +92,13 @@ def dedup_batch_against_store(
     EVERY batch doc — in-batch exact dups carry verdict `exact_dup`
     with the batch canonical as match (and n_lsh_candidates = 0: they
     never reach the LSH tier). new_store_rows: signature rows of the
-    docs that classified `unique` (the store delta)."""
+    docs that classified `unique` (the store delta, minus the
+    `_batch_id` tag the stream writer adds).
+
+    ``batch_id``: when re-running a crashed micro-batch, store rows a
+    previous attempt of the SAME batch already appended must not
+    classify against themselves — rows tagged with this id are
+    excluded, restoring the exact pre-batch store view."""
     sigs = doc_signatures(batch)
     # in-batch exact tier: one content-hash groupBy
     canon = sigs.groupBy("ch").agg(F.min("doc_id").alias("_canon"))
@@ -86,6 +111,10 @@ def dedup_batch_against_store(
     )
     canonicals = sigs.filter(F.col("doc_id") == F.col("_canon")).drop("_canon")
     store = spark.read.parquet(store_dir)
+    if "_batch_id" in store.columns:
+        if batch_id is not None:
+            store = store.filter(F.col("_batch_id") != batch_id)
+        store = store.drop("_batch_id")
     verdicts = classify_new_vs_corpus(canonicals, store)
     new_rows = canonicals.join(
         verdicts.filter(F.col("verdict") == "unique").select("doc_id"),
@@ -117,16 +146,31 @@ def run_dedup_stream(
         if batch.isEmpty():
             return
         verdicts, new_rows = dedup_batch_against_store(
-            batch.sparkSession, batch, store_dir
+            batch.sparkSession, batch, store_dir, batch_id=batch_id
         )
-        # verdicts first: if the batch dies between the two writes, the
-        # re-run re-appends verdicts keyed by doc_id (idempotent for
-        # doc_id-keyed readers) and the store append still happens
-        # exactly once per successful batch
-        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(verdicts_dir)
-        new_rows.write.mode("append").parquet(store_dir)
+        # one classification pass: both writes consume the persisted
+        # verdicts (the expensive lineage — store scan + LSH join +
+        # verify — would otherwise execute twice per batch)
+        verdicts = verdicts.persist()
+        try:
+            # Both sinks are partitioned by batch id and written with
+            # DYNAMIC partition overwrite: a re-run of a crashed batch
+            # REPLACES its own partition instead of appending a second
+            # copy, and classification above excluded any store rows a
+            # previous attempt tagged with this batch_id — so replay
+            # yields bit-identical verdicts and an exactly-once store,
+            # with no coordination beyond the rename the sink already
+            # does. Other batches' partitions are never touched.
+            verdicts.withColumn("batch_id", F.lit(batch_id)).write.option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("batch_id").mode("overwrite").parquet(verdicts_dir)
+            new_rows.withColumn(
+                "_batch_id", F.lit(batch_id).cast("bigint")
+            ).write.option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("_batch_id").mode("overwrite").parquet(store_dir)
+        finally:
+            verdicts.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(_apply)

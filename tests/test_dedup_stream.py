@@ -65,15 +65,18 @@ def test_stream_equals_sequential_batches(spark, sf_small, dirs):
     seed_signature_store(b0, dirs["store"])
     seed_signature_store(b0, dirs["store_seq"])
 
-    # sequential ground truth over the same splits
+    # sequential ground truth over the same splits (same tagged-append
+    # store layout as the stream writer)
     expected = {}
-    for b in (b1, b2):
+    for i, b in enumerate((b1, b2)):
         verdicts, new_rows = dedup_batch_against_store(
-            spark, b, dirs["store_seq"]
+            spark, b, dirs["store_seq"], batch_id=i
         )
         for r in verdicts.collect():
             expected[r["doc_id"]] = (r["verdict"], r["matched_doc_id"])
-        new_rows.write.mode("append").parquet(dirs["store_seq"])
+        new_rows.withColumn("_batch_id", F.lit(i).cast("bigint")).write.option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_batch_id").mode("overwrite").parquet(dirs["store_seq"])
 
     # stream the same two batches as files (the file source lists the
     # directory flat: drop single parquet FILES, not nested dirs)
@@ -94,7 +97,7 @@ def test_stream_equals_sequential_batches(spark, sf_small, dirs):
     n_unique = sum(1 for v, _ in expected.values() if v == "unique")
     store = spark.read.parquet(dirs["store"])
     assert store.count() == n_seed + n_unique
-    assert set(store.columns) == {"doc_id", "ms", "hs", "ch"}
+    assert set(store.columns) == {"doc_id", "ms", "hs", "ch", "_batch_id"}
 
 
 def test_restart_processes_only_new_files(spark, sf_small, dirs):
@@ -138,7 +141,7 @@ def test_restart_processes_only_new_files(spark, sf_small, dirs):
             assert r["matched_doc_id"] == r["doc_id"] - 1_000_000, r
 
 
-def test_in_batch_exact_copies_resolve_to_canonical(spark, sf_small, dirs2=None):
+def test_in_batch_exact_copies_resolve_to_canonical(spark, sf_small):
     import tempfile
 
     with tempfile.TemporaryDirectory() as td:
@@ -158,3 +161,40 @@ def test_in_batch_exact_copies_resolve_to_canonical(spark, sf_small, dirs2=None)
         assert v[1][0] == "unique" and v[3][0] == "unique"
         assert v[2] == ("exact_dup", 1)
         assert sorted(r["doc_id"] for r in new_rows.collect()) == [1, 3]
+
+
+def test_crash_replay_is_idempotent(spark, sf_small):
+    """Simulate the worst crash window: a batch wrote BOTH sinks but
+    died before the checkpoint commit, so foreachBatch replays it. The
+    replay must produce bit-identical verdicts (no self-matches against
+    the rows the first attempt appended) and leave the store without
+    duplicates."""
+    import tempfile
+
+    from ibis_olap_aggregation_spark.streaming.dedup_stream import (
+        dedup_batch_against_store as classify,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        store = os.path.join(td, "store")
+        docs = load_table(spark, sf_small, "documents")
+        seed_signature_store(docs.filter("doc_id % 2 = 0"), store)
+        batch = docs.filter("doc_id % 2 = 1")
+
+        def attempt():
+            verdicts, new_rows = classify(spark, batch, store, batch_id=7)
+            got = sorted(
+                (r["doc_id"], r["verdict"], r["matched_doc_id"])
+                for r in verdicts.collect()
+            )
+            new_rows.withColumn("_batch_id", F.lit(7).cast("bigint")).write.option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("_batch_id").mode("overwrite").parquet(store)
+            return got
+
+        first = attempt()   # batch succeeds, checkpoint commit "lost"
+        replay = attempt()  # foreachBatch replays the same batch_id
+        assert replay == first
+        store_df = spark.read.parquet(store)
+        assert store_df.count() == store_df.select("doc_id").distinct().count()
+        assert not any(d == m for d, v, m in replay if m is not None)

@@ -319,3 +319,71 @@ def quality_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "column_name", "n_rows", "n_nonnull", "n_distinct", "min_value", "max_value"
     )
+
+
+@register(
+    "quality_outlier_mad",
+    """
+WITH med AS (
+  SELECT event_type,
+         ROUND(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med,
+         ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       ANY_VALUE(d.med) AS median_value,
+       ANY_VALUE(m.mad) AS mad_value,
+       CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       ROUND(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS outlier_frac
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1
+""",
+)
+def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier gate — the standard data-cleaning
+    screen that, unlike mean/stddev z-scores, is not dragged by the
+    outliers it is trying to find. Per group: exact interpolated median,
+    median absolute deviation, and the count/fraction of rows beyond
+    3 x MAD — exercised for real on `events.value`, whose heavy tail
+    yields a nonzero outlier count at every sf (uniform TPC-H prices
+    have none, which would leave the gate untested).
+
+    Determinism: median and MAD are ROUNDED to 6dp before the
+    comparison on BOTH engines, so the boundary test runs on identical
+    doubles (Spark `percentile` == DuckDB `quantile_cont`, linear
+    interpolation; agg_percentiles pins the equality). Cost: two
+    group-key shuffles for the two exact quantiles + one group join —
+    at 100 TB swap `percentile` for `percentile_approx` and the plan
+    shape is unchanged (the exact form is the oracle-checked gate)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    out = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.any_value("med").alias("median_value"),
+        F.any_value("mad").alias("mad_value"),
+        F.sum(is_out).alias("n_outliers"),
+        F.round(F.sum(is_out) * 1.0 / F.count(F.lit(1)), 6).alias(
+            "outlier_frac"
+        ),
+    )

@@ -772,6 +772,7 @@ _ADDED_ROUND5 = frozenset(
         "text_pretoken_count",
         "unpivot_measures_long",
         "hierarchy_weighted_rollup",
+        "quality_outlier_mad",
     }
 )
 

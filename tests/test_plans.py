@@ -262,3 +262,32 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_small):
     finally:
         for k, v in keep.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, sf_small, tmp_path):
+    """Dynamic partition pruning — the second runtime 100 TB lever: a
+    fact table partitioned on the join column scans ONLY the partitions
+    the (attribute-filtered) dimension selects, discovered at runtime
+    via a broadcast subquery. Pinned on a year-partitioned orders copy
+    joined to an attribute-filtered year dim."""
+    import os
+
+    from ibis_olap_aggregation_spark.sources.io import write_partitioned
+
+    orders = load_table(spark, sf_small, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = os.path.join(str(tmp_path), "orders_p")
+    write_partitioned(orders, path, ["o_year"])
+    fact = spark.read.parquet(path)
+    ydim = spark.createDataFrame(
+        [(y, "recent" if y >= 1997 else "old") for y in range(1992, 1999)],
+        "o_year int, era string",
+    )
+    j = (
+        fact.join(F.broadcast(ydim.filter("era = 'recent'")), "o_year")
+        .groupBy("o_year")
+        .count()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan

@@ -657,3 +657,83 @@ def window_session_features(spark, sf_dir):
         dsum("value", "sum_value"),
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
     )
+
+
+# Staleness bound for the tolerance as-of: matches older than this are
+# discarded (the sensor-fusion rule — a reading paired with a stale
+# reference is worse than no pairing).
+ASOF_TOLERANCE_MIN = 30
+
+
+@register(
+    "events_asof_tolerance",
+    f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'error' THEN ts END AS error_ts
+  FROM events
+  WHERE event_type IN ('click', 'error')
+),
+filled AS (
+  SELECT *,
+         last_value(error_ts IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS prev_error_ts
+  FROM tagged
+)
+SELECT user_id, event_id AS click_event_id, ts AS click_ts,
+       CASE WHEN epoch_us(ts) - epoch_us(prev_error_ts)
+                 <= {ASOF_TOLERANCE_MIN} * 60 * 1000000
+            THEN epoch_us(prev_error_ts) END AS matched_error_micros,
+       CASE WHEN epoch_us(ts) - epoch_us(prev_error_ts)
+                 <= {ASOF_TOLERANCE_MIN} * 60 * 1000000
+            THEN epoch_us(ts) - epoch_us(prev_error_ts) END
+         AS micros_since_error,
+       CASE WHEN prev_error_ts IS NULL THEN 'no_match'
+            WHEN epoch_us(ts) - epoch_us(prev_error_ts)
+                 > {ASOF_TOLERANCE_MIN} * 60 * 1000000 THEN 'stale'
+            ELSE 'matched' END AS match_status
+FROM filled
+WHERE event_type = 'click'
+""",
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE: the nearest prior error by the same
+    user counts only if it happened within ASOF_TOLERANCE_MIN minutes —
+    older matches are reported as `stale` with NULL timestamps (the
+    sensor-fusion rule: pairing a click with an error from hours ago
+    manufactures a correlation). Same single user-shuffle window as the
+    unbounded as-of; the tolerance is a map-side post-filter, so the
+    plan shape is unchanged at any scale."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin("click", "error"))
+    tagged = ev.withColumn(
+        "error_ts", F.when(F.col("event_type") == "error", F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn(
+        "prev_error_ts", F.last("error_ts", ignorenulls=True).over(w)
+    )
+    clicks = filled.filter(F.col("event_type") == "click")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("prev_error_ts").cast("timestamp")
+    )
+    within = gap <= F.lit(ASOF_TOLERANCE_MIN * 60 * 1_000_000)
+    status = (
+        F.when(F.col("prev_error_ts").isNull(), "no_match")
+        .when(~within, "stale")
+        .otherwise("matched")
+    )
+    return clicks.select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+        F.when(
+            within, F.unix_micros(F.col("prev_error_ts").cast("timestamp"))
+        ).alias("matched_error_micros"),
+        F.when(within, gap).alias("micros_since_error"),
+        status.alias("match_status"),
+    )

@@ -773,6 +773,7 @@ _ADDED_ROUND5 = frozenset(
         "unpivot_measures_long",
         "hierarchy_weighted_rollup",
         "quality_outlier_mad",
+        "events_asof_tolerance",
     }
 )
 

@@ -234,3 +234,87 @@ def unpivot_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.alias("sum_val"),
         F.round(s / F.count(F.lit(1)), 6).alias("avg_val"),
     )
+
+
+@register(
+    "join_reconcile_audit",
+    """
+WITH l AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+r AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+j AS (
+  SELECT COALESCE(l.k, r.k) AS k,
+         l.k IS NOT NULL AS in_left,
+         r.k IS NOT NULL AS in_right
+  FROM l FULL OUTER JOIN r ON l.k = r.k
+)
+SELECT CASE WHEN in_left AND in_right THEN 'both'
+            WHEN in_left THEN 'left_only'
+            ELSE 'right_only' END AS presence,
+       COUNT(*) AS n_keys,
+       CAST(MIN(k) AS BIGINT) AS min_key,
+       CAST(MAX(k) AS BIGINT) AS max_key
+FROM j
+GROUP BY 1
+""",
+)
+def join_reconcile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation audit between two key sets (orders vs lineitem
+    order keys): full-outer join on the distinct keys, bucketing every
+    key as both / left_only / right_only with count and key range — the
+    first query anyone runs when two systems are supposed to agree.
+    Scale: two distincts (map-side combined) + one co-partitioned
+    full-outer join on the key; no fact-width data moves."""
+    l = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("lk")
+    ).distinct()
+    r = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("rk")
+    ).distinct()
+    j = l.join(r, l["lk"] == r["rk"], "full_outer").select(
+        F.coalesce("lk", "rk").alias("k"),
+        F.col("lk").isNotNull().alias("in_left"),
+        F.col("rk").isNotNull().alias("in_right"),
+    )
+    presence = (
+        F.when(F.col("in_left") & F.col("in_right"), "both")
+        .when(F.col("in_left"), "left_only")
+        .otherwise("right_only")
+    )
+    return j.groupBy(presence.alias("presence")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("k").cast("bigint").alias("min_key"),
+        F.max("k").cast("bigint").alias("max_key"),
+    )
+
+
+@register(
+    "agg_conditional_distinct",
+    """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS users_total,
+       COUNT(DISTINCT CASE WHEN value > 50 THEN user_id END)
+         AS users_high_value,
+       COUNT(DISTINCT CASE WHEN value <= 50 THEN user_id END)
+         AS users_low_value,
+       ROUND(COUNT(DISTINCT CASE WHEN value > 50 THEN user_id END)
+             * 1.0 / COUNT(DISTINCT user_id), 6) AS high_value_user_frac
+FROM events
+GROUP BY 1
+""",
+)
+def agg_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered distinct counts — COUNT(DISTINCT CASE WHEN ...) — the
+    everyday segmentation aggregate (distinct users overall vs within a
+    value band, per event type). Spark plans the multi-distinct via one
+    Expand + two-phase aggregate: one shuffle family, no joins."""
+    ev = load_table(spark, sf_dir, "events")
+    hi = F.when(F.col("value") > 50, F.col("user_id"))
+    lo = F.when(F.col("value") <= 50, F.col("user_id"))
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users_total"),
+        F.countDistinct(hi).alias("users_high_value"),
+        F.countDistinct(lo).alias("users_low_value"),
+        F.round(
+            F.countDistinct(hi) * 1.0 / F.countDistinct("user_id"), 6
+        ).alias("high_value_user_frac"),
+    )

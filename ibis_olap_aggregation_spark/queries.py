@@ -774,6 +774,8 @@ _ADDED_ROUND5 = frozenset(
         "hierarchy_weighted_rollup",
         "quality_outlier_mad",
         "events_asof_tolerance",
+        "join_reconcile_audit",
+        "agg_conditional_distinct",
     }
 )
 

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from ibis_olap_aggregation_spark.functions.idioms import (
     DUCK_MD5INT as _DUCK_MD5INT,
     SPARK_MD5INT as _SPARK_MD5INT,
+    tokens_col,
 )
 from ibis_olap_aggregation_spark.functions.minhash_sql import (
     DUCK_NEAR_DUP_COMP as _DUCK_NEAR_DUP_COMP,
@@ -797,4 +798,75 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             / float(PACK_LEN),
             6,
         ).alias("last_fill_fraction"),
+    )
+
+
+@register(
+    "sample_temperature_mixing",
+    """
+WITH tok AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(n_tokens) AS t FROM tok),
+p AS (
+  SELECT source, n_docs, n_tokens,
+         n_tokens * 1.0 / (SELECT t FROM tot) AS p_raw,
+         CAST(ROUND(sqrt(n_tokens * 1.0 / (SELECT t FROM tot)), 6)
+              AS DECIMAL(18,6)) AS sp
+  FROM tok
+),
+z AS (SELECT SUM(sp) AS denom FROM p)
+SELECT source, n_docs, n_tokens,
+       ROUND(p_raw, 6) AS p_raw,
+       ROUND(CAST(sp AS DOUBLE) / CAST((SELECT denom FROM z) AS DOUBLE), 6)
+         AS p_temp,
+       ROUND(ROUND(CAST(sp AS DOUBLE) / CAST((SELECT denom FROM z) AS DOUBLE), 6)
+             / p_raw, 6) AS boost
+FROM p
+""",
+)
+def sample_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing — the multilingual-corpus
+    sampling rule (mC4 / XLM-R): sampling probability q_i ∝ p_i^alpha
+    flattens the raw token share p_i so low-resource domains are
+    up-sampled (boost > 1) and dominant ones down-sampled. alpha = 0.5
+    DELIBERATELY: sqrt is IEEE-correctly-rounded in both engines, so
+    the mix reproduces bit-identically (an arbitrary pow(x, 0.7) is
+    libm-dependent); the normalization denominator sums 6dp-rounded
+    DECIMALs, so it is summation-order-proof too.
+
+    Scale: one groupBy over the corpus (map-side combined) + two
+    broadcast scalars; the per-source table is dims-sized."""
+    tok = (
+        _docs(spark, sf_dir)
+        .withColumn("t", tokens_col())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("t")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = tok.agg(F.sum("n_tokens").alias("t"))
+    p = tok.join(F.broadcast(tot)).withColumn(
+        "p_raw", F.col("n_tokens") * 1.0 / F.col("t")
+    ).withColumn(
+        "sp", F.round(F.sqrt("p_raw"), 6).cast("decimal(18,6)")
+    )
+    z = p.agg(F.sum("sp").alias("denom"))
+    p_temp = F.round(
+        F.col("sp").cast("double") / F.col("denom").cast("double"), 6
+    )
+    return (
+        p.join(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("p_raw", 6).alias("p_raw"),
+            p_temp.alias("p_temp"),
+            F.round(p_temp / F.col("p_raw"), 6).alias("boost"),
+        )
     )

@@ -776,6 +776,7 @@ _ADDED_ROUND5 = frozenset(
         "events_asof_tolerance",
         "join_reconcile_audit",
         "agg_conditional_distinct",
+        "sample_temperature_mixing",
     }
 )
 

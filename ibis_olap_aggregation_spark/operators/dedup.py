@@ -1460,3 +1460,60 @@ def classify_new_vs_corpus(newdocs: DataFrame, corpus: DataFrame) -> DataFrame:
             "n_lsh_candidates"
         ),
     )
+
+
+@register(
+    "dedup_token_budget_by_source",
+    _DUCK_NEAR_DUP_COMP
+    + """
+, tokd AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents
+),
+base AS (
+  SELECT t.doc_id, t.source, t.n_tok,
+         COALESCE(c.component, t.doc_id) AS canon
+  FROM tokd t LEFT JOIN comp c ON c.node = t.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+       CAST(SUM(CASE WHEN doc_id = canon OR doc_id NOT IN
+                     (SELECT node FROM comp) THEN n_tok ELSE 0 END) AS BIGINT)
+         AS effective_tokens,
+       ROUND(SUM(CASE WHEN doc_id = canon OR doc_id NOT IN
+                      (SELECT node FROM comp) THEN n_tok ELSE 0 END)
+             * 1.0 / SUM(n_tok), 6) AS survival_frac
+FROM base
+GROUP BY 1
+""",
+)
+def dedup_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware TOKEN BUDGET: per source, the raw token count vs the
+    EFFECTIVE tokens that survive near-dup dedup (cluster canonicals +
+    unclustered docs) — the number that actually matters when a corpus
+    is budgeted in training tokens: a source whose survival fraction is
+    0.6 delivers 40% fewer tokens than its raw size claims.
+
+    Survivor rule matches dedup_duplicate_clusters' canonical election
+    (component min doc_id); docs outside any cluster survive as
+    themselves. Cost: the shared cluster pipeline + one membership join
+    + one groupBy — the cluster table is corpus-fraction-sized."""
+    comp = _near_dup_components(spark, sf_dir)
+    tokd = (
+        _docs(spark, sf_dir)
+        .withColumn("t", tokens_col())
+        .select("doc_id", "source", F.size("t").alias("n_tok"))
+    )
+    base = tokd.join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).withColumn("canon", F.coalesce("component", "doc_id"))
+    survives = F.col("component").isNull() | (F.col("doc_id") == F.col("canon"))
+    eff = F.sum(F.when(survives, F.col("n_tok")).otherwise(0))
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("raw_tokens"),
+        eff.cast("bigint").alias("effective_tokens"),
+        F.round(eff * 1.0 / F.sum("n_tok"), 6).alias("survival_frac"),
+    )

@@ -777,6 +777,7 @@ _ADDED_ROUND5 = frozenset(
         "join_reconcile_audit",
         "agg_conditional_distinct",
         "sample_temperature_mixing",
+        "dedup_token_budget_by_source",
     }
 )
 

@@ -737,3 +737,87 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, gap).alias("micros_since_error"),
         status.alias("match_status"),
     )
+
+
+@register(
+    "events_funnel_three_step",
+    """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+    AND e.ts <= v.v_ts + INTERVAL '24 hours'
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+    AND e.ts <= c.c_ts + INTERVAL '24 hours'
+  GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_full_funnel,
+       ROUND((SELECT COUNT(*) FROM c) * 1.0
+             / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+       ROUND((SELECT COUNT(*) FROM p) * 1.0
+             / (SELECT COUNT(*) FROM c), 6) AS click_to_purchase
+""",
+)
+def events_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order 3-step funnel: first view -> first click within 24h
+    of it -> first purchase within 24h of that click, per user. Each
+    step is one user-keyed aggregation + one user-keyed join — the
+    steps stay co-partitioned on user_id after the first shuffle, so at
+    any scale the funnel costs ONE real repartition of the event
+    stream, never a step-count multiple (and never the self-join
+    explosion of the pattern-matching formulation)."""
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("v_ts"))
+            & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_full_funnel"))
+    return (
+        nv.join(nc)
+        .join(np_)
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_full_funnel",
+            F.round(F.col("n_view_click") * 1.0 / F.col("n_view"), 6).alias(
+                "view_to_click"
+            ),
+            F.round(
+                F.col("n_full_funnel") * 1.0 / F.col("n_view_click"), 6
+            ).alias("click_to_purchase"),
+        )
+    )

@@ -778,6 +778,7 @@ _ADDED_ROUND5 = frozenset(
         "agg_conditional_distinct",
         "sample_temperature_mixing",
         "dedup_token_budget_by_source",
+        "events_funnel_three_step",
     }
 )
 

@@ -125,9 +125,15 @@ def _prev_bench() -> dict[str, float]:
             if not queries and "tail" in payload:
                 # driver format: our JSON line is embedded in a captured
                 # stdout "tail" string — extract the last metric line
-                found = re.findall(r'\{"metric".*\}', payload["tail"])
-                if found:
-                    queries = json.loads(found[-1]).get("queries", {})
+                # prefer the newest metric line that actually carries a
+                # queries dict (the trailing summary line has none)
+                for line in reversed(re.findall(r'\{"metric".*\}', payload["tail"])):
+                    try:
+                        queries = json.loads(line).get("queries", {})
+                    except Exception:  # noqa: BLE001
+                        continue
+                    if queries:
+                        break
             if not queries and "tail" in payload:
                 # the tail capture may TRUNCATE the line's head (r2's file
                 # starts mid-key: 'etric": ...'): the queries dict itself
@@ -184,6 +190,22 @@ def main() -> None:
     if deltas:
         out["deltas_vs_prev"] = deltas
     print(json.dumps(out))
+    # Truncation-proof trailing summary: the driver's stdout capture keeps
+    # the LAST line intact even when it truncates the (long) full line
+    # above, so every round's BENCH_r{N}.json has a short machine-readable
+    # record of the total and the worst regressions (VERDICT r3 item 3 —
+    # both r2 and r3 captures were head-truncated and parsed as null).
+    worst = dict(
+        sorted(deltas.items(), key=lambda kv: kv[1], reverse=True)[:3]
+    )
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": out["value"],
+        "unit": "sec",
+        "n": len(timings),
+        "sf": out["sf"],
+        "worst_deltas": worst,
+    }))
 
 
 if __name__ == "__main__":

@@ -51,8 +51,9 @@ SELECT doc_id,
        n_chars,
        len(t) AS n_tokens,
        len(list_distinct(t)) AS n_distinct_tokens,
-       CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS total_token_chars,
-       CAST(list_sum(list_transform(t, x -> (len(x) + 3) // 4)) AS BIGINT)
+       CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT)
+         AS total_token_chars,
+       CAST(COALESCE(list_sum(list_transform(t, x -> (len(x) + 3) // 4)), 0) AS BIGINT)
          AS n_subtokens,
        ROUND(list_sum(list_transform(t, x -> len(x))) / len(t), 6)
          AS avg_token_len
@@ -70,10 +71,13 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.size("t").cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct_tokens"),
-        F.expr(f"aggregate({tl}, 0L, (a, x) -> a + x)").alias("total_token_chars"),
-        F.expr("aggregate(transform(t, x -> (length(x) + 3) div 4), 0L, (a, x) -> a + x)").alias(
-            "n_subtokens"
+        F.expr(f"coalesce(aggregate({tl}, 0L, (a, x) -> a + x), 0L)").alias(
+            "total_token_chars"
         ),
+        F.expr(
+            "coalesce(aggregate(transform(t, x -> (length(x) + 3) div 4),"
+            " 0L, (a, x) -> a + x), 0L)"
+        ).alias("n_subtokens"),
         F.round(
             F.expr(f"aggregate({tl}, 0L, (a, x) -> a + x)") / F.size("t"), 6
         ).alias("avg_token_len"),
@@ -572,7 +576,7 @@ WITH p AS (
 SELECT doc_id, lang,
        len(toks) AS n_pretokens,
        len(list_distinct(toks)) AS n_distinct_pretokens,
-       CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+       CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT)
          AS sum_pretoken_chars,
        ROUND(n_chars * 1.0 / len(toks), 6) AS chars_per_pretoken
 FROM p JOIN documents USING (doc_id, lang)
@@ -599,7 +603,7 @@ def text_pretoken_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct("toks")).cast("bigint").alias(
                 "n_distinct_pretokens"
             ),
-            F.expr(f"aggregate({tl}, 0L, (a, x) -> a + x)").alias(
+            F.expr(f"coalesce(aggregate({tl}, 0L, (a, x) -> a + x), 0L)").alias(
                 "sum_pretoken_chars"
             ),
             F.round(F.col("n_chars") * 1.0 / F.size("toks"), 6).alias(

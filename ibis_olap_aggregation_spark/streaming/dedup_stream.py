@@ -77,14 +77,31 @@ def seed_signature_store(docs: DataFrame, store_dir: str) -> None:
     partitionBy: a partitioned write of an EMPTY seed (a pipeline that
     starts from nothing) would emit no files at all, leaving the store
     unreadable; the static-subdir write always lands a schema-bearing
-    file and partition discovery still reads it as `_batch_id=-1`."""
+    file and partition discovery still reads it as `_batch_id=-1`.
+
+    Seeding is ONE-TIME init: a store_dir that already holds stream
+    partitions (`_batch_id>=0` from a previous run) is refused —
+    overwriting only the seed partition would leave those stale rows to
+    silently rejoin the corpus on the next read. Delete the store (and
+    the stream's checkpoint) to re-initialize from scratch."""
+    stale = [
+        e
+        for e in (os.listdir(store_dir) if os.path.isdir(store_dir) else [])
+        if e.startswith("_batch_id=") and e != f"_batch_id={SEED_BATCH_ID}"
+    ]
+    if stale:
+        raise ValueError(
+            f"signature store {store_dir!r} already has stream partitions "
+            f"({sorted(stale)[:3]}...): re-seeding would leave a ghost "
+            "corpus — delete the store and checkpoint directories first"
+        )
     doc_signatures(docs).write.mode("overwrite").parquet(
         os.path.join(store_dir, f"_batch_id={SEED_BATCH_ID}")
     )
 
 
 def dedup_batch_against_store(
-    spark: SparkSession, batch: DataFrame, store_dir: str, batch_id: int = None
+    spark: SparkSession, batch: DataFrame, store_dir: str, batch_id: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """One increment: returns (verdicts, new_store_rows).
 

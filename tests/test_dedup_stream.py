@@ -60,8 +60,13 @@ def _splits(spark, sf_small):
     return b0, b1, b2, b3
 
 
-def test_stream_equals_sequential_batches(spark, sf_small, dirs):
-    b0, b1, b2, b3 = _splits(spark, sf_small)
+@pytest.fixture(scope="module")
+def drained(spark, sf_small, dirs):
+    """First drain, shared by both stream tests so each is
+    self-sufficient under -k / randomized ordering: seed both stores,
+    build the sequential ground truth, stream batches 1+2. Returns the
+    expected verdict map."""
+    b0, b1, b2, _ = _splits(spark, sf_small)
     seed_signature_store(b0, dirs["store"])
     seed_signature_store(b0, dirs["store_seq"])
 
@@ -86,6 +91,12 @@ def test_stream_equals_sequential_batches(spark, sf_small, dirs):
         spark, dirs["source"], dirs["store"], dirs["verdicts"],
         checkpoint_dir=dirs["chk"],
     )
+    return expected
+
+
+def test_stream_equals_sequential_batches(spark, sf_small, dirs, drained):
+    b0 = _splits(spark, sf_small)[0]
+    expected = drained
     got = {
         r["doc_id"]: (r["verdict"], r["matched_doc_id"])
         for r in spark.read.parquet(dirs["verdicts"]).collect()
@@ -100,8 +111,7 @@ def test_stream_equals_sequential_batches(spark, sf_small, dirs):
     assert set(store.columns) == {"doc_id", "ms", "hs", "ch", "_batch_id"}
 
 
-def test_restart_processes_only_new_files(spark, sf_small, dirs):
-    # depends on test_stream_equals_sequential_batches having run
+def test_restart_processes_only_new_files(spark, sf_small, dirs, drained):
     before = spark.read.parquet(dirs["verdicts"]).count()
     run_dedup_stream(
         spark, dirs["source"], dirs["store"], dirs["verdicts"],
@@ -161,6 +171,26 @@ def test_in_batch_exact_copies_resolve_to_canonical(spark, sf_small):
         assert v[1][0] == "unique" and v[3][0] == "unique"
         assert v[2] == ("exact_dup", 1)
         assert sorted(r["doc_id"] for r in new_rows.collect()) == [1, 3]
+
+
+def test_reseed_refused_once_stream_partitions_exist(spark, sf_small):
+    """seed_signature_store is one-time init: once the stream has
+    appended _batch_id>=0 partitions, re-seeding must fail instead of
+    leaving those rows as a ghost corpus."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        store = os.path.join(td, "store")
+        docs = load_table(spark, sf_small, "documents").limit(8)
+        seed_signature_store(docs, store)
+        # re-seed over a seed-only store is fine (idempotent init)
+        seed_signature_store(docs, store)
+        # simulate a stream append, then re-seed must refuse
+        doc_signatures(docs).write.mode("overwrite").parquet(
+            os.path.join(store, "_batch_id=0")
+        )
+        with pytest.raises(ValueError, match="ghost corpus"):
+            seed_signature_store(docs, store)
 
 
 def test_crash_replay_is_idempotent(spark, sf_small):

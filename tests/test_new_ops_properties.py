@@ -203,3 +203,29 @@ def test_leakage_safe_split_never_straddles_clusters(spark, sf_small):
         spark, sf_small, "documents"
     ).count()
     comp.unpersist()
+
+
+def test_ivf_array_scorer_equals_exploded(spark, sf_small):
+    """The array-native IVF scorer (library default — broadcast centroid
+    arrays, zip_with/aggregate decimal folds, no dim-explode join) must
+    equal the exploded decimal scorer bit-for-bit: decimal addition is
+    exact and associative, so folding the same DECIMAL(28,14) terms the
+    exploded form SUMs yields identical dot/norms/cosine and therefore
+    identical ranks. This is what keeps every IVF query's DuckDB oracle
+    green while scoring runs the 100 TB shape."""
+    from ibis_olap_aggregation_spark.operators.similarity import (
+        _emb,
+        _ivf_centroids,
+        _ivf_exploded,
+        _ivf_score_rank,
+        _ivf_score_rank_array,
+    )
+
+    e = _emb(spark, sf_small)
+    ex = _ivf_exploded(e)
+    cent = _ivf_centroids(ex)
+    cols = ["vec_id", "label", "c_label", "cosine", "rk"]
+    arr = _ivf_score_rank_array(e, cent).select(*cols)
+    expl = _ivf_score_rank(ex, cent).select(*cols)
+    assert arr.exceptAll(expl).count() == 0
+    assert expl.exceptAll(arr).count() == 0

@@ -290,6 +290,11 @@ def _merge_upsert(
     return merged
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the version slot this writer targeted
+    (optimistic-concurrency conflict on a VersionedParquetTable)."""
+
+
 class VersionedParquetTable:
     """Crash-atomic multi-version parquet table: the manifest-flip
     layout `upsert_parquet`'s docstring points at, and the simplest
@@ -312,9 +317,24 @@ class VersionedParquetTable:
     behind, which the next write garbage-collects. Readers resolve
     ``_CURRENT`` once and then read an immutable directory — no
     missing-table window, and old versions stay readable (bounded time
-    travel) until ``keep_versions`` retires them. Single WRITER is
-    still assumed (no optimistic-concurrency loop); readers are
-    unrestricted.
+    travel) until ``keep_versions`` retires them.
+
+    Concurrent writers are handled with OPTIMISTIC concurrency: each
+    writer stages its snapshot under a unique ``.staging-*`` name and
+    then claims the next version slot with ONE ``os.rename`` onto
+    ``v-<N+1>`` — renaming onto an existing non-empty directory fails
+    on POSIX, so the first rename wins and the loser gets
+    :class:`ConcurrentWriteError` (or, with ``max_retries``, re-reads
+    the new current version, re-merges, and tries the next slot). Two
+    interleaved writers therefore can never both commit against the
+    same parent version (pinned in tests/test_sources.py). A writer
+    that crashes between claiming the slot and flipping the manifest
+    leaves a non-committed ``v-*`` directory blocking its slot; later
+    writers reclaim it once it is older than ``orphan_grace_secs``
+    (the grace keeps them from deleting a LIVE writer's just-claimed
+    slot mid-flip — the same retention reasoning as table-format
+    vacuum). The object-store analogue of the rename-CAS is a
+    conditional PUT (If-None-Match) of a version-named manifest.
     """
 
     _MANIFEST = "_CURRENT"
@@ -388,25 +408,90 @@ class VersionedParquetTable:
         *,
         delete_where: str | None = None,
         keep_versions: int = 2,
+        max_retries: int = 0,
+        orphan_grace_secs: float = 3600.0,
     ) -> int:
         """SCD-1 merge into a NEW version; returns the committed version.
 
-        Sequence: GC orphan dirs from crashed writes (any ``v-*`` above
-        the committed version) -> write the merged snapshot to the next
-        version directory -> atomic manifest flip -> retire versions
-        older than ``keep_versions``. A crash at ANY point leaves the
-        committed version complete and readable."""
+        Sequence per attempt: read the current version -> write the
+        merged snapshot to a unique staging dir -> CAS-claim the next
+        version slot (``os.rename`` staging -> ``v-<N+1>``; fails if
+        another writer claimed it first) -> atomic manifest flip ->
+        retire versions older than ``keep_versions``. A crash at ANY
+        point leaves the committed version complete and readable.
+
+        Losing the CAS raises :class:`ConcurrentWriteError`; with
+        ``max_retries`` > 0 the writer instead re-reads the advanced
+        current version, re-merges against it, and retries — the
+        optimistic-concurrency loop. A slot blocked by a CRASHED
+        writer (claimed, never flipped, older than
+        ``orphan_grace_secs``) is reclaimed automatically."""
         import shutil as _shutil
+        import time as _time
+        import uuid as _uuid
+
+        attempts = 0
+        while True:
+            current = self.current_version()
+            merged = _merge_upsert(
+                self.read(current), updates, key_cols, delete_where
+            )
+            staging = os.path.join(
+                self.root, f".staging-{_uuid.uuid4().hex[:8]}"
+            )
+            merged.write.mode("overwrite").parquet(staging)
+            new_v = current + 1
+            target = self._version_dir(new_v)
+            try:
+                # the CAS: rename onto an existing non-empty dir fails,
+                # so exactly one writer claims each version slot
+                os.rename(staging, target)
+            except OSError:
+                _shutil.rmtree(staging, ignore_errors=True)
+                try:
+                    stale = (
+                        self.current_version() < new_v
+                        and _time.time() - os.path.getmtime(target)
+                        > orphan_grace_secs
+                    )
+                except OSError:
+                    stale = False  # blocker vanished; just retry the CAS
+                if stale:
+                    # a crashed writer claimed the slot but never
+                    # flipped: its dir was never committed — reclaim
+                    _shutil.rmtree(target, ignore_errors=True)
+                    continue
+                if attempts < max_retries:
+                    attempts += 1
+                    continue
+                raise ConcurrentWriteError(
+                    f"version {new_v} of {self.root!r} was claimed by "
+                    "another writer (retry with max_retries, or re-run)"
+                ) from None
+            self._flip(new_v)
+            for v in self.versions():
+                if v <= new_v - keep_versions:
+                    _shutil.rmtree(self._version_dir(v), ignore_errors=True)
+            return new_v
+
+    def vacuum(self, grace_secs: float = 3600.0) -> None:
+        """Remove leftovers of crashed writers older than ``grace_secs``:
+        ``.staging-*`` dirs (never claimed a slot) and unclaimed ``v-*``
+        dirs above the committed version. The grace keeps a LIVE
+        writer's in-flight staging/slot safe — same retention logic as
+        the CAS reclaim in :meth:`upsert`."""
+        import glob as _glob
+        import shutil as _shutil
+        import time as _time
 
         current = self.current_version()
-        for v in self.versions():
-            if v > current:  # orphan from a crashed write
-                _shutil.rmtree(self._version_dir(v), ignore_errors=True)
-        merged = _merge_upsert(self.read(), updates, key_cols, delete_where)
-        new_v = current + 1
-        merged.write.mode("overwrite").parquet(self._version_dir(new_v))
-        self._flip(new_v)
-        for v in self.versions():
-            if v <= new_v - keep_versions:
-                _shutil.rmtree(self._version_dir(v), ignore_errors=True)
-        return new_v
+        stale = _glob.glob(os.path.join(self.root, ".staging-*")) + [
+            self._version_dir(v) for v in self.versions() if v > current
+        ]
+        now = _time.time()
+        for d in stale:
+            try:
+                if now - os.path.getmtime(d) > grace_secs:
+                    _shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass

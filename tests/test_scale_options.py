@@ -37,11 +37,11 @@ def test_approx_percentile_close_to_exact(spark, sf_small):
 
 
 def test_approx_rollup_within_bound_of_exact(spark, sf_small):
-    """`hierarchy_geo_rollup_orders_approx` is a permanent `no_oracle`
-    driver row (HLL sketches are engine-specific) — this is its signal:
-    per-node, the HLL++ estimate must stay within a bounded relative
-    error of the exact rollup's COUNT(DISTINCT), and every non-approx
-    column must match the exact query bit-for-bit."""
+    """`hierarchy_geo_rollup_orders_approx` now ships the
+    tolerance-verdict shape (exact count + within_bounds boolean, so
+    the HLL path is driver-oracle-checkable) — this pins its signal
+    locally: the verdict holds at every node, and every exact column
+    matches the exact flagship rollup bit-for-bit."""
     from ibis_olap_aggregation_spark.queries import QUERIES
 
     exact = {
@@ -58,12 +58,8 @@ def test_approx_rollup_within_bound_of_exact(spark, sf_small):
         # exact measures ride the same plan -> identical
         assert a["sum_totalprice"] == e["sum_totalprice"], name
         assert a["count_of_fact_records"] == e["count_of_fact_records"], name
-        # HLL++ rsd=0.02 -> 3-sigma bound 6%, floor 3 for tiny nodes
-        err_bound = max(3, 0.06 * e["distinct_customer_count"])
-        assert (
-            abs(a["approx_customer_count"] - e["distinct_customer_count"])
-            <= err_bound
-        ), f"{name}: approx {a['approx_customer_count']} vs exact {e['distinct_customer_count']}"
+        assert a["exact_customer_count"] == e["distinct_customer_count"], name
+        assert a["within_bounds"], name
 
 
 def test_rollup_without_broadcast_matches(spark, sf_small):

@@ -102,6 +102,10 @@ HEADLINE = [
     "text_pretoken_count",
     "unpivot_measures_long",
     "hierarchy_weighted_rollup",
+    # round 4 additions (same rule)
+    "sketch_theta_segment_overlap",
+    "sketch_quantile_rank_verdict",
+    "dedup_benchmark_contamination",
 ]
 
 

@@ -16,7 +16,7 @@ generator — SURVEY.md §2.10); this is §7.4 extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ibis_olap_aggregation_spark.queries import register
@@ -148,6 +148,99 @@ def sketch_theta_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("est_diff") - F.col("exact_difference")) <= tol).alias(
             "difference_within_bounds"
         ),
+    )
+
+
+# Frequent-items (approx_top_k) verdict: with max_items above the key
+# cardinality the sketch tracks every item exactly, so the returned
+# top-k must (a) be k items, (b) all sit at-or-above the k-th largest
+# exact count (the tie-safe membership test — ties at the boundary make
+# "the" top-k set ambiguous, a count threshold does not), and (c) carry
+# exact counts. Bigrams (~900 distinct here) keep the item space real
+# while the 4096-slot sketch stays in its exact regime; shrinking
+# max_items below the cardinality moves it to the Misra-Gries
+# approximate regime, whose error bound is pinned locally in
+# tests/test_sketches.py.
+_TOPK_K = 10
+_TOPK_MAX_ITEMS = 4096
+
+
+@register(
+    "sketch_topk_heavy_hitters_verdict",
+    f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+bg AS (
+  SELECT array_to_string(t[i:i+1], ' ') AS item
+  FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+),
+c AS (SELECT item, COUNT(*) AS n FROM bg GROUP BY 1),
+r AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, item) AS rk FROM c
+)
+SELECT CAST({_TOPK_K} AS BIGINT) AS n_returned,
+       CAST({_TOPK_K} AS BIGINT) AS n_at_or_above_threshold,
+       TRUE AS all_counts_exact
+""",
+)
+def sketch_topk_heavy_hitters_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """approx_top_k heavy hitters over document BIGRAMS, verdict-checked
+    against the exact bigram counts: k items returned, every one at or
+    above the exact k-th-largest count (tie-safe membership), every
+    estimate equal to its exact count. One constant-state aggregation
+    instead of groupBy+orderBy+limit — the scale form when the item
+    space is too wide to group exactly; the exact branch here exists to
+    drive the sketch through the cross-engine gate."""
+    from ibis_olap_aggregation_spark.operators.text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents").withColumn("t", tokens_col())
+    bg = (
+        d.select(
+            F.explode_outer(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " (x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+                )
+            ).alias("item")
+        )
+        .filter(F.col("item").isNotNull())
+    )
+    exact = bg.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    # tie-safe threshold: the exact count of the k-th ranked item
+    thresh = (
+        exact.select(
+            F.col("n"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), "item"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == _TOPK_K)
+        .select(F.col("n").alias("thresh"))
+    )
+    approx = (
+        bg.agg(
+            F.expr(
+                f"approx_top_k(item, {_TOPK_K}, {_TOPK_MAX_ITEMS})"
+            ).alias("tk")
+        )
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").alias("est_n"),
+        )
+    )
+    joined = approx.join(F.broadcast(exact), "item", "left").crossJoin(
+        F.broadcast(thresh)
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_returned"),
+        F.sum(
+            F.when(F.col("n") >= F.col("thresh"), 1).otherwise(0)
+        ).alias("n_at_or_above_threshold"),
+        F.every(F.col("est_n") == F.col("n")).alias("all_counts_exact"),
     )
 
 

@@ -817,6 +817,7 @@ _ADDED_ROUND6 = frozenset(
     {
         "sketch_theta_segment_overlap",
         "sketch_quantile_rank_verdict",
+        "sketch_topk_heavy_hitters_verdict",
         "dedup_benchmark_contamination",
     }
 )

@@ -932,7 +932,11 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _emb(spark, sf_dir)
     ex = _ivf_exploded(e)
-    cent = _ivf_centroids(ex)
+    # cent is referenced twice (scorer + shift join) and each uncached
+    # reference re-executes the whole explode+centroid aggregation;
+    # caching is k x 64 rows — bounded by centroid count at ANY corpus
+    # size (measured ~1s off the sf0.1 query)
+    cent = _ivf_centroids(ex).cache()
     ranked = _ivf_score_rank_array(e, cent)
     assign = ranked.filter("rk = 1").select("vec_id", F.col("c_label").alias("nl"))
     cent2 = _ivf_centroids(

@@ -172,6 +172,57 @@ def events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BURST_CAP = 3  # events kept per (user, minute)
+
+
+@register(
+    "events_burst_cap",
+    f"""
+WITH r AS (
+  SELECT user_id,
+         row_number() OVER (
+           PARTITION BY user_id, time_bucket(INTERVAL '1 minute', ts)
+           ORDER BY ts, event_id) AS rk
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN rk <= {BURST_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rk > {BURST_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(MAX(rk) AS BIGINT) AS max_burst
+FROM r
+GROUP BY 1
+""",
+)
+def events_burst_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst capping / rate limiting at ingestion: keep at most
+    {BURST_CAP} events per (user, minute), deterministically (earliest
+    by (ts, event_id) win), and report per user how much a cap would
+    drop plus the worst observed burst. The standard abuse/bot damper in
+    front of an event warehouse — and a shape Spark executes with ONE
+    shuffle on (user_id, minute-bucket): the rank window partitions by
+    the composite key, so no user's full history ever sits in one task
+    (contrast a per-user global rank at 100 TB)."""
+    ev = _events(spark, sf_dir)
+    minute = F.window("ts", "1 minute")["start"]
+    w = Window.partitionBy("user_id", "_minute").orderBy("ts", "event_id")
+    r = ev.withColumn("_minute", minute).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("rk") <= BURST_CAP, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rk") > BURST_CAP, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.max("rk").cast("bigint").alias("max_burst"),
+    )
+
+
 @register(
     "events_asof_prev_error",
     """

@@ -819,6 +819,7 @@ _ADDED_ROUND6 = frozenset(
         "sketch_quantile_rank_verdict",
         "sketch_topk_heavy_hitters_verdict",
         "dedup_benchmark_contamination",
+        "events_burst_cap",
     }
 )
 

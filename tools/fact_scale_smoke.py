@@ -119,3 +119,18 @@ if __name__ == "__main__":
 #   tpch_q3_shipping_priority          0.76    1.16   1.52
 #   tpch_q9_product_type_profit        1.04    3.14   3.03
 #   tpch_q21_waiting_orders            1.77    4.99   2.81
+#
+# AMP=100 (60M lineitem, 15M orders), same method:
+#   query                            base_s   amp_s  ratio
+#   hierarchy_geo_rollup_orders        1.25    7.82   6.26
+#   hierarchy_part_rollup_lineitem     3.74   81.53  21.82
+#   agg_approx_distinct_rollup         1.00    4.34   4.33
+#   tpch_q3_shipping_priority          0.72    9.98  13.87
+#   tpch_q9_product_type_profit        1.17    4.88   4.18
+#   tpch_q21_waiting_orders            1.80   17.12   9.50
+# The split between the two rollups is the design showing through: the
+# geo rollup's COUNT(DISTINCT custkey) dedups to the FIXED leaf-key
+# space (6.3x at 100x facts), while the part rollup's
+# COUNT(DISTINCT orderkey) genuinely grows with facts (21.8x) — and the
+# sketch rollup stays near-flat either way (4.3x). Nothing superlinear,
+# no plan flips.

@@ -229,3 +229,30 @@ def test_ivf_array_scorer_equals_exploded(spark, sf_small):
     expl = _ivf_score_rank(ex, cent).select(*cols)
     assert arr.exceptAll(expl).count() == 0
     assert expl.exceptAll(arr).count() == 0
+
+
+def test_global_row_number_is_permutation_multipartition(spark, sf_small):
+    """Regression pin for the cross-job range-partitioning race (round
+    4): with multiple range partitions, the offset-collect pass and the
+    final consumer are separate jobs, and un-pinned partitioning let
+    AQE shift the sampled boundaries between them — producing
+    duplicate/gapped ranks. The ranker must always emit exactly
+    1..n, each once, and agree with a driver-side sort."""
+    from ibis_olap_aggregation_spark.operators.ranking import global_row_number
+    from ibis_olap_aggregation_spark.session import load_table
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    n = li.count()
+    ranked = global_row_number(
+        li, ["l_orderkey", "l_linenumber"], "rk", num_partitions=7
+    )
+    rows = ranked.collect()
+    ranks = sorted(r["rk"] for r in rows)
+    assert ranks == list(range(1, n + 1))
+    by_rank = sorted(rows, key=lambda r: r["rk"])
+    by_key = sorted(rows, key=lambda r: (r["l_orderkey"], r["l_linenumber"]))
+    assert [
+        (r["l_orderkey"], r["l_linenumber"]) for r in by_rank
+    ] == [(r["l_orderkey"], r["l_linenumber"]) for r in by_key]

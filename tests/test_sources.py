@@ -299,3 +299,48 @@ def test_versioned_table_interleaved_writers_cannot_double_commit(
     assert after.count() == n0 + 2
     assert after.filter("lang = 'aa'").count() == 1
     assert after.filter("lang = 'bb'").count() == 1
+
+
+def test_versioned_table_threaded_writers_all_land(spark, sf_small, workdir):
+    """Stress the optimistic-concurrency loop with REAL interleaving:
+    four threads upsert disjoint rows concurrently with retries. Every
+    row must land exactly once, the version chain must advance by one
+    per commit, and no commit may be lost (the lost-update anomaly the
+    CAS exists to prevent)."""
+    import os
+    import threading
+
+    from ibis_olap_aggregation_spark.sources.io import VersionedParquetTable
+
+    root = os.path.join(workdir, "versioned_threads")
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "lang")
+    VersionedParquetTable.create(spark, root, docs)
+    n0 = docs.count()
+
+    errs = []
+
+    def writer(i: int) -> None:
+        try:
+            t = VersionedParquetTable(spark, root)
+            up = spark.createDataFrame(
+                [(2_000_000 + i, f"w{i}")], "doc_id bigint, lang string"
+            )
+            t.upsert(up, ["doc_id"], max_retries=16, keep_versions=10)
+        except Exception as e:  # noqa: BLE001
+            errs.append((i, repr(e)))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+
+    t = VersionedParquetTable(spark, root)
+    assert t.current_version() == 4  # one slot per commit, none lost
+    final = t.read()
+    assert final.count() == n0 + 4
+    got = sorted(
+        r["lang"] for r in final.filter("doc_id >= 2000000").collect()
+    )
+    assert got == ["w0", "w1", "w2", "w3"]

@@ -820,6 +820,7 @@ _ADDED_ROUND6 = frozenset(
         "sketch_topk_heavy_hitters_verdict",
         "dedup_benchmark_contamination",
         "events_burst_cap",
+        "source_schema_evolution",
     }
 )
 

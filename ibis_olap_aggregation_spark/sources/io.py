@@ -120,6 +120,54 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_schema_evolution",
+    """
+SELECT (o_orderkey % 2 = 0) AS legacy_schema,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_totalprice,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_priority
+FROM orders
+GROUP BY 1
+""",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet SCHEMA EVOLUTION: an old writer lands files without the
+    `o_orderpriority` column, a new writer adds it, and a mergeSchema
+    read reconciles both generations — legacy rows surface the new
+    column as NULL (exactly how a 100 TB lakehouse table accretes
+    columns without rewriting history). Verified by aggregating the
+    merged read per schema generation: row counts, an exact sum that
+    spans BOTH generations, and a non-null count that only the new
+    files can contribute. The oracle recomputes all three from the
+    original table.
+
+    Scale note: mergeSchema=true footer-merges at LISTING time (cost ~
+    file count, not data); production tables pin the merged schema in a
+    catalog instead of re-deriving per query — the read path is
+    otherwise identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    legacy = orders.filter("o_orderkey % 2 = 0").select(
+        "o_orderkey", "o_totalprice"
+    )
+    current = orders.filter("o_orderkey % 2 = 1").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = _roundtrip_dir("evolve")
+    legacy.write.mode("overwrite").parquet(os.path.join(path, "gen=legacy"))
+    current.write.mode("overwrite").parquet(os.path.join(path, "gen=current"))
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy(
+        F.col("o_orderpriority").isNull().alias("legacy_schema")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice", "sum_totalprice"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+    )
+
+
+@register(
     "source_json_roundtrip",
     """
 SELECT event_type,

@@ -306,3 +306,37 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, sf_small, tm
     )
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_burst_cap_window_is_composite_partitioned(spark, sf_small):
+    """The rank window must partition by (user_id, minute bucket) — a
+    per-user unbounded window would put a whole user's history in one
+    task at 100 TB; a global window would be a single-partition cliff."""
+    plan = pi.physical_plan(q.QUERIES["events_burst_cap"](spark, sf_small))
+    assert "row_number()" in plan
+    # window partition spec carries both keys
+    import re
+
+    m = re.search(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert m and "user_id" in m.group(1) and "_minute" in m.group(1), plan
+
+
+def test_benchmark_contamination_broadcasts_eval_keys(spark, sf_small):
+    """The train-side probe must hash-join a BROADCAST benchmark key
+    set — shuffling the train shingles against the (small) benchmark
+    would move the corpus for nothing."""
+    df = q.QUERIES["dedup_benchmark_contamination"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_part_sketch_rollup_no_expand_and_broadcast_closure(spark, sf_small):
+    """The sketch branch must not trigger the Expand-based distinct plan
+    (the whole point of the sketch), and both branches take the closure
+    via broadcast."""
+    df = q.QUERIES["agg_approx_distinct_part_rollup"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert "hll_sketch_agg" in plan
+    assert "BroadcastHashJoin" in plan, plan

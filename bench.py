@@ -106,6 +106,9 @@ HEADLINE = [
     "sketch_theta_segment_overlap",
     "sketch_quantile_rank_verdict",
     "dedup_benchmark_contamination",
+    "sketch_topk_heavy_hitters_verdict",
+    "events_burst_cap",
+    "agg_approx_distinct_part_rollup",
 ]
 
 

@@ -1,0 +1,108 @@
+"""Empirical scale smoke for the HIERARCHY family: amplify the sf0.1
+customer population Nx (default 10x ~ 300k leaves), rebuild the
+geography dimension from scratch, and time the walk + closure build and
+the flagship rollup against it. Dimension BUILD is the heaviest single
+bench entry (geo_dim_build ~5s), so its growth shape matters: the walk
+is one join+union round per LEVEL (depth-bounded, not node-bounded) and
+the closure is a map-side path explode — both must grow ~linearly in
+node count, never with depth x nodes or quadratically.
+
+Usage: python tools/dim_scale_smoke.py [amplification]
+Writes nothing; amplified customers live only in the session.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.fixtures import geo_nodes
+from ibis_olap_aggregation_spark.hierarchy import HierarchyDimension
+from ibis_olap_aggregation_spark.rollup import hierarchical_rollup_additive
+from ibis_olap_aggregation_spark.session import get_spark, load_tables
+
+AMP = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SRC = "/root/testdata/sf0.1"
+
+
+def _mat(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def build_and_roll(spark, customer, orders, tag: str) -> None:
+    t = load_tables(spark, SRC, ("region", "nation"))
+    n_nodes = customer.count() + 31  # + nations/regions/root
+    t0 = time.perf_counter()
+    dim = HierarchyDimension(
+        geo_nodes(t["region"], t["nation"], customer),
+        dimension_name=f"geo_{tag}",
+        sort_key_col="node_id",
+        flatten_levels=4,
+    )
+    _mat(dim.aggregation_dim)
+    build_s = time.perf_counter() - t0
+    closure_rows = dim.aggregation_dim.count()
+    t0 = time.perf_counter()
+    _mat(
+        hierarchical_rollup_additive(
+            orders, dim.aggregation_dim, "o_custkey",
+            sum_cols=[("o_totalprice", "sum_totalprice")],
+            count_alias="n",
+        )
+    )
+    rollup_s = time.perf_counter() - t0
+    print(
+        f"{tag:8s} nodes={n_nodes:>9,} closure={closure_rows:>9,} "
+        f"build={build_s:6.2f}s rollup={rollup_s:6.2f}s"
+    )
+
+
+def main() -> None:
+    spark = get_spark("dim-scale-smoke")
+    t = load_tables(spark, SRC, ("customer", "orders"))
+    t["customer"].count()
+    t["orders"].count()
+
+    build_and_roll(spark, t["customer"], t["orders"], "base")
+
+    # amplify customers: copy k of customer C gets key C*AMP+k and joins
+    # the same nation — the tree gets WIDER (more leaves), depth fixed,
+    # exactly how a real geography dim grows
+    ks = spark.range(AMP).select(F.col("id").alias("k"))
+    wide = (
+        t["customer"]
+        .crossJoin(ks)
+        .select(
+            (F.col("c_custkey") * AMP + F.col("k")).alias("c_custkey"),
+            F.concat_ws("#", F.col("c_name"), F.col("k").cast("string")).alias(
+                "c_name"
+            ),
+            "c_nationkey",
+        )
+    )
+    # orders re-keyed to the k=0 copies so the rollup stays joinable
+    orders = t["orders"].withColumn(
+        "o_custkey", F.col("o_custkey") * AMP
+    )
+    build_and_roll(spark, wide, orders, f"x{AMP}")
+
+
+if __name__ == "__main__":
+    main()
+
+
+# Measured 2026-08-14 (local[32], shared VM):
+#   AMP=10:  base nodes=15,031  closure=60,086    build=5.04s rollup=1.67s
+#            x10  nodes=150,031 closure=600,086   build=5.23s rollup=0.89s
+#   AMP=50:  base nodes=15,031  closure=60,086    build=4.70s rollup=1.45s
+#            x50  nodes=750,031 closure=3,000,086 build=24.09s rollup=1.67s
+# The build is FLAT at 10x nodes (cost is the per-LEVEL round count +
+# fixed overhead, not per-node work) and grows ~5x at 50x nodes — far
+# sub-linear; the closure-rollup stays constant because its cost is the
+# fact side, and the closure join just broadcasts a bigger (but still
+# skinny) table. No depth x nodes or quadratic term anywhere.

@@ -387,3 +387,85 @@ def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_frac"
         ),
     )
+
+
+# PSI (population stability index) bucketing: fixed-width integer
+# buckets keep the binning exact and engine-independent (quantile-based
+# bins would drag approx-percentile divergence into the gate). Standard
+# reading: PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 shifted.
+PSI_BUCKET_WIDTH = 25
+PSI_N_BUCKETS = 10
+
+
+@register(
+    "quality_psi_drift",
+    f"""
+WITH b AS (
+  SELECT LEAST(CAST(FLOOR(value / {PSI_BUCKET_WIDTH}) AS BIGINT),
+               {PSI_N_BUCKETS - 1}) AS bucket,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_base
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+c AS (
+  SELECT bucket,
+         SUM(is_base) AS n_base,
+         SUM(1 - is_base) AS n_cur
+  FROM b GROUP BY 1
+),
+t AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM c)
+SELECT c.bucket,
+       CAST(c.n_base AS BIGINT) AS n_base,
+       CAST(c.n_cur AS BIGINT) AS n_cur,
+       ROUND(c.n_base * 1.0 / t.tb, 6) AS share_base,
+       ROUND(c.n_cur * 1.0 / t.tc, 6) AS share_cur,
+       CASE WHEN c.n_base > 0 AND c.n_cur > 0 THEN
+         ROUND((c.n_base * 1.0 / t.tb - c.n_cur * 1.0 / t.tc)
+               * LN((c.n_base * 1.0 / t.tb) / (c.n_cur * 1.0 / t.tc)), 6)
+       END AS psi_term
+FROM c CROSS JOIN t
+""",
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two event populations ('view'
+    as the baseline distribution, 'purchase' as the current one) over
+    fixed-width value buckets — the standard drift monitor a feature
+    pipeline runs per batch (PSI > 0.25 = the distribution shifted,
+    retrain/alert). Per-bucket terms are emitted (their sum is the PSI)
+    so the drifting REGION of the distribution is visible, not just the
+    scalar. Buckets empty on either side yield NULL terms (the
+    documented epsilon-free contract; both engines agree). Exact
+    integer bucketing, one aggregation shuffle, a 10-row broadcast for
+    the totals — the natural-log parity across engines is already
+    proven by text_unigram_logprob."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    b = ev.select(
+        F.least(
+            F.floor(F.col("value") / PSI_BUCKET_WIDTH).cast("bigint"),
+            F.lit(PSI_N_BUCKETS - 1),
+        ).alias("bucket"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_base"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum("is_base").alias("n_base"),
+        F.sum(1 - F.col("is_base")).alias("n_cur"),
+    )
+    t = c.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    j = c.crossJoin(F.broadcast(t))
+    sa = F.col("n_base") * 1.0 / F.col("tb")
+    sc = F.col("n_cur") * 1.0 / F.col("tc")
+    return j.select(
+        "bucket",
+        F.col("n_base").cast("bigint").alias("n_base"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(sa, 6).alias("share_base"),
+        F.round(sc, 6).alias("share_cur"),
+        F.when(
+            (F.col("n_base") > 0) & (F.col("n_cur") > 0),
+            F.round((sa - sc) * F.log(sa / sc), 6),
+        ).alias("psi_term"),
+    )

@@ -822,6 +822,7 @@ _ADDED_ROUND6 = frozenset(
         "events_burst_cap",
         "source_schema_evolution",
         "agg_approx_distinct_part_rollup",
+        "quality_psi_drift",
     }
 )
 

@@ -469,3 +469,71 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((sa - sc) * F.log(sa / sc), 6),
         ).alias("psi_term"),
     )
+
+
+@register(
+    "quality_ks_binned",
+    f"""
+WITH b AS (
+  SELECT LEAST(CAST(FLOOR(value / {PSI_BUCKET_WIDTH}) AS BIGINT),
+               {PSI_N_BUCKETS - 1}) AS bucket,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_base
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+c AS (
+  SELECT bucket, SUM(is_base) AS n_base, SUM(1 - is_base) AS n_cur
+  FROM b GROUP BY 1
+),
+t AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM c),
+e AS (
+  SELECT bucket,
+         SUM(n_base) OVER (ORDER BY bucket) * 1.0 / t.tb AS ecdf_base,
+         SUM(n_cur) OVER (ORDER BY bucket) * 1.0 / t.tc AS ecdf_cur
+  FROM c CROSS JOIN t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       ROUND(MAX(ABS(ecdf_base - ecdf_cur)), 6) AS ks_distance,
+       MAX(ABS(ecdf_base - ecdf_cur)) >= 0.1 AS is_shifted
+FROM e
+""",
+)
+def quality_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Kolmogorov-Smirnov distance between the same two event
+    populations as quality_psi_drift: max |ECDF difference| over the
+    fixed-width buckets, plus a shift verdict at the 0.1 threshold. The
+    binned form IS the production shape — the exact KS needs a global
+    sort of every value, while this reuses the PSI histogram (one
+    aggregation) and runs the ECDF window over B bucket rows, which is
+    driver-trivial at any data scale. PSI weights the whole
+    distribution; KS pins the single worst divergence point — drift
+    monitors run both."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    b = ev.select(
+        F.least(
+            F.floor(F.col("value") / PSI_BUCKET_WIDTH).cast("bigint"),
+            F.lit(PSI_N_BUCKETS - 1),
+        ).alias("bucket"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_base"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum("is_base").alias("n_base"),
+        F.sum(1 - F.col("is_base")).alias("n_cur"),
+    )
+    t = c.agg(F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc"))
+    # ECDF window over B bucket rows: bounded by the bucket count, so a
+    # single-partition window here is correct at any fact scale
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    e = c.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        (F.sum("n_base").over(w) * 1.0 / F.col("tb")).alias("ecdf_base"),
+        (F.sum("n_cur").over(w) * 1.0 / F.col("tc")).alias("ecdf_cur"),
+    )
+    d = F.abs(F.col("ecdf_base") - F.col("ecdf_cur"))
+    return e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.round(F.max(d), 6).alias("ks_distance"),
+        (F.max(d) >= 0.1).alias("is_shifted"),
+    )

@@ -611,3 +611,83 @@ def text_pretoken_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_zipf_slope",
+    """
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
+),
+c AS (SELECT t, COUNT(*) AS freq FROM tok GROUP BY 1),
+r AS (
+  SELECT ln(row_number() OVER (ORDER BY freq DESC, t)) AS x,
+         ln(freq) AS y
+  FROM c
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,14))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,14))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,14))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(28,14))) AS DOUBLE) AS syy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS vocab_size,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS zipf_intercept,
+       ROUND(POW(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r_squared
+FROM s
+""",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequencies: OLS slope of
+    ln(freq) against ln(rank) (natural text ~ -1; synthetic/generated
+    text drifts toward 0) plus intercept and R² — the corpus-level
+    "does this look like language" diagnostic a data-quality dashboard
+    tracks per source/snapshot. All five regression sums accumulate in
+    exact DECIMAL (each double term cast before summation), so the fit
+    is bit-identical across engines and partitionings; the rank window
+    runs over the VOCABULARY (bounded), never the corpus."""
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col())
+    c = (
+        d.select(F.explode_outer("t").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # vocabulary-sized window (31 tokens here; bounded by vocab at any
+    # corpus size) — a single partition is correct and documented
+    w = Window.orderBy(F.desc("freq"), "tok")
+    r = c.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+
+    def dsum14(e):
+        return F.sum(e.cast("decimal(28,14)")).cast("double")
+
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum14(F.col("x")).alias("sx"),
+        dsum14(F.col("y")).alias("sy"),
+        dsum14(F.col("x") * F.col("y")).alias("sxy"),
+        dsum14(F.col("x") * F.col("x")).alias("sxx"),
+        dsum14(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r_squared"),
+    )

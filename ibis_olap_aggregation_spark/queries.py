@@ -823,6 +823,8 @@ _ADDED_ROUND6 = frozenset(
         "source_schema_evolution",
         "agg_approx_distinct_part_rollup",
         "quality_psi_drift",
+        "quality_ks_binned",
+        "text_zipf_slope",
     }
 )
 

@@ -1517,3 +1517,86 @@ def dedup_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         eff.cast("bigint").alias("effective_tokens"),
         F.round(eff * 1.0 / F.sum("n_tok"), 6).alias("survival_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH index-quality evaluation: candidate recall vs exact pairs
+# ---------------------------------------------------------------------------
+
+_LSH_RECALL_ORACLE = """
+WITH truth AS ({truth_sql}),
+cand AS ({cand_sql}),
+banded AS (
+  SELECT t.doc_a, t.doc_b,
+         CASE WHEN t.jaccard < 0.7 THEN '0.50-0.70'
+              WHEN t.jaccard < 0.9 THEN '0.70-0.90'
+              ELSE '0.90-1.00' END AS jaccard_band,
+         CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+  FROM truth t
+  LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT jaccard_band,
+       COUNT(*) AS n_truth_pairs,
+       CAST(SUM(caught) AS BIGINT) AS n_caught,
+       ROUND(SUM(caught) * 1.0 / COUNT(*), 6) AS recall
+FROM banded
+GROUP BY 1
+"""
+
+
+def _register_lsh_pair_recall() -> None:
+    """Registered via a function so the oracle SPLICES the two member
+    queries' registered oracle texts (the same never-drifts device as
+    sim_ann_recall_eval): truth is WHATEVER dedup_ngram_jaccard_pairs
+    returns, candidates are WHATEVER dedup_minhash_lsh_candidates
+    returns."""
+    from ibis_olap_aggregation_spark.queries import ORACLES
+
+    oracle = _LSH_RECALL_ORACLE.format(
+        truth_sql=ORACLES["dedup_ngram_jaccard_pairs"].strip(),
+        cand_sql=ORACLES["dedup_minhash_lsh_candidates"].strip(),
+    )
+
+    @register("dedup_lsh_pair_recall", oracle)
+    def dedup_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The (bands, rows) TUNING CURVE of the MinHash LSH index:
+        recall of the LSH candidate pairs against the exact
+        Jaccard >= 0.5 truth pairs, reported per similarity band —
+        LSH recall rises steeply with similarity, so the per-band
+        shape (not one scalar) is what decides whether the banding
+        catches the pairs a dedup actually cares about. The dedup twin
+        of sim_ann_recall_eval.
+
+        Scale shape: truth is the expensive side (the prefix-filtered
+        exact pair join this query exists to eventually REPLACE with
+        LSH at full scale); the eval itself is one per-pair equi
+        left-join + a 3-row aggregate."""
+        from ibis_olap_aggregation_spark.queries import QUERIES
+
+        truth = QUERIES["dedup_ngram_jaccard_pairs"](spark, sf_dir).select(
+            "doc_a", "doc_b", "jaccard"
+        )
+        cand = QUERIES["dedup_minhash_lsh_candidates"](spark, sf_dir).select(
+            F.col("doc_a").alias("_ca"), F.col("doc_b").alias("_cb")
+        )
+        banded = truth.join(
+            cand,
+            (truth["doc_a"] == cand["_ca"]) & (truth["doc_b"] == cand["_cb"]),
+            "left",
+        ).select(
+            F.when(F.col("jaccard") < 0.7, "0.50-0.70")
+            .when(F.col("jaccard") < 0.9, "0.70-0.90")
+            .otherwise("0.90-1.00")
+            .alias("jaccard_band"),
+            F.when(F.col("_ca").isNotNull(), 1).otherwise(0).alias("caught"),
+        )
+        return banded.groupBy("jaccard_band").agg(
+            F.count(F.lit(1)).alias("n_truth_pairs"),
+            F.sum("caught").cast("bigint").alias("n_caught"),
+            F.round(F.sum("caught") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "recall"
+            ),
+        )
+
+
+_register_lsh_pair_recall()

@@ -825,6 +825,7 @@ _ADDED_ROUND6 = frozenset(
         "quality_psi_drift",
         "quality_ks_binned",
         "text_zipf_slope",
+        "dedup_lsh_pair_recall",
     }
 )
 

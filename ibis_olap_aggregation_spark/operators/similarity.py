@@ -970,3 +970,149 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_shift_l1",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse (TF-IDF) similarity join — the inverted-index complement to the
+# dense-embedding ANN above
+# ---------------------------------------------------------------------------
+
+from ibis_olap_aggregation_spark.functions.idioms import tokens_col  # noqa: E402
+from ibis_olap_aggregation_spark.functions.minhash_sql import (  # noqa: E402
+    DUCK_HASHED_SHINGLES as _DUCK_HS,
+)
+
+SPARSE_DF_MIN = 2     # df=1 terms can never contribute to a pair
+SPARSE_DF_FRAC = 0.25  # drop terms in more than 25% of docs (stop-terms)
+SPARSE_TOP_K = 3
+
+
+@register(
+    "sim_tfidf_sparse_topk",
+    f"""
+WITH {_DUCK_HS},
+p AS (SELECT doc_id, unnest(hs) AS k FROM sh),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+dfq AS (SELECT k, COUNT(*) AS df FROM p GROUP BY 1),
+terms AS (
+  SELECT p.doc_id, p.k, ln((SELECT nd FROM n) * 1.0 / df) AS idf
+  FROM p JOIN dfq USING (k)
+  WHERE df >= {SPARSE_DF_MIN}
+    AND df <= (SELECT nd FROM n) * {SPARSE_DF_FRAC}
+),
+norms AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(idf * idf AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
+  FROM terms GROUP BY 1
+),
+pairsc AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(CAST(a.idf * b.idf AS DECIMAL(28,14))) AS DOUBLE) AS dot
+  FROM terms a JOIN terms b ON a.k = b.k AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT doc_a, doc_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM pairsc
+  JOIN norms na ON na.doc_id = doc_a
+  JOIN norms nb ON nb.doc_id = doc_b
+),
+bidir AS (
+  SELECT doc_a AS doc_id, doc_b AS neighbor_id, cosine FROM cosd
+  UNION ALL
+  SELECT doc_b, doc_a, cosine FROM cosd
+),
+ranked AS (
+  SELECT *, row_number()
+            OVER (PARTITION BY doc_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM bidir
+)
+SELECT doc_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {SPARSE_TOP_K}
+""",
+)
+def sim_tfidf_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE similarity join: per-document TF-IDF vectors over hashed
+    shingle terms, cosine via the inverted index (docs only meet on
+    shared terms), top-{SPARSE_TOP_K} neighbors per document. The
+    lexical complement of the dense-embedding ANN family above — a
+    retrieval/dedup stack runs both, because embeddings miss verbatim
+    overlap and TF-IDF misses paraphrase.
+
+    Scale shape: cost ~ sum(df^2) over KEPT terms, bounded by the two
+    df gates (df >= {SPARSE_DF_MIN}: singleton terms pair with nothing;
+    df <= {int(SPARSE_DF_FRAC * 100)}% of docs: stop-terms would
+    otherwise quadratically dominate — the standard sparse-join
+    prefilter). At 100 TB the surviving posting lists route through
+    the same salted bucket_pairs machinery as LSH; the exact per-pair
+    idf products accumulate in DECIMAL (order-proof), so the ranking
+    is bit-identical to the oracle. Top-k windows partition by doc_id,
+    never globally. The doc count is one bounded driver action."""
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.count()
+    from ibis_olap_aggregation_spark.operators.dedup import hashed_shingles_col
+
+    sh = docs.withColumn("t", tokens_col()).select(
+        "doc_id", hashed_shingles_col().alias("hs")
+    )
+    p = sh.select("doc_id", F.explode_outer("hs").alias("k")).filter(
+        F.col("k").isNotNull()
+    )
+    dfq = p.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+    terms = (
+        p.join(
+            dfq.filter(
+                (F.col("df") >= SPARSE_DF_MIN)
+                & (F.col("df") <= nd * SPARSE_DF_FRAC)
+            ),
+            "k",
+        )
+        .withColumn("idf", F.log(F.lit(float(nd)) / F.col("df")))
+        .select("doc_id", "k", "idf")
+    )
+    dsum14 = lambda e: F.sum(e.cast("decimal(28,14)")).cast("double")  # noqa: E731
+    norms = terms.groupBy("doc_id").agg(
+        F.sqrt(dsum14(F.col("idf") * F.col("idf"))).alias("nrm")
+    )
+    a = terms.select(
+        F.col("doc_id").alias("doc_a"), "k", F.col("idf").alias("idf_a")
+    )
+    b = terms.select(
+        F.col("doc_id").alias("doc_b"), "k", F.col("idf").alias("idf_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(dsum14(F.col("idf_a") * F.col("idf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cosd = (
+        pairs.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    bidir = cosd.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor_id"),
+        "cosine",
+    ).unionByName(
+        cosd.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        bidir.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SPARSE_TOP_K)
+        .select("doc_id", "neighbor_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
+    )

@@ -826,6 +826,7 @@ _ADDED_ROUND6 = frozenset(
         "quality_ks_binned",
         "text_zipf_slope",
         "dedup_lsh_pair_recall",
+        "sim_tfidf_sparse_topk",
     }
 )
 

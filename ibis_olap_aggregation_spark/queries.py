@@ -827,6 +827,7 @@ _ADDED_ROUND6 = frozenset(
         "text_zipf_slope",
         "dedup_lsh_pair_recall",
         "sim_tfidf_sparse_topk",
+        "hierarchy_integrity_report",
     }
 )
 
@@ -1337,6 +1338,88 @@ def agg_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("_approx") - F.col("exact_distinct_customers"))
             <= 0.10 * F.col("exact_distinct_customers")
         ).alias("within_bounds"),
+    )
+
+
+@register(
+    "hierarchy_integrity_report",
+    f"""
+WITH RECURSIVE base AS ({GEO_NODES_SQL}),
+walk AS (
+  SELECT node_id, 1 AS level_number FROM base WHERE parent_node_id IS NULL
+  UNION ALL
+  SELECT n.node_id, w.level_number + 1
+  FROM base n JOIN walk w ON n.parent_node_id = w.node_id
+)
+SELECT (SELECT COUNT(*) FROM base) AS n_nodes,
+       (SELECT COUNT(*) FROM base WHERE parent_node_id IS NULL) AS n_roots,
+       (SELECT COUNT(*) FROM base b
+        WHERE b.parent_node_id IS NOT NULL
+          AND b.parent_node_id NOT IN (SELECT node_id FROM base)) AS n_orphans,
+       (SELECT COUNT(*) FROM (
+          SELECT node_natural_key FROM base
+          WHERE node_natural_key IS NOT NULL
+          GROUP BY 1 HAVING COUNT(*) > 1)) AS n_dup_natural_keys,
+       (SELECT COUNT(*) FROM walk) AS n_reachable,
+       (SELECT MAX(level_number) FROM walk) AS max_depth
+""",
+)
+def hierarchy_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity report on the hierarchy SOURCE table — the
+    data-quality gate run before a dimension build (SURVEY.md §7.5.6
+    defines the edge semantics this checks): root count (exactly one
+    expected), ORPHANS (parent id missing from the table — the walk
+    silently drops them, so a nonzero count here is the early warning),
+    duplicate leaf natural keys (facts would double-join), reachable
+    node count vs total (their difference = orphans + everything under
+    them + cycle members), and max depth (validates the flatten_levels
+    / max_depth configuration). All six checks are one scan + one walk
+    — dim-sized, trivially cheap next to the build they guard."""
+    nodes = geo_nodes(
+        *[
+            load_tables(spark, sf_dir, ("region", "nation", "customer"))[t]
+            for t in ("region", "nation", "customer")
+        ]
+    )
+    dim = _geo_dim(spark, sf_dir)
+    # reachable/depth from the built dim's self-pairs (net_level=0 rows
+    # carry each reachable node exactly once with its level)
+    self_rows = dim.aggregation_dim.filter(F.col("net_level") == 0)
+    reach = self_rows.agg(
+        F.count(F.lit(1)).alias("n_reachable"),
+        F.max("ancestor_level_number").alias("max_depth"),
+    )
+    parents = nodes.select(F.col("node_id").alias("_pid")).distinct()
+    orphans = (
+        nodes.filter(F.col("parent_node_id").isNotNull())
+        .join(parents, F.col("parent_node_id") == F.col("_pid"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    dups = (
+        nodes.filter(F.col("node_natural_key").isNotNull())
+        .groupBy("node_natural_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter("c > 1")
+        .agg(F.count(F.lit(1)).alias("n_dup_natural_keys"))
+    )
+    counts = nodes.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(
+            F.when(F.col("parent_node_id").isNull(), 1).otherwise(0)
+        ).alias("n_roots"),
+    )
+    return (
+        counts.crossJoin(orphans)
+        .crossJoin(dups)
+        .crossJoin(reach)
+        .select(
+            "n_nodes",
+            F.col("n_roots").cast("bigint").alias("n_roots"),
+            "n_orphans",
+            "n_dup_natural_keys",
+            "n_reachable",
+            F.col("max_depth").cast("bigint").alias("max_depth"),
+        )
     )
 
 

@@ -1361,7 +1361,7 @@ SELECT (SELECT COUNT(*) FROM base) AS n_nodes,
           WHERE node_natural_key IS NOT NULL
           GROUP BY 1 HAVING COUNT(*) > 1)) AS n_dup_natural_keys,
        (SELECT COUNT(*) FROM walk) AS n_reachable,
-       (SELECT MAX(level_number) FROM walk) AS max_depth
+       (SELECT CAST(MAX(level_number) AS BIGINT) FROM walk) AS max_depth
 """,
 )
 def hierarchy_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:

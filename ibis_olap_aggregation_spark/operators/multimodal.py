@@ -286,3 +286,88 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly; a real decoder replaces only the bytes->pixels step."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_video_frames(attach_media(docs))
+
+
+# Aspect-preserving resize target (max side). Chosen below the fixture's
+# width range so the plan exercises BOTH branches: genuinely downscaled
+# images and already-small ones that keep their size (never upscale).
+RESIZE_TARGET = 96
+
+
+@register(
+    "multimodal_resize_plan",
+    f"""
+WITH img AS (
+  SELECT doc_id,
+         64 + (doc_id % 8) * 16 AS width,
+         64 + (doc_id % 5) * 16 AS height
+  FROM documents
+  WHERE doc_id % 3 = 0
+),
+s AS (
+  SELECT *,
+         CASE WHEN GREATEST(width, height) > {RESIZE_TARGET}
+              THEN {RESIZE_TARGET}.0 / GREATEST(width, height)
+              ELSE 1.0 END AS scale
+  FROM img
+),
+p AS (
+  SELECT doc_id, width, height,
+         ROUND(scale, 6) AS scale,
+         CAST(FLOOR(width * scale) AS BIGINT) AS target_w,
+         CAST(FLOOR(height * scale) AS BIGINT) AS target_h
+  FROM s
+)
+SELECT doc_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       scale, target_w, target_h,
+       {RESIZE_TARGET} - target_w AS pad_x,
+       {RESIZE_TARGET} - target_h AS pad_y,
+       CAST(width * height AS BIGINT) AS n_pixels_in,
+       target_w * target_h AS n_pixels_out
+FROM p
+""",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE PLANNING: per image, the aspect-preserving
+    downscale factor to a {RESIZE_TARGET}px max side (never upscaled),
+    the target dimensions, the letterbox padding to the square model
+    input, and the pixel-count change — everything a batched
+    decode+resize stage needs computed BEFORE touching pixels, so the
+    expensive Arrow/mapInPandas pass (decode_media + an interpolation
+    kernel, stubbed in this environment) receives a fully-specified
+    plan and the planner stays pure JVM metadata arithmetic: map-only,
+    no Python, no shuffle. At 100 TB this split is what makes resize
+    schedulable — pixel work is sized (n_pixels_out) per partition
+    from the plan alone, without opening a single blob."""
+    docs = load_table(spark, sf_dir, "documents")
+    img = attach_media(docs).filter(
+        F.col("media_meta.media_type") == "image"
+    ).select(
+        "doc_id",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+    mx = F.greatest("width", "height")
+    scale = F.when(mx > RESIZE_TARGET, F.lit(float(RESIZE_TARGET)) / mx).otherwise(
+        F.lit(1.0)
+    )
+    p = img.withColumn("scale_raw", scale).select(
+        "doc_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.round("scale_raw", 6).alias("scale"),
+        F.floor(F.col("width") * F.col("scale_raw")).cast("bigint").alias("target_w"),
+        F.floor(F.col("height") * F.col("scale_raw")).cast("bigint").alias("target_h"),
+    )
+    return p.select(
+        "doc_id",
+        "width",
+        "height",
+        "scale",
+        "target_w",
+        "target_h",
+        (F.lit(RESIZE_TARGET) - F.col("target_w")).alias("pad_x"),
+        (F.lit(RESIZE_TARGET) - F.col("target_h")).alias("pad_y"),
+        (F.col("width") * F.col("height")).alias("n_pixels_in"),
+        (F.col("target_w") * F.col("target_h")).alias("n_pixels_out"),
+    )

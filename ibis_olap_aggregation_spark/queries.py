@@ -828,6 +828,7 @@ _ADDED_ROUND6 = frozenset(
         "dedup_lsh_pair_recall",
         "sim_tfidf_sparse_topk",
         "hierarchy_integrity_report",
+        "multimodal_resize_plan",
     }
 )
 

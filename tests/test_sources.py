@@ -301,6 +301,85 @@ def test_versioned_table_interleaved_writers_cannot_double_commit(
     assert after.filter("lang = 'bb'").count() == 1
 
 
+def test_versioned_table_live_claim_survives_competing_reclaim(
+    spark, sf_small, workdir
+):
+    """THE orphan-reclaim race (VERDICT r4/r5 finding #1): a LIVE writer
+    whose snapshot was staged long before the claim must not have its
+    just-claimed slot rmtree'd by a competitor mid-flip. The claim
+    re-stamps the slot's mtime (``os.rename`` preserves the staging
+    dir's mtime — the snapshot WRITE time), so the orphan grace measures
+    time-since-CLAIM. Without the re-stamp the competitor reclaims the
+    fresh claim, both writers flip the same version, and one commit is
+    silently lost."""
+    import os
+    import threading
+    import time
+
+    import pytest as _pytest
+
+    from ibis_olap_aggregation_spark.sources.io import (
+        ConcurrentWriteError,
+        VersionedParquetTable,
+    )
+
+    root = os.path.join(workdir, "versioned_liveclaim")
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "lang")
+    a = VersionedParquetTable(spark, root)
+    b = VersionedParquetTable(spark, root)
+    VersionedParquetTable.create(spark, root, docs)
+    n0 = docs.count()
+
+    claimed = threading.Event()
+    competitor_done = threading.Event()
+    real_claim = a._claim_slot
+
+    def slow_claim(staging: str, target: str) -> None:
+        # this writer staged its snapshot "hours ago" (a slow merge):
+        # backdate the staging dir so its mtime is ancient at claim time
+        old = time.time() - 7200
+        os.utime(staging, (old, old))
+        real_claim(staging, target)
+        claimed.set()
+        # ...and is slow BETWEEN claim and manifest flip: hold the
+        # window open until the competitor has taken its shot
+        competitor_done.wait(120)
+
+    a._claim_slot = slow_claim
+
+    up_a = spark.createDataFrame([(3_000_000, "aa")], "doc_id bigint, lang string")
+    up_b = spark.createDataFrame([(3_000_001, "bb")], "doc_id bigint, lang string")
+    errs: list[str] = []
+
+    def run_a() -> None:
+        try:
+            a.upsert(up_a, ["doc_id"])
+        except Exception as e:  # noqa: BLE001
+            errs.append(repr(e))
+
+    th = threading.Thread(target=run_a)
+    th.start()
+    try:
+        assert claimed.wait(120)
+        # competitor: the slot it collides with is claimed-but-not-yet-
+        # flipped with a FRESH claim mtime -> a live writer, not an
+        # orphan. grace=30s is far above the competitor's own merge
+        # latency but far below the 2h-old staging mtime, so the pre-fix
+        # behavior (grace vs snapshot-write time) would reclaim here.
+        with _pytest.raises(ConcurrentWriteError):
+            b.upsert(up_b, ["doc_id"], orphan_grace_secs=30.0)
+        assert os.path.isdir(a._version_dir(1))  # slot NOT rmtree'd
+    finally:
+        competitor_done.set()
+        th.join(120)
+    assert not errs, errs
+    t = VersionedParquetTable(spark, root)
+    assert t.current_version() == 1  # exactly one flip — no double commit
+    final = t.read()
+    assert final.count() == n0 + 1
+    assert final.filter("lang = 'aa'").count() == 1  # A's commit intact
+
+
 def test_versioned_table_threaded_writers_all_land(spark, sf_small, workdir):
     """Stress the optimistic-concurrency loop with REAL interleaving:
     four threads upsert disjoint rows concurrently with retries. Every

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 __all__ = ["global_row_number"]
 
@@ -58,16 +59,25 @@ def global_row_number(
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
-    # PERSIST before the offset collect: the counts pass and the final
-    # consumer are SEPARATE jobs, and the range partitioner's sampled
-    # boundaries are not stable across jobs (AQE can re-coalesce the
-    # upstream stage differently per job), so without pinning the
-    # physical partitioning the offsets of one partitioning get applied
-    # to another — observed as duplicate/gapped global ranks (61/64
-    # distinct file ids in layout_zorder_file_skipping at sf0.01). The
-    # persist is disk-backed and exactly the table being ranked, which
-    # any two-pass rank materializes once anyway.
-    local = ranged.withColumn("_rn", F.row_number().over(w)).persist()
+    # MATERIALIZE (eager localCheckpoint) before the offset collect: the
+    # counts pass and the final consumer are SEPARATE jobs, and the
+    # range partitioner's sampled boundaries are not stable across jobs
+    # (AQE can re-coalesce the upstream stage differently per job), so
+    # without freezing the physical partitioning the offsets of one
+    # partitioning get applied to another — observed as duplicate/gapped
+    # global ranks (61/64 distinct file ids in
+    # layout_zorder_file_skipping at sf0.01). localCheckpoint rather
+    # than persist(): truncated lineage makes the pid->offset map safe
+    # even under recompute (a persisted plan that loses a block
+    # re-SAMPLES the partitioner on rebuild), and the blocks are
+    # RDD-scoped — the ContextCleaner frees them once the result is
+    # dropped, where Dataset.persist entries sit in the CacheManager
+    # until an explicit unpersist that a lazily-consumed return value
+    # has no safe place to issue (the r4/r5 sweep-scale leak).
+    # DISK_ONLY: the ranked table is read at most twice, never hot.
+    local = ranged.withColumn("_rn", F.row_number().over(w)).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     counts = sorted(
         (r["_pid"], r["_cnt"])
         for r in local.groupBy("_pid").agg(F.max("_rn").alias("_cnt")).collect()

@@ -286,7 +286,16 @@ def _ivf_score_rank(ex: DataFrame, cent: DataFrame) -> DataFrame:
 # product is cast to the same DECIMAL(28,14) the exploded form sums, and
 # decimal addition is exact/associative — so the fold equals the
 # exploded SUM bit-for-bit, in any order, on any engine.
-_DEC_DOT = (
+#
+# MAGNITUDE BOUND: each term must satisfy |x*y| < 1e14 (DECIMAL(28,14)
+# integral headroom) and the running sum |Σ| < 1e23 (DECIMAL(37,14)).
+# Under non-ANSI mode a cast overflow yields NULL, which would silently
+# null the cosine and corrupt downstream ranks (VERDICT r4/r5 finding
+# #4) — so the fold is wrapped: NULL out of non-NULL inputs raises
+# loudly instead. A NULL *element* inside a vector (data corruption)
+# also raises; NULL whole-vector inputs stay NULL (legitimate missing
+# data, caller's concern).
+_DEC_DOT_FOLD = (
     "cast(aggregate(zip_with({a}, {b}, (x, y) -> cast(x * y as decimal(28,14))),"
     " cast(0 as decimal(37,14)),"
     # accumulate at (37,14) and re-cast each step: (37,14)+(28,14)
@@ -294,6 +303,14 @@ _DEC_DOT = (
     # lossless precision check, never a rounding (at (38,14) Spark
     # would instead DROP a scale digit to honor the precision cap)
     " (acc, x) -> cast(acc + x as decimal(37,14))) as double)"
+)
+_DEC_DOT = (
+    "if(({a}) IS NULL OR ({b}) IS NULL, cast(null as double),"
+    " ifnull(" + _DEC_DOT_FOLD + ","
+    " raise_error('decimal overflow or NULL element in exact dot product:"
+    " per-term |x*y| must stay below 1e14 and the running sum below 1e23"
+    " (DECIMAL(28,14)/(37,14) headroom) — rescale the vectors or use the"
+    " float-path scorer')))"
 )
 
 

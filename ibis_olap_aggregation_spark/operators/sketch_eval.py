@@ -176,12 +176,11 @@ bg AS (
   FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
 ),
 c AS (SELECT item, COUNT(*) AS n FROM bg GROUP BY 1),
-r AS (
-  SELECT n, row_number() OVER (ORDER BY n DESC, item) AS rk FROM c
-)
-SELECT CAST({_TOPK_K} AS BIGINT) AS n_returned,
-       CAST({_TOPK_K} AS BIGINT) AS n_at_or_above_threshold,
+k AS (SELECT LEAST({_TOPK_K}, COUNT(*)) AS k_eff FROM c)
+SELECT CAST(k_eff AS BIGINT) AS n_returned,
+       CAST(k_eff AS BIGINT) AS n_at_or_above_threshold,
        TRUE AS all_counts_exact
+FROM k
 """,
 )
 def sketch_topk_heavy_hitters_verdict(
@@ -209,7 +208,12 @@ def sketch_topk_heavy_hitters_verdict(
         .filter(F.col("item").isNotNull())
     )
     exact = bg.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
-    # tie-safe threshold: the exact count of the k-th ranked item
+    # tie-safe threshold: the exact count of the k_eff-th ranked item,
+    # where k_eff = least(K, vocab) — with FEWER than K distinct bigrams
+    # the old rk == K filter matched nothing, the crossJoin emptied the
+    # result, and a small-fixture shape read as a broken sketch
+    # (0/null/null vs the oracle). min(n) over the top-<=K ranks is the
+    # k_eff-th count and is non-empty whenever any bigram exists.
     thresh = (
         exact.select(
             F.col("n"),
@@ -217,8 +221,8 @@ def sketch_topk_heavy_hitters_verdict(
             .over(Window.orderBy(F.desc("n"), "item"))
             .alias("rk"),
         )
-        .filter(F.col("rk") == _TOPK_K)
-        .select(F.col("n").alias("thresh"))
+        .filter(F.col("rk") <= _TOPK_K)
+        .agg(F.min("n").alias("thresh"))
     )
     approx = (
         bg.agg(
@@ -235,12 +239,18 @@ def sketch_topk_heavy_hitters_verdict(
     joined = approx.join(F.broadcast(exact), "item", "left").crossJoin(
         F.broadcast(thresh)
     )
+    # coalesce: a zero-bigram corpus (all-empty docs) leaves joined empty
+    # and the un-grouped agg would emit 0/NULL/NULL; the oracle's k_eff=0
+    # row is 0/0/TRUE
     return joined.agg(
         F.count(F.lit(1)).alias("n_returned"),
-        F.sum(
-            F.when(F.col("n") >= F.col("thresh"), 1).otherwise(0)
+        F.coalesce(
+            F.sum(F.when(F.col("n") >= F.col("thresh"), 1).otherwise(0)),
+            F.lit(0).cast("bigint"),
         ).alias("n_at_or_above_threshold"),
-        F.every(F.col("est_n") == F.col("n")).alias("all_counts_exact"),
+        F.coalesce(
+            F.every(F.col("est_n") == F.col("n")), F.lit(True)
+        ).alias("all_counts_exact"),
     )
 
 

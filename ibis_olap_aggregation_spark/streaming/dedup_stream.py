@@ -83,12 +83,23 @@ def seed_signature_store(docs: DataFrame, store_dir: str) -> None:
     partitions (`_batch_id>=0` from a previous run) is refused —
     overwriting only the seed partition would leave those stale rows to
     silently rejoin the corpus on the next read. Delete the store (and
-    the stream's checkpoint) to re-initialize from scratch."""
-    stale = [
-        e
-        for e in (os.listdir(store_dir) if os.path.isdir(store_dir) else [])
-        if e.startswith("_batch_id=") and e != f"_batch_id={SEED_BATCH_ID}"
-    ]
+    the stream's checkpoint) to re-initialize from scratch.
+
+    CONCURRENCY ASSUMPTION: seeding happens BEFORE the stream starts,
+    in the same single setup process — the guard is check-then-act, not
+    a lock. As a backstop against a mis-sequenced pipeline (stream
+    already appending while the seed writes), the scan re-runs AFTER
+    the write and fails loudly; the half-seeded store must then be
+    deleted along with the checkpoint."""
+
+    def _stream_partitions() -> list[str]:
+        return [
+            e
+            for e in (os.listdir(store_dir) if os.path.isdir(store_dir) else [])
+            if e.startswith("_batch_id=") and e != f"_batch_id={SEED_BATCH_ID}"
+        ]
+
+    stale = _stream_partitions()
     if stale:
         raise ValueError(
             f"signature store {store_dir!r} already has stream partitions "
@@ -98,6 +109,14 @@ def seed_signature_store(docs: DataFrame, store_dir: str) -> None:
     doc_signatures(docs).write.mode("overwrite").parquet(
         os.path.join(store_dir, f"_batch_id={SEED_BATCH_ID}")
     )
+    landed = _stream_partitions()
+    if landed:
+        raise RuntimeError(
+            f"signature store {store_dir!r} gained stream partitions "
+            f"({sorted(landed)[:3]}...) WHILE seeding — a stream was "
+            "already running; delete the store and checkpoint and seed "
+            "before starting the stream"
+        )
 
 
 def dedup_batch_against_store(

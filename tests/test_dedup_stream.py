@@ -228,3 +228,31 @@ def test_crash_replay_is_idempotent(spark, sf_small):
         store_df = spark.read.parquet(store)
         assert store_df.count() == store_df.select("doc_id").distinct().count()
         assert not any(d == m for d, v, m in replay if m is not None)
+
+
+def test_seed_refuses_partition_landing_mid_write(spark, sf_small, tmp_path, monkeypatch):
+    """The seed guard is check-then-act (VERDICT r4/r5 finding #5-minor):
+    a stream partition landing BETWEEN the pre-write scan and the write
+    must be caught by the post-write re-check, not silently absorbed."""
+    import os
+
+    import pytest as _pytest
+
+    from ibis_olap_aggregation_spark.session import load_table
+    from ibis_olap_aggregation_spark.streaming import dedup_stream as ds
+
+    docs = load_table(spark, sf_small, "documents").limit(5)
+    store = str(tmp_path / "store")
+
+    real_sigs = ds.doc_signatures
+
+    def sigs_then_interleave(d):
+        out = real_sigs(d)
+        # simulate a concurrently running stream appending its first
+        # micro-batch between the scan and the seed write
+        os.makedirs(os.path.join(store, "_batch_id=0"), exist_ok=True)
+        return out
+
+    monkeypatch.setattr(ds, "doc_signatures", sigs_then_interleave)
+    with _pytest.raises(RuntimeError, match="WHILE seeding"):
+        ds.seed_signature_store(docs, store)

@@ -256,3 +256,78 @@ def test_global_row_number_is_permutation_multipartition(spark, sf_small):
     assert [
         (r["l_orderkey"], r["l_linenumber"]) for r in by_rank
     ] == [(r["l_orderkey"], r["l_linenumber"]) for r in by_key]
+
+
+def test_global_row_number_leaves_no_cached_plans(spark, sf_small):
+    """Sweep-scale storage hygiene (VERDICT r4/r5 finding #2): the
+    two-pass ranker must not accumulate pinned datasets across repeated
+    calls. Dataset.persist registers in the CacheManager, where entries
+    live until an explicit unpersist a lazily-consumed return value has
+    no safe place to issue — the fix is an eager DISK_ONLY
+    localCheckpoint, whose blocks are RDD-scoped (ContextCleaner-freed)
+    and never enter the CacheManager. Repeated multi-partition rankings
+    must stay correct AND leave the CacheManager exactly as empty as it
+    started."""
+    from ibis_olap_aggregation_spark.operators.ranking import global_row_number
+    from ibis_olap_aggregation_spark.session import load_table
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty(), "test requires a clean cache to start"
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    n = li.count()
+    for _ in range(5):  # a mini-sweep: each call fully consumed
+        ranked = global_row_number(
+            li, ["l_orderkey", "l_linenumber"], "rk", num_partitions=5
+        )
+        assert ranked.count() == n
+        assert cache_mgr.isEmpty(), "ranking registered a cached plan"
+
+
+def test_dec_dot_overflow_raises_loudly(spark):
+    """Overflow visibility for the decimal-exact dot product (VERDICT
+    r4/r5 finding #5): under non-ANSI mode a DECIMAL cast overflow
+    yields NULL, which used to silently null the cosine and corrupt
+    ranks. Large-magnitude vectors must now raise with a message naming
+    the bound; in-bound vectors stay exact; NULL whole-vector inputs
+    stay NULL (legitimate missing data)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ibis_olap_aggregation_spark.operators.similarity import _DEC_DOT
+
+    expr = F.expr(_DEC_DOT.format(a="a", b="b")).alias("dot")
+    schema = "a array<double>, b array<double>"
+
+    # per-term product 1e16 >= 1e14: DECIMAL(28,14) cast overflow.
+    # Under ANSI (the session default) the cast itself raises; under
+    # non-ANSI the cast NULLs and the ifnull(raise_error) wrapper fires
+    # — EITHER way the failure is loud, never a silent NULL cosine.
+    big = spark.createDataFrame([([1e8] * 4, [1e8] * 4)], schema)
+    with _pytest.raises(
+        Exception, match="decimal overflow|cannot be represented"
+    ):
+        big.select(expr).collect()
+    ansi_conf = "spark.sql.ansi.enabled"
+    orig = spark.conf.get(ansi_conf)
+    try:
+        spark.conf.set(ansi_conf, "false")  # the silent-NULL regime
+        with _pytest.raises(Exception, match="decimal overflow"):
+            big.select(expr).collect()
+    finally:
+        spark.conf.set(ansi_conf, orig)
+
+    # a NULL element inside a vector is corruption, not missing data
+    holey = spark.createDataFrame([([1.0, None], [1.0, 1.0])], schema)
+    with _pytest.raises(Exception, match="decimal overflow or NULL"):
+        holey.select(expr).collect()
+
+    # in-bound magnitudes: exact, no false trips (term 1e12 < 1e14)
+    ok = spark.createDataFrame([([1e6] * 4, [1e6] * 4)], schema)
+    assert ok.select(expr).collect()[0]["dot"] == 4e12
+
+    # NULL whole-vector input propagates NULL, never raises
+    nul = spark.createDataFrame([(None, [1.0])], schema)
+    assert nul.select(expr).collect()[0]["dot"] is None

@@ -7,17 +7,24 @@ every output column via the noop sink — a bare .count() lets Catalyst
 prune computed columns, so map-only queries would be timed as scan+count
 and report fantasy numbers). A warmup pass touches every input table so
 timings measure the engine, not cold first-touch file IO; for the same
-reason each HEADLINE query executes twice and the minimum is reported —
-single cold executions of shuffle-heavy plans vary 2-3x with JIT
-compilation and GC timing on a fresh JVM (measured 5.4-20.6s for the
-identical part-rollup plan), and steady-state latency is what a
-long-running cluster sees. Dimension BUILDS stay single-shot: they are
-one-time ETL and a second build would just hit the caches.
+reason each HEADLINE query executes SPARK_GRAFT_BENCH_REPS times
+(default 3) and the MEDIAN is reported, with the per-query spread
+(max-min) alongside — round 5 proved single-shot timings at this scale
+swing 27% on bit-identical code (per-query up to 2.1s), so neither a
+min nor a single shot can distinguish a real regression from scheduler
+jitter. Dimension BUILDS stay single-shot: they are one-time ETL and a
+second build would just hit the caches.
 
 When a previous round's BENCH_r{N}.json exists next to this script, the
-output also carries per-query deltas vs the latest one ("deltas": {name:
-sec_now - sec_prev}) so regressions introduced by plan changes are
-visible in the bench line itself.
+output carries per-query deltas vs the latest one ("deltas_vs_prev")
+and a REGRESSION GATE: queries whose median grew by more than BOTH an
+absolute floor (0.75s) and a relative fraction (30%) vs the previous
+round are flagged in "regressions". The gate only arms when the
+previous round was measured on the same basis (median-of-N — recorded
+as "basis" in the output; min-of-2 rounds r1-r5 are delta-reported but
+never gate-compared, medians sit systematically above mins).
+SPARK_GRAFT_BENCH_INJECT="name:secs,..." injects an artificial
+slowdown into named queries so the gate itself is testable end-to-end.
 """
 
 from __future__ import annotations
@@ -26,6 +33,7 @@ import glob
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -118,9 +126,68 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _prev_bench() -> dict[str, float]:
-    """Per-query timings from the latest BENCH_r{N}.json, if any."""
-    best: tuple[int, dict] | None = None
+BENCH_BASIS = "median3"  # gate only compares same-basis rounds
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+
+def _inject_map() -> dict[str, float]:
+    """Parse SPARK_GRAFT_BENCH_INJECT ("name:secs,name:secs") — an
+    artificial per-query slowdown so the regression gate is testable."""
+    out: dict[str, float] = {}
+    for spec in os.environ.get("SPARK_GRAFT_BENCH_INJECT", "").split(","):
+        if ":" in spec:
+            name, secs = spec.rsplit(":", 1)
+            try:
+                out[name.strip()] = float(secs)
+            except ValueError:
+                continue
+    return out
+
+
+def time_query(name, run, reps: int = REPS, inject: dict | None = None):
+    """(median_sec, spread_sec) over ``reps`` executions of ``run``.
+    The injected slowdown (if any) lands INSIDE the timed region, so an
+    injection exercises the exact path a real regression would."""
+    inject = _inject_map() if inject is None else inject
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        if name in inject:
+            time.sleep(inject[name])
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    return round(statistics.median(runs), 3), round(runs[-1] - runs[0], 3)
+
+
+def regression_gate(
+    current: dict[str, float],
+    prev: dict[str, float],
+    abs_floor: float = 0.75,
+    rel: float = 0.30,
+) -> dict[str, float]:
+    """Queries whose timing grew by more than BOTH ``abs_floor`` seconds
+    and ``rel`` fraction vs ``prev`` — the dual threshold keeps noise on
+    tiny queries (big relative, small absolute) and on big queries
+    (big absolute, small relative) from firing; round-5 same-code swings
+    violated each single threshold alone but never both."""
+    flagged = {}
+    for name, now in current.items():
+        was = prev.get(name)
+        if was is None:
+            continue
+        delta = now - was
+        if delta > abs_floor and delta > rel * max(was, 1e-9):
+            flagged[name] = round(delta, 3)
+    return flagged
+
+
+def _prev_bench() -> tuple[dict[str, float], str | None]:
+    """(per-query timings, measurement basis) from the latest
+    BENCH_r{N}.json, if any. Basis is None for rounds that predate the
+    marker (min-of-2 era) — the regression gate stays disarmed against
+    those; deltas are still reported."""
+    best: tuple[int, dict, str | None] | None = None
     for path in glob.glob(os.path.join(_HERE, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
@@ -128,7 +195,9 @@ def _prev_bench() -> dict[str, float]:
         try:
             with open(path) as f:
                 payload = json.load(f)
-            queries = (payload.get("parsed") or payload).get("queries", {})
+            parsed = payload.get("parsed") or payload
+            queries = parsed.get("queries", {})
+            basis = parsed.get("basis")
             if not queries and "tail" in payload:
                 # driver format: our JSON line is embedded in a captured
                 # stdout "tail" string — extract the last metric line
@@ -136,10 +205,12 @@ def _prev_bench() -> dict[str, float]:
                 # queries dict (the trailing summary line has none)
                 for line in reversed(re.findall(r'\{"metric".*\}', payload["tail"])):
                     try:
-                        queries = json.loads(line).get("queries", {})
+                        parsed_line = json.loads(line)
+                        queries = parsed_line.get("queries", {})
                     except Exception:  # noqa: BLE001
                         continue
                     if queries:
+                        basis = parsed_line.get("basis")
                         break
             if not queries and "tail" in payload:
                 # the tail capture may TRUNCATE the line's head (r2's file
@@ -152,8 +223,8 @@ def _prev_bench() -> dict[str, float]:
             continue
         n = int(m.group(1))
         if queries and (best is None or n > best[0]):
-            best = (n, queries)
-    return best[1] if best else {}
+            best = (n, queries, basis)
+    return (best[1], best[2]) if best else ({}, None)
 
 
 def main() -> None:
@@ -165,7 +236,9 @@ def main() -> None:
               "lineitem", "events", "documents", "embeddings"):
         load_table(spark, SF_DIR, t).count()
 
+    inject = _inject_map()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, fn in DIM_BUILDS:
         t0 = time.perf_counter()
         materialize(fn(spark, SF_DIR))
@@ -174,28 +247,35 @@ def main() -> None:
         fn = q.QUERIES.get(name)
         if fn is None:
             continue
-        best = None
-        for _ in range(2):  # min-of-2: steady-state, not JIT/GC luck
-            t0 = time.perf_counter()
-            materialize(fn(spark, SF_DIR))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        med, spread = time_query(
+            name, lambda: materialize(fn(spark, SF_DIR)), inject=inject
+        )
+        timings[name] = med
+        spreads[name] = spread
 
-    prev = _prev_bench()
+    prev, prev_basis = _prev_bench()
     deltas = {
         k: round(v - prev[k], 3) for k, v in timings.items() if k in prev
     }
+    # gate only against a same-basis previous round: medians sit
+    # systematically above the min-of-2 numbers of rounds r1-r5
+    regressions = (
+        regression_gate(timings, prev) if prev_basis == BENCH_BASIS else {}
+    )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
+        "basis": BENCH_BASIS,
+        "reps": REPS,
         "sf": float(sf),
     }
     if deltas:
         out["deltas_vs_prev"] = deltas
+    out["regressions"] = regressions
     print(json.dumps(out))
     # Truncation-proof trailing summary: the driver's stdout capture keeps
     # the LAST line intact even when it truncates the (long) full line
@@ -211,7 +291,9 @@ def main() -> None:
         "unit": "sec",
         "n": len(timings),
         "sf": out["sf"],
+        "basis": BENCH_BASIS,
         "worst_deltas": worst,
+        "regressions": regressions,
     }))
 
 

@@ -3,11 +3,12 @@
 Training-data pipelines carry image/audio/video as `binary` columns with
 typed metadata structs, and run decode/feature-extract as Arrow-batched
 Python (mapInPandas) — the ONE place Python-side compute is justified,
-because codecs aren't SQL. The codec libraries are absent in this
-environment, so `decode_media` is a clearly-marked stub
-(NotImplementedError) with a deterministic fake mode; everything
+because codecs aren't SQL. `decode_media` probes for a real codec
+(Pillow) at runtime and uses it when present; in codec-less
+environments like this one it is a clearly-marked stub
+(NotImplementedError) with a deterministic fake mode. Everything
 Spark-side — schema, binary handling, Arrow batch shape, UDF signature,
-partition behavior — is real and oracle-checked.
+partition behavior — is real and oracle-checked either way.
 
 The synthetic payload is unhex(md5(text)) (16 deterministic bytes per
 document), so the DuckDB oracle can recompute every extracted feature
@@ -63,19 +64,48 @@ def attach_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _image_codec():
+    """Runtime probe for a real image codec (Pillow). Returns the
+    PIL.Image module, or None when the library is absent — the decode
+    seam degrades to the documented stub instead of import-crashing the
+    whole module in codec-less environments like this one."""
+    try:
+        from PIL import Image  # noqa: PLC0415 - the probe IS the seam
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_media(payload: bytes, media_type: str, *, fake: bool = False) -> bytes:
     """Decode a media payload into raw samples/pixels.
 
-    STUB: real codecs (PIL/ffmpeg/soundfile) are not available in this
-    environment. With fake=True returns a deterministic pseudo-decode
-    (payload repeated 4x) so downstream plumbing is testable end-to-end.
+    Resolution order:
+
+    1. ``fake=True``: deterministic pseudo-decode (payload repeated 4x)
+       — the mode tests and oracles use, available everywhere.
+    2. A real codec found at runtime: images decode through Pillow into
+       raw RGB bytes (``Image.open(...).convert("RGB").tobytes()``).
+       The probe is per-call, so executors that DO have the library
+       use it with no code change.
+    3. Otherwise NotImplementedError naming the missing codec — audio/
+       video (ffmpeg/soundfile) have no seam wired yet and always land
+       here when not faked.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media codecs not available in this environment; "
-            "pass fake=True for the deterministic test decode"
-        )
-    return bytes(payload) * 4
+    if fake:
+        return bytes(payload) * 4
+    if media_type == "image":
+        image_mod = _image_codec()
+        if image_mod is not None:
+            import io
+
+            with image_mod.open(io.BytesIO(payload)) as im:
+                return im.convert("RGB").tobytes()
+    raise NotImplementedError(
+        f"no {media_type} codec available in this environment "
+        "(images need Pillow; audio/video decode is not wired); "
+        "pass fake=True for the deterministic test decode"
+    )
 
 
 FEATURE_SCHEMA = StructType(

@@ -155,3 +155,79 @@ def test_binaryfile_ingest_roundtrip(spark, sf_small, tmp_path):
     }
     want = {r.doc_id: bytes(r.media) for r in media}
     assert got == want
+
+
+def test_decode_media_seam_all_modes(monkeypatch):
+    """The codec seam (VERDICT r5 task #8) in all three regimes:
+    fake mode everywhere; a REAL codec found at runtime is used (pinned
+    by injecting a stub PIL module, since the sandbox has none — and by
+    the importorskip twin below when Pillow IS present); no codec and
+    no fake raises NotImplementedError naming the gap."""
+    import sys
+    import types
+
+    import pytest as _pytest
+
+    from ibis_olap_aggregation_spark.operators.multimodal import decode_media
+
+    payload = bytes(range(16))
+
+    # 1. fake mode: deterministic pseudo-decode, no library needed
+    assert decode_media(payload, "image", fake=True) == payload * 4
+
+    # 2. no codec, no fake: loud, names the missing library
+    monkeypatch.setitem(sys.modules, "PIL", None)  # force ImportError
+    with _pytest.raises(NotImplementedError, match="Pillow"):
+        decode_media(payload, "image")
+    with _pytest.raises(NotImplementedError, match="audio"):
+        decode_media(payload, "audio")
+
+    # 3. runtime probe finds a codec: decode routes through it. The
+    # stub implements exactly the Image.open->convert->tobytes surface
+    # the seam calls, so this pins the call contract a real Pillow
+    # satisfies.
+    class _StubImage:
+        def __init__(self, raw: bytes):
+            self._raw = raw
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def convert(self, mode: str):
+            assert mode == "RGB"
+            return self
+
+        def tobytes(self) -> bytes:
+            return b"rgb:" + self._raw
+
+    stub_pil = types.ModuleType("PIL")
+    stub_pil.Image = types.SimpleNamespace(
+        open=lambda fp: _StubImage(fp.read())
+    )
+    monkeypatch.setitem(sys.modules, "PIL", stub_pil)
+    assert decode_media(payload, "image") == b"rgb:" + payload
+    # audio still has no seam even with an image codec present
+    with _pytest.raises(NotImplementedError):
+        decode_media(payload, "audio")
+
+
+def test_decode_media_real_pillow_roundtrip():
+    """Real-codec twin of the seam test: runs only where Pillow is
+    actually installed (skipped in this sandbox). A 2x2 PNG must decode
+    to its 12 raw RGB bytes through the runtime probe."""
+    import io
+
+    import pytest as _pytest
+
+    Image = _pytest.importorskip("PIL.Image")
+
+    from ibis_olap_aggregation_spark.operators.multimodal import decode_media
+
+    im = Image.new("RGB", (2, 2), (255, 0, 0))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    raw = decode_media(buf.getvalue(), "image")
+    assert raw == b"\xff\x00\x00" * 4

@@ -447,3 +447,70 @@ def test_streaming_upsert_sink_versions_atomically(spark, tmp_path):
     # previous snapshot still readable: the pre-stream state
     old = {r["doc_id"]: r["lang"] for r in table.read(0).collect()}
     assert old == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_streaming_upsert_sink_crash_recovery_no_double_commit(spark, tmp_path):
+    """CDC-sink crash recovery (VERDICT r5 task #7): kill the
+    foreachBatch writer mid-batch — in the WORST position, after the
+    table commit but before the streaming checkpoint advances — and
+    assert the restarted stream replays the batch without a double
+    commit: the replayed upsert re-merges the same keys idempotently,
+    so the final content is exactly the batch-applied result (no
+    duplicate rows, no lost updates), with every intermediate version a
+    complete readable snapshot."""
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    from ibis_olap_aggregation_spark.sources.io import VersionedParquetTable
+    from ibis_olap_aggregation_spark.streaming.engine import run_upsert_sink
+
+    schema = "doc_id bigint, lang string, n_chars bigint"
+    base = spark.createDataFrame(
+        [(1, "en", 10), (2, "de", 20), (3, "fr", 30)], schema
+    )
+    root = str(tmp_path / "versioned_crash_sink")
+    table = VersionedParquetTable.create(spark, root, base)
+
+    src = str(tmp_path / "updates_src")
+    updates = spark.createDataFrame([(2, "xx", 99), (4, "es", 40)], schema)
+    updates.write.parquet(src)
+
+    real_upsert = table.upsert
+    crashed = {"done": False}
+
+    def crash_after_commit(batch, key_cols, **kw):
+        v = real_upsert(batch, key_cols, **kw)
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("simulated writer death after commit")
+        return v
+
+    table.upsert = crash_after_commit
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_upsert_sink(
+            stream, table, ["doc_id"],
+            checkpoint_dir=str(tmp_path / "ckpt"), keep_versions=10,
+        )
+
+    with _pytest.raises(StreamingQueryException):
+        run()
+    # the commit landed before the crash: readers already see the merge,
+    # and the table is on a complete snapshot (crash-atomicity)
+    assert table.current_version() == 1
+    assert crashed["done"]
+
+    # restart with the SAME checkpoint: the un-checkpointed batch
+    # replays, the upsert re-merges the same keys (idempotent content)
+    run()
+
+    final = {r["doc_id"]: (r["lang"], r["n_chars"]) for r in table.read().collect()}
+    assert final == {1: ("en", 10), 2: ("xx", 99), 3: ("fr", 30), 4: ("es", 40)}
+    # no duplicate keys anywhere in the replayed snapshot
+    assert table.read().count() == 4
+    # the replay produced a NEW version with identical content — commit
+    # count may advance, CONTENT may not double-apply
+    assert table.current_version() == 2
+    v1 = {r["doc_id"]: (r["lang"], r["n_chars"]) for r in table.read(1).collect()}
+    assert v1 == final

@@ -424,37 +424,19 @@ def dedup_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 # assignment CTEs: identical construction to sim_ivf_centroid_assign's
-# oracle (similarity.py) — exact-decimal centroid means and accumulations
-# so both engines assign every vector to the SAME cluster.
-_DUCK_IVF_ASSIGN = """
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-ex AS (
-  SELECT vec_id, label, i.i AS dim, v[i.i] AS val
-  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
-),
-cent AS (
-  SELECT label AS c_label, dim,
-         CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cval
-  FROM ex GROUP BY 1, 2
-),
-scored AS (
-  SELECT x.vec_id, c.c_label,
-         CAST(SUM(CAST(x.val * c.cval AS DECIMAL(28,14))) AS DOUBLE) AS dot,
-         sqrt(CAST(SUM(CAST(x.val * x.val AS DECIMAL(28,14))) AS DOUBLE))
-           * sqrt(CAST(SUM(CAST(c.cval * c.cval AS DECIMAL(28,14))) AS DOUBLE))
-           AS norms
-  FROM ex x JOIN cent c ON x.dim = c.dim
-  GROUP BY 1, 2
-),
-asg AS (
-  SELECT vec_id, c_label AS cluster
-  FROM (SELECT vec_id, c_label,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY ROUND(dot / norms, 6) DESC, c_label) AS rk
-        FROM scored)
-  WHERE rk = 1
+# oracle — the shared idioms.DUCK_IVF_SCORED prelude (exact-decimal
+# centroid MEANS, float array-fold SCORING) so both engines assign every
+# vector to the SAME cluster.
+from ibis_olap_aggregation_spark.functions.idioms import (  # noqa: E402
+    DUCK_IVF_SCORED as _DUCK_IVF_SCORED,
 )
+
+_DUCK_IVF_ASSIGN = (
+    _DUCK_IVF_SCORED
+    + """,
+asg AS (SELECT vec_id, c_label AS cluster FROM ranked WHERE rk = 1)
 """
+)
 
 
 @register(

@@ -33,6 +33,7 @@ LSH_BITS = 8  # sign bits of the first 8 dimensions
 # shared cross-engine idioms (functions/idioms.py)
 from ibis_olap_aggregation_spark.functions.idioms import (  # noqa: E402
     DUCK_COS as _DUCK_COS,
+    DUCK_IVF_SCORED as _IVF_SCORED,
     SPARK_DOT as _DOT,
     SPARK_NORM as _NORM,
     spark_cosine as _cosine,
@@ -155,32 +156,8 @@ def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivf_centroid_assign",
-    """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-ex AS (
-  SELECT vec_id, label, i.i AS dim, v[i.i] AS val
-  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
-),
-cent AS (
-  SELECT label AS c_label, dim,
-         CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cval
-  FROM ex GROUP BY 1, 2
-),
-scored AS (
-  SELECT x.vec_id, x.label, c.c_label,
-         CAST(SUM(CAST(x.val * c.cval AS DECIMAL(28,14))) AS DOUBLE) AS dot,
-         sqrt(CAST(SUM(CAST(x.val * x.val AS DECIMAL(28,14))) AS DOUBLE))
-           * sqrt(CAST(SUM(CAST(c.cval * c.cval AS DECIMAL(28,14))) AS DOUBLE))
-           AS norms
-  FROM ex x JOIN cent c ON x.dim = c.dim
-  GROUP BY 1, 2, 3
-),
-ranked AS (
-  SELECT vec_id, label, c_label, ROUND(dot / norms, 6) AS cosine,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY ROUND(dot / norms, 6) DESC, c_label) AS rk
-  FROM scored
-)
+    f"""
+WITH {_IVF_SCORED}
 SELECT label AS true_label, c_label AS assigned_label, COUNT(*) AS n_vectors
 FROM ranked WHERE rk = 1
 GROUP BY 1, 2
@@ -191,10 +168,9 @@ def sim_ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean per dimension — summation-order-proof), assign every vector to
     its nearest centroid by cosine, return the label-vs-assignment
     matrix. Centroids are tiny → broadcast; the explode/groupBy paths
-    are map-side combined.
-
-    Sum order for the dot/norm accumulations differs between engines, so
-    those aggregations run in DECIMAL (exact) on the Spark side too.
+    are map-side combined. Scoring runs on the FLOAT array-fold path
+    (see `_ivf_score_rank_array` — order-fixed, so cross-engine
+    bit-identical without decimal).
     """
     ranked = _ivf_centroid_ranked(_emb(spark, sf_dir))
     return (
@@ -216,8 +192,8 @@ def _ivf_exploded(e: DataFrame) -> DataFrame:
     the query's cold cost measured at sf0.1). Hash (not round-robin)
     partitioning: Catalyst pushes projections/generators below
     round-robin exchanges, which would put the work right back in the
-    scan partition. Values are unaffected — every downstream
-    aggregation is summation-order-proof decimal."""
+    scan partition. Values are unaffected — the centroid aggregation is
+    summation-order-proof decimal."""
     parts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
         e.repartition(parts, "vec_id")
@@ -228,7 +204,15 @@ def _ivf_exploded(e: DataFrame) -> DataFrame:
 
 def _ivf_centroids(ex: DataFrame, cluster_col: str = "label") -> DataFrame:
     """Per-cluster per-dimension mean in exact decimal (summation-order
-    -proof, so both engines produce bit-identical centroid doubles)."""
+    -proof, so both engines produce bit-identical centroid doubles).
+
+    Stays on the EXPLODED table by measurement: map-side combine means
+    the (cluster, dim) groupBy only shuffles k x 64 partials per map
+    task — the explode is local row inflation inside codegen — and an
+    A/B against a 64-decimal-buffer aggregate over the array table
+    showed the buffer form 2x SLOWER at sf0.1 (wide decimal aggregation
+    buffers defeat the hash-agg fast path), so the explode+combine IS
+    the scale shape here."""
     return ex.groupBy(F.col(cluster_col).alias("c_label"), "dim").agg(
         (
             F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
@@ -240,16 +224,16 @@ def _ivf_centroids(ex: DataFrame, cluster_col: str = "label") -> DataFrame:
 def _ivf_centroid_ranked(e: DataFrame) -> DataFrame:
     """Per-(vector, centroid) cosine with a dense per-vector rank.
 
-    Centroids are the per-label per-dimension means, exact-decimal so the
-    mean (and every dot/norm accumulation) is summation-order-proof —
-    the ranks must agree bit-for-bit with the DuckDB oracle or the two
-    engines would probe different inverted lists. Centroids are tiny
-    (labels x 64 dims) -> broadcast; explode/groupBy is map-side
-    combined. Scoring runs on the ARRAY path (`_ivf_score_rank_array`)
-    — same bits, no |vectors| x 64 x k explode-join intermediate.
+    Centroids are the per-label per-dimension means, exact-decimal so
+    the MEAN is summation-order-proof — the ranks must agree
+    bit-for-bit with the DuckDB oracle or the two engines would probe
+    different inverted lists. Centroids are tiny (labels x 64 dims) ->
+    broadcast; explode/groupBy is map-side combined. Scoring runs on
+    the ARRAY path (`_ivf_score_rank_array`) — float folds with fixed
+    per-row order, IEEE-identical across engines, no |vectors| x 64 x k
+    explode-join intermediate and no per-term decimal arithmetic.
     """
-    ex = _ivf_exploded(e)
-    cent = _ivf_centroids(ex)
+    cent = _ivf_centroids(_ivf_exploded(e))
     return _ivf_score_rank_array(e, cent)
 
 
@@ -332,25 +316,30 @@ def _ivf_score_rank_array(e: DataFrame, cent: DataFrame) -> DataFrame:
     (vector, centroid) cosine as a zip_with/aggregate fold, so the plan
     is map-only over the vectors (|vectors| x k rows, each one fold)
     instead of the exploded form's |vectors| x 64 x k join-aggregate
-    intermediate. Every accumulation folds in the SAME exact
-    DECIMAL(28,14) terms the exploded `_ivf_score_rank` sums, so dot,
-    norms, cosine, and therefore the rank are bit-identical (pinned in
-    tests/test_new_ops_properties.py::test_ivf_array_scorer_equals_exploded)
-    — the DuckDB oracle parity of every IVF query is preserved while the
-    scoring cost drops to one broadcast nested-loop over k rows."""
+    intermediate.
+
+    FLOAT scoring path (VERDICT r5 task #6): the folds run in plain
+    DOUBLE — a sequential per-row fold has FIXED evaluation order, so
+    the result is IEEE-deterministic and bit-identical to the DuckDB
+    oracle's list-fold (the same proven contract as
+    idioms.SPARK_DOT/DUCK_COS, green since round 2 on the brute-force
+    family). Decimal stays only where order-independence genuinely
+    needs it: the cross-row centroid MEANS (`_ivf_centroids`). The
+    exploded DECIMAL scorer `_ivf_score_rank` survives as the family's
+    exact-parity witness — its 6-rounded cosines and ranks must agree
+    with this path (pinned in tests/test_new_ops_properties.py::
+    test_ivf_array_scorer_equals_exploded)."""
     cent_arr = centroid_arrays(cent).withColumn(
-        "_cnorm", F.expr("sqrt(" + _DEC_DOT.format(a="cvec", b="cvec") + ")")
+        "_cnorm", F.expr(_NORM.format(a="cvec"))
     )
-    ev = e.withColumn(
-        "_vnorm", F.expr("sqrt(" + _DEC_DOT.format(a="v", b="v") + ")")
-    )
+    ev = e.withColumn("_vnorm", F.expr(_NORM.format(a="v")))
     # every vector scores against every centroid BY DESIGN: a broadcast
     # nested-loop with the k-row centroid table as the build side is the
     # honest plan (|vectors| x k output, bounded by k — not a pair-join
     # anti-pattern; tests/test_plans.py scopes its no-nested-loop guard
     # to unbounded pair generation accordingly)
     scored = ev.crossJoin(F.broadcast(cent_arr)).withColumn(
-        "dot", F.expr(_DEC_DOT.format(a="v", b="cvec"))
+        "dot", F.expr(_DOT.format(a="v", b="cvec"))
     )
     cos = F.round(F.col("dot") / (F.col("_vnorm") * F.col("_cnorm")), 6)
     w = Window.partitionBy("vec_id").orderBy(cos.desc(), "c_label")
@@ -580,31 +569,7 @@ NPROBE = 3  # inverted lists probed per query
 @register(
     "sim_ivf_topk",
     f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-ex AS (
-  SELECT vec_id, label, i.i AS dim, v[i.i] AS val
-  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
-),
-cent AS (
-  SELECT label AS c_label, dim,
-         CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cval
-  FROM ex GROUP BY 1, 2
-),
-scored AS (
-  SELECT x.vec_id, x.label, c.c_label,
-         CAST(SUM(CAST(x.val * c.cval AS DECIMAL(28,14))) AS DOUBLE) AS dot,
-         sqrt(CAST(SUM(CAST(x.val * x.val AS DECIMAL(28,14))) AS DOUBLE))
-           * sqrt(CAST(SUM(CAST(c.cval * c.cval AS DECIMAL(28,14))) AS DOUBLE))
-           AS norms
-  FROM ex x JOIN cent c ON x.dim = c.dim
-  GROUP BY 1, 2, 3
-),
-ranked AS (
-  SELECT vec_id, c_label,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY ROUND(dot / norms, 6) DESC, c_label) AS rk
-  FROM scored
-),
+WITH {_IVF_SCORED},
 assign AS (SELECT vec_id, c_label FROM ranked WHERE rk = 1),
 probes AS (
   SELECT vec_id AS query_id, c_label
@@ -810,32 +775,8 @@ def emb_int8_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivf_cluster_stats",
-    """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-ex AS (
-  SELECT vec_id, label, i.i AS dim, v[i.i] AS val
-  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
-),
-cent AS (
-  SELECT label AS c_label, dim,
-         CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cval
-  FROM ex GROUP BY 1, 2
-),
-scored AS (
-  SELECT x.vec_id, x.label, c.c_label,
-         CAST(SUM(CAST(x.val * c.cval AS DECIMAL(28,14))) AS DOUBLE) AS dot,
-         sqrt(CAST(SUM(CAST(x.val * x.val AS DECIMAL(28,14))) AS DOUBLE))
-           * sqrt(CAST(SUM(CAST(c.cval * c.cval AS DECIMAL(28,14))) AS DOUBLE))
-           AS norms
-  FROM ex x JOIN cent c ON x.dim = c.dim
-  GROUP BY 1, 2, 3
-),
-ranked AS (
-  SELECT vec_id, label, c_label, ROUND(dot / norms, 6) AS cosine,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY ROUND(dot / norms, 6) DESC, c_label) AS rk
-  FROM scored
-)
+    f"""
+WITH {_IVF_SCORED}
 SELECT c_label AS cluster_label,
        COUNT(*) AS n_vectors,
        COUNT(DISTINCT label) AS n_true_labels,
@@ -855,11 +796,12 @@ def sim_ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail will miss at query time.
 
     Same centroid/assignment skeleton as sim_ivf_centroid_assign
-    (exact-decimal means and dot products — summation-order-proof, so
-    both engines assign identically); the stats aggregate sums the
-    ROUNDED cosine through DECIMAL(18,6), making the mean immune to
-    double addition order. Cost: one |vectors| x |centroids| broadcast
-    score pass + two tiny aggregations — no pair joins."""
+    (exact-decimal MEANS, float array-fold scoring — both engines
+    assign identically); the stats aggregate sums the ROUNDED cosine
+    through DECIMAL(18,6), making the mean immune to double addition
+    order — the one cross-row float sum in the query. Cost: one
+    |vectors| x |centroids| broadcast score pass + two tiny
+    aggregations — no pair joins."""
     ranked = _ivf_centroid_ranked(_emb(spark, sf_dir))
     return (
         ranked.filter("rk = 1")
@@ -879,32 +821,8 @@ def sim_ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_kmeans_refine",
-    """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-ex AS (
-  SELECT vec_id, label, i.i AS dim, v[i.i] AS val
-  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
-),
-cent AS (
-  SELECT label AS c_label, dim,
-         CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cval
-  FROM ex GROUP BY 1, 2
-),
-scored AS (
-  SELECT x.vec_id, x.label, c.c_label,
-         CAST(SUM(CAST(x.val * c.cval AS DECIMAL(28,14))) AS DOUBLE) AS dot,
-         sqrt(CAST(SUM(CAST(x.val * x.val AS DECIMAL(28,14))) AS DOUBLE))
-           * sqrt(CAST(SUM(CAST(c.cval * c.cval AS DECIMAL(28,14))) AS DOUBLE))
-           AS norms
-  FROM ex x JOIN cent c ON x.dim = c.dim
-  GROUP BY 1, 2, 3
-),
-ranked AS (
-  SELECT vec_id, label, c_label, ROUND(dot / norms, 6) AS cosine,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY ROUND(dot / norms, 6) DESC, c_label) AS rk
-  FROM scored
-),
+    f"""
+WITH {_IVF_SCORED},
 assign AS (SELECT vec_id, c_label FROM ranked WHERE rk = 1),
 cent2 AS (
   SELECT a.c_label, x.dim,
@@ -938,10 +856,12 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_init vs n_assigned) and the L1 centroid movement — the
     convergence signal a full Lloyd loop would iterate on.
 
-    Every mean/dot/norm accumulates in exact DECIMAL (summation-order
-    -proof), so assignments and the movement metric match the oracle
-    bit-for-bit — the property that lets a Spark-built IVF index be
-    verified against (or refined by) any other engine. Cost per step:
+    Cross-ROW accumulations (both centroid means, the L1-shift sum)
+    stay exact DECIMAL — summation-order-proof — while per-row scoring
+    runs float array folds (order-fixed, IEEE-identical across
+    engines), so assignments and the movement metric still match the
+    oracle bit-for-bit — the property that lets a Spark-built IVF index
+    be verified against (or refined by) any other engine. Cost per step:
     one |vectors| x |centroids| broadcast score pass + two map-side
     combined aggregations; the loop is rounds x that, no pair joins.
     Clusters that lose every member report n_assigned=0 and a NULL

@@ -206,13 +206,16 @@ def test_leakage_safe_split_never_straddles_clusters(spark, sf_small):
 
 
 def test_ivf_array_scorer_equals_exploded(spark, sf_small):
-    """The array-native IVF scorer (library default — broadcast centroid
-    arrays, zip_with/aggregate decimal folds, no dim-explode join) must
-    equal the exploded decimal scorer bit-for-bit: decimal addition is
-    exact and associative, so folding the same DECIMAL(28,14) terms the
-    exploded form SUMs yields identical dot/norms/cosine and therefore
-    identical ranks. This is what keeps every IVF query's DuckDB oracle
-    green while scoring runs the 100 TB shape."""
+    """FLOAT array scorer vs the DECIMAL-exact exploded witness (VERDICT
+    r5 task #6): the library default scores with plain-double sequential
+    folds (order-fixed, IEEE-deterministic); the exploded scorer keeps
+    per-term DECIMAL(28,14) exactness as the family's parity witness.
+    Their 6-rounded cosines and therefore ranks must agree on the real
+    corpus — the empirical proof that the float path's <=1e-15 relative
+    error never crosses a 6th-decimal rounding boundary here, which is
+    what keeps every IVF query's DuckDB oracle green while scoring runs
+    the 100 TB shape (no decimal arithmetic in the |vectors| x k hot
+    loop)."""
     from ibis_olap_aggregation_spark.operators.similarity import (
         _emb,
         _ivf_centroids,
@@ -272,7 +275,9 @@ def test_global_row_number_leaves_no_cached_plans(spark, sf_small):
     from ibis_olap_aggregation_spark.session import load_table
 
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
-    assert cache_mgr.isEmpty(), "test requires a clean cache to start"
+    # other suites legitimately cache tiny fixtures (kmeans centroids,
+    # semdedup assignments) — the invariant is zero GROWTH, not empty
+    baseline = cache_mgr.numCachedEntries()
 
     li = load_table(spark, sf_small, "lineitem").select(
         "l_orderkey", "l_linenumber"
@@ -283,7 +288,9 @@ def test_global_row_number_leaves_no_cached_plans(spark, sf_small):
             li, ["l_orderkey", "l_linenumber"], "rk", num_partitions=5
         )
         assert ranked.count() == n
-        assert cache_mgr.isEmpty(), "ranking registered a cached plan"
+        assert cache_mgr.numCachedEntries() == baseline, (
+            "ranking registered a cached plan"
+        )
 
 
 def test_dec_dot_overflow_raises_loudly(spark):

@@ -91,3 +91,30 @@ def load_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def pin(df: DataFrame, disk_only: bool = False) -> DataFrame:
+    """Query-scoped materialization: eager ``localCheckpoint`` where
+    ``Dataset.cache()`` would leak.
+
+    ``cache()`` registers the plan in the CacheManager, whose entry —
+    and disk blocks once memory evicts — survives until an explicit
+    ``unpersist`` that a lazily-consumed query result has no safe place
+    to issue; across a 182-query sweep those entries accumulate for the
+    session lifetime (VERDICT r4/r5 finding #2, the global-ranker
+    leak). ``localCheckpoint`` blocks are RDD-scoped instead: the
+    ContextCleaner frees them once the query's DataFrames are dropped,
+    and the truncated lineage doubles as cross-job plan stability (a
+    persisted plan that loses a block recomputes — and resamples any
+    nondeterministic partitioning — from lineage; a checkpoint cannot).
+
+    Tradeoff, documented once here: local checkpoints are
+    non-recoverable — losing an executor fails the query instead of
+    recomputing (acceptable: these are query-scoped intermediates, the
+    retry is the query). ``disk_only=True`` for intermediates read at
+    most twice; default MEMORY_AND_DISK for hot multi-reference use.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    level = StorageLevel.DISK_ONLY if disk_only else StorageLevel.MEMORY_AND_DISK
+    return df.localCheckpoint(eager=True, storageLevel=level)

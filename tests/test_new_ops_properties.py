@@ -338,3 +338,29 @@ def test_dec_dot_overflow_raises_loudly(spark):
     # NULL whole-vector input propagates NULL, never raises
     nul = spark.createDataFrame([(None, [1.0])], schema)
     assert nul.select(expr).collect()[0]["dot"] is None
+
+
+def test_query_scoped_pins_leave_no_cached_plans(spark, sf_small):
+    """Sweep hygiene extended beyond the ranker: every query that
+    previously cache()d a multi-referenced intermediate (kmeans
+    centroids, semdedup assignments, prefix-filter shingle sets, LSH
+    bucket groups, z-order stats) now pins via session.pin (eager
+    localCheckpoint) — zero CacheManager growth per query, so a
+    182-query sweep cannot accumulate pinned plans."""
+    from ibis_olap_aggregation_spark.queries import QUERIES
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    baseline = cache_mgr.numCachedEntries()
+    for name in (
+        "sim_kmeans_refine",
+        "dedup_semantic_ivf",
+        "layout_zorder_file_skipping",
+        "dedup_ngram_jaccard_pairs",
+        "dedup_minhash_lsh_candidates",
+    ):
+        QUERIES[name](spark, sf_small).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        assert cache_mgr.numCachedEntries() == baseline, (
+            f"{name} leaked a CacheManager entry"
+        )

@@ -33,7 +33,7 @@ from ibis_olap_aggregation_spark.functions.rp_lsh import (
 )
 from ibis_olap_aggregation_spark.functions.idioms import tokens_col
 from ibis_olap_aggregation_spark.queries import register
-from ibis_olap_aggregation_spark.session import load_table, pin
+from ibis_olap_aggregation_spark.session import load_table, query_cache
 
 # minhash constants + oracle CTEs live in the LEAF module
 # functions/minhash_sql.py so sibling operators (pipeline.py) can reuse
@@ -131,7 +131,7 @@ def bucket_pairs(
         .groupBy(*keys, "_s")
         .agg(F.collect_list("m").alias("ms"), F.first("_ns").alias("_ns"))
     )
-    sub = pin(sub)  # multi-referenced below; query-scoped (session.pin)
+    sub = query_cache(sub)  # multi-referenced below; query-scoped (session.query_cache)
     left = sub.filter((F.size("ms") > 1) | (F.col("_ns") > 1)).select(
         *keys,
         "ms",
@@ -493,10 +493,10 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
         "shingles", F.array_sort(shingles_col())
     )
-    # pin (not cache — query-scoped, see session.pin): the shingle
+    # tracked cache (query-scoped, see session.query_cache): the shingle
     # arrays feed the prefix index AND both verify sides; without the
     # materialization the tokenize+shingle chain evaluates three times
-    sets = pin(d.select("doc_id", "shingles"))
+    sets = query_cache(d.select("doc_id", "shingles"))
     prefix_len = (
         f"size(shingles) - cast(ceil(size(shingles) * {t}) as int) + 1"
     )
@@ -1005,10 +1005,10 @@ def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
         "hs", hashed_shingles_col()
     )
-    # pin (query-scoped, see session.pin): referenced on BOTH sides of
+    # tracked cache (query-scoped, see session.query_cache): BOTH sides of
     # the verify join — without it the tokenize+md5 shingle chain is
     # evaluated twice more
-    sets = pin(docs.select("doc_id", "hs"))
+    sets = query_cache(docs.select("doc_id", "hs"))
     cand = dedup_minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from ibis_olap_aggregation_spark.functions.idioms import DUCK_MD5INT, SPARK_MD5INT
 from ibis_olap_aggregation_spark.operators.ranking import global_row_number
 from ibis_olap_aggregation_spark.queries import register
-from ibis_olap_aggregation_spark.session import load_table, pin
+from ibis_olap_aggregation_spark.session import load_table, query_cache
 
 __all__ = [
     "zorder_key",
@@ -188,7 +188,7 @@ def layout_zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
     )
-    li = pin(li)  # feeds both layouts' rankings; query-scoped (session.pin)
+    li = query_cache(li)  # feeds both layouts' rankings (session.query_cache)
     n = li.count()
     row = li.agg(F.max("pk").alias("mp"), F.max("sk").alias("ms")).first()
     maxp, maxs = int(row["mp"]), int(row["ms"])
@@ -210,9 +210,9 @@ def layout_zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zkey", zorder_key(["pk", "sk"], {"pk": maxp, "sk": maxs})
     )
     # 2 x 64 stat rows feed BOTH the probe-overlap branch and the
-    # n_files count: pin so the two global rankings run once, not twice
-    # (query-scoped, see session.pin)
-    stats = pin(
+    # n_files count: cache so the two global rankings run once, not
+    # twice (tracked, query-scoped — see session.query_cache)
+    stats = query_cache(
         file_stats(zkeyed, ["zkey", "pk", "sk"], "zorder")
         .unionByName(file_stats(li, ["pk", "sk"], "linear"))
     )

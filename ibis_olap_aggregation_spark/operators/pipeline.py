@@ -39,7 +39,7 @@ from ibis_olap_aggregation_spark.functions.minhash_sql import (
     DUCK_NEAR_DUP_COMP as _DUCK_NEAR_DUP_COMP,
 )
 from ibis_olap_aggregation_spark.queries import register
-from ibis_olap_aggregation_spark.session import load_table, pin
+from ibis_olap_aggregation_spark.session import load_table, query_cache
 
 # sibling operator modules (shingles_col, tokens_col, IVF assignment)
 # are imported INSIDE the query functions: at import time this module is
@@ -509,7 +509,7 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"transform(v, x -> x / {nrm})").alias("vn"),
         )
     )
-    vv = pin(vv)  # 5 references; query-scoped (no CacheManager leak)
+    vv = query_cache(vv)  # 5 references; query-scoped (no CacheManager leak)
     x = vv.select(
         F.col("cluster"),
         F.col("vec_id").alias("va"),

@@ -74,9 +74,13 @@ def global_row_number(
     # dropped, where Dataset.persist entries sit in the CacheManager
     # until an explicit unpersist that a lazily-consumed return value
     # has no safe place to issue (the r4/r5 sweep-scale leak).
-    # DISK_ONLY: the ranked table is read at most twice, never hot.
+    # MEMORY_AND_DISK by measurement: a DISK_ONLY checkpoint added
+    # ~2s to layout_zorder_file_skipping (two rankings, each read
+    # twice) and ~1s to every dim build at sf0.1 — the blocks are
+    # GC-freed either way, so memory-first costs nothing at sweep
+    # scale.
     local = ranged.withColumn("_rn", F.row_number().over(w)).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
     counts = sorted(
         (r["_pid"], r["_cnt"])

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ibis_olap_aggregation_spark.queries import register
-from ibis_olap_aggregation_spark.session import load_table, pin
+from ibis_olap_aggregation_spark.session import load_table, query_cache
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -871,11 +871,11 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _ivf_exploded(e)
     # cent is referenced twice (scorer + shift join) and each
     # un-materialized reference re-executes the whole explode+centroid
-    # aggregation; pinning is k x 64 rows — bounded by centroid count at
-    # ANY corpus size (measured ~1s off the sf0.1 query). pin(), not
-    # cache(): query-scoped — no CacheManager entry to leak across a
-    # sweep (see session.pin)
-    cent = pin(_ivf_centroids(ex))
+    # aggregation; the cached table is k x 64 rows — bounded by centroid
+    # count at ANY corpus size (measured ~1s off the sf0.1 query).
+    # Tracked via session.query_cache so the registry releases it at
+    # the next query — no CacheManager accumulation across a sweep
+    cent = query_cache(_ivf_centroids(ex))
     ranked = _ivf_score_rank_array(e, cent)
     assign = ranked.filter("rk = 1").select("vec_id", F.col("c_label").alias("nl"))
     cent2 = _ivf_centroids(

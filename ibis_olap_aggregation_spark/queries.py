@@ -45,12 +45,39 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+# re-entrancy depth for the register() drain: queries COMPOSE other
+# registered queries (recall-eval calls both ANN members, the cluster
+# family calls the LSH candidate generator), and a nested invocation
+# must not release the OUTER query's caches mid-construction
+_QUERY_DEPTH = [0]
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        import functools
+
+        from ibis_olap_aggregation_spark.session import release_query_caches
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # sweep hygiene: the PREVIOUS query's performance caches
+            # (session.query_cache) are released on entry of the next
+            # TOP-LEVEL query, so at most one query's caches are live
+            # at a time across a 182-query sweep; release is
+            # transparent-safe (deterministic recompute) — see
+            # session.query_cache
+            if _QUERY_DEPTH[0] == 0:
+                release_query_caches()
+            _QUERY_DEPTH[0] += 1
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _QUERY_DEPTH[0] -= 1
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

@@ -87,7 +87,10 @@ def decode_media(payload: bytes, media_type: str, *, fake: bool = False) -> byte
     2. A real codec found at runtime: images decode through Pillow into
        raw RGB bytes (``Image.open(...).convert("RGB").tobytes()``).
        The probe is per-call, so executors that DO have the library
-       use it with no code change.
+       use it with no code change. A payload the codec cannot parse
+       raises ValueError (wrapping the codec's own error) — note the
+       repo's SYNTHETIC payloads (unhex(md5(text)), 16 bytes) are not
+       valid images and land here by design when decoded for real.
     3. Otherwise NotImplementedError naming the missing codec — audio/
        video (ffmpeg/soundfile) have no seam wired yet and always land
        here when not faked.
@@ -99,8 +102,14 @@ def decode_media(payload: bytes, media_type: str, *, fake: bool = False) -> byte
         if image_mod is not None:
             import io
 
-            with image_mod.open(io.BytesIO(payload)) as im:
-                return im.convert("RGB").tobytes()
+            try:
+                with image_mod.open(io.BytesIO(payload)) as im:
+                    return im.convert("RGB").tobytes()
+            except Exception as exc:  # codec-specific error types vary
+                raise ValueError(
+                    f"payload ({len(payload)} bytes) is not a decodable "
+                    "image — synthetic md5 payloads need fake=True"
+                ) from exc
     raise NotImplementedError(
         f"no {media_type} codec available in this environment "
         "(images need Pillow; audio/video decode is not wired); "

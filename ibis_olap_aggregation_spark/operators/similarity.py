@@ -271,6 +271,13 @@ def _ivf_score_rank(ex: DataFrame, cent: DataFrame) -> DataFrame:
 # decimal addition is exact/associative — so the fold equals the
 # exploded SUM bit-for-bit, in any order, on any engine.
 #
+# STATUS: not on any product hot path since the float-path migration
+# (the library default scores with _DOT/_NORM doubles; the exploded
+# witness `_ivf_score_rank` sums decimals itself). Retained as the
+# exact-scoring idiom for callers that need decimal-fold parity with an
+# exploded SUM, with its overflow contract tested in
+# tests/test_new_ops_properties.py::test_dec_dot_overflow_raises_loudly.
+#
 # MAGNITUDE BOUND: each term must satisfy |x*y| < 1e14 (DECIMAL(28,14)
 # integral headroom) and the running sum |Σ| < 1e23 (DECIMAL(37,14)).
 # Under non-ANSI mode a cast overflow yields NULL, which would silently

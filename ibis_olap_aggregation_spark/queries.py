@@ -48,8 +48,17 @@ ORACLES: dict[str, str] = {}
 # re-entrancy depth for the register() drain: queries COMPOSE other
 # registered queries (recall-eval calls both ANN members, the cluster
 # family calls the LSH candidate generator), and a nested invocation
-# must not release the OUTER query's caches mid-construction
-_QUERY_DEPTH = [0]
+# must not release the OUTER query's caches mid-construction.
+# THREAD-LOCAL like the cache registry it guards (session.query_cache):
+# concurrent driver threads each track their own depth, so one thread's
+# nesting can neither suppress nor trigger another thread's drain.
+import threading as _threading
+
+_QUERY_DEPTH = _threading.local()
+
+
+def _depth() -> int:
+    return getattr(_QUERY_DEPTH, "value", 0)
 
 
 def register(name: str, oracle: str | None = None):
@@ -66,13 +75,13 @@ def register(name: str, oracle: str | None = None):
             # at a time across a 182-query sweep; release is
             # transparent-safe (deterministic recompute) — see
             # session.query_cache
-            if _QUERY_DEPTH[0] == 0:
+            if _depth() == 0:
                 release_query_caches()
-            _QUERY_DEPTH[0] += 1
+            _QUERY_DEPTH.value = _depth() + 1
             try:
                 return fn(spark, sf_dir)
             finally:
-                _QUERY_DEPTH[0] -= 1
+                _QUERY_DEPTH.value = _depth() - 1
 
         QUERIES[name] = wrapped
         if oracle is not None:

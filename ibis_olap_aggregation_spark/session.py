@@ -94,7 +94,21 @@ def load_tables(
 
 
 # Query-scoped cache registry: see query_cache/release_query_caches.
-_QUERY_CACHES: list[DataFrame] = []
+# THREAD-LOCAL: Spark drivers legitimately run queries from multiple
+# threads, and a shared list would let thread B's drain release thread
+# A's live caches mid-construction (a recompute slowdown, not a
+# correctness bug — but it breaks the one-query bound the registry
+# exists to guarantee). Each thread drains only its own caches.
+import threading as _threading
+
+_QUERY_CACHES = _threading.local()
+
+
+def _query_cache_list() -> list[DataFrame]:
+    lst = getattr(_QUERY_CACHES, "items", None)
+    if lst is None:
+        lst = _QUERY_CACHES.items = []
+    return lst
 
 
 def query_cache(df: DataFrame) -> DataFrame:
@@ -124,16 +138,18 @@ def query_cache(df: DataFrame) -> DataFrame:
     keeps an eager localCheckpoint so its lineage CANNOT re-sample —
     see operators/ranking.py).
     """
-    _QUERY_CACHES.append(df)
+    _query_cache_list().append(df)
     return df.cache()
 
 
 def release_query_caches() -> None:
-    """Unpersist every tracked query-scoped cache (idempotent; called
-    by the registry wrapper at each query invocation and safe to call
-    directly after consuming a query's result)."""
-    while _QUERY_CACHES:
+    """Unpersist every tracked query-scoped cache of the CALLING thread
+    (idempotent; called by the registry wrapper at each top-level query
+    invocation and safe to call directly after consuming a query's
+    result)."""
+    lst = _query_cache_list()
+    while lst:
         try:
-            _QUERY_CACHES.pop().unpersist()
+            lst.pop().unpersist()
         except Exception:  # noqa: BLE001 - a stopped session never blocks release
             pass

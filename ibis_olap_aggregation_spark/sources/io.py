@@ -429,17 +429,20 @@ class VersionedParquetTable:
     def _claim_slot(self, staging: str, target: str) -> None:
         """CAS-claim ``target``: the rename fails if another writer got
         there first, so exactly one writer owns each version slot. On
-        the WINNING rename, re-stamp the slot's mtime to now —
-        ``os.rename`` preserves the staging directory's mtime (the
-        snapshot WRITE time), but the orphan grace in :meth:`upsert`
-        must measure time-since-CLAIM: without the re-stamp, a live
-        writer whose snapshot write finished more than
-        ``orphan_grace_secs`` before the claim would present a
+        the WINNING rename the slot's mtime must read as the CLAIM
+        time — ``os.rename`` preserves the staging directory's mtime
+        (the snapshot WRITE time), but the orphan grace in
+        :meth:`upsert` must measure time-since-CLAIM: without the
+        re-stamp, a live writer whose snapshot write finished more
+        than ``orphan_grace_secs`` before the claim would present a
         stale-looking slot, a competitor could rmtree it mid-flip, and
         both writers would then flip the same version — a silent lost
-        update (VERDICT r4/r5 finding #1)."""
+        update (VERDICT r4/r5 finding #1). The stamp lands on STAGING
+        BEFORE the rename: stamping the target after it would leave a
+        microseconds window in which the slot is visible with the
+        ancient mtime and the race still fires."""
+        os.utime(staging)
         os.rename(staging, target)
-        os.utime(target)
 
     def versions(self) -> list[int]:
         import re as _re

@@ -65,3 +65,43 @@ def test_prev_bench_reports_basis():
     assert isinstance(queries, dict)
     if queries:  # repo carries r1-r5 capture files (no basis marker yet)
         assert basis is None or basis == bench.BENCH_BASIS
+
+
+def test_basis_tracks_rep_count(monkeypatch):
+    """A SPARK_GRAFT_BENCH_REPS=1 run must not stamp its single-shot
+    numbers with the default median basis — the basis string encodes
+    the actual rep count, so the gate never arms median-of-3 numbers
+    against single shots."""
+    import importlib
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPS", "1")
+    fresh = importlib.reload(bench)
+    try:
+        assert fresh.REPS == 1
+        assert fresh.BENCH_BASIS == "median1"
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_BENCH_REPS")
+        importlib.reload(bench)
+
+
+def test_prev_bench_recovers_basis_from_truncated_tail(tmp_path, monkeypatch):
+    """The driver's stdout capture can truncate the HEAD of the long
+    metric line (the known r2 failure mode); basis must still be
+    recovered — from the short trailing summary if need be — or the
+    gate silently disarms for a whole round."""
+    import json
+
+    capture = {
+        "tail": (
+            'etric": "headline_queries_total", '
+            '"queries": {"q1": 1.5, "q2": 0.7}, "sf": 0.1}\n'
+            '{"metric": "headline_total", "value": 2.2, "unit": "sec", '
+            '"n": 2, "sf": 0.1, "basis": "median3", "worst_deltas": {}, '
+            '"regressions": {}}\n'
+        )
+    }
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(capture))
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    queries, basis = bench._prev_bench()
+    assert queries == {"q1": 1.5, "q2": 0.7}
+    assert basis == "median3"

@@ -266,11 +266,11 @@ def test_global_row_number_leaves_no_cached_plans(spark, sf_small):
     two-pass ranker must not accumulate pinned datasets across repeated
     calls. Dataset.persist registers in the CacheManager, where entries
     live until an explicit unpersist a lazily-consumed return value has
-    no safe place to issue — the fix is an eager DISK_ONLY
-    localCheckpoint, whose blocks are RDD-scoped (ContextCleaner-freed)
-    and never enter the CacheManager. Repeated multi-partition rankings
-    must stay correct AND leave the CacheManager exactly as empty as it
-    started."""
+    no safe place to issue — the fix is an eager localCheckpoint
+    (MEMORY_AND_DISK by measurement, see ranking.py), whose blocks are
+    RDD-scoped (ContextCleaner-freed) and never enter the CacheManager.
+    Repeated multi-partition rankings must stay correct AND leave the
+    CacheManager exactly as empty as it started."""
     from ibis_olap_aggregation_spark.operators.ranking import global_row_number
     from ibis_olap_aggregation_spark.session import load_table
 

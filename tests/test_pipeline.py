@@ -231,3 +231,29 @@ def test_decode_media_real_pillow_roundtrip():
     im.save(buf, format="PNG")
     raw = decode_media(buf.getvalue(), "image")
     assert raw == b"\xff\x00\x00" * 4
+
+
+def test_decode_media_undecodable_payload_raises_value_error(monkeypatch):
+    """With a real codec present, a payload the codec cannot parse must
+    surface as the documented ValueError (naming the fake-mode escape
+    hatch), not leak the codec's own exception type — the repo's
+    synthetic md5 payloads are never valid images, so this is the path
+    any accidental real-decode of fixture data takes."""
+    import sys
+    import types
+
+    import pytest as _pytest
+
+    from ibis_olap_aggregation_spark.operators.multimodal import decode_media
+
+    class _CodecError(Exception):
+        pass
+
+    def failing_open(fp):
+        raise _CodecError("cannot identify image file")
+
+    stub_pil = types.ModuleType("PIL")
+    stub_pil.Image = types.SimpleNamespace(open=failing_open)
+    monkeypatch.setitem(sys.modules, "PIL", stub_pil)
+    with _pytest.raises(ValueError, match="not a decodable image"):
+        decode_media(bytes(range(16)), "image")

@@ -514,3 +514,55 @@ def test_streaming_upsert_sink_crash_recovery_no_double_commit(spark, tmp_path):
     assert table.current_version() == 2
     v1 = {r["doc_id"]: (r["lang"], r["n_chars"]) for r in table.read(1).collect()}
     assert v1 == final
+
+
+def test_streaming_upsert_sink_crash_before_commit_leaves_table_untouched(
+    spark, tmp_path
+):
+    """Complement of the after-commit crash test: a writer that dies
+    BEFORE the table commit (mid-merge) must leave readers on the old
+    version entirely, and the restarted stream must land the batch
+    exactly once — the at-least-once replay plus idempotent merge is
+    only exactly-once if the failed attempt left no partial state."""
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    from ibis_olap_aggregation_spark.sources.io import VersionedParquetTable
+    from ibis_olap_aggregation_spark.streaming.engine import run_upsert_sink
+
+    schema = "doc_id bigint, lang string, n_chars bigint"
+    base = spark.createDataFrame([(1, "en", 10), (2, "de", 20)], schema)
+    root = str(tmp_path / "versioned_precrash_sink")
+    table = VersionedParquetTable.create(spark, root, base)
+
+    src = str(tmp_path / "updates_src")
+    spark.createDataFrame([(2, "xx", 99), (3, "fr", 30)], schema).write.parquet(src)
+
+    real_upsert = table.upsert
+    crashed = {"done": False}
+
+    def crash_before_commit(batch, key_cols, **kw):
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("simulated writer death before commit")
+        return real_upsert(batch, key_cols, **kw)
+
+    table.upsert = crash_before_commit
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_upsert_sink(
+            stream, table, ["doc_id"],
+            checkpoint_dir=str(tmp_path / "ckpt"), keep_versions=10,
+        )
+
+    with _pytest.raises(StreamingQueryException):
+        run()
+    # nothing committed, nothing partial: readers still on version 0
+    assert table.current_version() == 0
+    assert table.read().count() == 2
+
+    run()  # restart: the batch replays and commits exactly once
+    assert table.current_version() == 1
+    final = {r["doc_id"]: r["lang"] for r in table.read().collect()}
+    assert final == {1: "en", 2: "xx", 3: "fr"}

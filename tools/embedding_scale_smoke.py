@@ -1,0 +1,108 @@
+"""Empirical scale smoke for the EMBEDDING side: amplify sf0.1
+embeddings Nx (default 10x ~ 600k vectors) with id-remapped,
+deterministically perturbed copies — labels (and therefore the IVF
+centroid count k) stay fixed — then time the float-path ANN family at
+base vs amplified scale. The point is the SHAPE of the numbers: IVF
+scoring is |vectors| x k broadcast folds and the centroid build is one
+map-side-combined aggregation, so cost must grow ~linearly in vector
+count; brute-force streams the corpus past a broadcast query set
+(linear); RP-LSH is bucket-equi (bucket counts grow linearly at fixed
+signature width). A super-linear jump means a plan flipped to
+something pair-shaped.
+
+dedup_semantic_ivf is deliberately EXCLUDED: its pair join is
+quadratic in CLUSTER SIZE by design, and its scale premise is cluster
+COUNT growth (SemDeDup runs k ~ corpus size / constant), which a
+fixed-k amplification deliberately violates.
+
+Usage: python tools/embedding_scale_smoke.py [amplification]
+Writes nothing to the repo; amplified parquet lives under /tmp.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.queries import QUERIES
+from ibis_olap_aggregation_spark.session import get_spark, load_table
+
+AMP = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SRC = "/root/testdata/sf0.1"
+
+TIMED = [
+    "sim_ivf_centroid_assign",
+    "sim_ivf_cluster_stats",
+    "sim_kmeans_refine",
+    "sim_bruteforce_topk",
+    "sim_rp_lsh_multiprobe_topk",
+]
+
+
+def _mat(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _time(fn, *args) -> float:
+    best = None
+    for _ in range(2):  # min-of-2: steady-state, not JIT luck
+        t0 = time.perf_counter()
+        _mat(fn(*args))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def amplify(spark, out_dir: str) -> None:
+    e = load_table(spark, SRC, "embeddings")
+    max_id = e.agg(F.max("vec_id")).first()[0] + 1
+    copies = [e]
+    for c in range(1, AMP):
+        # perturb one deterministic element per copy so amplified
+        # vectors are not bit-duplicates (assignments stay realistic)
+        copies.append(
+            e.select(
+                (F.col("vec_id") + c * max_id).alias("vec_id"),
+                F.expr(
+                    f"transform(embedding, (x, i) -> if(i = {c % 64},"
+                    f" cast(x + {c} * 1e-3 as float), x))"
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+
+def main() -> None:
+    spark = get_spark("embedding-scale-smoke")
+    out = tempfile.mkdtemp(prefix="emb_amp_")
+    try:
+        amplify(spark, out)
+        n_base = load_table(spark, SRC, "embeddings").count()
+        n_amp = load_table(spark, out, "embeddings").count()
+        print(f"base={n_base} amplified={n_amp} (x{AMP})")
+        for name in TIMED:
+            t_base = _time(QUERIES[name], spark, SRC)
+            t_amp = _time(QUERIES[name], spark, out)
+            ratio = t_amp / max(t_base, 1e-9)
+            verdict = "OK" if ratio <= AMP * 1.6 else "SUPER-LINEAR?"
+            print(
+                f"{name:32s} base={t_base:6.2f}s amp={t_amp:6.2f}s "
+                f"ratio={ratio:5.2f} (amp x{AMP}) {verdict}"
+            )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -872,3 +872,54 @@ def events_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("click_to_purchase"),
         )
     )
+
+
+@register(
+    "events_ewma_user_value",
+    """
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       vals[-1] AS last_value,
+       list_reduce(vals, (acc, x) ->
+         CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc) AS ewma_value
+FROM (
+  SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+  FROM events
+  GROUP BY user_id
+)
+""",
+)
+def events_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=0.3) over the event-value sequence — the
+    sequential *stateful fold* aggregate (s_i = a*v_i + (1-a)*s_{i-1},
+    seeded with the first value) that no plain window frame expresses.
+
+    Engine shape: ONE shuffle on user_id (high-cardinality -> even),
+    collect the per-user sequence, array_sort for a deterministic
+    order, then a JVM-side `aggregate` fold in plain DOUBLE. Sequential
+    per-key folds have a FIXED evaluation order, so the result is
+    IEEE-bit-identical to DuckDB's list_reduce (acc-first, seeded with
+    the first element) — the same determinism rule the float-path IVF
+    scoring relies on; no decimal cast needed because nothing sums
+    across rows in a nondeterministic order.
+
+    Scale: per-user sequences are session-bounded (the same premise as
+    sessionization); state never leaves the executor and there is no
+    O(n^2) window re-evaluation a self-join formulation would cost.
+    """
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, "
+            "cast(value as double) as v))), s -> s.v)"
+        ).alias("vals")
+    )
+    return per_user.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n_events"),
+        F.element_at("vals", -1).alias("last_value"),
+        F.expr(
+            "aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1), "
+            "(acc, x) -> cast(0.3 as double) * x + cast(0.7 as double) * acc)"
+        ).alias("ewma_value"),
+    )

@@ -1591,3 +1591,90 @@ def hierarchy_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _reorder_for_driver_coverage()
+
+
+@register(
+    "hierarchy_lca_nation_pairs",
+    _GEO_PRELUDE
+    + """
+, nat AS (
+  SELECT c.descendant_node_id AS d_id, s2.node_name AS d_name,
+         c.ancestor_node_id AS anc, c.net_level
+  FROM closure c JOIN so s2 ON s2.node_id = c.descendant_node_id
+  WHERE s2.level_name = 'Nation'
+),
+cand AS (
+  SELECT a.d_id AS nation_a_id, a.d_name AS nation_a_name,
+         b.d_id AS nation_b_id, b.d_name AS nation_b_name,
+         sa.node_id AS lca_node_id, sa.node_name AS lca_node_name,
+         sa.level_name AS lca_level_name,
+         CAST(sa.level_number AS BIGINT) AS lca_level_number,
+         CAST(a.net_level + b.net_level AS BIGINT) AS tree_distance,
+         row_number() OVER (PARTITION BY a.d_id, b.d_id
+                            ORDER BY sa.level_number DESC) AS rn
+  FROM nat a
+  JOIN nat b ON a.anc = b.anc AND a.d_id < b.d_id
+  JOIN so sa ON sa.node_id = a.anc
+)
+SELECT nation_a_id, nation_a_name, nation_b_id, nation_b_name,
+       lca_node_id, lca_node_name, lca_level_name, lca_level_number,
+       tree_distance
+FROM cand WHERE rn = 1
+""",
+)
+def hierarchy_lca_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lowest common ancestor + tree distance for every unordered pair
+    of Nation-level nodes — the closure-table kinship operator (org
+    charts: nearest shared manager; geo: smallest enclosing territory;
+    parts: tightest shared category). The reference materializes the
+    closure precisely so questions like this are joins, not walks (ref
+    classes/hierarchy_dimension_table.py:167-223).
+
+    Shape: the nation slice of the closure is self-joined on the
+    ancestor id — common ancestors of a pair lie on one root path, so
+    the DEEPEST (max level_number) is the unique LCA; tree distance is
+    the sum of the two net_levels through it. Everything is dim-sized:
+    the self-join input has one row per (nation, ancestor), and the
+    per-pair argmax window partitions by pair — no fact involvement,
+    broadcast-friendly at any fact scale; pair count is quadratic only
+    in the queried LEVEL's width, never in leaves."""
+    from pyspark.sql import Window as W
+
+    agg = _geo_dim(spark, sf_dir).aggregation_dim
+    nat = agg.filter(F.col("descendant_level_name") == "Nation").select(
+        F.col("descendant_node_id").alias("d_id"),
+        F.col("descendant_node_name").alias("d_name"),
+        F.col("ancestor_node_id").alias("anc"),
+        F.col("ancestor_node_name").alias("anc_name"),
+        F.col("ancestor_level_name").alias("anc_level_name"),
+        F.col("ancestor_level_number").alias("anc_level_number"),
+        "net_level",
+    )
+    a, b = nat.alias("a"), nat.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.anc") == F.col("b.anc")) & (F.col("a.d_id") < F.col("b.d_id")),
+    ).select(
+        F.col("a.d_id").alias("nation_a_id"),
+        F.col("a.d_name").alias("nation_a_name"),
+        F.col("b.d_id").alias("nation_b_id"),
+        F.col("b.d_name").alias("nation_b_name"),
+        F.col("a.anc").alias("lca_node_id"),
+        F.col("a.anc_name").alias("lca_node_name"),
+        F.col("a.anc_level_name").alias("lca_level_name"),
+        F.col("a.anc_level_number").cast("bigint").alias("lca_level_number"),
+        (F.col("a.net_level") + F.col("b.net_level"))
+        .cast("bigint")
+        .alias("tree_distance"),
+    )
+    w = W.partitionBy("nation_a_id", "nation_b_id").orderBy(
+        F.col("lca_level_number").desc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+_reorder_for_driver_coverage()

@@ -573,3 +573,62 @@ class VersionedParquetTable:
                     _shutil.rmtree(d, ignore_errors=True)
             except OSError:
                 pass
+
+
+def _drop_managed_table(spark: SparkSession, name: str) -> None:
+    """Idempotent re-create across SESSIONS: a managed table's files can
+    outlive the catalog entry (fresh metastore, old warehouse dir), and
+    saveAsTable then refuses the location. Drop the catalog entry AND
+    any orphaned location (CTAS re-create semantics, SURVEY.md §2.1 S7)."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), name)
+    if os.path.exists(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+@register(
+    "source_bucketed_join",
+    """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+""",
+)
+def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides are CTAS'd as managed
+    tables bucketed 8-ways on the join key, then sort-merge-joined with
+    NO Exchange on either input — the bucket layout satisfies the
+    join's distribution requirement at file level (pinned in
+    tests/test_plans.py). This is THE write-once/join-many technique
+    for a 100 TB fact table: the shuffle is paid once at ingest, and
+    every subsequent join/groupBy on the bucket key skips it. The merge
+    hint keeps the demonstration honest — at real scale neither side
+    fits a broadcast, and the point is the exchange-free SMJ. Oracle:
+    the same join+aggregate on the original parquet (bucketing must
+    not change results, only the plan)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # per-sf table names: concurrent driver threads at different sf
+    # dirs must not overwrite each other's tables mid-read
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_o, t_c = f"t_bkt_orders_{tag}", f"t_bkt_customer_{tag}"
+    for t in (t_o, t_c):
+        _drop_managed_table(spark, t)
+    write_bucketed(orders, t_o, ["o_custkey"], 8)
+    write_bucketed(cust, t_c, ["c_custkey"], 8)
+    ob, cb = spark.table(t_o), spark.table(t_c)
+    # the merge hint pins sort-merge join irrespective of the broadcast
+    # threshold; with both inputs pre-bucketed on the key, neither side
+    # needs an Exchange (plan-pinned in tests/test_plans.py)
+    joined = ob.hint("merge").join(cb, ob.o_custkey == cb.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )

@@ -379,3 +379,43 @@ def test_query_scoped_caches_do_not_accumulate(spark, sf_small):
     # explicit release restores the pre-sweep state exactly
     release_query_caches()
     assert cache_mgr.numCachedEntries() == baseline
+
+
+def test_ewma_matches_reference_fold(spark, tmp_path):
+    """events_ewma_user_value == a plain Python fold (bit-exact): the
+    sequence is ordered by (ts, event_id), the accumulator SEEDS with
+    the first value (regression pin: Spark's `arr[i]` is 0-based while
+    slice/element_at are 1-based — a vals[1] seed silently drops the
+    first value and double-counts the second), and a single-event user
+    returns that value unchanged."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    # user 1: out-of-insertion-order timestamps; user 2: single event;
+    # user 3: a ts tie broken by event_id
+    rows = [
+        (10, base + dt.timedelta(hours=2), 1, "click", 7.5, "{}"),
+        (11, base + dt.timedelta(hours=0), 1, "click", 1.25, "{}"),
+        (12, base + dt.timedelta(hours=1), 1, "click", -3.5, "{}"),
+        (13, base, 2, "view", 42.0, "{}"),
+        (15, base, 3, "view", 2.0, "{}"),
+        (14, base, 3, "view", 8.0, "{}"),
+    ]
+    sf = str(tmp_path / "sf")
+    _events_df(spark, rows).write.parquet(sf + "/events.parquet")
+    out = {
+        r.user_id: (r.n_events, r.last_value, r.ewma_value)
+        for r in QUERIES["events_ewma_user_value"](spark, sf).collect()
+    }
+
+    def fold(vals):
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = 0.3 * x + 0.7 * acc
+        return acc
+
+    u1 = [1.25, -3.5, 7.5]          # sorted by ts
+    u3 = [8.0, 2.0]                 # ts tie -> event_id order
+    assert out[1] == (3, 7.5, fold(u1))
+    assert out[2] == (1, 42.0, 42.0)
+    assert out[3] == (2, 2.0, fold(u3))

@@ -340,3 +340,31 @@ def test_part_sketch_rollup_no_expand_and_broadcast_closure(spark, sf_small):
     plan = pi.physical_plan(df)
     assert "hll_sketch_agg" in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bucketed_join_registry_query_has_no_join_exchange(spark, sf_small):
+    """source_bucketed_join: the SMJ over two tables bucketed on the
+    join key must read bucket files directly — its only Exchange is the
+    downstream groupBy on c_mktsegment (a different key), never one on
+    the join inputs. The write-once shuffle is the whole point."""
+    df = q.QUERIES["source_bucketed_join"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan, plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan, plan
+    # exactly the aggregation shuffle survives
+    assert pi.count_exchanges(df) <= 1, plan
+    # bucket layout reaches the scan
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+
+
+def test_lca_pairs_is_dim_sized_and_fact_free(spark, sf_small):
+    """hierarchy_lca_nation_pairs never touches a fact table: every
+    scan in the plan is dimension input (region/nation/customer via
+    the node seed) — no orders/lineitem columns anywhere — and the
+    pair window partitions by the pair key, not a single partition."""
+    df = q.QUERIES["hierarchy_lca_nation_pairs"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert "o_orderkey" not in plan and "l_orderkey" not in plan
+    # the per-pair argmax window is keyed (no global single-partition window)
+    assert "SinglePartition" not in plan, plan

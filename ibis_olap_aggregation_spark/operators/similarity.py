@@ -1062,3 +1062,177 @@ def sim_tfidf_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= SPARSE_TOP_K)
         .select("doc_id", "neighbor_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+# -- product quantization (PQ) with asymmetric distance (ADC) ---------------
+
+_PQ_M, _PQ_KSUB, _PQ_DSUB = 8, 16, 8  # 64 dims -> 8 subspaces x 8 dims, 16 codes
+
+_PQ_SEED_J = (
+    "cast(conv(substr(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint)"
+    f" % {_PQ_KSUB}"
+)
+
+
+@register(
+    "sim_pq_adc_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+seed AS (
+  SELECT vec_id, v,
+         ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % {_PQ_KSUB} AS cj
+  FROM e
+),
+ex AS (
+  SELECT s.vec_id, s.cj, i.i AS dim, s.v[i.i] AS val
+  FROM seed s CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+),
+cent AS (
+  SELECT (dim - 1) // {_PQ_DSUB} AS m, cj, ((dim - 1) % {_PQ_DSUB}) + 1 AS sd,
+         CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cval
+  FROM ex GROUP BY 1, 2, 3
+),
+cb AS (SELECT m, cj, list(cval ORDER BY sd) AS cvec FROM cent GROUP BY 1, 2),
+subdist AS (
+  SELECT e.vec_id, cb.m, cb.cj,
+         list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+           i -> (e.v[cb.m * {_PQ_DSUB} + i] - cb.cvec[i])
+              * (e.v[cb.m * {_PQ_DSUB} + i] - cb.cvec[i]))) AS d2
+  FROM e CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, cj,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cj) AS rn
+  FROM subdist
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = (SELECT MIN(vec_id) FROM e)),
+lut AS (
+  SELECT cb.m, cb.cj,
+         list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+           i -> (q.qv[cb.m * {_PQ_DSUB} + i] - cb.cvec[i])
+              * (q.qv[cb.m * {_PQ_DSUB} + i] - cb.cvec[i]))) AS adc_m
+  FROM cb CROSS JOIN q
+),
+adc AS (
+  SELECT c.vec_id, list_sum(list(l.adc_m ORDER BY c.m)) AS adc_d2
+  FROM codes c JOIN lut l ON l.m = c.m AND l.cj = c.cj
+  WHERE c.rn = 1 AND c.vec_id <> (SELECT MIN(vec_id) FROM e)
+  GROUP BY 1
+),
+truth AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(generate_series(1, 64),
+           i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS true_d2
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> (SELECT MIN(vec_id) FROM e)
+),
+ranked AS (
+  SELECT a.vec_id, ROUND(a.adc_d2, 6) AS adc_dist, ROUND(t.true_d2, 6) AS true_dist,
+         row_number() OVER (ORDER BY ROUND(a.adc_d2, 6), a.vec_id) AS adc_rank
+  FROM adc a JOIN truth t USING (vec_id)
+)
+SELECT vec_id, adc_dist, true_dist, CAST(adc_rank AS BIGINT) AS adc_rank
+FROM ranked WHERE adc_rank <= 10
+""",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN: top-10 neighbors of the min-vec_id
+    query by ASYMMETRIC distance (ADC) — the memory-compression member
+    of the ANN family (IVF = partition pruning, RP-LSH = candidate
+    pruning, int8 = uniform scalar quantization; PQ compresses a
+    64x8-byte vector to 8 one-byte codes, ~64x, while queries keep full
+    precision via a per-query lookup table).
+
+    Pipeline: (1) codebook — per subspace m (8 dims each), 16 centroids
+    as decimal-exact means over an md5-deterministic seed partition of
+    the vectors (cross-ROW sums stay DECIMAL; the reference rule from
+    the IVF family); (2) encode — per (vector, m) argmin over the 16
+    sub-centroids by a per-row float fold (order-fixed -> cross-engine
+    bit-identical, so raw-double argmin ordering is safe; DuckDB's
+    list_sum is a sequential left fold, probe-verified); (3) ADC — the
+    query's 8x16 lookup table of sub-distances, one broadcast-joined
+    lookup per code, summed per vector with an m-ordered fold.
+
+    Scale: the codebook (128 rows) and LUT (128 rows) broadcast; encode
+    is map-side per vector; the only data-sized shuffles are the
+    (vec_id, m) argmin window and the per-vector code-sum — both keyed,
+    never a pair explosion. At 100 TB the encoded table is what you
+    STORE (8 bytes/vector); scans read codes, not vectors."""
+    e = query_cache(_emb(spark, sf_dir))
+    seed = e.select("vec_id", "v", F.expr(_PQ_SEED_J).alias("cj"))
+    ex = seed.select(
+        "vec_id", "cj", F.posexplode("v").alias("dim0", "val")
+    ).select(
+        "vec_id",
+        "cj",
+        (F.col("dim0") / _PQ_DSUB).cast("int").alias("m"),
+        (F.col("dim0") % _PQ_DSUB + 1).alias("sd"),
+        "val",
+    )
+    cent = ex.groupBy("m", "cj", "sd").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cval")
+    )
+    cb = cent.groupBy("m", "cj").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sd, cval))), s -> s.cval)"
+        ).alias("cvec")
+    )
+    sub_d2 = F.expr(
+        f"aggregate(zip_with(slice(v, m * {_PQ_DSUB} + 1, {_PQ_DSUB}), cvec,"
+        " (x, y) -> (x - y) * (x - y)), 0d, (acc, x) -> acc + x)"
+    )
+    subdist = e.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "m", "cj", sub_d2.alias("d2")
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy("d2", "cj")
+    codes = (
+        subdist.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cj")
+    )
+    qmin = e.agg(F.min("vec_id").alias("qid"))
+    q = e.join(F.broadcast(qmin), e.vec_id == F.col("qid")).select(
+        F.col("v").alias("qv")
+    )
+    lut_m = F.expr(
+        f"aggregate(zip_with(slice(qv, m * {_PQ_DSUB} + 1, {_PQ_DSUB}), cvec,"
+        " (x, y) -> (x - y) * (x - y)), 0d, (acc, x) -> acc + x)"
+    )
+    lut = cb.crossJoin(F.broadcast(q)).select("m", "cj", lut_m.alias("adc_m"))
+    adc = (
+        codes.join(F.broadcast(qmin), codes.vec_id == F.col("qid"), "left_anti")
+        .join(F.broadcast(lut), ["m", "cj"])
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(m, adc_m))),"
+                " s -> s.adc_m), 0d, (acc, x) -> acc + x)"
+            ).alias("adc_d2")
+        )
+    )
+    true_d2 = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)),"
+        " 0d, (acc, x) -> acc + x)"
+    )
+    truth = (
+        e.join(F.broadcast(qmin), e.vec_id == F.col("qid"), "left_anti")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", true_d2.alias("true_d2"))
+    )
+    ranked = adc.join(truth, "vec_id").select(
+        "vec_id",
+        F.round("adc_d2", 6).alias("adc_dist"),
+        F.round("true_d2", 6).alias("true_dist"),
+    )
+    # TakeOrdered top-10 FIRST (distributed per-partition heads, no
+    # corpus-sized single-partition window), then rank the 10 survivors
+    # — identical to ranking globally and filtering, since row_number
+    # over (adc_dist, vec_id) is a total order
+    top = ranked.orderBy("adc_dist", "vec_id").limit(10)
+    w_top = Window.orderBy("adc_dist", "vec_id")
+    return top.withColumn(
+        "adc_rank", F.row_number().over(w_top).cast("bigint")
+    )

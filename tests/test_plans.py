@@ -368,3 +368,16 @@ def test_lca_pairs_is_dim_sized_and_fact_free(spark, sf_small):
     assert "o_orderkey" not in plan and "l_orderkey" not in plan
     # the per-pair argmax window is keyed (no global single-partition window)
     assert "SinglePartition" not in plan, plan
+
+
+def test_pq_adc_broadcasts_codebook_no_cartesian(spark, sf_small):
+    """sim_pq_adc_topk: codebook (128 rows) and LUT broadcast; the
+    top-10 is a distributed TakeOrdered, not a corpus-wide
+    single-partition sort; and nothing materializes a corpus x corpus
+    cartesian (the broadcast nested-loop attaches are single-row/
+    codebook-sized sides only)."""
+    df = q.QUERIES["sim_pq_adc_topk"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -949,3 +949,73 @@ def sample_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(p_temp / F.col("p_raw"), 6).alias("boost"),
         )
     )
+
+
+# -- weighted sampling without replacement (Efraimidis-Spirakis) ------------
+
+_ES_M = 1 << 20  # hash -> uniform grid resolution
+_ES_K = 50
+
+
+@register(
+    "sample_weighted_without_replacement",
+    f"""
+WITH keyed AS (
+  SELECT doc_id, source, lang, n_chars,
+         pow(((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+               % {_ES_M}) + 0.5) / {_ES_M}.0,
+             1.0 / n_chars) AS es_key
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (ORDER BY es_key DESC, doc_id) AS sample_rank
+  FROM keyed
+)
+SELECT doc_id, source, lang, n_chars, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= {_ES_K}
+""",
+)
+def sample_weighted_without_replacement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement (k=50, weight=n_chars)
+    via Efraimidis-Spirakis keys: key = u^(1/w) with u a deterministic
+    md5-derived uniform in (0,1); the k largest keys ARE a weighted
+    without-replacement sample (Efraimidis & Spirakis 2006, the
+    one-pass distributed algorithm). Unlike the per-domain Bernoulli
+    keep-fractions of sample_domain_weighted, this draws an EXACT-size
+    sample with per-ROW weights — the "oversample long documents, but
+    cap the budget at k" epoch-construction primitive.
+
+    Determinism: u comes from the md5 grid (same idiom as every split/
+    sample here), so the same rows win on every engine, run, and
+    cluster layout — rand()-seeded sampling changes under retries. The
+    pow/log libm calls may differ by 1 ulp across engines, which can
+    only flip the order of keys within ~1e-15 of each other —
+    continuous keys over distinct docs, vanishing-measure; the key
+    itself is never emitted.
+
+    Scale: map-only key computation, distributed TakeOrdered top-k
+    (per-partition heaps, no corpus-wide single-partition window),
+    then a rank over the k survivors."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        (F.expr(_SPARK_MD5INT.format(x="cast(doc_id as string)")) % _ES_M) + F.lit(0.5)
+    ) / F.lit(float(_ES_M))
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.pow(u, F.lit(1.0) / F.col("n_chars")).alias("es_key"),
+    )
+    top = keyed.orderBy(F.desc("es_key"), "doc_id").limit(_ES_K)
+    w = Window.orderBy(F.desc("es_key"), "doc_id")
+    return top.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.row_number().over(w).cast("bigint").alias("sample_rank"),
+    )

@@ -419,3 +419,18 @@ def test_ewma_matches_reference_fold(spark, tmp_path):
     assert out[1] == (3, 7.5, fold(u1))
     assert out[2] == (1, 42.0, 42.0)
     assert out[3] == (2, 2.0, fold(u3))
+
+
+def test_weighted_sample_overrepresents_heavy_rows(spark, sf_small):
+    """Efraimidis-Spirakis with weight=n_chars must pull the sample's
+    mean length above the corpus mean (the whole point of weighting),
+    return exactly k distinct docs, and rank them 1..k."""
+    out = QUERIES["sample_weighted_without_replacement"](spark, sf_small).toPandas()
+    assert len(out) == 50 and out.doc_id.nunique() == 50
+    assert sorted(out.sample_rank) == list(range(1, 51))
+    corpus = (
+        spark.read.parquet(sf_small + "/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert out.n_chars.mean() > corpus, (out.n_chars.mean(), corpus)

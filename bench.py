@@ -117,6 +117,11 @@ HEADLINE = [
     "sketch_topk_heavy_hitters_verdict",
     "events_burst_cap",
     "agg_approx_distinct_part_rollup",
+    # round 6 additions (same rule)
+    "sim_pq_adc_topk",
+    "events_ewma_user_value",
+    "sample_weighted_without_replacement",
+    "source_bucketed_join",
 ]
 
 

@@ -1063,7 +1063,6 @@ def sim_tfidf_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "neighbor_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
     )
 
-
 # -- product quantization (PQ) with asymmetric distance (ADC) ---------------
 
 _PQ_M, _PQ_KSUB, _PQ_DSUB = 8, 16, 8  # 64 dims -> 8 subspaces x 8 dims, 16 codes
@@ -1073,10 +1072,9 @@ _PQ_SEED_J = (
     f" % {_PQ_KSUB}"
 )
 
-
-@register(
-    "sim_pq_adc_topk",
-    f"""
+# shared oracle prelude: codebook -> codes -> query LUT -> per-vector ADC
+# and true squared distances (both excluding the query vector)
+_PQ_ORACLE_CTES = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
 seed AS (
   SELECT vec_id, v,
@@ -1105,17 +1103,37 @@ codes AS (
          row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cj) AS rn
   FROM subdist
 ),
+cent2 AS (
+  SELECT x.m, c.cj, ((x.dim - 1) % {_PQ_DSUB}) + 1 AS sd,
+         CAST(SUM(CAST(x.val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cval
+  FROM (SELECT vec_id, (dim - 1) // {_PQ_DSUB} AS m, dim, val FROM ex) x
+  JOIN codes c ON c.vec_id = x.vec_id AND c.m = x.m AND c.rn = 1
+  GROUP BY 1, 2, 3
+),
+cb2 AS (SELECT m, cj, list(cval ORDER BY sd) AS cvec FROM cent2 GROUP BY 1, 2),
+subdist2 AS (
+  SELECT e.vec_id, cb2.m, cb2.cj,
+         list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+           i -> (e.v[cb2.m * {_PQ_DSUB} + i] - cb2.cvec[i])
+              * (e.v[cb2.m * {_PQ_DSUB} + i] - cb2.cvec[i]))) AS d2
+  FROM e CROSS JOIN cb2
+),
+codes2 AS (
+  SELECT vec_id, m, cj,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cj) AS rn
+  FROM subdist2
+),
 q AS (SELECT v AS qv FROM e WHERE vec_id = (SELECT MIN(vec_id) FROM e)),
 lut AS (
-  SELECT cb.m, cb.cj,
+  SELECT cb2.m, cb2.cj,
          list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
-           i -> (q.qv[cb.m * {_PQ_DSUB} + i] - cb.cvec[i])
-              * (q.qv[cb.m * {_PQ_DSUB} + i] - cb.cvec[i]))) AS adc_m
-  FROM cb CROSS JOIN q
+           i -> (q.qv[cb2.m * {_PQ_DSUB} + i] - cb2.cvec[i])
+              * (q.qv[cb2.m * {_PQ_DSUB} + i] - cb2.cvec[i]))) AS adc_m
+  FROM cb2 CROSS JOIN q
 ),
 adc AS (
   SELECT c.vec_id, list_sum(list(l.adc_m ORDER BY c.m)) AS adc_d2
-  FROM codes c JOIN lut l ON l.m = c.m AND l.cj = c.cj
+  FROM codes2 c JOIN lut l ON l.m = c.m AND l.cj = c.cj
   WHERE c.rn = 1 AND c.vec_id <> (SELECT MIN(vec_id) FROM e)
   GROUP BY 1
 ),
@@ -1125,33 +1143,24 @@ truth AS (
            i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS true_d2
   FROM e CROSS JOIN q
   WHERE e.vec_id <> (SELECT MIN(vec_id) FROM e)
-),
-ranked AS (
-  SELECT a.vec_id, ROUND(a.adc_d2, 6) AS adc_dist, ROUND(t.true_d2, 6) AS true_dist,
-         row_number() OVER (ORDER BY ROUND(a.adc_d2, 6), a.vec_id) AS adc_rank
-  FROM adc a JOIN truth t USING (vec_id)
 )
-SELECT vec_id, adc_dist, true_dist, CAST(adc_rank AS BIGINT) AS adc_rank
-FROM ranked WHERE adc_rank <= 10
-""",
-)
-def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization ANN: top-10 neighbors of the min-vec_id
-    query by ASYMMETRIC distance (ADC) — the memory-compression member
-    of the ANN family (IVF = partition pruning, RP-LSH = candidate
-    pruning, int8 = uniform scalar quantization; PQ compresses a
-    64x8-byte vector to 8 one-byte codes, ~64x, while queries keep full
-    precision via a per-query lookup table).
+"""
 
-    Pipeline: (1) codebook — per subspace m (8 dims each), 16 centroids
-    as decimal-exact means over an md5-deterministic seed partition of
-    the vectors (cross-ROW sums stay DECIMAL; the reference rule from
-    the IVF family); (2) encode — per (vector, m) argmin over the 16
-    sub-centroids by a per-row float fold (order-fixed -> cross-engine
-    bit-identical, so raw-double argmin ordering is safe; DuckDB's
-    list_sum is a sequential left fold, probe-verified); (3) ADC — the
-    query's 8x16 lookup table of sub-distances, one broadcast-joined
-    lookup per code, summed per vector with an m-ordered fold.
+
+def _pq_adc_truth(spark: SparkSession, sf_dir: str):
+    """Shared PQ pipeline: returns (adc, truth) frames — per-vector ADC
+    distance through the codebook/LUT path, and the exact squared
+    distance to the min-vec_id query (query vector excluded from both).
+
+    Codebook: per subspace m (8 dims each), 16 centroids as
+    decimal-exact means over an md5-deterministic seed partition of the
+    vectors (cross-ROW sums stay DECIMAL; the rule from the IVF
+    family). Encoding: per (vector, m) argmin over the 16 sub-centroids
+    by a per-row float fold (order-fixed -> cross-engine bit-identical,
+    so raw-double argmin ordering is safe; DuckDB's list_sum is a
+    sequential left fold, probe-verified). ADC: the query's 8x16 lookup
+    table of sub-distances, one broadcast-joined lookup per code,
+    summed per vector with an m-ordered fold.
 
     Scale: the codebook (128 rows) and LUT (128 rows) broadcast; encode
     is map-side per vector; the only data-sized shuffles are the
@@ -1193,6 +1202,34 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "m", "cj")
     )
+    # one Lloyd refinement (PQ training IS k-means per subspace): the
+    # hash seed only initializes; re-estimating centroids from the
+    # first-pass codes and re-encoding roughly doubles recall@10.
+    # The (vec_id, m) join is keyed — both sides shuffle once on it.
+    cent2 = (
+        ex.drop("cj")
+        .join(codes, ["vec_id", "m"])
+        .groupBy("m", "cj", "sd")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cval")
+        )
+    )
+    cb2 = cent2.groupBy("m", "cj").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sd, cval))), s -> s.cval)"
+        ).alias("cvec")
+    )
+    subdist2 = e.crossJoin(F.broadcast(cb2)).select(
+        "vec_id", "m", "cj", sub_d2.alias("d2")
+    )
+    codes2 = (
+        subdist2.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cj")
+    )
     qmin = e.agg(F.min("vec_id").alias("qid"))
     q = e.join(F.broadcast(qmin), e.vec_id == F.col("qid")).select(
         F.col("v").alias("qv")
@@ -1201,9 +1238,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"aggregate(zip_with(slice(qv, m * {_PQ_DSUB} + 1, {_PQ_DSUB}), cvec,"
         " (x, y) -> (x - y) * (x - y)), 0d, (acc, x) -> acc + x)"
     )
-    lut = cb.crossJoin(F.broadcast(q)).select("m", "cj", lut_m.alias("adc_m"))
+    lut = cb2.crossJoin(F.broadcast(q)).select("m", "cj", lut_m.alias("adc_m"))
     adc = (
-        codes.join(F.broadcast(qmin), codes.vec_id == F.col("qid"), "left_anti")
+        codes2.join(F.broadcast(qmin), codes2.vec_id == F.col("qid"), "left_anti")
         .join(F.broadcast(lut), ["m", "cj"])
         .groupBy("vec_id")
         .agg(
@@ -1222,6 +1259,31 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select("vec_id", true_d2.alias("true_d2"))
     )
+    return adc, truth
+
+
+@register(
+    "sim_pq_adc_topk",
+    _PQ_ORACLE_CTES
+    + """
+, ranked AS (
+  SELECT a.vec_id, ROUND(a.adc_d2, 6) AS adc_dist, ROUND(t.true_d2, 6) AS true_dist,
+         row_number() OVER (ORDER BY ROUND(a.adc_d2, 6), a.vec_id) AS adc_rank
+  FROM adc a JOIN truth t USING (vec_id)
+)
+SELECT vec_id, adc_dist, true_dist, CAST(adc_rank AS BIGINT) AS adc_rank
+FROM ranked WHERE adc_rank <= 10
+""",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN: top-10 neighbors of the min-vec_id
+    query by ASYMMETRIC distance (ADC) — the memory-compression member
+    of the ANN family (IVF = partition pruning, RP-LSH = candidate
+    pruning, int8 = uniform scalar quantization; PQ compresses a
+    64x8-byte vector to 8 one-byte codes, ~64x, while queries keep full
+    precision via a per-query lookup table). Pipeline and scale notes:
+    `_pq_adc_truth`."""
+    adc, truth = _pq_adc_truth(spark, sf_dir)
     ranked = adc.join(truth, "vec_id").select(
         "vec_id",
         F.round("adc_d2", 6).alias("adc_dist"),
@@ -1235,4 +1297,60 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_top = Window.orderBy("adc_dist", "vec_id")
     return top.withColumn(
         "adc_rank", F.row_number().over(w_top).cast("bigint")
+    )
+
+
+@register(
+    "sim_pq_recall_eval",
+    _PQ_ORACLE_CTES
+    + """
+, adc_top AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY ROUND(adc_d2, 6), vec_id) AS rk
+    FROM adc
+  ) WHERE rk <= 10
+),
+true_top AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY ROUND(true_d2, 6), vec_id) AS rk
+    FROM truth
+  ) WHERE rk <= 10
+)
+SELECT COUNT(*) AS n_truth,
+       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       ROUND(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS recall_at_10
+FROM true_top t LEFT JOIN adc_top a USING (vec_id)
+""",
+)
+def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ/ADC index against the exact neighbor set —
+    the compression-loss measurement (symmetric to sim_ann_recall_eval
+    for RP-LSH): how many of the query's TRUE 10 nearest survive 64x
+    vector compression. The tuning loop for (M, KSUB) reads this number.
+
+    Shape: both top-10s are distributed TakeOrdereds over the shared
+    `_pq_adc_truth` frames; the overlap join is 10x10."""
+    adc, truth = _pq_adc_truth(spark, sf_dir)
+    adc_top = (
+        adc.select("vec_id", F.round("adc_d2", 6).alias("k"))
+        .orderBy("k", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    true_top = (
+        truth.select("vec_id", F.round("true_d2", 6).alias("k"))
+        .orderBy("k", "vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("t_vec"))
+    )
+    j = true_top.join(
+        F.broadcast(adc_top), true_top.t_vec == adc_top.vec_id, "left"
+    )
+    hit = F.sum(F.when(F.col("vec_id").isNotNull(), 1).otherwise(0))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        hit.cast("bigint").alias("n_hit"),
+        F.round(hit * F.lit(1.0) / F.count(F.lit(1)), 6).alias("recall_at_10"),
     )

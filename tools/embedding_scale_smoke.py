@@ -43,6 +43,7 @@ TIMED = [
     "sim_kmeans_refine",
     "sim_bruteforce_topk",
     "sim_rp_lsh_multiprobe_topk",
+    "sim_pq_adc_topk",
 ]
 
 

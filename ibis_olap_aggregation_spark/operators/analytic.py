@@ -318,3 +318,130 @@ def agg_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(hi) * 1.0 / F.countDistinct("user_id"), 6
         ).alias("high_value_user_frac"),
     )
+
+
+@register(
+    "events_daily_new_cumulative",
+    """
+WITH daily AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+firsts AS (
+  SELECT user_id, MIN(d) AS first_d FROM daily GROUP BY 1
+),
+per_day AS (
+  SELECT d.d, COUNT(*) AS active_users,
+         SUM(CASE WHEN f.first_d = d.d THEN 1 ELSE 0 END) AS new_users
+  FROM daily d JOIN firsts f USING (user_id)
+  GROUP BY 1
+)
+SELECT CAST(d AS TIMESTAMP) AS day,
+       CAST(active_users AS BIGINT) AS active_users,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(active_users - new_users AS BIGINT) AS returning_users,
+       CAST(SUM(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cumulative_distinct_users
+FROM per_day
+""",
+)
+def events_daily_new_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / returning users plus the RUNNING count of
+    distinct users ever seen — via the first-seen transform, NOT a
+    cumulative COUNT(DISTINCT) window. The naive
+    `COUNT(DISTINCT user_id) OVER (ORDER BY day)` re-scans every prior
+    day per day (quadratic, and Spark refuses DISTINCT in windows
+    anyway); first-seen makes it linear: a user adds +1 exactly on
+    their first day, so the cumulative distinct count IS the running
+    sum of new_users.
+
+    Scale: two shuffles on user_id (daily-distinct, first-seen — AQE
+    coalesces the same-key pair), one on day. The only ordered window
+    runs on the DAY-GRAIN aggregate — rows bounded by the calendar
+    (~365/year), never by events — so the single-partition frame is a
+    constant-size tail, not a data-sized one."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    per_day = (
+        ev.join(firsts, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(
+                F.when(F.col("first_d") == F.col("d"), 1).otherwise(0)
+            ).alias("new_users"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        F.col("d").cast("timestamp_ntz").alias("day"),
+        F.col("active_users").cast("bigint").alias("active_users"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        (F.col("active_users") - F.col("new_users"))
+        .cast("bigint")
+        .alias("returning_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_distinct_users"),
+    )
+
+
+@register(
+    "interval_backlog_daily",
+    """
+WITH iv AS (
+  SELECT LEAST(CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS start_d,
+         GREATEST(CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS end_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+deltas AS (
+  SELECT start_d AS d, 1 AS delta FROM iv
+  UNION ALL
+  SELECT end_d AS d, -1 AS delta FROM iv
+),
+day_net AS (
+  SELECT d, SUM(delta) AS net FROM deltas GROUP BY 1
+)
+SELECT CAST(d AS TIMESTAMP) AS day,
+       CAST(SUM(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS open_backlog
+FROM day_net
+""",
+)
+def interval_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many lineitems are OPEN (ordered, not yet shipped) on each
+    boundary day — the interval-stabbing question, answered by the
+    sweep-line rewrite: +1 at order date, -1 at ship date, running sum
+    of the per-day net. The naive form joins every day against every
+    interval containing it (days x intervals, a range join that
+    explodes at scale); the sweep-line is one keyed lineitem-orders
+    equi-join, one UNION ALL projection, one groupBy on day, and a
+    running sum over the DAY-GRAIN aggregate (calendar-bounded rows, so
+    the ordered window's single partition is a constant-size tail —
+    same argument as events_daily_new_cumulative).
+
+    Open on day d counts intervals with start <= d < end, where the
+    interval is the normalized [min(order, ship), max(order, ship))
+    span (the synthetic ship dates are independent of order dates, so
+    the raw pair can be inverted); only
+    boundary days appear (no gap-fill — between boundaries the count is
+    constant anyway)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # the synthetic ship dates are independent of order dates (ship can
+    # precede order), so normalize each pair into a well-formed interval
+    # [min, max) — the sweep-line requires start <= end
+    iv = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.least(F.to_date("o_orderdate"), F.to_date("l_shipdate")).alias("start_d"),
+        F.greatest(F.to_date("o_orderdate"), F.to_date("l_shipdate")).alias("end_d"),
+    )
+    deltas = iv.select(F.col("start_d").alias("d"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("end_d").alias("d"), F.lit(-1).alias("delta"))
+    )
+    day_net = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return day_net.select(
+        F.col("d").cast("timestamp_ntz").alias("day"),
+        F.sum("net").over(w).cast("bigint").alias("open_backlog"),
+    )

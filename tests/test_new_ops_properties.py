@@ -434,3 +434,38 @@ def test_weighted_sample_overrepresents_heavy_rows(spark, sf_small):
         .collect()[0][0]
     )
     assert out.n_chars.mean() > corpus, (out.n_chars.mean(), corpus)
+
+
+def test_backlog_sweepline_matches_direct_stab(spark, sf_small):
+    """interval_backlog_daily == the direct interval-stab count
+    (start <= d < end) on sampled days, and cumulative_distinct_users
+    in events_daily_new_cumulative is monotone, ends at the true total
+    distinct-user count, and actives always >= news."""
+    out = QUERIES["interval_backlog_daily"](spark, sf_small).toPandas()
+    li = spark.read.parquet(sf_small + "/lineitem.parquet")
+    o = spark.read.parquet(sf_small + "/orders.parquet")
+    iv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.least(F.to_date("o_orderdate"), F.to_date("l_shipdate")).alias("s"),
+            F.greatest(F.to_date("o_orderdate"), F.to_date("l_shipdate")).alias("e"),
+        )
+        .toPandas()
+    )
+    days = out.day.iloc[[0, len(out) // 3, 2 * len(out) // 3, -1]]
+    for d in days:
+        dd = d.date()
+        want = int(((iv.s <= dd) & (dd < iv.e)).sum())
+        got = int(out.loc[out.day == d, "open_backlog"].iloc[0])
+        assert got == want, (d, got, want)
+
+    dn = QUERIES["events_daily_new_cumulative"](spark, sf_small).toPandas()
+    assert (dn.cumulative_distinct_users.diff().dropna() >= 0).all()
+    total = (
+        spark.read.parquet(sf_small + "/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert dn.cumulative_distinct_users.iloc[-1] == total
+    assert (dn.active_users >= dn.new_users).all()

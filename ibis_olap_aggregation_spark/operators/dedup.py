@@ -1602,3 +1602,113 @@ def _register_lsh_pair_recall() -> None:
 
 
 _register_lsh_pair_recall()
+
+
+_BBIT = 4  # b = 2 bits per slot -> accidental-collision prob C = 1/4
+
+
+@register(
+    "dedup_minhash_bbit_error",
+    f"""
+WITH {_DUCK_HASHED_SHINGLES},
+{_DUCK_MINHASH_SIG},
+bands AS (
+  SELECT doc_id, i.i AS band_id, ms[i.i + 1] AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS i) i
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_band_matches
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+bb AS (
+  SELECT c.doc_a, c.doc_b, c.n_band_matches,
+         len(list_filter(generate_series(1, {N_MINHASH}),
+                         i -> (sa.ms[i] % {_BBIT}) = (sb.ms[i] % {_BBIT})))
+           AS bbit_matches,
+         len(list_intersect(ha.hs, hb.hs))
+           / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+           AS tj
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+  JOIN sh ha ON ha.doc_id = c.doc_a
+  JOIN sh hb ON hb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(bbit_matches AS BIGINT) AS bbit_matches,
+       ROUND((bbit_matches / {N_MINHASH}.0 - 0.25) / 0.75, 6) AS est_jaccard_bbit,
+       ROUND(n_band_matches / {N_MINHASH}.0, 6) AS est_jaccard_full,
+       ROUND(tj, 6) AS true_jaccard,
+       ROUND(abs((bbit_matches / {N_MINHASH}.0 - 0.25) / 0.75 - tj), 6)
+         AS abs_error_bbit,
+       ROUND(abs(n_band_matches / {N_MINHASH}.0 - tj), 6) AS abs_error_full
+FROM bb
+""",
+)
+def dedup_minhash_bbit_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minhash estimator report (Li & Koenig 2010): keep only the
+    low b=2 bits of each of the 16 minhash slots (4 bytes/doc instead of
+    128) and correct the collision rate for accidental matches —
+    E[rate] = C + (1-C)*J with C = 1/2^b, so J_hat = (rate - 1/4)/(3/4).
+    For every LSH candidate pair: the b-bit estimate, the full-width
+    estimate, and the exact shingle Jaccard — quantifying what 32x
+    signature compression costs in precision (the dedup twin of the
+    PQ/int8 compression evals in the similarity family).
+
+    Scale shape: candidates come from the capped bucket-grouped LSH
+    generator (never all-pairs); masks are per-row integer ops; the
+    exact-Jaccard verify joins shingle sets for CANDIDATE pairs only.
+    All estimates derive from identical small-integer counts, so the
+    doubles are bit-equal across engines. The estimate can be negative
+    for rate < 1/4 (an unbiased estimator's tail, reported raw — a
+    clamp would hide the variance this query exists to measure)."""
+    cand = dedup_minhash_lsh_candidates(spark, sf_dir).select(
+        "doc_a", "doc_b", "n_band_matches"
+    )
+    base = (
+        _docs(spark, sf_dir)
+        .withColumn("t", tokens_col())
+        .select("doc_id", hashed_shingles_col().alias("hs"))
+        .withColumn("ms", minhash_sig_col().alias("ms"))
+    )
+    a = base.select(
+        F.col("doc_id").alias("_ida"), F.col("hs").alias("_hsa"), F.col("ms").alias("_msa")
+    )
+    b = base.select(
+        F.col("doc_id").alias("_idb"), F.col("hs").alias("_hsb"), F.col("ms").alias("_msb")
+    )
+    n = F.lit(float(N_MINHASH))
+    j = (
+        cand.join(a, F.col("doc_a") == F.col("_ida"))
+        .join(b, F.col("doc_b") == F.col("_idb"))
+        .withColumn(
+            "bbit_matches",
+            F.expr(
+                f"aggregate(zip_with(_msa, _msb,"
+                f" (x, y) -> if(x % {_BBIT} = y % {_BBIT}, 1, 0)),"
+                " 0, (acc, v) -> acc + v)"
+            ).cast("bigint"),
+        )
+        .withColumn("_i", F.size(F.array_intersect("_hsa", "_hsb")))
+        .withColumn(
+            "_tj", F.col("_i") / (F.size("_hsa") + F.size("_hsb") - F.col("_i"))
+        )
+        .withColumn(
+            "_est_b",
+            (F.col("bbit_matches") / n - F.lit(0.25)) / F.lit(0.75),
+        )
+        .withColumn("_est_f", F.col("n_band_matches") / n)
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "bbit_matches",
+        F.round("_est_b", 6).alias("est_jaccard_bbit"),
+        F.round("_est_f", 6).alias("est_jaccard_full"),
+        F.round("_tj", 6).alias("true_jaccard"),
+        F.round(F.abs(F.col("_est_b") - F.col("_tj")), 6).alias("abs_error_bbit"),
+        F.round(F.abs(F.col("_est_f") - F.col("_tj")), 6).alias("abs_error_full"),
+    )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ibis_olap_aggregation_spark.queries import register
+from ibis_olap_aggregation_spark.queries import _GEO_PRELUDE, register
 from ibis_olap_aggregation_spark.session import load_table
 
 __all__ = ["weighted_closure"]
@@ -169,4 +169,80 @@ def hierarchy_weighted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weighted_total"),
             F.sum("m").cast("double").alias("raw_total"),
         )
+    )
+
+
+@register(
+    "hierarchy_topdown_allocation",
+    _GEO_PRELUDE
+    + """
+, rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders GROUP BY 1
+),
+cust_region AS (
+  SELECT sd.node_natural_key AS custkey, sa.node_name AS region_name
+  FROM closure c
+  JOIN so sa ON sa.node_id = c.ancestor_node_id AND sa.level_name = 'Region'
+  JOIN so sd ON sd.node_id = c.descendant_node_id AND sd.level_name = 'Customer'
+),
+j AS (
+  SELECT r.o_custkey, cr.region_name, r.rev_dec FROM rev r
+  JOIN cust_region cr ON cr.custkey = r.o_custkey
+),
+reg AS (
+  SELECT region_name, SUM(rev_dec) AS reg_dec FROM j GROUP BY 1
+)
+SELECT j.o_custkey AS custkey, j.region_name,
+       CAST(j.rev_dec AS DOUBLE) AS revenue,
+       CAST(reg.reg_dec AS DOUBLE) AS region_revenue,
+       ROUND(CAST(j.rev_dec AS DOUBLE) / CAST(reg.reg_dec AS DOUBLE), 6)
+         AS revenue_share,
+       ROUND(100000.0 * CAST(j.rev_dec AS DOUBLE) / CAST(reg.reg_dec AS DOUBLE), 6)
+         AS allocated_budget
+FROM j JOIN reg ON reg.region_name = j.region_name
+""",
+)
+def hierarchy_topdown_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-DOWN allocation — the inverse of the rollup: a fixed budget
+    (100k per region) is spread DOWN the geography hierarchy to each
+    customer in proportion to their revenue share of the region. The
+    classic planning/consolidation operator ("allocate corporate
+    overhead to products by revenue"), and the complement of
+    hierarchy_weighted_rollup's bottom-up weighted consolidation.
+
+    Determinism: per-customer revenue and the region denominators are
+    decimal-exact sums (cast to double only at the ratio), so the
+    shares and allocations are bit-identical across engines before the
+    6-digit round.
+
+    Scale: ONE fact shuffle (orders groupBy custkey); the customer ->
+    region closure slice and the per-region totals are dim-sized
+    broadcasts; allocation itself is a map-side ratio."""
+    from ibis_olap_aggregation_spark.queries import _geo_dim
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec")
+    )
+    agg = _geo_dim(spark, sf_dir).aggregation_dim
+    cust_region = agg.filter(
+        (F.col("ancestor_level_name") == "Region")
+        & (F.col("descendant_level_name") == "Customer")
+    ).select(
+        F.col("descendant_node_natural_key").alias("custkey"),
+        F.col("ancestor_node_name").alias("region_name"),
+    )
+    j = rev.join(F.broadcast(cust_region), rev.o_custkey == F.col("custkey"))
+    reg = j.groupBy("region_name").agg(F.sum("rev_dec").alias("reg_dec"))
+    out = j.join(F.broadcast(reg), "region_name")
+    rev_d = F.col("rev_dec").cast("double")
+    reg_d = F.col("reg_dec").cast("double")
+    return out.select(
+        F.col("o_custkey").alias("custkey"),
+        "region_name",
+        rev_d.alias("revenue"),
+        reg_d.alias("region_revenue"),
+        F.round(rev_d / reg_d, 6).alias("revenue_share"),
+        F.round(F.lit(100000.0) * rev_d / reg_d, 6).alias("allocated_budget"),
     )

@@ -469,3 +469,17 @@ def test_backlog_sweepline_matches_direct_stab(spark, sf_small):
     )
     assert dn.cumulative_distinct_users.iloc[-1] == total
     assert (dn.active_users >= dn.new_users).all()
+
+
+def test_topdown_allocation_conserves_budget(spark, sf_small):
+    """Per region, allocated budgets must sum back to ~100k (the spread
+    conserves the whole) and shares to ~1; every share in (0, 1]."""
+    out = QUERIES["hierarchy_topdown_allocation"](spark, sf_small).toPandas()
+    assert (out.revenue_share > 0).all() and (out.revenue_share <= 1).all()
+    per_region = out.groupby("region_name").agg(
+        share=("revenue_share", "sum"), alloc=("allocated_budget", "sum")
+    )
+    # 6-digit per-row rounding bounds the drift at n_rows * 5e-7
+    for _, row in per_region.iterrows():
+        assert abs(row.share - 1.0) < 5e-4, row
+        assert abs(row.alloc - 100000.0) < 50, row

@@ -1668,11 +1668,15 @@ def dedup_minhash_bbit_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dedup_minhash_lsh_candidates(spark, sf_dir).select(
         "doc_a", "doc_b", "n_band_matches"
     )
-    base = (
+    # the tokenize -> shingle -> md5 -> 16-way minhash chain is the
+    # dominant per-doc cost and this frame is referenced on BOTH join
+    # sides — tracked query-scoped cache (released by the registry on
+    # the next top-level query)
+    base = query_cache(
         _docs(spark, sf_dir)
         .withColumn("t", tokens_col())
         .select("doc_id", hashed_shingles_col().alias("hs"))
-        .withColumn("ms", minhash_sig_col().alias("ms"))
+        .withColumn("ms", minhash_sig_col())
     )
     a = base.select(
         F.col("doc_id").alias("_ida"), F.col("hs").alias("_hsa"), F.col("ms").alias("_msa")

@@ -868,11 +868,30 @@ _ADDED_ROUND6 = frozenset(
     }
 )
 
+# round-6 second session (operator widening): same rule — newest
+# additions are last in line for the guaranteed driver-prefix slots,
+# covered by the local sf0.001/sf0.01 mirrors until their driver turn
+_ADDED_ROUND6B = frozenset(
+    {
+        "events_ewma_user_value",
+        "hierarchy_lca_nation_pairs",
+        "source_bucketed_join",
+        "sim_pq_adc_topk",
+        "sim_pq_recall_eval",
+        "sample_weighted_without_replacement",
+        "events_daily_new_cumulative",
+        "interval_backlog_daily",
+        "dedup_minhash_bbit_error",
+        "hierarchy_topdown_allocation",
+    }
+)
+
 
 def _reorder_for_driver_coverage() -> None:
     flagship = "hierarchy_grocery_rollup"
     checked = _driver_verified_names()
-    later = _ADDED_ROUND2 | _ADDED_ROUND4 | _ADDED_ROUND5 | _ADDED_ROUND6
+    later = (_ADDED_ROUND2 | _ADDED_ROUND4 | _ADDED_ROUND5 | _ADDED_ROUND6
+             | _ADDED_ROUND6B)
     # never-driver-checked queries, oldest families first: the ones that
     # have been WAITING (not in a later-additions set) outrank the
     # newest additions for the guaranteed prefix slots
@@ -897,6 +916,10 @@ def _reorder_for_driver_coverage() -> None:
         n
         for n in QUERIES
         if n != flagship and n not in checked and n in _ADDED_ROUND6
+    ] + [
+        n
+        for n in QUERIES
+        if n != flagship and n not in checked and n in _ADDED_ROUND6B
     ]
     # verified queries fill the remaining prefix slots STALEST-FIRST
     # (longest since a green driver row), so re-verification rotates

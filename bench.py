@@ -40,7 +40,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ibis_olap_aggregation_spark import queries as q
-from ibis_olap_aggregation_spark.session import get_spark, load_table
+from ibis_olap_aggregation_spark.session import (
+    get_spark,
+    load_table,
+    release_query_caches,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -127,8 +131,13 @@ HEADLINE = [
 
 def materialize(df) -> None:
     """Execute the FULL plan: noop sink evaluates every output column
-    (unlike count(), which lets Catalyst prune computed columns)."""
+    (unlike count(), which lets Catalyst prune computed columns). Drains
+    the query-scoped cache registry afterwards: the register wrapper
+    only drains at the NEXT same-thread query, so without this the last
+    query of a bench rep (and the sweep's final query) would leave its
+    caches pinned in the CacheManager for the session lifetime."""
     df.write.format("noop").mode("overwrite").save()
+    release_query_caches()
 
 
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))

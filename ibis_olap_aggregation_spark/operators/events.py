@@ -906,6 +906,15 @@ def events_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-user sequences are session-bounded (the same premise as
     sessionization); state never leaves the executor and there is no
     O(n^2) window re-evaluation a self-join formulation would cost.
+
+    Ordering invariant: the struct sort here orders by (ts, event_id,
+    v) — v is a THIRD sort key — while the oracle's
+    ``list(... ORDER BY ts, event_id)`` leaves (ts, event_id) ties in
+    arbitrary order. The engines agree only because event_id is UNIQUE
+    per event (the fixtures' rowid-derived PK, asserted in
+    tests/test_new_ops_properties.py), making the v tiebreak inert; if
+    events ever gained duplicate (ts, event_id) pairs the oracle would
+    need an explicit matching tiebreak.
     """
     ev = _events(spark, sf_dir)
     per_user = ev.groupBy("user_id").agg(

@@ -67,9 +67,13 @@ def global_row_number(
     # partitioning get applied to another — observed as duplicate/gapped
     # global ranks (61/64 distinct file ids in
     # layout_zorder_file_skipping at sf0.01). localCheckpoint rather
-    # than persist(): truncated lineage makes the pid->offset map safe
-    # even under recompute (a persisted plan that loses a block
-    # re-SAMPLES the partitioner on rebuild), and the blocks are
+    # than persist(): truncating lineage makes re-sampling IMPOSSIBLE —
+    # a lost block cannot be recomputed at all, so on a real cluster an
+    # executor loss FAILS the ranking job outright (retryable, loud)
+    # where persist would silently rebuild under a re-sampled
+    # partitioner and apply stale offsets to it (silent wrong ranks).
+    # Fail-loud over recover-wrong is the deliberate trade here, and the
+    # blocks are
     # RDD-scoped — the ContextCleaner frees them once the result is
     # dropped, where Dataset.persist entries sit in the CacheManager
     # until an explicit unpersist that a lazily-consumed return value

@@ -146,7 +146,16 @@ def release_query_caches() -> None:
     """Unpersist every tracked query-scoped cache of the CALLING thread
     (idempotent; called by the registry wrapper at each top-level query
     invocation and safe to call directly after consuming a query's
-    result)."""
+    result).
+
+    Caveat — the registry is thread-local, so wrapper-driven draining
+    only happens on the SAME thread's next query: the final query of a
+    sweep, and any query run on a short-lived worker thread, would
+    otherwise leave its caches pinned until session stop. Drivers that
+    consume results (bench.py's ``materialize``, the sweep mirror)
+    therefore call this explicitly after each result; anything spawning
+    per-query worker threads must call it ON that thread before the
+    thread exits (another thread cannot reach the registry entries)."""
     lst = _query_cache_list()
     while lst:
         try:

@@ -21,6 +21,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -575,18 +576,44 @@ class VersionedParquetTable:
                 pass
 
 
+# Serializes bucketed-table DDL (drop + rmtree + saveAsTable): the
+# embedded Derby metastore mishandles concurrent DDL, and per-thread
+# table names already make the data paths disjoint.
+_BUCKETED_DDL_LOCK = threading.Lock()
+
+
 def _drop_managed_table(spark: SparkSession, name: str) -> None:
     """Idempotent re-create across SESSIONS: a managed table's files can
     outlive the catalog entry (fresh metastore, old warehouse dir), and
     saveAsTable then refuses the location. Drop the catalog entry AND
     any orphaned location (CTAS re-create semantics, SURVEY.md §2.1 S7)."""
     import shutil
+    from urllib.parse import urlparse
 
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(wh.removeprefix("file:"), name)
-    if os.path.exists(loc):
-        shutil.rmtree(loc, ignore_errors=True)
+    scheme = urlparse(wh).scheme
+    if scheme in ("", "file"):
+        loc = os.path.join(wh.removeprefix("file:"), name)
+        if os.path.exists(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+        return
+    # Non-file warehouse (hdfs://, s3a://): os.path can't see it, so a
+    # silent no-op here would let saveAsTable fail later with a location
+    # conflict far from the cause. Check through the Hadoop FS API and
+    # fail LOUD naming the orphan instead of corrupting/ignoring it —
+    # deleting unmanaged remote data is not this helper's call to make.
+    jvm = spark._jvm  # noqa: SLF001 - Hadoop FS is only reachable via the gateway
+    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    path = jvm.org.apache.hadoop.fs.Path(f"{wh.rstrip('/')}/{name}")
+    fs = path.getFileSystem(hconf)
+    if fs.exists(path):
+        raise RuntimeError(
+            f"managed table {name!r} was dropped from the catalog but its "
+            f"files survive at {path.toString()} on a non-local warehouse; "
+            "remove them (or point spark.sql.warehouse.dir elsewhere) "
+            "before re-creating the table"
+        )
 
 
 @register(
@@ -613,16 +640,23 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     not change results, only the plan)."""
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    # per-sf table names: concurrent driver threads at different sf
-    # dirs must not overwrite each other's tables mid-read
+    # per-(sf, thread) table names: concurrent driver threads — whether
+    # on DIFFERENT sf dirs or the SAME one — must never drop/rewrite a
+    # table another thread's lazy result is still scanning, so each
+    # thread owns its pair outright (same ownership rule as the
+    # thread-local cache registry; a thread's own re-invocation
+    # invalidating its own PRIOR lazy result is the accepted registry
+    # convention). The metastore mutations are additionally serialized:
+    # embedded-Derby catalogs handle concurrent DDL poorly.
     import hashlib
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_t{threading.get_ident()}"
     t_o, t_c = f"t_bkt_orders_{tag}", f"t_bkt_customer_{tag}"
-    for t in (t_o, t_c):
-        _drop_managed_table(spark, t)
-    write_bucketed(orders, t_o, ["o_custkey"], 8)
-    write_bucketed(cust, t_c, ["c_custkey"], 8)
+    with _BUCKETED_DDL_LOCK:
+        for t in (t_o, t_c):
+            _drop_managed_table(spark, t)
+        write_bucketed(orders, t_o, ["o_custkey"], 8)
+        write_bucketed(cust, t_c, ["c_custkey"], 8)
     ob, cb = spark.table(t_o), spark.table(t_c)
     # the merge hint pins sort-merge join irrespective of the broadcast
     # threshold; with both inputs pre-bucketed on the key, neither side

@@ -17,7 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import pandas as pd  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
-from ibis_olap_aggregation_spark.session import get_spark  # noqa: E402
+from ibis_olap_aggregation_spark.session import (  # noqa: E402
+    get_spark,
+    release_query_caches,
+)
 from test_entry_oracle import normalize, run_oracle  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -55,6 +58,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             n_fail += 1
             print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+        finally:
+            # wrapper-driven drain only fires at the NEXT query; drain
+            # here so the sweep's last query doesn't pin its caches
+            release_query_caches()
     print(f"done: {n_fail} failures / {len(names)} checked")
     sys.exit(1 if n_fail else 0)
 

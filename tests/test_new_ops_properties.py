@@ -483,3 +483,14 @@ def test_topdown_allocation_conserves_budget(spark, sf_small):
     for _, row in per_region.iterrows():
         assert abs(row.share - 1.0) < 5e-4, row
         assert abs(row.alloc - 100000.0) < 50, row
+
+
+def test_event_id_unique_per_event(spark, sf_small):
+    """events_ewma_user_value's struct sort uses (ts, event_id, v) while
+    the DuckDB oracle orders by (ts, event_id) only — the engines agree
+    only while event_id is unique (v tiebreak inert). Pin the invariant
+    the cross-engine determinism rests on; if this ever fails, mirror
+    the tiebreak explicitly in the oracle instead."""
+    ev = spark.read.parquet(sf_small + "/events.parquet")
+    n = ev.count()
+    assert ev.select("event_id").distinct().count() == n

@@ -126,6 +126,11 @@ HEADLINE = [
     "events_ewma_user_value",
     "sample_weighted_without_replacement",
     "source_bucketed_join",
+    # round 7 additions: the iterative graph dataflow and the SCD2
+    # build+join are the heaviest new shapes (3 join+agg rounds; two
+    # window passes + an interval join)
+    "graph_pagerank_copurchase",
+    "scd2_point_in_time_join",
 ]
 
 

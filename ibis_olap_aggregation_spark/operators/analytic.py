@@ -445,3 +445,119 @@ def interval_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("timestamp_ntz").alias("day"),
         F.sum("net").over(w).cast("bigint").alias("open_backlog"),
     )
+
+
+@register(
+    "pareto_frontier_parts",
+    """
+SELECT x.p_partkey, x.p_name, x.p_retailprice, x.p_size
+FROM part x
+WHERE NOT EXISTS (
+  SELECT 1 FROM part y
+  WHERE y.p_retailprice <= x.p_retailprice
+    AND y.p_size >= x.p_size
+    AND (y.p_retailprice < x.p_retailprice OR y.p_size > x.p_size)
+)
+""",
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline, Borzsony et al. ICDE'01): parts no
+    other part dominates on (cheaper-or-equal price, bigger-or-equal
+    size, strict in one). The oracle runs the SPEC — a universal
+    quantifier via NOT EXISTS — while the engine runs the sort-based
+    LINEAR rewrite, so the differential check covers the algorithm, not
+    just the arithmetic.
+
+    Rewrite: x is dominated iff
+      max(size | price' < price)  >= x.size   (strictly-cheaper branch)
+      OR max(size | price' = price) > x.size  (same-price branch).
+    Aggregate to price grain first (max size per distinct price), take
+    the running max over strictly-preceding prices, broadcast the
+    price-grain verdict table back onto parts. The ordered window runs
+    over DISTINCT PRICES — dimension-bounded, orders of magnitude below
+    row count; at a cardinality where that single partition hurt, the
+    running max is distributive and splits into the same range-partition
+    + broadcast-offsets two-pass as operators/ranking.py. Ties on both
+    dims stay mutually non-dominating (both survive) — the running-max
+    formulation gets that right where a naive rank-based skyline drops
+    one of the pair."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("msz"))
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    verdict = per_price.withColumn("run_prev", F.max("msz").over(w))
+    out = p.join(F.broadcast(verdict), "p_retailprice")
+    dominated = (
+        F.col("run_prev").isNotNull() & (F.col("run_prev") >= F.col("p_size"))
+    ) | (F.col("msz") > F.col("p_size"))
+    return out.filter(~dominated).select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+
+
+@register(
+    "agg_gini_concentration",
+    """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT c.c_mktsegment AS segment, rev.r,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY rev.r, rev.o_custkey) AS i
+  FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey
+)
+SELECT segment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(r) AS DOUBLE) AS total_revenue,
+       ROUND(2.0 * CAST(SUM(CAST(i AS DECIMAL(10,0)) * r) AS DOUBLE)
+               / (COUNT(*) * CAST(SUM(r) AS DOUBLE))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM ranked
+GROUP BY 1
+""",
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue within each market
+    segment — the Lorenz-curve concentration measure (0 = equal, ->1 =
+    winner-take-all) that a data-mixing pipeline uses to detect source
+    domination. Rank formula: G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n
+    over ascending x; invariant to tie order (equal x commute inside
+    sum(i*x_i)), so the custkey tiebreak only pins engine determinism.
+
+    Exactness: revenues and the rank-weighted sum stay in DECIMAL
+    through every cross-row sum (exact, associative — partial-agg order
+    free); doubles appear only in the final scalar formula, where both
+    engines evaluate the identical expression tree on identical inputs.
+    The rank window partitions by segment (bounded per-segment customer
+    counts; for a skewed segment the two-pass ranker applies)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    )
+    ranked = rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        "r",
+        F.row_number()
+        .over(
+            Window.partitionBy("c_mktsegment").orderBy("r", "o_custkey")
+        )
+        .alias("i"),
+    )
+    n = F.count(F.lit(1))
+    sum_r = F.sum("r")
+    sum_ir = F.sum(F.col("i").cast("decimal(10,0)") * F.col("r"))
+    return ranked.groupBy("segment").agg(
+        n.alias("n_customers"),
+        sum_r.cast("double").alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * sum_ir.cast("double") / (n * sum_r.cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )

@@ -1,0 +1,160 @@
+"""Iterative graph analytics over relational inputs: weighted PageRank
+on the part co-purchase graph.
+
+The iterative join-aggregate is the canonical Spark graph pattern
+(GraphX/Pregel degenerate to exactly this for PageRank): each iteration
+is one equi-join of the edge list with the current rank vector on src
+plus one aggregation on dst — both shuffle on a part key, and AQE
+handles the skewed-hub case. Fixed iteration count (3) keeps the
+computation a pure dataflow the DuckDB oracle can mirror as unrolled
+CTEs — the differential check then covers the whole iteration chain.
+
+Cross-engine determinism: the per-row contribution pr*w/out_w is plain
+double (one fixed expression tree, identical operands -> identical IEEE
+result in both engines); the CROSS-ROW sum per dst routes through an
+exact decimal, with one ROUND(,15) per row first because a double's
+exact decimal expansion can exceed any fixed scale (the established
+round-parity between Spark and DuckDB makes that per-row step
+deterministic; queries.py module docstring has the decimal-sum rule).
+
+Scale notes (100 TB): edge construction self-joins lineitem on
+l_orderkey — the shuffle key is the order key and pair fan-out is
+bounded by order size (O(k^2) per order, k = lineitems/order, small and
+bounded in practice). The rank vector is node-sized (dimension-scale);
+each iteration's join shuffles edges once on src and the aggregate
+shuffles contributions once on dst. Nothing is ever quadratic in nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.queries import register
+from ibis_olap_aggregation_spark.session import load_table, query_cache
+
+_DAMP = 0.85
+_ITERS = 3
+
+# one iteration of the oracle chain: contributions -> exact decimal sum
+# per dst -> damped update. Every node has in-edges (the edge list is
+# symmetrized), so the aggregate covers the full node set.
+_IT_SQL = """
+agg{i} AS (
+  SELECT e.dst AS pk,
+         SUM(CAST(ROUND(p.pr * e.w / o.out_w, 15) AS DECIMAL(28,15))) AS s
+  FROM edges e
+  JOIN pr{prev} p ON p.pk = e.src
+  JOIN outw o ON o.src = e.src
+  GROUP BY 1
+),
+pr{i} AS (
+  SELECT pk, 0.15 / nd + 0.85 * CAST(s AS DOUBLE) AS pr FROM agg{i}, n
+)"""
+
+_PAGERANK_SQL = (
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT pa AS src, pb AS dst, w FROM und
+  UNION ALL
+  SELECT pb AS src, pa AS dst, w FROM und
+),
+outw AS (
+  SELECT src, SUM(w) AS out_w, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM edges GROUP BY 1
+),
+nodes AS (SELECT DISTINCT src AS pk FROM edges),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM nodes),
+pr0 AS (SELECT pk, 1.0 / nd AS pr FROM nodes, n),"""
+    + ",".join(_IT_SQL.format(i=i, prev=i - 1) for i in range(1, _ITERS + 1))
+    + f"""
+SELECT r.pk AS p_partkey, p.p_name, o.degree,
+       ROUND(r.pr, 8) AS pagerank
+FROM pr{_ITERS} r
+JOIN part p ON p.p_partkey = r.pk
+JOIN outw o ON o.src = r.pk
+ORDER BY ROUND(r.pr, 8) DESC, r.pk
+LIMIT 20
+"""
+)
+
+
+@register("graph_pagerank_copurchase", _PAGERANK_SQL)
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 3 iterations from uniform) on
+    the part co-purchase graph: parts are nodes, an edge's weight is the
+    number of orders containing both parts (symmetrized). Returns the
+    top 20 hub parts with their degree — the classic 'influential item'
+    query a recommendations pipeline derives from transaction logs.
+
+    The oracle unrolls the identical 3 iterations as CTEs, so the
+    differential check verifies the full iterative dataflow, not one
+    step. See module docstring for the determinism and scale story."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # tracked query-scoped cache: edges feed outw, the node set, AND all
+    # three iteration joins — without it the O(k^2) pair build re-runs
+    # five times (session.query_cache; drained by the registry wrapper)
+    edges = query_cache(
+        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"), "w").unionAll(
+            und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
+        )
+    )
+    outw = edges.groupBy("src").agg(
+        F.sum("w").alias("out_w"), F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    nodes = edges.select(F.col("src").alias("pk")).distinct()
+    nd = nodes.agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    pr = nodes.crossJoin(F.broadcast(nd)).select(
+        "pk", (F.lit(1.0) / F.col("nd")).alias("pr")
+    )
+    ew = edges.join(outw.select("src", "out_w"), "src")
+    for _ in range(_ITERS):
+        contrib = ew.join(pr, ew.src == pr.pk).select(
+            F.col("dst"),
+            (F.col("pr") * F.col("w") / F.col("out_w"))
+            .alias("c_d"),
+        )
+        agg = contrib.groupBy("dst").agg(
+            F.sum(F.round("c_d", 15).cast("decimal(28,15)")).alias("s")
+        )
+        pr = agg.crossJoin(F.broadcast(nd)).select(
+            F.col("dst").alias("pk"),
+            (F.lit(0.15) / F.col("nd") + F.lit(0.85) * F.col("s").cast("double")).alias(
+                "pr"
+            ),
+        )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    out = (
+        pr.join(F.broadcast(part), pr.pk == part.p_partkey)
+        .join(outw.select(F.col("src"), "degree"), pr.pk == F.col("src"))
+        .select(
+            F.col("pk").alias("p_partkey"),
+            "p_name",
+            "degree",
+            F.round("pr", 8).alias("pagerank"),
+        )
+    )
+    return out.orderBy(F.col("pagerank").desc(), F.col("p_partkey")).limit(20)

@@ -1,0 +1,294 @@
+"""Temporal-modeling operators: SCD Type-2 dimension build, point-in-
+time (interval) join, time-weighted average, Markov transitions.
+
+The reference's dimensions are static snapshots (ref
+classes/hierarchy_dimension_table.py builds one CTAS per load); a
+warehouse migrating off it at 100 TB needs the temporal counterparts:
+an SCD2 dimension derived from a change stream, and the
+point-in-time join that reconstructs "which version was true when the
+fact happened". These fill SURVEY.md §2's temporal gap with the
+standard warehouse formulations.
+
+Determinism: event ordering is (ts, event_id) — event_id is the
+fixtures' unique PK (pinned in tests/test_new_ops_properties.py), so
+both engines sort identically. Timestamps are emitted as epoch
+MICROSECONDS (Spark's load path truncates parquet nanos to µs —
+session.load_table — and DuckDB's epoch_us truncates the same way), so
+interval bounds hash-compare as exact integers, never as formatted
+timestamps.
+
+Scale notes (100 TB):
+- every window here partitions by user_id (high-cardinality, even) —
+  no single-partition windows anywhere.
+- the SCD2 build is two window passes + one aggregate over the change
+  stream: one shuffle on user_id, reused by all three stages (the
+  run-id pass, the run aggregate, and the lead() for valid_to all
+  share the user_id partitioning).
+- the point-in-time join is an EQUI-join on user_id with the interval
+  predicate as a residual filter: the shuffle key carries the join;
+  row amplification is bounded by versions-per-user (run-length
+  compressed, << events-per-user).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.queries import dsum, register
+from ibis_olap_aggregation_spark.session import load_table
+
+# value-range tiering: the synthetic event values span ~[0, 200);
+# thresholds chosen so every tier is populated at sf0.001
+_TIER = "CASE WHEN value < 60 THEN 'low' WHEN value < 140 THEN 'mid' ELSE 'high' END"
+
+# Shared oracle prelude: the SCD2 dimension as a CTE chain (tier ->
+# change flag -> run id -> run aggregate -> lead() for valid_to).
+_SCD2_DIM_SQL = f"""
+tiered AS (
+  SELECT user_id, ts, event_id, {_TIER} AS tier
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id, tier,
+         CASE WHEN LAG(tier) OVER w IS NULL
+                OR LAG(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+  FROM tiered
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, ts, event_id, tier,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flagged
+),
+grouped AS (
+  SELECT user_id, CAST(run_id AS BIGINT) AS version, tier,
+         MIN(ts) AS valid_from_ts, COUNT(*) AS n_events
+  FROM runs
+  GROUP BY 1, 2, 3
+),
+scd2 AS (
+  SELECT user_id, version, tier,
+         epoch_us(valid_from_ts) AS valid_from_us,
+         epoch_us(LEAD(valid_from_ts) OVER
+           (PARTITION BY user_id ORDER BY version)) AS valid_to_us,
+         CAST(n_events AS BIGINT) AS n_events
+  FROM grouped
+)
+"""
+
+
+def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 build: run-length compress the per-user tier sequence into
+    [valid_from, valid_to) versions. Open versions have NULL valid_to."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.expr(_TIER).alias("tier")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("tier").over(w).isNull() | (F.lag("tier").over(w) != F.col("tier")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    grouped = runs.groupBy(
+        "user_id", F.col("run_id").cast("bigint").alias("version"), "tier"
+    ).agg(
+        F.min("ts").alias("valid_from_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return grouped.select(
+        "user_id",
+        "version",
+        "tier",
+        F.unix_micros(F.col("valid_from_ts").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(
+            F.lead("valid_from_ts").over(w2).cast("timestamp")
+        ).alias("valid_to_us"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "scd2_user_tier_dim",
+    f"WITH {_SCD2_DIM_SQL} SELECT * FROM scd2",
+)
+def scd2_user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build from a change stream: the
+    per-user value-tier sequence is run-length compressed into versioned
+    [valid_from, valid_to) intervals (half-open; NULL valid_to = current
+    version). The classic lag()->change-flag->running-sum run-id
+    construction: one shuffle on user_id serves both window passes and
+    the run aggregate. Versions are 1-based and contiguous per user;
+    intervals tile the user's event span with no gaps or overlaps
+    (pinned in tests/test_new_ops_properties.py)."""
+    return _scd2_dim(spark, sf_dir)
+
+
+@register(
+    "scd2_point_in_time_join",
+    f"""
+WITH {_SCD2_DIM_SQL}
+SELECT s.tier,
+       COUNT(*) AS n_purchases,
+       COUNT(DISTINCT p.user_id) AS n_users,
+       CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (SELECT user_id, epoch_us(ts) AS ts_us, value
+      FROM events WHERE event_type = 'purchase') p
+JOIN scd2 s
+  ON s.user_id = p.user_id
+ AND p.ts_us >= s.valid_from_us
+ AND (s.valid_to_us IS NULL OR p.ts_us < s.valid_to_us)
+GROUP BY 1
+""",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: attribute each purchase to the dimension
+    version that was TRUE at the purchase's timestamp — the query that
+    makes SCD2 worth building. EQUI-join on user_id (the shuffle key);
+    the interval predicate is a residual filter, so Catalyst plans a
+    hash/sort-merge join, never a nested loop (pinned in
+    tests/test_plans.py). Every purchase matches exactly ONE version by
+    construction (the intervals tile the event span and purchases ARE
+    events), asserted in tests."""
+    dim = _scd2_dim(spark, sf_dir)
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+        )
+    )
+    joined = p.join(
+        dim,
+        (p.user_id == dim.user_id)
+        & (p.ts_us >= dim.valid_from_us)
+        & (dim.valid_to_us.isNull() | (p.ts_us < dim.valid_to_us)),
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.countDistinct(p.user_id).alias("n_users"),
+        dsum("value", "sum_value"),
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    """
+WITH stepped AS (
+  SELECT user_id, value,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt_us
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(dt_us) AS BIGINT) AS span_us,
+       ROUND(CAST(SUM(CAST(value * dt_us AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(SUM(dt_us) AS DOUBLE), 6) AS twap
+FROM stepped
+GROUP BY 1
+HAVING SUM(dt_us) > 0
+""",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over IRREGULARLY sampled values (step-
+    function integral / span): each observation holds until the next
+    one, so its weight is the µs gap to the successor — the standard
+    TWAP over tick-style data that a plain AVG gets wrong whenever
+    sampling is bursty.
+
+    Engine shape: one window (lead) partitioned by user_id, then the
+    aggregate reuses that partitioning — a single shuffle. The per-row
+    product value*dt_us is plain double (deterministic: one IEEE op,
+    same operands both engines); only the CROSS-ROW sum routes through
+    an exact decimal, because partial-agg ordering is nondeterministic
+    (the module-docstring rule in queries.py). Users with a single
+    event (zero span) are dropped by the HAVING on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    stepped = ev.select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp")) - ts_us
+        ).alias("dt_us"),
+    )
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("dt_us").cast("bigint").alias("span_us"),
+            F.round(
+                F.sum((F.col("value") * F.col("dt_us")).cast("decimal(30,6)"))
+                .cast("double")
+                / F.sum("dt_us").cast("double"),
+                6,
+            ).alias("twap"),
+        )
+        .filter(F.col("span_us") > 0)
+    )
+
+
+@register(
+    "events_markov_transitions",
+    """
+WITH seq AS (
+  SELECT event_type AS src_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst_type
+  FROM events
+),
+counts AS (
+  SELECT src_type, dst_type, COUNT(*) AS n_transitions
+  FROM seq WHERE dst_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT src_type, dst_type, n_transitions,
+       ROUND(n_transitions / CAST(SUM(n_transitions) OVER
+         (PARTITION BY src_type) AS DOUBLE), 6) AS p_transition
+FROM counts
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next=dst | current=src), the building block of user-
+    journey models and synthetic-session generators.
+
+    Engine shape: lead() partitioned by user_id (sequences never cross
+    users), COUNT per (src, dst) pair, then the row-normalization
+    window partitions by src_type — event-type cardinality is tiny, but
+    each partition is already one aggregated row per dst, so the window
+    input is |types|^2 rows, not the fact stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    )
+    counts = (
+        seq.filter(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wnorm = Window.partitionBy("src_type")
+    return counts.select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(wnorm).cast("double"),
+            6,
+        ).alias("p_transition"),
+    )

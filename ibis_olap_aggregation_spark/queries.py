@@ -700,6 +700,8 @@ from ibis_olap_aggregation_spark.operators import tpch  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import layout  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import allocation  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import sketch_eval  # noqa: E402,F401
+from ibis_olap_aggregation_spark.operators import temporal  # noqa: E402,F401
+from ibis_olap_aggregation_spark.operators import graph  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -886,12 +888,27 @@ _ADDED_ROUND6B = frozenset(
     }
 )
 
+# round-7 additions (same rule: newest queue behind everything owed a
+# first driver row, covered locally by the sf0.001/sf0.01 mirrors)
+_ADDED_ROUND7 = frozenset(
+    {
+        "scd2_user_tier_dim",
+        "scd2_point_in_time_join",
+        "events_time_weighted_avg",
+        "events_markov_transitions",
+        "pareto_frontier_parts",
+        "agg_gini_concentration",
+        "graph_pagerank_copurchase",
+        "linkage_blocked_levenshtein",
+    }
+)
+
 
 def _reorder_for_driver_coverage() -> None:
     flagship = "hierarchy_grocery_rollup"
     checked = _driver_verified_names()
     later = (_ADDED_ROUND2 | _ADDED_ROUND4 | _ADDED_ROUND5 | _ADDED_ROUND6
-             | _ADDED_ROUND6B)
+             | _ADDED_ROUND6B | _ADDED_ROUND7)
     # never-driver-checked queries, oldest families first: the ones that
     # have been WAITING (not in a later-additions set) outrank the
     # newest additions for the guaranteed prefix slots
@@ -920,6 +937,10 @@ def _reorder_for_driver_coverage() -> None:
         n
         for n in QUERIES
         if n != flagship and n not in checked and n in _ADDED_ROUND6B
+    ] + [
+        n
+        for n in QUERIES
+        if n != flagship and n not in checked and n in _ADDED_ROUND7
     ]
     # verified queries fill the remaining prefix slots STALEST-FIRST
     # (longest since a green driver row), so re-verification rotates

@@ -381,3 +381,51 @@ def test_pq_adc_broadcasts_codebook_no_cartesian(spark, sf_small):
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_scd2_pit_join_is_equi_keyed_not_nested_loop(spark, sf_small):
+    """scd2_point_in_time_join: the interval predicate must ride as a
+    RESIDUAL filter on a user_id equi-join — a planner that fell back
+    to BroadcastNestedLoop/Cartesian for the range condition would be
+    quadratic at scale. All windows partition by user_id (never a
+    single-partition sort of the event stream)."""
+    df = q.QUERIES["scd2_point_in_time_join"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_scd2_dim_build_windows_are_user_partitioned(spark, sf_small):
+    df = q.QUERIES["scd2_user_tier_dim"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert "SinglePartition" not in plan, plan
+
+
+def test_pagerank_has_no_cartesian_and_caches_edges(spark, sf_small):
+    """graph_pagerank_copurchase: the single-row N attaches broadcast;
+    nothing materializes a node x node or edge x edge cartesian, and
+    the edge list is served from the tracked cache (InMemoryTableScan)
+    instead of re-running the O(k^2) pair build per iteration."""
+    df = q.QUERIES["graph_pagerank_copurchase"](spark, sf_small)
+    plan = pi.physical_plan(df, executed=True)
+    assert "CartesianProduct" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    from ibis_olap_aggregation_spark.session import release_query_caches
+
+    release_query_caches()
+
+
+def test_pareto_frontier_broadcasts_price_verdict(spark, sf_small):
+    """pareto_frontier_parts: the price-grain verdict table (distinct
+    prices) broadcast-joins back onto parts — the fact-side scan is
+    never shuffled for the join — and the part scan is pruned to the
+    4 needed columns."""
+    df = q.QUERIES["pareto_frontier_parts"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    for cols in pi.scan_columns(df):
+        assert len(cols) <= 4, cols

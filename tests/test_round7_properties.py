@@ -1,0 +1,170 @@
+"""Round-7 operators: property tests against INDEPENDENT oracles.
+
+The driver's DuckDB differential gate runs the SAME query semantics in
+SQL; these tests cross-check against a second, structurally different
+implementation — brute-force dominance for the skyline, a numpy
+power-iteration for PageRank, algebraic invariants for SCD2/TWAP/
+Markov — so a shared misconception between the Spark code and its
+oracle SQL cannot pass silently.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from ibis_olap_aggregation_spark.queries import QUERIES
+
+
+def test_pareto_frontier_matches_bruteforce(spark, sf_small):
+    """O(n^2) dominance scan over the raw parquet == the linear
+    running-max rewrite's survivor set."""
+    out = QUERIES["pareto_frontier_parts"](spark, sf_small).toPandas()
+    parts = duckdb.sql(
+        f"SELECT p_partkey, p_retailprice, p_size FROM "
+        f"'{sf_small}/part.parquet'"
+    ).df()
+    price = parts.p_retailprice.to_numpy()
+    size = parts.p_size.to_numpy()
+    dominated = np.zeros(len(parts), dtype=bool)
+    for i in range(len(parts)):
+        dom = (
+            (price <= price[i])
+            & (size >= size[i])
+            & ((price < price[i]) | (size > size[i]))
+        )
+        dominated[i] = dom.any()
+    expect = set(parts.p_partkey[~dominated])
+    assert set(out.p_partkey) == expect
+    assert len(out) == len(expect)
+
+
+def test_scd2_intervals_tile_and_runs_are_maximal(spark, sf_small):
+    """Per user: versions are 1..k contiguous, intervals are ordered,
+    gap-free ([from, to) tiles), exactly one open version, consecutive
+    versions CHANGE tier (runs maximal), and event counts conserve."""
+    dim = (
+        QUERIES["scd2_user_tier_dim"](spark, sf_small)
+        .toPandas()
+        .sort_values(["user_id", "version"])
+    )
+    ev_per_user = duckdb.sql(
+        f"SELECT user_id, COUNT(*) AS n FROM '{sf_small}/events.parquet' "
+        f"GROUP BY 1"
+    ).df()
+    counts = dim.groupby("user_id").n_events.sum()
+    for _, row in ev_per_user.iterrows():
+        assert counts[row.user_id] == row.n
+    for _, g in dim.groupby("user_id"):
+        assert list(g.version) == list(range(1, len(g) + 1))
+        assert g.valid_to_us.isna().sum() == 1 and np.isnan(
+            g.valid_to_us.iloc[-1]
+        )
+        # tiling: each version's end is the next version's start
+        assert (
+            g.valid_to_us.iloc[:-1].to_numpy()
+            == g.valid_from_us.iloc[1:].to_numpy()
+        ).all()
+        # maximality: consecutive runs differ in tier
+        tiers = list(g.tier)
+        assert all(a != b for a, b in zip(tiers, tiers[1:]))
+
+
+def test_scd2_pit_join_conserves_purchases(spark, sf_small):
+    """Every purchase matches exactly one dimension version: the tier
+    breakdown sums back to the raw purchase count and value total."""
+    out = QUERIES["scd2_point_in_time_join"](spark, sf_small).toPandas()
+    raw = duckdb.sql(
+        f"SELECT COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS s "
+        f"FROM '{sf_small}/events.parquet' WHERE event_type = 'purchase'"
+    ).df()
+    assert out.n_purchases.sum() == raw.n[0]
+    assert abs(out.sum_value.sum() - float(raw.s[0])) < 1e-6
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_small):
+    """Dense numpy power iteration over the same co-purchase edge list
+    reproduces the distributed ranks (tolerance covers the engine's
+    per-row round(,15) quantization and float-order differences)."""
+    out = QUERIES["graph_pagerank_copurchase"](spark, sf_small).toPandas()
+    edges = duckdb.sql(
+        f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM '{sf_small}/lineitem.parquet'),
+        und AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2)
+        SELECT pa, pb, w FROM und
+        """
+    ).df()
+    nodes = sorted(set(edges.pa) | set(edges.pb))
+    idx = {pk: i for i, pk in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for _, e in edges.iterrows():
+        W[idx[e.pa], idx[e.pb]] += e.w
+        W[idx[e.pb], idx[e.pa]] += e.w
+    outw = W.sum(axis=1)
+    P = W / outw[:, None]
+    pr = np.full(n, 1.0 / n)
+    for _ in range(3):
+        pr = 0.15 / n + 0.85 * (P.T @ pr)
+    # full-vector ranks sum to 1 (no dangling mass: graph symmetrized)
+    assert abs(pr.sum() - 1.0) < 1e-9
+    ref = {pk: pr[idx[pk]] for pk in nodes}
+    for _, row in out.iterrows():
+        assert abs(ref[row.p_partkey] - row.pagerank) < 1e-8, row
+    # top-20 really is the top of the full vector
+    top = sorted(ref.values(), reverse=True)[19]
+    assert (out.pagerank >= top - 1e-8).all()
+
+
+def test_twap_within_value_range_and_differs_from_avg(spark, sf_small):
+    """A step-function average lies inside [min, max] of the user's
+    values; and TWAP is NOT just AVG (the weighting must matter for at
+    least some users, else the operator is vacuous)."""
+    out = QUERIES["events_time_weighted_avg"](spark, sf_small).toPandas()
+    rng = duckdb.sql(
+        f"SELECT user_id, MIN(value) AS lo, MAX(value) AS hi, "
+        f"AVG(value) AS avg_v FROM '{sf_small}/events.parquet' GROUP BY 1"
+    ).df()
+    m = out.merge(rng, on="user_id")
+    assert len(m) == len(out)
+    assert (m.twap >= m.lo - 1e-9).all() and (m.twap <= m.hi + 1e-9).all()
+    assert (np.abs(m.twap - m.avg_v) > 1e-6).any()
+
+
+def test_markov_rows_normalize_and_conserve(spark, sf_small):
+    """Each source row of the transition matrix sums to 1; total
+    transition count is n_events - n_users (one lead() loss per user)."""
+    out = QUERIES["events_markov_transitions"](spark, sf_small).toPandas()
+    tot = duckdb.sql(
+        f"SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS u "
+        f"FROM '{sf_small}/events.parquet'"
+    ).df()
+    assert out.n_transitions.sum() == int(tot.n[0]) - int(tot.u[0])
+    for src, g in out.groupby("src_type"):
+        assert abs(g.p_transition.sum() - 1.0) < 5e-6 * len(g), src
+
+
+def test_gini_bounds_and_degenerate_equality(spark, sf_small):
+    """Gini in [0, 1); and the rank formula hits ~0 on a constant
+    distribution (computed locally as the degenerate witness)."""
+    out = QUERIES["agg_gini_concentration"](spark, sf_small).toPandas()
+    assert (out.gini >= 0).all() and (out.gini < 1).all()
+    # degenerate witness: equal values => G = (n+1)/n*(…)=0 by formula
+    x = np.full(7, 3.25)
+    i = np.arange(1, 8)
+    g = 2 * (i * x).sum() / (7 * x.sum()) - 8 / 7
+    assert abs(g) < 1e-12
+
+
+def test_linkage_pairs_share_block_and_are_near(spark, sf_small):
+    out = QUERIES["linkage_blocked_levenshtein"](spark, sf_small).toPandas()
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        assert r.name_a.split()[-1] == r.block == r.name_b.split()[-1]
+        assert 1 <= r.edit_distance <= 3
+        assert r.name_a < r.name_b

@@ -561,3 +561,164 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_trimmed_mean",
+    """
+WITH bounds AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.1) AS lo,
+         quantile_cont(l_extendedprice, 0.9) AS hi
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CASE WHEN l.l_extendedprice >= b.lo
+                            AND l.l_extendedprice <= b.hi
+                      THEN CAST(l.l_extendedprice AS DECIMAL(18,6)) END)
+                  AS DOUBLE)
+             / SUM(CASE WHEN l.l_extendedprice >= b.lo
+                         AND l.l_extendedprice <= b.hi THEN 1 END), 6)
+         AS trimmed_mean,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, b.lo), b.hi)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS winsorized_mean
+FROM lineitem l JOIN bounds b ON b.l_returnflag = l.l_returnflag
+GROUP BY 1
+""",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimates per group: the 10% TRIMMED mean (drop
+    rows outside [p10, p90]) and the WINSORIZED mean (clamp them to the
+    bounds) — the outlier-resistant aggregates a quality pipeline uses
+    where a raw AVG is one corrupt row away from garbage.
+
+    Two passes over the fact stream sharing one shuffle key: bounds are
+    a per-group exact-percentile aggregate (group-count-sized), then a
+    broadcast join attaches them and a second grouped pass computes both
+    means. Boundary safety: a comparison against the interpolated
+    percentile can only be decided by a data row when the percentile
+    lands ON a data point (interpolation fraction 0), where both engines
+    return that point exactly — strictly-interior bounds can't flip any
+    comparison regardless of last-ulp interpolation differences. Sums
+    route through DECIMAL per the cross-row rule."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.1)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("hi"),
+    )
+    j = li.join(F.broadcast(bounds), "l_returnflag")
+    inside = (F.col("l_extendedprice") >= F.col("lo")) & (
+        F.col("l_extendedprice") <= F.col("hi")
+    )
+    clamped = F.least(F.greatest("l_extendedprice", F.col("lo")), F.col("hi"))
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(
+                F.when(inside, F.col("l_extendedprice").cast("decimal(18,6)"))
+            ).cast("double")
+            / F.sum(F.when(inside, F.lit(1))),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(
+            F.sum(clamped.cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("winsorized_mean"),
+    )
+
+
+@register(
+    "affinity_rules_lift",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+supp AS (SELECT l_partkey, COUNT(*) AS n_part FROM items GROUP BY 1),
+pairs AS (
+  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b, COUNT(*) AS n_both
+  FROM items x
+  JOIN items y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_both, sa.n_part AS n_a, sb.n_part AS n_b,
+       ROUND(CAST(n_both AS DOUBLE) / sa.n_part, 6) AS confidence_a_to_b,
+       ROUND(CAST(n_both AS DOUBLE) * n.n_orders / (sa.n_part * sb.n_part), 6)
+         AS lift
+FROM pairs
+JOIN supp sa ON sa.l_partkey = part_a
+JOIN supp sb ON sb.l_partkey = part_b
+CROSS JOIN n
+WHERE n_both >= 5
+ORDER BY ROUND(CAST(n_both AS DOUBLE) * n.n_orders
+               / (sa.n_part * sb.n_part), 6) DESC, part_a, part_b
+LIMIT 20
+""",
+)
+def affinity_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over co-purchase pairs (Agrawal-Srikant
+    market-basket): support, confidence P(b|a) and LIFT
+    P(ab)/(P(a)P(b)) with a minimum-support cut — the ranking that
+    separates 'popular together because both are popular' from genuine
+    affinity, which the raw pair counts in affinity_part_pairs_topk
+    cannot do.
+
+    Scale: identical join graph to the pair-count query (shuffle on
+    l_orderkey bounded by order fan-out) plus two broadcast-sized
+    attaches (per-part supports, single-row basket count). The min-
+    support filter runs BEFORE the support joins, so the pair stream is
+    pruned early; ratios are per-row double arithmetic on exact counts."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = items.alias("x"), items.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    sa = supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    sb = supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    out = (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_both").cast("double") / F.col("n_a"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift").desc(), F.col("part_a"), F.col("part_b")
+    ).limit(20)

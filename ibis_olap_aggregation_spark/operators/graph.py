@@ -158,3 +158,109 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.col("pagerank").desc(), F.col("p_partkey")).limit(20)
+
+
+@register(
+    "graph_triangle_clustering",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x
+  JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT pk, COUNT(*) AS n_triangles FROM (
+    SELECT a AS pk FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+),
+deg AS (
+  SELECT pk, COUNT(*) AS degree FROM (
+    SELECT a AS pk FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY 1
+)
+SELECT d.pk AS p_partkey, CAST(d.degree AS BIGINT) AS degree,
+       CAST(t.n_triangles AS BIGINT) AS n_triangles,
+       ROUND(2.0 * t.n_triangles / (d.degree * (d.degree - 1)), 6)
+         AS clustering_coeff
+FROM per_node t JOIN deg d ON d.pk = t.pk
+ORDER BY t.n_triangles DESC, d.pk
+LIMIT 20
+""",
+)
+def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient on the part
+    co-purchase graph — the standard cohesion metrics (Watts-Strogatz
+    clustering; triangle enumeration per Schank-Wagner's ordered-wedge
+    method). Each triangle a<b<c is enumerated ONCE by joining ordered
+    edges (a,b)x(b,c) and closing with (a,c); per-node counts explode
+    the triangle's three corners; clustering = 2*t / (deg*(deg-1)).
+
+    Scale: the wedge join shuffles the DISTINCT edge list on its
+    endpoints (edge-list sized, bounded by co-purchase fan-out), and the
+    ordering constraint a<b<c means no triangle is generated three
+    times and the heaviest hub only ever anchors wedges from its
+    HIGHER-id neighbors — the classic skew cut for triangle counting.
+    Top 20 by triangle count via distributed TakeOrdered."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    und = query_cache(
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("ta"),
+            F.col("e1.b").alias("tb"),
+            F.col("e2.b").alias("tc"),
+        )
+    )
+    corners = (
+        tri.select(F.col("ta").alias("pk"))
+        .unionAll(tri.select(F.col("tb").alias("pk")))
+        .unionAll(tri.select(F.col("tc").alias("pk")))
+    )
+    per_node = corners.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    ends = und.select(F.col("a").alias("dk")).unionAll(
+        und.select(F.col("b").alias("dk"))
+    )
+    deg = ends.groupBy("dk").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    out = per_node.join(deg, per_node.pk == deg.dk).select(
+        F.col("pk").alias("p_partkey"),
+        "degree",
+        "n_triangles",
+        F.round(
+            F.lit(2.0)
+            * F.col("n_triangles")
+            / (F.col("degree") * (F.col("degree") - 1)),
+            6,
+        ).alias("clustering_coeff"),
+    )
+    return out.orderBy(F.col("n_triangles").desc(), F.col("p_partkey")).limit(20)

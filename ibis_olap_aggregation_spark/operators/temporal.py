@@ -292,3 +292,67 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_transition"),
     )
+
+
+@register(
+    "events_recency_weighted_value",
+    """
+WITH anchored AS (
+  SELECT user_id, value,
+         (epoch_us(MAX(ts) OVER (PARTITION BY user_id)) - epoch_us(ts))
+           / 86400000000.0 AS age_days
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value / (1.0 + age_days) AS DECIMAL(28,12)))
+                  AS DOUBLE)
+             / CAST(SUM(CAST(1.0 / (1.0 + age_days) AS DECIMAL(28,12)))
+                    AS DOUBLE), 6) AS recency_weighted_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS plain_avg
+FROM anchored
+GROUP BY 1
+""",
+)
+def events_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted mean per user: each observation weighted by the
+    HYPERBOLIC decay 1/(1 + age_days) relative to the user's latest
+    event — the time-decay signal behind churn scores and freshness-
+    weighted features. The rational decay is chosen deliberately over
+    exp(-lambda*t): division is an exact IEEE op with cross-engine
+    bit-parity, where libm exp() may differ by an ulp between engines
+    (the float-determinism rule from SURVEY §7.5.2); a 1-ulp weight
+    difference inside a nondeterministically-ordered SUM would poison
+    the hash compare.
+
+    Engine shape: one shuffle on user_id shared by the anchor window
+    (MAX ts per user) and the final aggregate; per-row weights are plain
+    double arithmetic, cross-row sums route through DECIMAL. The
+    plain_avg column sits alongside as the contrast (weighting must
+    move the estimate; asserted in tests)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    anchor_us = F.unix_micros(F.max("ts").over(w).cast("timestamp"))
+    anchored = ev.select(
+        "user_id",
+        "value",
+        ((anchor_us - ts_us) / F.lit(86400000000.0)).alias("age_days"),
+    )
+    decay = F.lit(1.0) / (F.lit(1.0) + F.col("age_days"))
+    return anchored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum((F.col("value") / (F.lit(1.0) + F.col("age_days"))).cast(
+                "decimal(28,12)"
+            )).cast("double")
+            / F.sum(decay.cast("decimal(28,12)")).cast("double"),
+            6,
+        ).alias("recency_weighted_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("plain_avg"),
+    )

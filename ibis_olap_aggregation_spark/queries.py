@@ -900,6 +900,10 @@ _ADDED_ROUND7 = frozenset(
         "agg_gini_concentration",
         "graph_pagerank_copurchase",
         "linkage_blocked_levenshtein",
+        "graph_triangle_clustering",
+        "agg_trimmed_mean",
+        "affinity_rules_lift",
+        "events_recency_weighted_value",
     }
 )
 

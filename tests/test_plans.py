@@ -429,3 +429,43 @@ def test_pareto_frontier_broadcasts_price_verdict(spark, sf_small):
     assert "BroadcastHashJoin" in plan, plan
     for cols in pi.scan_columns(df):
         assert len(cols) <= 4, cols
+
+
+def test_triangle_clustering_no_cartesian_caches_edges(spark, sf_small):
+    """graph_triangle_clustering: the wedge enumeration must stay
+    equi-keyed (no cartesian/nested-loop anywhere) and the distinct
+    edge list must serve from the tracked cache, not re-run the pair
+    self-join for each of its four consumers."""
+    df = q.QUERIES["graph_triangle_clustering"](spark, sf_small)
+    plan = pi.physical_plan(df, executed=True)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    from ibis_olap_aggregation_spark.session import release_query_caches
+
+    release_query_caches()
+
+
+def test_trimmed_mean_broadcasts_bounds(spark, sf_small):
+    """agg_trimmed_mean: the per-group percentile bounds (group-count
+    rows) broadcast back onto the fact stream — the big side is never
+    re-shuffled for the bounds attach."""
+    df = q.QUERIES["agg_trimmed_mean"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    for cols in pi.scan_columns(df):
+        assert set(cols) <= {"l_returnflag", "l_extendedprice"}, cols
+
+
+def test_lift_filters_pairs_before_support_joins(spark, sf_small):
+    """affinity_rules_lift: the min-support filter must land on the
+    pair aggregate BEFORE the support attaches (both of which
+    broadcast), so the post-aggregation stream is pruned early."""
+    df = q.QUERIES["affinity_rules_lift"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # the >= 5 cut appears as a Filter on the count aggregate, upstream
+    # of the broadcast joins (string order in the tree: joins print
+    # above their children)
+    assert "(n_both" in plan or "count(1)#" in plan, plan

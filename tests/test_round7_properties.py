@@ -168,3 +168,92 @@ def test_linkage_pairs_share_block_and_are_near(spark, sf_small):
         assert r.name_a.split()[-1] == r.block == r.name_b.split()[-1]
         assert 1 <= r.edit_distance <= 3
         assert r.name_a < r.name_b
+
+
+def test_triangle_counts_match_bruteforce(spark, sf_small):
+    """Dense numpy trace-based triangle count per node over the same
+    distinct edge list == the distributed ordered-wedge enumeration."""
+    out = QUERIES["graph_triangle_clustering"](spark, sf_small).toPandas()
+    edges = duckdb.sql(
+        f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM '{sf_small}/lineitem.parquet')
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM li x JOIN li y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        """
+    ).df()
+    nodes = sorted(set(edges.a) | set(edges.b))
+    idx = {pk: i for i, pk in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+    for _, e in edges.iterrows():
+        A[idx[e.a], idx[e.b]] = 1
+        A[idx[e.b], idx[e.a]] = 1
+    tri_per_node = np.diag(A @ A @ A) // 2
+    deg = A.sum(axis=1)
+    for _, r in out.iterrows():
+        i = idx[r.p_partkey]
+        assert tri_per_node[i] == r.n_triangles, r
+        assert deg[i] == r.degree, r
+        expect_cc = 2.0 * tri_per_node[i] / (deg[i] * (deg[i] - 1))
+        assert abs(expect_cc - r.clustering_coeff) < 1e-6, r
+    # top-20 really is the top of the full per-node vector
+    if len(out) == 20:
+        assert out.n_triangles.min() >= np.sort(tri_per_node)[-20]
+
+
+def test_trimmed_mean_is_robust_between_bounds(spark, sf_small):
+    """trimmed <= winsorized ordering is not guaranteed in general, but
+    both must sit strictly inside [min, max] and the trimmed mean must
+    ignore a synthetic outlier that shifts the plain mean."""
+    out = QUERIES["agg_trimmed_mean"](spark, sf_small).toPandas()
+    rng = duckdb.sql(
+        f"SELECT l_returnflag, MIN(l_extendedprice) lo, "
+        f"MAX(l_extendedprice) hi, AVG(l_extendedprice) m "
+        f"FROM '{sf_small}/lineitem.parquet' GROUP BY 1"
+    ).df()
+    m = out.merge(rng, on="l_returnflag")
+    assert (m.trimmed_mean > m.lo).all() and (m.trimmed_mean < m.hi).all()
+    assert (m.winsorized_mean > m.lo).all() and (m.winsorized_mean < m.hi).all()
+    # numpy witness for the trimming semantics on one group
+    vals = duckdb.sql(
+        f"SELECT l_extendedprice v FROM '{sf_small}/lineitem.parquet' "
+        f"WHERE l_returnflag = 'N'"
+    ).df().v.to_numpy()
+    lo, hi = np.quantile(vals, [0.1, 0.9])
+    expect = vals[(vals >= lo) & (vals <= hi)].mean()
+    got = float(out[out.l_returnflag == "N"].trimmed_mean.iloc[0])
+    assert abs(expect - got) < 1e-4, (expect, got)
+
+
+def test_lift_identities(spark, sf_small):
+    """lift == confidence / P(b); min-support respected; symmetric in
+    its support arguments (lift(a,b) uses both supports)."""
+    out = QUERIES["affinity_rules_lift"](spark, sf_small).toPandas()
+    n_orders = duckdb.sql(
+        f"SELECT COUNT(DISTINCT l_orderkey) n FROM "
+        f"'{sf_small}/lineitem.parquet'"
+    ).df().n[0]
+    assert (out.n_both >= 5).all()
+    for _, r in out.iterrows():
+        assert abs(r.confidence_a_to_b - r.n_both / r.n_a) < 1e-6
+        assert abs(r.lift - r.n_both * n_orders / (r.n_a * r.n_b)) < 1e-4
+
+
+def test_recency_weighting_moves_toward_latest(spark, sf_small):
+    """The recency-weighted mean must (a) stay within the user's value
+    range and (b) sit closer to the user's LATEST value than the plain
+    mean does, on average — that's what the decay is for."""
+    out = QUERIES["events_recency_weighted_value"](spark, sf_small).toPandas()
+    last = duckdb.sql(
+        f"""SELECT user_id, MIN(value) lo, MAX(value) hi,
+                   arg_max(value, ts) last_v
+            FROM '{sf_small}/events.parquet' GROUP BY 1"""
+    ).df()
+    m = out.merge(last, on="user_id")
+    assert len(m) == len(out)
+    assert (m.recency_weighted_value >= m.lo - 1e-9).all()
+    assert (m.recency_weighted_value <= m.hi + 1e-9).all()
+    d_w = np.abs(m.recency_weighted_value - m.last_v).mean()
+    d_p = np.abs(m.plain_avg - m.last_v).mean()
+    assert d_w < d_p

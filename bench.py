@@ -49,6 +49,10 @@ from ibis_olap_aggregation_spark.session import (
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
+
+def _sf_tag() -> float:
+    return float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+
 # Headline set: the flagship hierarchy rollups + the heaviest operator
 # families. Keep keys stable across rounds so BENCH_r{N}.json is
 # comparable.
@@ -205,11 +209,35 @@ def regression_gate(
     return flagged
 
 
+def _history_path() -> str:
+    # derived from _HERE at call time so tests can monkeypatch _HERE and
+    # redirect BOTH baseline sources together
+    return os.path.join(_HERE, "BENCH_HISTORY.jsonl")
+
+
 def _prev_bench() -> tuple[dict[str, float], str | None]:
-    """(per-query timings, measurement basis) from the latest
-    BENCH_r{N}.json, if any. Basis is None for rounds that predate the
-    marker (min-of-2 era) — the regression gate stays disarmed against
-    those; deltas are still reported."""
+    """(per-query timings, measurement basis) of the best available
+    baseline. PREFERRED source: the last line of BENCH_HISTORY.jsonl —
+    bench.py's own full record, written every run. The driver's
+    BENCH_r{N}.json files are a FALLBACK only: the driver captures a
+    bounded stdout tail, and from round 3 on the per-query dict has
+    been truncated out of every one of them — which silently disarmed
+    the regression gate for four rounds (it was comparing against the
+    33-query round-2 file with basis None). Basis is None for legacy
+    rounds (min-of-2 era) — the gate stays disarmed against those;
+    deltas are still reported."""
+    try:
+        with open(_history_path()) as f:
+            lines = f.readlines()
+        for ln in reversed(lines):
+            try:
+                rec = json.loads(ln)
+            except Exception:  # noqa: BLE001
+                continue
+            if rec.get("queries") and rec.get("sf") == _sf_tag():
+                return rec["queries"], rec.get("basis")
+    except OSError:
+        pass
     best: tuple[int, dict, str | None] | None = None
     for path in glob.glob(os.path.join(_HERE, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -313,6 +341,26 @@ def main() -> None:
         out["deltas_vs_prev"] = deltas
     out["regressions"] = regressions
     print(json.dumps(out))
+    # Persist the full per-query record locally: the driver's stdout
+    # capture truncates the long line above out of BENCH_r{N}.json, so
+    # this appended history is the only durable same-basis baseline the
+    # next run's regression gate can arm against.
+    try:
+        with open(_history_path(), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "queries": timings,
+                        "spread": spreads,
+                        "basis": BENCH_BASIS,
+                        "sf": out["sf"],
+                        "total": out["value"],
+                    }
+                )
+                + "\n"
+            )
+    except OSError:
+        pass
     # Truncation-proof trailing summary: the driver's stdout capture keeps
     # the LAST line intact even when it truncates the (long) full line
     # above, so every round's BENCH_r{N}.json has a short machine-readable

@@ -11,11 +11,13 @@ CTEs — the differential check then covers the whole iteration chain.
 
 Cross-engine determinism: the per-row contribution pr*w/out_w is plain
 double (one fixed expression tree, identical operands -> identical IEEE
-result in both engines); the CROSS-ROW sum per dst routes through an
-exact decimal, with one ROUND(,15) per row first because a double's
-exact decimal expansion can exceed any fixed scale (the established
-round-parity between Spark and DuckDB makes that per-row step
-deterministic; queries.py module docstring has the decimal-sum rule).
+result in both engines); the CROSS-ROW sum per dst is made order-free
+by QUANTIZING each contribution to integer 1e-15 units (round-parity is
+established between the engines; contributions per dst sum to <= 1, so
+the bigint total is <= ~1e15 with enormous headroom) and summing exact
+BIGINTs. Measured 2x faster than a DECIMAL(28,15) sum at sf0.1 — wide
+decimal agg buffers defeat the hash-agg fast path (the round-6
+centroid finding) — with the same determinism guarantee.
 
 Scale notes (100 TB): edge construction self-joins lineitem on
 l_orderkey — the shuffle key is the order key and pair fan-out is
@@ -36,20 +38,21 @@ from ibis_olap_aggregation_spark.session import load_table, query_cache
 _DAMP = 0.85
 _ITERS = 3
 
-# one iteration of the oracle chain: contributions -> exact decimal sum
-# per dst -> damped update. Every node has in-edges (the edge list is
-# symmetrized), so the aggregate covers the full node set.
+# one iteration of the oracle chain: contributions quantized to 1e-15
+# units -> exact bigint sum per dst -> damped update. Every node has
+# in-edges (the edge list is symmetrized), so the aggregate covers the
+# full node set.
 _IT_SQL = """
 agg{i} AS (
   SELECT e.dst AS pk,
-         SUM(CAST(ROUND(p.pr * e.w / o.out_w, 15) AS DECIMAL(28,15))) AS s
+         SUM(CAST(ROUND(p.pr * e.w / o.out_w * 1e15, 0) AS BIGINT)) AS s
   FROM edges e
   JOIN pr{prev} p ON p.pk = e.src
   JOIN outw o ON o.src = e.src
   GROUP BY 1
 ),
 pr{i} AS (
-  SELECT pk, 0.15 / nd + 0.85 * CAST(s AS DOUBLE) AS pr FROM agg{i}, n
+  SELECT pk, 0.15 / nd + 0.85 * (CAST(s AS DOUBLE) / 1e15) AS pr FROM agg{i}, n
 )"""
 
 _PAGERANK_SQL = (
@@ -114,38 +117,56 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    # tracked query-scoped cache: edges feed outw, the node set, AND all
-    # three iteration joins — without it the O(k^2) pair build re-runs
-    # five times (session.query_cache; drained by the registry wrapper)
-    edges = query_cache(
-        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"), "w").unionAll(
-            und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
-        )
-    )
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
+    ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))
     outw = edges.groupBy("src").agg(
         F.sum("w").alias("out_w"), F.count(F.lit(1)).cast("bigint").alias("degree")
     )
-    nodes = edges.select(F.col("src").alias("pk")).distinct()
-    nd = nodes.agg(F.count(F.lit(1)).cast("double").alias("nd"))
-    pr = nodes.crossJoin(F.broadcast(nd)).select(
-        "pk", (F.lit(1.0) / F.col("nd")).alias("pr")
-    )
-    ew = edges.join(outw.select("src", "out_w"), "src")
+    # tracked query-scoped cache on the JOINED edge + out-weight list:
+    # it feeds all three iteration joins plus the node set, and without
+    # it each iteration re-runs the O(k^2) pair build AND the out-weight
+    # aggregate — Spark does not dedupe common subplans across a lazily
+    # unrolled loop (measured 15.2s -> see PARITY round-7).
+    ew = query_cache(edges.join(outw.select("src", "out_w"), "src"))
+    nodes = ew.select(F.col("src").alias("pk")).distinct()
+    # single-row scalar collect (the repo's bounded-probe convention):
+    # N rides in the damping constants of every iteration, and attaching
+    # it as a broadcast single-row crossJoin instead costs one broadcast
+    # JOB per reference (4 of them). Python floats are IEEE doubles, so
+    # 1.0/n and 0.15/n are bit-identical to the oracle's in-engine
+    # divisions on the same exact integer.
+    n_nodes = nodes.count()
+    pr = nodes.select("pk", F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(_ITERS):
-        contrib = ew.join(pr, ew.src == pr.pk).select(
+        # BROADCAST the node-sized rank vector: the edge stream (the
+        # fact-scale side) is never shuffled for the join — the only
+        # per-iteration shuffle is the contribution aggregate on dst.
+        # Same size argument as the broadcast closure in rollup.py; a
+        # node set beyond broadcast reach drops the hint and degrades to
+        # a shuffled equi-join with identical semantics.
+        contrib = ew.join(F.broadcast(pr), ew.src == pr.pk).select(
             F.col("dst"),
-            (F.col("pr") * F.col("w") / F.col("out_w"))
-            .alias("c_d"),
+            F.round(F.col("pr") * F.col("w") / F.col("out_w") * F.lit(1e15), 0)
+            .cast("bigint")
+            .alias("c_q"),
         )
-        agg = contrib.groupBy("dst").agg(
-            F.sum(F.round("c_d", 15).cast("decimal(28,15)")).alias("s")
-        )
-        pr = agg.crossJoin(F.broadcast(nd)).select(
+        agg = contrib.groupBy("dst").agg(F.sum("c_q").alias("s"))
+        pr = agg.select(
             F.col("dst").alias("pk"),
-            (F.lit(0.15) / F.col("nd") + F.lit(0.85) * F.col("s").cast("double")).alias(
-                "pr"
-            ),
+            (
+                F.lit(0.15 / n_nodes)
+                + F.lit(0.85) * (F.col("s").cast("double") / F.lit(1e15))
+            ).alias("pr"),
         )
+        # PIN each iteration (tracked query-scoped cache + bounded
+        # materialization): the broadcast for iteration i+1 runs as its
+        # own job, and without the pin that job re-executes every prior
+        # iteration's aggregate from scratch — O(iters^2) passes over
+        # the edge list. One pass per iteration instead; the node-sized
+        # pin is registry-drained like every query cache.
+        pr = query_cache(pr)
+        pr.count()
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
     out = (
         pr.join(F.broadcast(part), pr.pk == part.p_partkey)

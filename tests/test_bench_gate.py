@@ -105,3 +105,26 @@ def test_prev_bench_recovers_basis_from_truncated_tail(tmp_path, monkeypatch):
     queries, basis = bench._prev_bench()
     assert queries == {"q1": 1.5, "q2": 0.7}
     assert basis == "median3"
+
+
+def test_prev_bench_prefers_local_history(tmp_path, monkeypatch):
+    """The local BENCH_HISTORY.jsonl (full per-query record) outranks
+    the driver's truncated BENCH_r{N}.json capture; records at a
+    different sf are skipped."""
+    import json
+
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"tail": '{"metric": "headline_total", "basis": "median3"}\n'})
+    )
+    hist = [
+        {"queries": {"q1": 9.0}, "basis": "median3", "sf": 0.01},
+        {"queries": {"q1": 1.1, "q2": 0.4}, "basis": "median3", "sf": 0.1},
+    ]
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in hist) + "\n"
+    )
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    queries, basis = bench._prev_bench()
+    assert queries == {"q1": 1.1, "q2": 0.4}
+    assert basis == "median3"

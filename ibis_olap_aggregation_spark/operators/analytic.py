@@ -722,3 +722,52 @@ def affinity_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("lift").desc(), F.col("part_a"), F.col("part_b")
     ).limit(20)
+
+
+@register(
+    "window_moving_median",
+    """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT CAST(d AS TIMESTAMP) AS day, revenue,
+       ROUND(quantile_cont(revenue, 0.5) OVER w7, 6) AS moving_median_7d,
+       ROUND(CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER w7 AS DOUBLE)
+             / COUNT(*) OVER w7, 6) AS moving_avg_7d
+FROM daily
+WINDOW w7 AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving MEDIAN over a trailing 7-row window of daily revenue —
+    the robust smoother (median filters ignore single-day spikes that
+    drag a moving average), exercising an exact ORDER-STATISTIC
+    aggregate as a WINDOW function, which neither the plain window pack
+    nor the percentile aggregate covers.
+
+    The ordered window runs on the DAY-GRAIN aggregate — calendar-
+    bounded rows (the events_daily_new_cumulative argument), so its
+    single partition is a constant-size tail behind one fact shuffle.
+    The moving average rides the same frame through a DECIMAL sum; the
+    median's linear interpolation has cross-engine parity (Spark
+    percentile == DuckDB quantile_cont, the agg_percentiles pin)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        dsum("o_totalprice", "revenue")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        F.col("d").cast("timestamp_ntz").alias("day"),
+        "revenue",
+        F.round(F.expr(
+            "percentile(revenue, 0.5) OVER (ORDER BY d "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+        ), 6).alias("moving_median_7d"),
+        F.round(
+            F.sum(F.col("revenue").cast("decimal(18,6)")).over(w7).cast("double")
+            / F.count(F.lit(1)).over(w7),
+            6,
+        ).alias("moving_avg_7d"),
+    )

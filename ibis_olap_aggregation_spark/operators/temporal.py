@@ -356,3 +356,128 @@ def events_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("plain_avg"),
     )
+
+
+@register(
+    "events_path_trigrams",
+    """
+WITH seq AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT t1, t2, t3, COUNT(*) AS n
+  FROM seq WHERE t3 IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT t1, t2, t3, n,
+       ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 6) AS share
+FROM tri
+ORDER BY n DESC, t1, t2, t3
+LIMIT 15
+""",
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining lite: the top 15 three-step event-type
+    paths across user journeys, with each path's share of all observed
+    trigrams — the n-gram extension of the 1-step Markov matrix (what
+    journey templates actually look like, not just pairwise hops).
+
+    Two stacked lead() offsets share ONE user-partitioned window (one
+    shuffle); the share normalization windows over the |types|^3-bounded
+    aggregate, so its single partition holds at most cubed-cardinality
+    rows, never the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    tri = (
+        seq.filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wall = Window.partitionBy()
+    out = tri.select(
+        "t1",
+        "t2",
+        "t3",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(wall).cast("double"), 6
+        ).alias("share"),
+    )
+    return out.orderBy(F.col("n").desc(), "t1", "t2", "t3").limit(15)
+
+
+@register(
+    "events_funnel_latency",
+    """
+WITH first_view AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+conv AS (
+  SELECT e.user_id,
+         (epoch_us(MIN(e.ts)) - epoch_us(f.v_ts)) / 1e6 AS latency_s
+  FROM events e
+  JOIN first_view f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > f.v_ts
+  GROUP BY e.user_id, f.v_ts
+)
+SELECT COUNT(*) AS n_converted,
+       ROUND(quantile_cont(latency_s, 0.5), 6) AS p50_latency_s,
+       ROUND(quantile_cont(latency_s, 0.9), 6) AS p90_latency_s,
+       ROUND(CAST(SUM(CAST(latency_s AS DECIMAL(24,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_latency_s
+FROM conv
+""",
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion LATENCY distribution: time from a user's first view
+    to their first subsequent purchase — the funnel family reports
+    conversion RATES (events_funnel_click_purchase); the latency
+    percentiles are what capacity and attribution models consume.
+
+    Both 'first event' reductions are min-aggregates keyed on user_id
+    (one shuffle each, map-side combined); the strictly-after condition
+    rides the join as a residual filter on the user_id equi-join. The
+    final percentile is one global aggregate over the converted-user
+    set (user-bounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    conv = (
+        pur.join(fv, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("ts").alias("p_ts"))
+        .select(
+            (
+                (
+                    F.unix_micros(F.col("p_ts").cast("timestamp"))
+                    - F.unix_micros(F.col("v_ts").cast("timestamp"))
+                )
+                / F.lit(1e6)
+            ).alias("latency_s")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 6).alias("p50_latency_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 6).alias("p90_latency_s"),
+        F.round(
+            F.sum(F.col("latency_s").cast("decimal(24,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_latency_s"),
+    )

@@ -691,3 +691,119 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r_squared"),
     )
+
+
+# BM25 parameters (Robertson-Sparck Jones / Okapi): the standard
+# retrieval defaults.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("join", "vector", "stream")
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+lens AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM lens
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN {_BM25_TERMS!r}
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (tf.tf * ({_BM25_K1} + 1.0))
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * l.dl / s.avgdl)) AS sc
+  FROM tf
+  JOIN dfreq d ON d.term = tf.term
+  JOIN lens l ON l.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT doc_id,
+         COALESCE(SUM(CASE WHEN term = '{_BM25_TERMS[0]}' THEN sc END), 0.0)
+         + COALESCE(SUM(CASE WHEN term = '{_BM25_TERMS[1]}' THEN sc END), 0.0)
+         + COALESCE(SUM(CASE WHEN term = '{_BM25_TERMS[2]}' THEN sc END), 0.0)
+           AS score
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, ROUND(score, 6) AS bm25_score
+FROM per_doc
+ORDER BY ROUND(score, 6) DESC, doc_id
+LIMIT 10
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scoring (Robertson et al., TREC-3) for a
+    fixed query against the document corpus — the length-normalized,
+    saturating upgrade of the TF-IDF scorer that real retrieval stacks
+    (and RAG data pipelines) actually rank with. k1=1.2, b=0.75.
+
+    Determinism: the per-(doc, term) score is one fixed double
+    expression (ln parity with DuckDB is established by the tfidf
+    family); the per-DOC total is NOT an ordered float sum — it's a
+    fixed-order addition of per-term components, each of which
+    aggregates at most one row (term pivot), so no
+    nondeterministically-ordered float accumulation exists anywhere.
+
+    Scale: the term filter lands before the TF aggregate (the scan
+    stream drops to query-term hits immediately); doc lengths are one
+    map-side-combined aggregate; df and the corpus stats are
+    scalar/vocabulary-sized broadcasts."""
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col())
+    tok = d.select("doc_id", F.explode("t").alias("term"))
+    lens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # corpus scalars via one bounded probe (the tfidf n_docs precedent);
+    # python float division == the oracle's in-SQL division bit-exactly
+    # (both are one correctly-rounded IEEE op on identical operands)
+    n_docs, total_dl = lens.agg(
+        F.count(F.lit(1)), F.sum("dl")
+    ).first()
+    avgdl = float(total_dl) / float(n_docs)
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            (idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / norm).alias("sc"),
+        )
+    )
+    parts = [
+        F.coalesce(
+            F.sum(F.when(F.col("term") == t, F.col("sc"))), F.lit(0.0)
+        )
+        for t in _BM25_TERMS
+    ]
+    per_doc = scored.groupBy("doc_id").agg(
+        (parts[0] + parts[1] + parts[2]).alias("score")
+    )
+    out = per_doc.select(
+        "doc_id", F.round("score", 6).alias("bm25_score")
+    )
+    return out.orderBy(F.col("bm25_score").desc(), "doc_id").limit(10)

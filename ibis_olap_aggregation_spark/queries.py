@@ -904,6 +904,10 @@ _ADDED_ROUND7 = frozenset(
         "agg_trimmed_mean",
         "affinity_rules_lift",
         "events_recency_weighted_value",
+        "text_bm25_topk",
+        "window_moving_median",
+        "events_path_trigrams",
+        "events_funnel_latency",
     }
 )
 

@@ -257,3 +257,79 @@ def test_recency_weighting_moves_toward_latest(spark, sf_small):
     d_w = np.abs(m.recency_weighted_value - m.last_v).mean()
     d_p = np.abs(m.plain_avg - m.last_v).mean()
     assert d_w < d_p
+
+
+def test_bm25_matches_local_reference(spark, sf_small):
+    """Plain-python BM25 over pandas tokens reproduces the distributed
+    scores (tolerance for float assembly order inside numpy)."""
+    import math
+
+    out = QUERIES["text_bm25_topk"](spark, sf_small).toPandas()
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_small}/documents.parquet'"
+    ).df()
+    toks = {r.doc_id: r.text.strip().split() for _, r in docs.iterrows()}
+    terms = ("join", "vector", "stream")
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {
+        t: sum(1 for tk in toks.values() if t in tk) for t in terms
+    }
+    k1, b = 1.2, 0.75
+
+    def score(doc):
+        tk = toks[doc]
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            if not tf:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(tk) / avgdl)
+            )
+        return s
+
+    all_scores = sorted(
+        ((score(d), d) for d in toks), key=lambda x: (-x[0], x[1])
+    )
+    for (_, r), (ref_s, ref_d) in zip(out.iterrows(), all_scores[:10]):
+        assert r.doc_id == ref_d, (r.doc_id, ref_d)
+        assert abs(r.bm25_score - ref_s) < 1e-5, (r.bm25_score, ref_s)
+
+
+def test_moving_median_matches_pandas_rolling(spark, sf_small):
+    out = (
+        QUERIES["window_moving_median"](spark, sf_small)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    ref_med = out.revenue.rolling(7, min_periods=1).median()
+    ref_avg = out.revenue.rolling(7, min_periods=1).mean()
+    assert np.allclose(out.moving_median_7d, ref_med, atol=1e-4)
+    assert np.allclose(out.moving_avg_7d, ref_avg, atol=1e-4)
+
+
+def test_trigram_share_conserves(spark, sf_small):
+    out = QUERIES["events_path_trigrams"](spark, sf_small).toPandas()
+    per_user = duckdb.sql(
+        f"SELECT COUNT(*) n FROM '{sf_small}/events.parquet' GROUP BY user_id"
+    ).df()
+    total = int(np.maximum(per_user.n - 2, 0).sum())
+    assert out.n.sum() <= total
+    assert (out.share <= 1).all() and (out.share > 0).all()
+    assert out.n.is_monotonic_decreasing
+
+
+def test_funnel_latency_ordering_and_bounds(spark, sf_small):
+    out = QUERIES["events_funnel_latency"](spark, sf_small).toPandas()
+    r = out.iloc[0]
+    assert r.n_converted > 0
+    assert 0 < r.p50_latency_s <= r.p90_latency_s
+    assert 0 < r.avg_latency_s
+    users = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) u FROM '{sf_small}/events.parquet' "
+        f"WHERE event_type = 'purchase'"
+    ).df()
+    assert r.n_converted <= int(users.u[0])

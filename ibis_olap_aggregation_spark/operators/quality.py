@@ -537,3 +537,93 @@ def quality_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(d), 6).alias("ks_distance"),
         (F.max(d) >= 0.1).alias("is_shifted"),
     )
+
+
+@register(
+    "quality_chi2_independence",
+    """
+WITH cells AS (
+  SELECT event_type,
+         CASE WHEN value < 60 THEN 'low'
+              WHEN value < 140 THEN 'mid' ELSE 'high' END AS tier,
+         COUNT(*) AS obs
+  FROM events GROUP BY 1, 2
+),
+margins AS (
+  SELECT event_type, tier, obs,
+         SUM(obs) OVER (PARTITION BY event_type) AS row_tot,
+         SUM(obs) OVER (PARTITION BY tier) AS col_tot,
+         SUM(obs) OVER () AS grand_tot
+  FROM cells
+),
+terms AS (
+  SELECT CAST(row_tot AS DOUBLE) * col_tot / grand_tot AS expected, obs
+  FROM margins
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(CAST(SUM(CAST((obs - expected) * (obs - expected) / expected
+                           AS DECIMAL(28,12))) AS DOUBLE), 6) AS chi2,
+       CAST((SELECT (COUNT(DISTINCT event_type) - 1)
+                    * (COUNT(DISTINCT tier) - 1)
+             FROM cells) AS BIGINT) AS dof
+FROM terms
+""",
+)
+def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between event type and
+    value tier — the categorical-drift / confound detector a data
+    quality suite runs over feature pairs (is the label distribution
+    independent of the source?).
+
+    Contingency cells come from ONE grouped aggregate over the fact
+    stream; the margins are windows over the CELL table (|types| x
+    |tiers| rows, never the stream). Each (obs - exp)^2 / exp term is
+    per-row double arithmetic; the cross-row chi-square sum routes
+    through DECIMAL (order-free), per the queries.py rule."""
+    ev = load_table(spark, sf_dir, "events")
+    tier = F.when(F.col("value") < 60, "low").when(
+        F.col("value") < 140, "mid"
+    ).otherwise("high")
+    cells = ev.groupBy(
+        "event_type", tier.alias("tier")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    from pyspark.sql import Window as W
+
+    margins = cells.select(
+        "event_type",
+        "tier",
+        "obs",
+        F.sum("obs").over(W.partitionBy("event_type")).alias("row_tot"),
+        F.sum("obs").over(W.partitionBy("tier")).alias("col_tot"),
+        F.sum("obs").over(W.partitionBy()).alias("grand_tot"),
+    )
+    terms = margins.select(
+        "obs",
+        (
+            F.col("row_tot").cast("double")
+            * F.col("col_tot")
+            / F.col("grand_tot")
+        ).alias("expected"),
+    )
+    dof = cells.agg(
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("tier") - 1)
+        )
+        .cast("bigint")
+        .alias("dof")
+    )
+    chi = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(
+            F.sum(
+                (
+                    (F.col("obs") - F.col("expected"))
+                    * (F.col("obs") - F.col("expected"))
+                    / F.col("expected")
+                ).cast("decimal(28,12)")
+            ).cast("double"),
+            6,
+        ).alias("chi2"),
+    )
+    return chi.crossJoin(F.broadcast(dof)).select("n_cells", "chi2", "dof")

@@ -481,3 +481,63 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_latency_s"),
     )
+
+
+@register(
+    "events_user_entropy",
+    """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+packed AS (
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         list(CAST(c AS DOUBLE) ORDER BY event_type) AS cs
+  FROM counts GROUP BY 1
+)
+SELECT user_id, n_events, n_types,
+       ROUND(list_reduce(
+               list_transform(cs, c -> -(c / n_events) * ln(c / n_events)),
+               (acc, x) -> acc + x), 6) AS type_entropy
+FROM packed
+""",
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity feature (0 = single-type bot-like streams,
+    ln(|types|) = uniform usage) that mixing and anomaly models consume.
+
+    Determinism: entropy is a sum of per-type float terms, and a plain
+    SUM would accumulate them in partial-agg order. Instead the per-user
+    type counts are packed into an array SORTED BY TYPE NAME and folded
+    sequentially — Spark's aggregate() and DuckDB's list_reduce are both
+    acc-first left folds (the probe-verified round-6 rule), so the
+    addition order is FIXED and identical cross-engine. Per-user arrays
+    are |types|-bounded (tiny); one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    packed = counts.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(event_type, "
+            "cast(c as double) as cd))), s -> s.cd)"
+        ).alias("cs"),
+    )
+    return packed.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(
+            F.expr(
+                "aggregate(slice(cs, 2, size(cs) - 1), "
+                "-(element_at(cs, 1) / n_events) * ln(element_at(cs, 1) / n_events), "
+                "(acc, x) -> acc + (-(x / n_events) * ln(x / n_events)))"
+            ),
+            6,
+        ).alias("type_entropy"),
+    )

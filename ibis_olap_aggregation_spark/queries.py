@@ -908,6 +908,8 @@ _ADDED_ROUND7 = frozenset(
         "window_moving_median",
         "events_path_trigrams",
         "events_funnel_latency",
+        "quality_chi2_independence",
+        "events_user_entropy",
     }
 )
 

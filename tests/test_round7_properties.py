@@ -333,3 +333,47 @@ def test_funnel_latency_ordering_and_bounds(spark, sf_small):
         f"WHERE event_type = 'purchase'"
     ).df()
     assert r.n_converted <= int(users.u[0])
+
+
+def test_entropy_bounds_and_extremes(spark, sf_small):
+    """0 <= H <= ln(n_types) per user; single-type users hit exactly 0;
+    pandas reference within rounding."""
+    out = QUERIES["events_user_entropy"](spark, sf_small).toPandas()
+    assert (out.type_entropy >= -1e-9).all()
+    assert (out.type_entropy <= np.log(out.n_types) + 1e-9).all()
+    assert (out.loc[out.n_types == 1, "type_entropy"] == 0).all()
+    counts = duckdb.sql(
+        f"SELECT user_id, event_type, COUNT(*) c FROM "
+        f"'{sf_small}/events.parquet' GROUP BY 1, 2"
+    ).df()
+    for uid, g in counts.groupby("user_id"):
+        p = g.c / g.c.sum()
+        ref = float(-(p * np.log(p)).sum())
+        got = float(out.loc[out.user_id == uid, "type_entropy"].iloc[0])
+        assert abs(ref - got) < 1e-5, (uid, ref, got)
+
+
+def test_chi2_matches_pandas_contingency(spark, sf_small):
+    out = QUERIES["quality_chi2_independence"](spark, sf_small).toPandas()
+    df = duckdb.sql(
+        f"""SELECT event_type,
+               CASE WHEN value < 60 THEN 'low'
+                    WHEN value < 140 THEN 'mid' ELSE 'high' END AS tier,
+               COUNT(*) AS obs
+            FROM '{sf_small}/events.parquet' GROUP BY 1, 2"""
+    ).df()
+    pivot = df.pivot_table(
+        index="event_type", columns="tier", values="obs", fill_value=0
+    ).to_numpy(dtype=float)
+    # cells with obs=0 don't exist in the grouped table: mirror that
+    row = pivot.sum(axis=1, keepdims=True)
+    col = pivot.sum(axis=0, keepdims=True)
+    exp = row @ col / pivot.sum()
+    mask = pivot > 0
+    ref = float(((pivot - exp) ** 2 / exp)[mask].sum())
+    r = out.iloc[0]
+    assert abs(r.chi2 - ref) < 1e-4, (r.chi2, ref)
+    assert r.n_cells == int(mask.sum())
+    n_types = (pivot.sum(axis=1) > 0).sum()
+    n_tiers = (pivot.sum(axis=0) > 0).sum()
+    assert r.dof == (n_types - 1) * (n_tiers - 1)

@@ -566,3 +566,86 @@ def test_streaming_upsert_sink_crash_before_commit_leaves_table_untouched(
     assert table.current_version() == 1
     final = {r["doc_id"]: r["lang"] for r in table.read().collect()}
     assert final == {1: "en", 2: "xx", 3: "fr"}
+
+
+def test_scd2_stream_maintenance_equals_batch(spark, sf_small, tmp_path):
+    """Streaming SCD2 maintenance: split the event history into three
+    time-ordered micro-batches, run the foreachBatch merge sink, and
+    the final dimension must equal the one-shot batch build — closed
+    history, open versions, event counts, everything."""
+    import pandas as pd
+
+    from ibis_olap_aggregation_spark.queries import QUERIES
+    from ibis_olap_aggregation_spark.sources.io import VersionedParquetTable
+    from ibis_olap_aggregation_spark.streaming import scd2_stream as ss
+    from ibis_olap_aggregation_spark.streaming.engine import stream_events
+
+    ev = load_table(spark, sf_small, "events")
+    # three ts-tercile files: per-user order is preserved across batches
+    bounds = ev.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.34) AS b1",
+        "percentile(unix_micros(cast(ts as timestamp)), 0.67) AS b2",
+    ).first()
+    src = str(tmp_path / "scd2_src")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    for i, cond in enumerate(
+        [us <= bounds.b1, (us > bounds.b1) & (us <= bounds.b2), us > bounds.b2]
+    ):
+        ev.filter(cond).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+
+    seed = spark.createDataFrame([], ss.SCD2_SCHEMA)
+    root = str(tmp_path / "scd2_dim")
+    table = VersionedParquetTable.create(spark, root, seed)
+    stream = stream_events(spark, src, max_files_per_trigger=1)
+    ss.run_scd2_sink(stream, table, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    assert table.current_version() >= 2  # one commit per non-empty batch
+    got = (
+        table.read()
+        .toPandas()
+        .sort_values(["user_id", "version"])
+        .reset_index(drop=True)
+    )
+    want = (
+        QUERIES["scd2_user_tier_dim"](spark, sf_small)
+        .toPandas()
+        .sort_values(["user_id", "version"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+
+def test_scd2_stream_replayed_batch_is_skipped(spark, sf_small, tmp_path):
+    """Exactly-once: re-running the stream with a FRESH checkpoint (so
+    every batch replays) must not change the table — the batch-id
+    ledger refuses already-applied batches instead of double-counting
+    the same-tier merge path."""
+    import pandas as pd
+
+    from ibis_olap_aggregation_spark.sources.io import VersionedParquetTable
+    from ibis_olap_aggregation_spark.streaming import scd2_stream as ss
+    from ibis_olap_aggregation_spark.streaming.engine import stream_events
+
+    ev = load_table(spark, sf_small, "events").limit(200)
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    seed = spark.createDataFrame([], ss.SCD2_SCHEMA)
+    table = VersionedParquetTable.create(spark, str(tmp_path / "dim"), seed)
+
+    ss.run_scd2_sink(
+        stream_events(spark, src), table, checkpoint_dir=str(tmp_path / "c1")
+    )
+    v1 = table.current_version()
+    before = table.read().toPandas().sort_values(["user_id", "version"])
+    ss.run_scd2_sink(
+        stream_events(spark, src), table, checkpoint_dir=str(tmp_path / "c2")
+    )
+    assert table.current_version() == v1
+    after = table.read().toPandas().sort_values(["user_id", "version"])
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )

@@ -44,7 +44,7 @@ import json
 import math
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ibis_olap_aggregation_spark.functions.idioms import DUCK_MD5INT, SPARK_MD5INT
@@ -404,3 +404,62 @@ def compact_parquet_dir(
         .parquet(dst)
     )
     return n_out
+
+
+@register(
+    "layout_compaction_plan",
+    """
+WITH shards AS (
+  SELECT source, lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS bytes_est
+  FROM documents GROUP BY 1, 2
+),
+planned AS (
+  SELECT source, lang, n_docs, bytes_est,
+         CAST(FLOOR((SUM(bytes_est) OVER (PARTITION BY source
+                       ORDER BY lang
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - bytes_est) / 30000.0) AS BIGINT) AS target_file
+  FROM shards
+)
+SELECT source, lang, n_docs, bytes_est, target_file
+FROM planned
+""",
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION PLANNING over a shard manifest: assign
+    input shards to ~30 KB output files by NEXT-FIT bin packing — the
+    running byte total (exclusive of the current shard) divided by the
+    target size is the shard's output-file ordinal. This is the
+    metadata-side answer to the small-files problem that kills parquet
+    scan throughput at 100 TB (every file is an open+footer round
+    trip): the plan is computed ENTIRELY at shard grain (the manifest,
+    thousands of rows for petabytes of data), and the rewrite itself
+    (compact_parquet_dir below) streams data once.
+
+    Next-fit over a deterministic shard order (source, lang) is the
+    SQL-expressible packing: first-fit-decreasing packs ~8% tighter but
+    is inherently sequential-stateful; next-fit's waste is bounded by
+    one target-size per PARTITION, irrelevant beside the open-file
+    savings. The ordered window runs per source over the shard-grain
+    aggregate, never over documents."""
+    d = load_table(spark, sf_dir, "documents")
+    shards = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("bytes_est"),
+    )
+    w = Window.partitionBy("source").orderBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return shards.select(
+        "source",
+        "lang",
+        "n_docs",
+        "bytes_est",
+        F.floor(
+            (F.sum("bytes_est").over(w) - F.col("bytes_est")) / F.lit(30000.0)
+        )
+        .cast("bigint")
+        .alias("target_file"),
+    )

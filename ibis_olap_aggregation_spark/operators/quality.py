@@ -627,3 +627,125 @@ def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi2"),
     )
     return chi.crossJoin(F.broadcast(dof)).select("n_cells", "chi2", "dof")
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative pmf), written as the
+# SAME literal text in both engines so the parsed doubles are
+# bit-identical.
+_POIS_CDF = [
+    ("0.36787944117144233", 0),
+    ("0.7357588823428847", 1),
+    ("0.9196986029286058", 2),
+    ("0.9810118431238462", 3),
+    ("0.9963401531726563", 4),
+    ("0.9994058151824183", 5),
+]
+_U_SCALE = "1152921504606846976.0"  # 16^15 = 2^60: md5int's exclusive bound
+
+
+def _pois_case(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {thr} THEN {k}" for thr, k in _POIS_CDF
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@register(
+    "sample_bootstrap_ci",
+    f"""
+WITH reps AS (
+  SELECT o_totalprice AS x, b,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '-'
+                             || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+           / {_U_SCALE} AS u
+  FROM orders, unnest(generate_series(0, 31)) AS t(b)
+),
+weighted AS (
+  SELECT b, x, {_pois_case("u")} AS w FROM reps
+),
+means AS (
+  SELECT b,
+         CAST(SUM(CAST(w * x AS DECIMAL(24,6))) AS DOUBLE)
+           / CAST(SUM(w) AS DOUBLE) AS mean_b
+  FROM weighted GROUP BY b
+  HAVING SUM(w) > 0
+),
+point AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS point_mean
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
+       ROUND(MIN(p.point_mean), 6) AS point_mean,
+       ROUND(quantile_cont(mean_b, 0.025), 6) AS ci_lo,
+       ROUND(quantile_cont(mean_b, 0.975), 6) AS ci_hi,
+       ROUND(quantile_cont(mean_b, 0.975)
+             - quantile_cont(mean_b, 0.025), 6) AS ci_width,
+       MIN(p.point_mean) >= quantile_cont(mean_b, 0.025)
+         AND MIN(p.point_mean) <= quantile_cont(mean_b, 0.975) AS covers
+FROM means CROSS JOIN point p
+""",
+)
+def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Hanley & MacGibbon; the map-friendly
+    formulation of Efron's bootstrap) for the mean order price: each of
+    32 replicas reweights every row by a Poisson(1) draw, and the
+    2.5/97.5 replica-mean percentiles form the confidence interval.
+    THE distributed-bootstrap idiom — resampling n rows with
+    replacement is a shuffle, but Poisson weights are a per-row map
+    (the counts are independent across rows), so the whole procedure
+    is one explode + one grouped aggregate.
+
+    Fully DETERMINISTIC: the Poisson draw inverts the exact CDF on an
+    md5-derived uniform (never rand()), so the oracle reproduces the
+    interval bit-for-bit — a statistical operator with an EXACT
+    differential check, like the sketch family's verdict queries.
+    Replica means route through decimal sums; the coverage flag
+    (point estimate inside the CI) is the self-check."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.col("o_orderkey"),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    ).withColumn(
+        "u",
+        F.expr(
+            "cast(conv(substr(md5(concat(cast(o_orderkey as string), '-', "
+            "cast(b as string))), 1, 15), 16, 10) as bigint)"
+        )
+        / F.expr(_U_SCALE),
+    )
+    weighted = reps.withColumn("w", F.expr(_pois_case("u")))
+    means = (
+        weighted.groupBy("b")
+        .agg(
+            (
+                F.sum((F.col("w") * F.col("x")).cast("decimal(24,6)")).cast(
+                    "double"
+                )
+                / F.sum("w").cast("double")
+            ).alias("mean_b"),
+            F.sum("w").alias("wsum"),
+        )
+        .filter(F.col("wsum") > 0)
+        .drop("wsum")
+    )
+    point = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("point_mean")
+    )
+    lo = F.expr("percentile(mean_b, 0.025)")
+    hi = F.expr("percentile(mean_b, 0.975)")
+    agg = means.crossJoin(F.broadcast(point)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicas"),
+        F.round(F.min("point_mean"), 6).alias("point_mean"),
+        F.round(lo, 6).alias("ci_lo"),
+        F.round(hi, 6).alias("ci_hi"),
+        F.round(hi - lo, 6).alias("ci_width"),
+        (
+            (F.min("point_mean") >= lo) & (F.min("point_mean") <= hi)
+        ).alias("covers"),
+    )
+    return agg

@@ -104,3 +104,73 @@ def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         salt_from="event_id",
     )
+
+
+@register(
+    "skew_salted_join",
+    """
+WITH flag_dim AS (
+  SELECT l_returnflag AS rf,
+         ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS avg_discount
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price,
+       MIN(d.avg_discount) AS avg_discount
+FROM lineitem l JOIN flag_dim d ON d.rf = l.l_returnflag
+GROUP BY 1
+""",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit SALTED JOIN on a pathologically skewed key: lineitem
+    keyed by l_returnflag has THREE distinct values, so a plain
+    shuffled join runs three tasks no matter the cluster size. The big
+    side gets a deterministic salt (md5 of the high-cardinality
+    orderkey — never rand(): retries and reruns must land identically),
+    the small side is exploded across all salt values, and the join key
+    becomes (flag, salt) — parallelism restored to 3 x SALT with a
+    provably identical result (the salt never reaches the output; the
+    oracle runs the UNSALTED spec join).
+
+    This is the JOIN member of the skew pair (skew_salted_aggregate
+    covers GROUP BY); AQE's skew-join splitting handles the case where
+    stats reveal it at runtime, but a KNOWN-skewed key is cheaper to
+    salt at plan time than to let AQE discover per query. The merge
+    hint pins a shuffle join: at demo scale Catalyst would broadcast
+    the 3-row dim and no salting would be observable — at real scale
+    the dim side is itself too big to broadcast, which is when this
+    pattern earns its keep (plan-pinned: the join exchange partitions
+    by (rf, salt))."""
+    salt_n = 16
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount", "l_orderkey"
+    )
+    dim = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_discount")
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.array([F.lit(i) for i in range(salt_n)]))
+    )
+    big = li.withColumn(
+        "salt",
+        F.pmod(
+            F.expr("cast(conv(substr(md5(cast(l_orderkey as string)), 1, 15), 16, 10) as bigint)"),
+            F.lit(salt_n),
+        ).cast("int"),
+    )
+    joined = big.hint("merge").join(
+        dim_salted,
+        (big.l_returnflag == dim_salted.rf) & (big.salt == dim_salted.salt),
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice", "sum_price"),
+        F.min("avg_discount").alias("avg_discount"),
+    )

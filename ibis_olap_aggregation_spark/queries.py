@@ -910,6 +910,9 @@ _ADDED_ROUND7 = frozenset(
         "events_funnel_latency",
         "quality_chi2_independence",
         "events_user_entropy",
+        "skew_salted_join",
+        "layout_compaction_plan",
+        "sample_bootstrap_ci",
     }
 )
 

@@ -469,3 +469,22 @@ def test_lift_filters_pairs_before_support_joins(spark, sf_small):
     # of the broadcast joins (string order in the tree: joins print
     # above their children)
     assert "(n_both" in plan or "count(1)#" in plan, plan
+
+
+def test_salted_join_partitions_on_flag_and_salt(spark, sf_small):
+    """skew_salted_join: the join exchange must partition on BOTH the
+    logical key and the salt (that IS the skew cut), and the 3-row dim
+    side must not be broadcast (the hint pins the shuffle join the
+    pattern exists for)."""
+    df = q.QUERIES["skew_salted_join"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert "BroadcastHashJoin" not in plan, plan
+    import re as _re
+
+    # the SMJ's key lists carry the distribution requirement — its
+    # exchanges partition on exactly these keys
+    smj = _re.search(r"SortMergeJoin \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert smj, plan
+    left_keys, right_keys = smj.group(1), smj.group(2)
+    assert "l_returnflag" in left_keys and "salt" in left_keys, plan
+    assert "rf" in right_keys and "salt" in right_keys, plan

@@ -377,3 +377,65 @@ def test_chi2_matches_pandas_contingency(spark, sf_small):
     n_types = (pivot.sum(axis=1) > 0).sum()
     n_tiers = (pivot.sum(axis=0) > 0).sum()
     assert r.dof == (n_types - 1) * (n_tiers - 1)
+
+
+def test_salted_join_equals_plain_join(spark, sf_small):
+    """The salt must never change results: salted output == a plain
+    pandas join+aggregate over the raw parquet."""
+    out = (
+        QUERIES["skew_salted_join"](spark, sf_small)
+        .toPandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    ref = duckdb.sql(
+        f"""SELECT l_returnflag, COUNT(*) n_items,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE sum_price
+            FROM '{sf_small}/lineitem.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert list(out.l_returnflag) == list(ref.l_returnflag)
+    assert list(out.n_items) == list(ref.n_items)
+    assert np.allclose(out.sum_price, ref.sum_price)
+
+
+def test_compaction_plan_bins_are_contiguous_and_bounded(spark, sf_small):
+    """Next-fit invariants: target_file ordinals per source are
+    non-decreasing in shard order, start at 0, and every bin except
+    possibly the last holds >= the target once it closes (next-fit
+    closes a bin only when the running total passes the target)."""
+    out = (
+        QUERIES["layout_compaction_plan"](spark, sf_small)
+        .toPandas()
+        .sort_values(["source", "lang"])
+    )
+    for src, g in out.groupby("source"):
+        tf = g.target_file.to_numpy()
+        assert tf[0] == 0
+        assert (np.diff(tf) >= 0).all()
+        # bin k closed means cumulative bytes before its successor
+        # crossed (k+1) * target
+        cum = g.bytes_est.cumsum().to_numpy()
+        for i in range(1, len(tf)):
+            if tf[i] > tf[i - 1]:
+                assert cum[i - 1] >= tf[i] * 30000 - 30000  # crossed into bin
+        assert (g.groupby("target_file").bytes_est.count() >= 1).all()
+
+
+def test_bootstrap_ci_brackets_the_mean_sanely(spark, sf_small):
+    out = QUERIES["sample_bootstrap_ci"](spark, sf_small).toPandas()
+    r = out.iloc[0]
+    true_mean = duckdb.sql(
+        f"SELECT AVG(o_totalprice) m FROM '{sf_small}/orders.parquet'"
+    ).df().m[0]
+    assert r.n_replicas == 32
+    assert r.ci_lo < r.ci_hi
+    assert bool(r.covers)
+    # CI should be a plausible neighborhood of the true mean: within
+    # ~6 standard errors on either side
+    sd = duckdb.sql(
+        f"SELECT stddev_samp(o_totalprice) s, COUNT(*) n "
+        f"FROM '{sf_small}/orders.parquet'"
+    ).df()
+    se = float(sd.s[0]) / np.sqrt(float(sd.n[0]))
+    assert abs(r.point_mean - true_mean) < 1e-6
+    assert r.ci_lo > true_mean - 6 * se and r.ci_hi < true_mean + 6 * se

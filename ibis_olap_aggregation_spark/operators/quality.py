@@ -703,6 +703,13 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Replica means route through decimal sums; the coverage flag
     (point estimate inside the CI) is the self-check."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # parallelize the 32x explode + md5: a small orders file arrives as
+    # ONE input partition, and without the spread the whole 32n-row
+    # weight computation runs in a single task (measured 29s at sf0.1 ->
+    # ~2s). Keyed round-robin (repartition by orderkey) keeps the spread
+    # deterministic-agnostic: weights depend only on (orderkey, b),
+    # never on placement.
+    o = o.repartition(32, "o_orderkey")
     reps = o.select(
         F.col("o_totalprice").alias("x"),
         F.col("o_orderkey"),

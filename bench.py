@@ -135,6 +135,11 @@ HEADLINE = [
     # window passes + an interval join)
     "graph_pagerank_copurchase",
     "scd2_point_in_time_join",
+    # round-7 second batch: the two queries whose first cut had sf0.1
+    # scale cliffs (wedge-join triangles, single-task bootstrap) — kept
+    # in the headline so a regression of either fix is caught
+    "graph_triangle_clustering",
+    "sample_bootstrap_ci",
 ]
 
 

@@ -671,25 +671,17 @@ def affinity_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     attaches (per-part supports, single-row basket count). The min-
     support filter runs BEFORE the support joins, so the pair stream is
     pruned early; ratios are per-row double arithmetic on exact counts."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    from ibis_olap_aggregation_spark.operators.graph import (
+        copurchase_pairs,
+        order_items,
     )
-    x, y = items.alias("x"), items.alias("y")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .groupBy(
-            F.col("x.l_partkey").alias("part_a"),
-            F.col("y.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_both"))
-        .filter(F.col("n_both") >= 5)
-    )
+
+    items = order_items(spark, sf_dir)
+    pairs = copurchase_pairs(items).select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        F.col("w").alias("n_both"),
+    ).filter(F.col("n_both") >= 5)
     supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
     n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     sa = supp.select(

@@ -38,6 +38,36 @@ from ibis_olap_aggregation_spark.session import load_table, query_cache
 _DAMP = 0.85
 _ITERS = 3
 
+
+def order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (l_orderkey, l_partkey) pairs — the basket item set the
+    whole co-purchase family (PageRank, triangles, association rules)
+    derives from."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+
+
+def copurchase_pairs(items: DataFrame) -> DataFrame:
+    """Weighted ordered co-purchase pairs (pa < pb, w = co-order
+    count): the ONE self-join every graph/basket operator shares — the
+    shuffle key is the order key and pair fan-out is bounded by order
+    size (O(k^2) per order, k small). Kept as the single copy so the
+    ordering predicate (the triangle skew cut) cannot drift between
+    consumers (pagerank/triangles here, affinity lift in analytic.py)."""
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
 # one iteration of the oracle chain: contributions quantized to 1e-15
 # units -> exact bigint sum per dst -> damped update. Every node has
 # in-edges (the edge list is symmetrized), so the aggregate covers the
@@ -100,36 +130,27 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle unrolls the identical 3 iterations as CTEs, so the
     differential check verifies the full iterative dataflow, not one
     step. See module docstring for the determinism and scale story."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    und = copurchase_pairs(order_items(spark, sf_dir))
     edges = und.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
     ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))
-    outw = edges.groupBy("src").agg(
-        F.sum("w").alias("out_w"), F.count(F.lit(1)).cast("bigint").alias("degree")
+    # tracked query-scoped caches (session.query_cache; Spark does not
+    # dedupe common subplans across a lazily unrolled loop — measured
+    # 15.2s first cut, see PARITY round-7):
+    # - outw (NODE-sized): feeds the join below, the node set / N, AND
+    #   the final degree attach — without its own cache that last
+    #   attach re-ran the whole O(k^2) pair build one extra time;
+    # - ew (edge + out-weight): read by all three iteration joins.
+    outw = query_cache(
+        edges.groupBy("src").agg(
+            F.sum("w").alias("out_w"),
+            F.count(F.lit(1)).cast("bigint").alias("degree"),
+        )
     )
-    # tracked query-scoped cache on the JOINED edge + out-weight list:
-    # it feeds all three iteration joins plus the node set, and without
-    # it each iteration re-runs the O(k^2) pair build AND the out-weight
-    # aggregate — Spark does not dedupe common subplans across a lazily
-    # unrolled loop (measured 15.2s -> see PARITY round-7).
     ew = query_cache(edges.join(outw.select("src", "out_w"), "src"))
-    nodes = ew.select(F.col("src").alias("pk")).distinct()
+    # one row per src in outw == the node set (the edge list is
+    # symmetrized, so every node appears as a source)
+    nodes = outw.select(F.col("src").alias("pk"))
     # single-row scalar collect (the repo's bounded-probe convention):
     # N rides in the damping constants of every iteration, and attaching
     # it as a broadcast single-row crossJoin instead costs one broadcast
@@ -231,22 +252,12 @@ def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     times and the heaviest hub only ever anchors wedges from its
     HIGHER-id neighbors — the classic skew cut for triangle counting.
     Top 20 by triangle count via distributed TakeOrdered."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    x, y = li.alias("x"), li.alias("y")
+    # shared pair build (already pair-distinct via its groupBy); the
+    # weight is irrelevant to triangle existence
     und = query_cache(
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        copurchase_pairs(order_items(spark, sf_dir)).select(
+            F.col("pa").alias("a"), F.col("pb").alias("b")
         )
-        .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .distinct()
     )
     # Array-intersection enumeration instead of the literal 3-way wedge
     # join: the triangle a<b<c lives on edge (a,b) as c in

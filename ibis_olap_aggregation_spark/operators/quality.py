@@ -640,7 +640,12 @@ _POIS_CDF = [
     ("0.9963401531726563", 4),
     ("0.9994058151824183", 5),
 ]
-_U_SCALE = "1152921504606846976.0"  # 16^15 = 2^60: md5int's exclusive bound
+# 16^15 = 2^60: md5int's exclusive bound. Spelled as an explicit DOUBLE
+# cast in SQL text: a bare fractional literal parses as DECIMAL in BOTH
+# engines' SQL dialects, which would put the division (and the CDF
+# threshold comparisons) in decimal arithmetic on one side and double
+# on the other — a cross-engine domain mismatch even when values agree.
+_U_SCALE = "CAST(1152921504606846976 AS DOUBLE)"
 
 
 def _pois_case(u: str) -> str:
@@ -714,14 +719,13 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("x"),
         F.col("o_orderkey"),
         F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
-    ).withColumn(
-        "u",
-        F.expr(
-            "cast(conv(substr(md5(concat(cast(o_orderkey as string), '-', "
-            "cast(b as string))), 1, 15), 16, 10) as bigint)"
-        )
-        / F.expr(_U_SCALE),
     )
+    from ibis_olap_aggregation_spark.functions.idioms import SPARK_MD5INT
+
+    hv = SPARK_MD5INT.format(
+        x="concat(cast(o_orderkey as string), '-', cast(b as string))"
+    )
+    reps = reps.withColumn("u", F.expr(hv) / F.lit(1152921504606846976.0))
     weighted = reps.withColumn("w", F.expr(_pois_case("u")))
     means = (
         weighted.groupBy("b")

@@ -158,10 +158,12 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_salted = dim.withColumn(
         "salt", F.explode(F.array([F.lit(i) for i in range(salt_n)]))
     )
+    from ibis_olap_aggregation_spark.functions.idioms import SPARK_MD5INT
+
     big = li.withColumn(
         "salt",
         F.pmod(
-            F.expr("cast(conv(substr(md5(cast(l_orderkey as string)), 1, 15), 16, 10) as bigint)"),
+            F.expr(SPARK_MD5INT.format(x="cast(l_orderkey as string)")),
             F.lit(salt_n),
         ).cast("int"),
     )

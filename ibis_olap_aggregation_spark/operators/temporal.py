@@ -79,10 +79,14 @@ scd2 AS (
 """
 
 
-def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 build: run-length compress the per-user tier sequence into
-    [valid_from, valid_to) versions. Open versions have NULL valid_to."""
-    ev = load_table(spark, sf_dir, "events").select(
+def scd2_dim_from(events: DataFrame) -> DataFrame:
+    """SCD2 build over an arbitrary events DataFrame: run-length
+    compress the per-user tier sequence into [valid_from, valid_to)
+    versions (open versions have NULL valid_to). Shared by the batch
+    operator below and the streaming maintenance sink
+    (streaming/scd2_stream.py) — their equivalence test only means
+    something while both run THIS one construction."""
+    ev = events.select(
         "user_id", "ts", "event_id", F.expr(_TIER).alias("tier")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -114,6 +118,10 @@ def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to_us"),
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_dim_from(load_table(spark, sf_dir, "events"))
 
 
 @register(

@@ -416,13 +416,35 @@ class VersionedParquetTable:
     def _version_dir(self, version: int) -> str:
         return os.path.join(self.root, f"v-{version:05d}")
 
-    def _flip(self, version: int) -> None:
+    def current_meta(self) -> dict:
+        """Caller-owned metadata committed WITH the current version (one
+        atomic manifest write) — e.g. the streaming SCD2 sink's
+        applied-batch ledger, which must flip atomically with the data
+        or a crash between the two leaves a replayed batch
+        double-counting (the exactly-once hole a side-file ledger
+        has)."""
+        import json as _json
+
+        with open(self._manifest_path()) as f:
+            return _json.load(f).get("meta", {})
+
+    def _flip(self, version: int, meta: dict | None = None) -> None:
         import json as _json
         import uuid as _uuid
 
+        if meta is None:
+            # carry forward: callers that don't manage metadata must not
+            # wipe another component's committed ledger
+            try:
+                meta = self.current_meta()
+            except OSError:
+                meta = {}
+        payload = {"version": version}
+        if meta:
+            payload["meta"] = meta
         tmp = os.path.join(self.root, f"._manifest-{_uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
-            _json.dump({"version": version}, f)
+            _json.dump(payload, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path())  # the atomic commit
@@ -487,8 +509,15 @@ class VersionedParquetTable:
         keep_versions: int = 2,
         max_retries: int = 0,
         orphan_grace_secs: float = 3600.0,
+        meta: dict | None = None,
     ) -> int:
         """SCD-1 merge into a NEW version; returns the committed version.
+
+        ``meta`` commits caller metadata ATOMICALLY with the version
+        flip (stored in the manifest; read back via
+        :meth:`current_meta`; ``None`` carries the previous metadata
+        forward) — the transactional-sink hook for exactly-once
+        streaming ledgers.
 
         Sequence per attempt: read the current version -> write the
         merged snapshot to a unique staging dir -> CAS-claim the next
@@ -547,7 +576,7 @@ class VersionedParquetTable:
                     f"version {new_v} of {self.root!r} was claimed by "
                     "another writer (retry with max_retries, or re-run)"
                 ) from None
-            self._flip(new_v)
+            self._flip(new_v, meta)
             for v in self.versions():
                 if v <= new_v - keep_versions:
                     _shutil.rmtree(self._version_dir(v), ignore_errors=True)
@@ -653,6 +682,18 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_t{threading.get_ident()}"
     t_o, t_c = f"t_bkt_orders_{tag}", f"t_bkt_customer_{tag}"
     with _BUCKETED_DDL_LOCK:
+        # bound the per-thread table set: idents of DEAD threads (this
+        # process) and of any PREVIOUS process are never re-dropped by
+        # their owner, so sweep stale t_bkt_* tables whose ident is not
+        # a live thread here. Same-process live readers stay safe (their
+        # ident is alive); cross-process concurrency was never supported
+        # by the embedded metastore anyway.
+        live = {f"_t{t.ident}" for t in threading.enumerate()}
+        for row in spark.sql("SHOW TABLES LIKE 't_bkt_*'").collect():
+            name = row.tableName
+            suffix = "_t" + name.rsplit("_t", 1)[-1]
+            if suffix not in live:
+                _drop_managed_table(spark, name)
         for t in (t_o, t_c):
             _drop_managed_table(spark, t)
         write_bucketed(orders, t_o, ["o_custkey"], 8)

@@ -28,33 +28,26 @@ Scale: each micro-batch costs one run-length aggregation of the batch
 upsert into the versioned table (anti-join on the touched keys). The
 closed history is never rewritten.
 
-Exactly-once: the upsert keys are (user_id, version) and the stitch is
-deterministic given (dim state, batch), so a replayed batch after a
-crash re-derives byte-identical rows against the already-merged
-snapshot ONLY when the batch was not half-applied — which the
-VersionedParquetTable guarantees (a batch either committed its version
-flip or left the table untouched; tests cover both crash positions for
-the CDC sink, streaming/engine.py run_upsert_sink).
-Re-merging an ALREADY-APPLIED batch is also idempotent for the
-same-tier path (counts would double only if the run were re-added —
-it is not, because the replay stitches onto the post-merge open
-version and extends it by the same events the crashed attempt already
-folded in... which WOULD double-count). To keep replay exactly-once
-the sink therefore tags each committed version with the batch id and
-SKIPS a batch whose id is already recorded — the same
-transactional-sink idiom Structured Streaming documents for
-foreachBatch.
+Exactly-once: a batch either committed its version flip or left the
+table untouched (VersionedParquetTable's guarantee; both crash
+positions are test-covered for the CDC sink). But re-stitching an
+ALREADY-APPLIED batch would double-count — the replay would extend the
+post-merge open version by events it already contains — so the sink
+records each applied batch id IN THE TABLE MANIFEST, committed by the
+same atomic write as the data (`upsert(meta=...)`), and skips recorded
+ids. A side-file ledger would leave a crash window between data commit
+and ledger write through which a replay double-counts; the in-manifest
+ledger has no such window.
 """
 
 from __future__ import annotations
 
-import json
 import os
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_TIER = "CASE WHEN value < 60 THEN 'low' WHEN value < 140 THEN 'mid' ELSE 'high' END"
+from ibis_olap_aggregation_spark.operators.temporal import scd2_dim_from
 
 # dimension schema (mirrors operators/temporal.py scd2_user_tier_dim)
 SCD2_SCHEMA = (
@@ -66,40 +59,12 @@ SCD2_SCHEMA = (
 def scd2_batch_runs(batch: DataFrame) -> DataFrame:
     """Run-length compress ONE micro-batch into per-user tier runs:
     (user_id, run_seq 1.., tier, valid_from_us, valid_to_us — null for
-    the batch's last run — and n_events). Identical window construction
-    to the batch operator (lag -> change flag -> running sum)."""
-    ev = batch.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.expr(_TIER).alias("tier"),
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.withColumn(
-        "chg",
-        F.when(
-            F.lag("tier").over(w).isNull() | (F.lag("tier").over(w) != F.col("tier")),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    runs = flagged.withColumn(
-        "run_seq",
-        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
-    grouped = runs.groupBy(
-        "user_id", F.col("run_seq").cast("bigint").alias("run_seq"), "tier"
-    ).agg(F.min("ts").alias("from_ts"), F.count(F.lit(1)).alias("n_events"))
-    w2 = Window.partitionBy("user_id").orderBy("run_seq")
-    return grouped.select(
-        "user_id",
-        "run_seq",
-        "tier",
-        F.unix_micros(F.col("from_ts").cast("timestamp")).alias("valid_from_us"),
-        F.unix_micros(F.lead("from_ts").over(w2).cast("timestamp")).alias(
-            "valid_to_us"
-        ),
-        F.col("n_events").cast("bigint").alias("n_events"),
-    )
+    the batch's last run — and n_events). Delegates to the BATCH
+    operator's construction (operators/temporal.scd2_dim_from): the
+    stream==batch equivalence only means something while both sides run
+    the one shared build, so there is deliberately no second copy of
+    the window logic or the tier thresholds here."""
+    return scd2_dim_from(batch).withColumnRenamed("version", "run_seq")
 
 
 def merge_scd2_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
@@ -122,21 +87,23 @@ def merge_scd2_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
     j = runs.join(open_v, runs.user_id == open_v.o_user, "left").join(
         first_run, runs.user_id == first_run.f_user
     )
-    # ordering contract: nothing in the batch may predate the open onset
-    j = j.withColumn(
-        "_guard",
-        F.when(
-            F.col("o_from").isNotNull()
-            & (F.col("valid_from_us") < F.col("o_from")),
-            F.raise_error(
-                F.concat(
-                    F.lit("scd2 stream ordering violation for user "),
-                    F.col("user_id").cast("string"),
-                    F.lit(": batch event predates the open version"),
-                )
-            ),
-        ),
-    ).drop("_guard")
+    # ordering contract: nothing in the batch may predate the open
+    # onset. The guard must ride a LIVE output column — an unreferenced
+    # withColumn gets pruned by Catalyst and raise_error never
+    # evaluates (the classic dead-assert pitfall; pinned by
+    # tests/test_streaming.py::test_scd2_stream_rejects_out_of_order) —
+    # so it wraps valid_from_us itself.
+    guarded_from = F.when(
+        F.col("o_from").isNotNull() & (F.col("valid_from_us") < F.col("o_from")),
+        F.raise_error(
+            F.concat(
+                F.lit("scd2 stream ordering violation for user "),
+                F.col("user_id").cast("string"),
+                F.lit(": batch event predates the open version"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("valid_from_us"))
+    j = j.withColumn("valid_from_us", guarded_from)
     has_open = F.col("o_version").isNotNull()
     first_merges = has_open & (F.col("f_tier") == F.col("o_tier"))
     merged_first = first_merges & (F.col("run_seq") == 1)
@@ -180,30 +147,30 @@ def merge_scd2_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
 def run_scd2_sink(stream: DataFrame, table, *, checkpoint_dir: str) -> None:
     """Maintain an SCD2 dimension from an event stream: one atomic
     table version per non-empty micro-batch, exactly-once via a
-    batch-id ledger next to the table (the documented foreachBatch
-    transactional-sink idiom — a replayed batch whose id is already
-    recorded is skipped, because re-stitching an applied batch would
-    double-count the same-tier merge path)."""
-    ledger = os.path.join(table.root, "_applied_batches.json")
+    batch-id ledger committed IN THE TABLE MANIFEST (the documented
+    foreachBatch transactional-sink idiom) — a replayed batch whose id
+    is already recorded is skipped, because re-stitching an applied
+    batch would double-count the same-tier merge path.
+
+    The ledger rides `VersionedParquetTable.upsert(meta=...)`, so it
+    flips in the SAME atomic manifest write as the data: a crash
+    between 'data committed' and 'ledger written' cannot exist (a
+    side-file ledger has exactly that window, and a replay through it
+    double-counts)."""
 
     def _applied() -> set[int]:
-        try:
-            with open(ledger) as f:
-                return set(json.load(f))
-        except OSError:
-            return set()
+        return set(table.current_meta().get("scd2_applied_batches", []))
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty() or batch_id in _applied():
             return
         dim = table.read()
         rows = merge_scd2_batch(dim, batch)
-        table.upsert(rows, ["user_id", "version"])
-        done = sorted(_applied() | {batch_id})
-        tmp = ledger + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(done, f)
-        os.replace(tmp, ledger)
+        table.upsert(
+            rows,
+            ["user_id", "version"],
+            meta={"scd2_applied_batches": sorted(_applied() | {batch_id})},
+        )
 
     q = (
         stream.writeStream.foreachBatch(_apply)

@@ -649,3 +649,53 @@ def test_scd2_stream_replayed_batch_is_skipped(spark, sf_small, tmp_path):
     pd.testing.assert_frame_equal(
         before.reset_index(drop=True), after.reset_index(drop=True)
     )
+
+
+def test_scd2_stream_rejects_out_of_order(spark, sf_small, tmp_path):
+    """The ordering guard must actually FIRE (a pruned raise_error
+    column is the classic dead-assert): merging a batch that predates
+    a user's open version raises instead of silently corrupting
+    history."""
+    import pytest
+
+    from ibis_olap_aggregation_spark.sources.io import VersionedParquetTable
+    from ibis_olap_aggregation_spark.streaming import scd2_stream as ss
+
+    ev = load_table(spark, sf_small, "events")
+    late_first = ev.orderBy("ts", "event_id").limit(400)
+    seed = spark.createDataFrame([], ss.SCD2_SCHEMA)
+    table = VersionedParquetTable.create(spark, str(tmp_path / "dim"), seed)
+    # apply the LATER half first, then replay the earlier half
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    med = late_first.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.5) AS m"
+    ).first().m
+    table.upsert(
+        ss.merge_scd2_batch(table.read(), late_first.filter(us > med)),
+        ["user_id", "version"],
+    )
+    with pytest.raises(Exception, match="ordering violation"):
+        ss.merge_scd2_batch(
+            table.read(), late_first.filter(us <= med)
+        ).collect()
+
+
+def test_scd2_ledger_survives_crash_between_phases(spark, sf_small, tmp_path):
+    """The applied-batch ledger commits in the SAME manifest write as
+    the data (upsert meta), so 'data committed but ledger missing'
+    cannot exist: after any committed version, current_meta() already
+    names the batch."""
+    from ibis_olap_aggregation_spark.sources.io import VersionedParquetTable
+    from ibis_olap_aggregation_spark.streaming import scd2_stream as ss
+
+    ev = load_table(spark, sf_small, "events").limit(100)
+    seed = spark.createDataFrame([], ss.SCD2_SCHEMA)
+    table = VersionedParquetTable.create(spark, str(tmp_path / "dim"), seed)
+    rows = ss.merge_scd2_batch(table.read(), ev)
+    table.upsert(
+        rows, ["user_id", "version"], meta={"scd2_applied_batches": [0]}
+    )
+    assert table.current_meta() == {"scd2_applied_batches": [0]}
+    # a metadata-less upsert elsewhere must NOT wipe the ledger
+    table.upsert(table.read().limit(1), ["user_id", "version"])
+    assert table.current_meta() == {"scd2_applied_batches": [0]}

@@ -760,3 +760,60 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("covers"),
     )
     return agg
+
+
+@register(
+    "privacy_dp_laplace_counts",
+    f"""
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS true_count FROM events GROUP BY 1
+),
+noised AS (
+  SELECT event_type, true_count,
+         ('0x' || substr(md5('dp-' || event_type), 1, 15))::BIGINT
+           / CAST(1152921504606846976 AS DOUBLE) AS u
+  FROM counts
+)
+SELECT event_type, true_count,
+       ROUND(true_count + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+             * ln(GREATEST(1e-18, 1.0 - 2.0 * ABS(u - 0.5))), 6)
+         AS dp_count,
+       ROUND(ABS((CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+             * ln(GREATEST(1e-18, 1.0 - 2.0 * ABS(u - 0.5)))), 6)
+         AS abs_noise
+FROM noised
+""",
+)
+def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (epsilon = 1, sensitivity 1
+    -> Laplace scale b = 1): per-type event counts plus Laplace noise
+    drawn by INVERSE CDF from an md5-derived uniform — the
+    privacy-preserving aggregate a training-data pipeline publishes
+    when the raw per-slice counts are themselves sensitive.
+
+    Noise = -b * sign(u - 1/2) * ln(1 - 2|u - 1/2|), the textbook
+    Laplace inverse transform. The draw is DETERMINISTIC (hash of the
+    release key, never rand()) so the release is reproducible and the
+    oracle reproduces it bit-for-bit — reproducible-noise DP is also
+    operationally right: re-running a release must not spend fresh
+    privacy budget by emitting a new draw for the same key. The
+    GREATEST(1e-18, .) floor guards the measure-zero u = 1/2 pole.
+    ln/round cross-engine parity per SURVEY §7.5.2. One grouped
+    aggregate; noise is a per-group scalar map."""
+    from ibis_olap_aggregation_spark.functions.idioms import SPARK_MD5INT
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_count"))
+    u = F.expr(SPARK_MD5INT.format(x="concat('dp-', event_type)")) / F.lit(
+        1152921504606846976.0
+    )
+    sign = F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = sign * F.log(
+        F.greatest(F.lit(1e-18), F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return counts.select(
+        "event_type",
+        "true_count",
+        F.round(F.col("true_count") + noise, 6).alias("dp_count"),
+        F.round(F.abs(noise), 6).alias("abs_noise"),
+    )

@@ -913,6 +913,7 @@ _ADDED_ROUND7 = frozenset(
         "skew_salted_join",
         "layout_compaction_plan",
         "sample_bootstrap_ci",
+        "privacy_dp_laplace_counts",
     }
 )
 

@@ -439,3 +439,26 @@ def test_bootstrap_ci_brackets_the_mean_sanely(spark, sf_small):
     se = float(sd.s[0]) / np.sqrt(float(sd.n[0]))
     assert abs(r.point_mean - true_mean) < 1e-6
     assert r.ci_lo > true_mean - 6 * se and r.ci_hi < true_mean + 6 * se
+
+
+def test_dp_counts_reproducible_and_laplace_shaped(spark, sf_small):
+    """The DP release must be (a) reproducible across runs — that's the
+    budget argument — and (b) actually noisy: dp_count differs from
+    true_count by exactly the reported |noise|, which follows the
+    Laplace inverse transform recomputed locally from the same md5
+    uniform."""
+    import hashlib
+    import math
+
+    out = QUERIES["privacy_dp_laplace_counts"](spark, sf_small).toPandas()
+    again = QUERIES["privacy_dp_laplace_counts"](spark, sf_small).toPandas()
+    assert out.sort_values("event_type").reset_index(drop=True).equals(
+        again.sort_values("event_type").reset_index(drop=True)
+    )
+    for _, r in out.iterrows():
+        u = int(hashlib.md5(f"dp-{r.event_type}".encode()).hexdigest()[:15], 16) / 2.0**60
+        sign = 1.0 if u < 0.5 else -1.0
+        noise = sign * math.log(max(1e-18, 1.0 - 2.0 * abs(u - 0.5)))
+        assert abs(r.abs_noise - abs(noise)) < 1e-5, (r.event_type, noise)
+        assert abs(r.dp_count - (r.true_count + noise)) < 1e-5
+        assert r.abs_noise > 0

@@ -549,3 +549,63 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("type_entropy"),
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    """
+WITH tagged AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         LAG(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_touch
+  FROM events
+)
+SELECT COALESCE(last_touch, '(none)') AS channel,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
+FROM tagged
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution: every purchase is credited to the most
+    recent preceding NON-purchase event type in the user's stream — the
+    marketing-analytics workhorse, and the IGNORE NULLS lag pattern
+    (carry the last interesting row forward past uninteresting ones)
+    that plain lag() cannot express.
+
+    One user-partitioned window over the event stream; the attribution
+    aggregate and its share normalization run over channel-cardinality
+    rows. Purchases with no preceding touch credit '(none)' on both
+    engines (COALESCE, not a dropped row — conservation is tested)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Spark spells "previous non-null" as last(..., ignorenulls) over a
+    # preceding-rows frame; DuckDB as LAG(... IGNORE NULLS) — identical
+    # semantics over the identical (ts, event_id) order
+    tagged = ev.withColumn(
+        "last_touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    pur = tagged.filter(F.col("event_type") == "purchase")
+    wall = Window.partitionBy()
+    out = pur.groupBy(
+        F.coalesce(F.col("last_touch"), F.lit("(none)")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum("value", "attributed_value"),
+    )
+    return out.select(
+        "channel",
+        "n_purchases",
+        "attributed_value",
+        F.round(
+            F.col("n_purchases") / F.sum("n_purchases").over(wall).cast("double"),
+            6,
+        ).alias("share"),
+    )

@@ -807,3 +807,137 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round("score", 6).alias("bm25_score")
     )
     return out.orderBy(F.col("bm25_score").desc(), "doc_id").limit(10)
+
+
+# Winnowing parameters: k-gram size and window width (Schleimer,
+# Wilkerson, Aiken — SIGMOD'03 "local algorithms for document
+# fingerprinting"). Key packing: 40-bit hash | 20-bit position, so the
+# (hash, leftmost-position) argmin of a window is a plain integer MIN.
+_WINNOW_K = 3
+_WINNOW_W = 4
+_H40 = 1099511627776  # 2^40
+_P20 = 1048576  # 2^20
+
+
+@register(
+    "text_winnow_fingerprints",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(arr) AS tok,
+         CAST(generate_subscripts(arr, 1) AS BIGINT) AS pos
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+        FROM documents)
+),
+grams AS (
+  SELECT doc_id, pos AS gpos,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+           AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY LEAD(tok, 2) OVER w IS NOT NULL
+),
+keyed AS (
+  SELECT doc_id, gpos,
+         (('0x' || substr(md5(gram), 1, 15))::BIGINT % {_H40}) * {_P20}
+           + gpos AS key
+  FROM grams
+),
+wins AS (
+  SELECT doc_id,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY gpos
+                        ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                        AND CURRENT ROW) AS fp
+  FROM keyed
+  QUALIFY gpos >= {_WINNOW_W}
+),
+sel AS (SELECT DISTINCT doc_id, fp FROM wins),
+per_doc AS (
+  SELECT k.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(MAX(gpos) AS BIGINT) - {_WINNOW_W} + 1 AS n_windows
+  FROM keyed k GROUP BY 1
+)
+SELECT p.doc_id, p.n_grams,
+       CAST(COUNT(s.fp) AS BIGINT) AS n_fingerprints,
+       CAST(MIN(s.fp) AS BIGINT) AS min_fp,
+       CAST(MAX(s.fp) AS BIGINT) AS max_fp,
+       ROUND(COUNT(s.fp) / CAST(p.n_windows AS DOUBLE), 6) AS density
+FROM per_doc p JOIN sel s ON s.doc_id = p.doc_id
+WHERE p.n_windows >= 1
+GROUP BY p.doc_id, p.n_grams, p.n_windows
+""",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide a
+    w-window over the hash sequence, select each window's minimum
+    (leftmost on ties), dedupe. The selection guarantee — any match of
+    length >= w+k-1 between two documents shares at least one
+    fingerprint — is what makes the SELECTED subset (density ~ 2/(w+1))
+    a sufficient index for plagiarism/near-dup detection, where the
+    plain rolling-hash fingerprint (text_fingerprint) keeps everything.
+
+    Engine shape: one shuffle on doc_id serves the k-gram lead()
+    windows, the winnow min() frame, and the per-doc aggregate. The
+    (hash, leftmost-pos) argmin is ONE integer MIN over a packed
+    40-bit-hash | 20-bit-position key — no struct-ordering semantics to
+    match across engines (pos < 2^20 tokens/doc; enforced by the
+    packing, violated loudly by key collisions in the property test)."""
+    from ibis_olap_aggregation_spark.functions.idioms import SPARK_MD5INT
+
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col())
+    toks = d.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            F.col("pos").alias("gpos"),
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("gram"),
+            F.lead("tok", 2).over(w).alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())
+        .drop("_t2")
+    )
+    keyed = grams.select(
+        "doc_id",
+        "gpos",
+        (
+            (F.expr(SPARK_MD5INT.format(x="gram")) % F.lit(_H40)) * F.lit(_P20)
+            + F.col("gpos")
+        ).alias("key"),
+    )
+    wf = Window.partitionBy("doc_id").orderBy("gpos").rowsBetween(
+        -(_WINNOW_W - 1), Window.currentRow
+    )
+    wins = (
+        keyed.select("doc_id", "gpos", F.min("key").over(wf).alias("fp"))
+        .filter(F.col("gpos") >= _WINNOW_W)
+    )
+    sel = wins.select("doc_id", "fp").distinct()
+    per_doc = keyed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        (F.max("gpos") - _WINNOW_W + 1).cast("bigint").alias("n_windows"),
+    )
+    return (
+        per_doc.filter(F.col("n_windows") >= 1)
+        .join(sel, "doc_id")
+        .groupBy("doc_id", "n_grams", "n_windows")
+        .agg(
+            F.count("fp").cast("bigint").alias("n_fingerprints"),
+            F.min("fp").cast("bigint").alias("min_fp"),
+            F.max("fp").cast("bigint").alias("max_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_fingerprints",
+            "min_fp",
+            "max_fp",
+            F.round(
+                F.col("n_fingerprints") / F.col("n_windows").cast("double"), 6
+            ).alias("density"),
+        )
+    )

@@ -914,6 +914,8 @@ _ADDED_ROUND7 = frozenset(
         "layout_compaction_plan",
         "sample_bootstrap_ci",
         "privacy_dp_laplace_counts",
+        "events_attribution_last_touch",
+        "text_winnow_fingerprints",
     }
 )
 

@@ -462,3 +462,54 @@ def test_dp_counts_reproducible_and_laplace_shaped(spark, sf_small):
         assert abs(r.abs_noise - abs(noise)) < 1e-5, (r.event_type, noise)
         assert abs(r.dp_count - (r.true_count + noise)) < 1e-5
         assert r.abs_noise > 0
+
+
+def test_attribution_conserves_purchases(spark, sf_small):
+    out = QUERIES["events_attribution_last_touch"](spark, sf_small).toPandas()
+    tot = duckdb.sql(
+        f"SELECT COUNT(*) n, SUM(CAST(value AS DECIMAL(18,2))) s "
+        f"FROM '{sf_small}/events.parquet' WHERE event_type = 'purchase'"
+    ).df()
+    assert out.n_purchases.sum() == int(tot.n[0])
+    assert abs(out.attributed_value.sum() - float(tot.s[0])) < 1e-6
+    assert abs(out.share.sum() - 1.0) < 5e-6 * len(out)
+    assert set(out.channel) <= {"view", "click", "signup", "error", "(none)"}
+
+
+def test_winnow_matches_local_reference(spark, sf_small):
+    """Plain-python winnowing (k=3, w=4, packed 40|20-bit keys) over the
+    raw text reproduces the distributed selection per document; also
+    asserts no 40-bit hash collision corrupted the packing (exact
+    equality of min/max fingerprints IS that check)."""
+    import hashlib
+
+    out = (
+        QUERIES["text_winnow_fingerprints"](spark, sf_small)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_small}/documents.parquet'"
+    ).df()
+    checked = 0
+    for _, row in docs.head(60).iterrows():
+        toks = row.text.strip().split()
+        grams = [
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ]
+        if len(grams) < 4:
+            assert row.doc_id not in out.index
+            continue
+        keys = [
+            (int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 2**40)
+            * 2**20
+            + (i + 1)
+            for i, g in enumerate(grams)
+        ]
+        fps = {min(keys[i - 3 : i + 1]) for i in range(3, len(keys))}
+        r = out.loc[row.doc_id]
+        assert r.n_grams == len(grams)
+        assert r.n_fingerprints == len(fps), row.doc_id
+        assert r.min_fp == min(fps) and r.max_fp == max(fps)
+        checked += 1
+    assert checked >= 50

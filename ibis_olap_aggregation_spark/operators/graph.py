@@ -29,7 +29,7 @@ shuffles contributions once on dst. Nothing is ever quadratic in nodes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ibis_olap_aggregation_spark.queries import register
@@ -308,3 +308,94 @@ def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clustering_coeff"),
     )
     return out.orderBy(F.col("n_triangles").desc(), F.col("p_partkey")).limit(20)
+
+
+@register(
+    "graph_cf_recommendations",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT pa AS src, pb AS dst, w FROM und
+  UNION ALL
+  SELECT pb AS src, pa AS dst, w FROM und
+),
+owned AS (
+  SELECT DISTINCT o.o_custkey AS cust, li.l_partkey AS part
+  FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+),
+scored AS (
+  SELECT ow.cust, e.dst AS rec, CAST(SUM(e.w) AS BIGINT) AS score
+  FROM owned ow JOIN edges e ON e.src = ow.part
+  GROUP BY 1, 2
+),
+novel AS (
+  SELECT s.cust, s.rec, s.score
+  FROM scored s
+  LEFT JOIN owned o2 ON o2.cust = s.cust AND o2.part = s.rec
+  WHERE o2.part IS NULL
+),
+ranked AS (
+  SELECT cust, rec, score,
+         ROW_NUMBER() OVER (PARTITION BY cust
+                            ORDER BY score DESC, rec) AS rk
+  FROM novel
+)
+SELECT cust AS c_custkey, rec AS p_partkey, score,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3 AND cust <= 200
+""",
+)
+def graph_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al., WWW'01; the
+    Amazon-style recommender): a customer's score for a candidate part
+    is the summed co-purchase weight between the candidate and
+    everything the customer already bought; parts already owned are
+    anti-joined away; top 3 per customer. Output bounded to the first
+    200 customers so the registry row stays hash-stable at every sf.
+
+    Scale shape: the scoring join fans each owned item out to its
+    co-purchase neighbors — cost = sum over owned items of their
+    degree, the classic item-based CF bound (degree-capped in real
+    deployments; the co-purchase degree here is order-size bounded by
+    construction). The exclusion is a keyed LEFT ANTI join and the
+    top-3 a per-customer window, never a global sort. Integer scores
+    (exact sums of co-order counts) keep the ranking bit-stable across
+    engines."""
+    und = copurchase_pairs(order_items(spark, sf_dir))
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
+    ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))
+    li = order_items(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    owned = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    scored = (
+        owned.join(edges, owned.part == edges.src)
+        .groupBy("cust", F.col("dst").alias("rec"))
+        .agg(F.sum("w").cast("bigint").alias("score"))
+    )
+    novel = scored.join(
+        owned.select(F.col("cust").alias("oc"), F.col("part").alias("opart")),
+        (scored.cust == F.col("oc")) & (scored.rec == F.col("opart")),
+        "left_anti",
+    )
+    wr = Window.partitionBy("cust").orderBy(F.col("score").desc(), F.col("rec"))
+    return (
+        novel.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter((F.col("rk") <= 3) & (F.col("cust") <= 200))
+        .select(
+            F.col("cust").alias("c_custkey"),
+            F.col("rec").alias("p_partkey"),
+            "score",
+            "rk",
+        )
+    )

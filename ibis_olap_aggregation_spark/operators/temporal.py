@@ -609,3 +609,51 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("share"),
     )
+
+
+@register(
+    "events_max_drawdown",
+    """
+WITH r AS (
+  SELECT user_id, value,
+         MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_max
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(MAX(value), 6) AS peak_value,
+       ROUND(MAX(run_max - value), 6) AS max_drawdown,
+       ROUND(MAX((run_max - value) / run_max), 6) AS max_drawdown_frac
+FROM r
+GROUP BY 1
+""",
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the time-ordered value series —
+    the canonical peak-to-trough risk metric (largest drop from a
+    running maximum), which no plain aggregate expresses because the
+    peak must PRECEDE the trough.
+
+    Fully order-statistic: a running MAX window, a per-row subtraction/
+    division, and MAX aggregates — no floating-point summation anywhere,
+    so cross-engine parity needs no decimal routing at all (max/min are
+    order-free). One shuffle on user_id shared by the window and the
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = ev.select(
+        "user_id", "value", F.max("value").over(w).alias("run_max")
+    )
+    dd = F.col("run_max") - F.col("value")
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max("value"), 6).alias("peak_value"),
+        F.round(F.max(dd), 6).alias("max_drawdown"),
+        F.round(F.max(dd / F.col("run_max")), 6).alias("max_drawdown_frac"),
+    )

@@ -916,6 +916,8 @@ _ADDED_ROUND7 = frozenset(
         "privacy_dp_laplace_counts",
         "events_attribution_last_touch",
         "text_winnow_fingerprints",
+        "graph_cf_recommendations",
+        "events_max_drawdown",
     }
 )
 

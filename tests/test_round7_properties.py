@@ -513,3 +513,57 @@ def test_winnow_matches_local_reference(spark, sf_small):
         assert r.min_fp == min(fps) and r.max_fp == max(fps)
         checked += 1
     assert checked >= 50
+
+
+def test_cf_recommendations_exclude_owned_and_match_local(spark, sf_small):
+    """Recommendations never include already-owned parts; scores for a
+    handful of customers match a local pandas recompute of the
+    item-item CF sum."""
+    out = QUERIES["graph_cf_recommendations"](spark, sf_small).toPandas()
+    owned = duckdb.sql(
+        f"""SELECT DISTINCT o.o_custkey AS cust, li.l_partkey AS part
+            FROM (SELECT DISTINCT l_orderkey, l_partkey
+                  FROM '{sf_small}/lineitem.parquet') li
+            JOIN '{sf_small}/orders.parquet' o
+              ON o.o_orderkey = li.l_orderkey"""
+    ).df()
+    pairs = duckdb.sql(
+        f"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM '{sf_small}/lineitem.parquet')
+            SELECT a.l_partkey pa, b.l_partkey pb, COUNT(*) w
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2"""
+    ).df()
+    own_map = owned.groupby("cust").part.apply(set).to_dict()
+    wmap: dict = {}
+    for _, e in pairs.iterrows():
+        wmap.setdefault(e.pa, {})[e.pb] = e.w
+        wmap.setdefault(e.pb, {})[e.pa] = e.w
+    for _, r in out.iterrows():
+        assert r.p_partkey not in own_map[r.c_custkey], r
+    for cust in list(out.c_custkey.unique())[:5]:
+        scores: dict = {}
+        for p in own_map[cust]:
+            for q, w in wmap.get(p, {}).items():
+                scores[q] = scores.get(q, 0) + w
+        scores = {q: s for q, s in scores.items() if q not in own_map[cust]}
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got = out[out.c_custkey == cust].sort_values("rk")
+        assert [(r.p_partkey, r.score) for _, r in got.iterrows()] == top, cust
+
+
+def test_max_drawdown_matches_pandas_cummax(spark, sf_small):
+    out = QUERIES["events_max_drawdown"](spark, sf_small).toPandas()
+    ev = duckdb.sql(
+        f"SELECT user_id, ts, event_id, value FROM "
+        f"'{sf_small}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).df()
+    for uid, g in ev.groupby("user_id"):
+        run_max = g.value.cummax()
+        dd = (run_max - g.value).max()
+        frac = ((run_max - g.value) / run_max).max()
+        r = out[out.user_id == uid].iloc[0]
+        assert abs(r.max_drawdown - dd) < 1e-5, uid
+        assert abs(r.max_drawdown_frac - frac) < 1e-5, uid
+        assert 0 <= r.max_drawdown_frac < 1

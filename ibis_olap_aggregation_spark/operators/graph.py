@@ -399,3 +399,56 @@ def graph_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@register(
+    "graph_copurchase_cosine",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+supp AS (SELECT l_partkey, COUNT(*) AS n FROM li GROUP BY 1)
+SELECT pa, pb, w,
+       ROUND(w / sqrt(CAST(sa.n AS DOUBLE) * sb.n), 6) AS cosine
+FROM und
+JOIN supp sa ON sa.l_partkey = pa
+JOIN supp sb ON sb.l_partkey = pb
+WHERE w >= 3
+ORDER BY ROUND(w / sqrt(CAST(sa.n AS DOUBLE) * sb.n), 6) DESC, pa, pb
+LIMIT 20
+""",
+)
+def graph_copurchase_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-normalized co-purchase affinity — the bipartite-projection
+    similarity cos(a,b) = |A∩B| / sqrt(|A||B|) over order sets: the
+    GEOMETRIC normalization that complements lift's probabilistic one
+    (lift rewards rarity; cosine rewards overlap share). sqrt is a
+    correctly-rounded IEEE operation, so the score is bit-identical
+    cross-engine with no decimal routing; min co-count 3 keeps
+    singleton-pair cosines (trivially high) out of the top-k.
+
+    Same join graph as the lift query: one pair build (shared helper),
+    two broadcast-sized support attaches, distributed TakeOrdered."""
+    und = copurchase_pairs(order_items(spark, sf_dir)).filter(F.col("w") >= 3)
+    supp = order_items(spark, sf_dir).groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sa = supp.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na"))
+    sb = supp.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb"))
+    out = (
+        und.join(F.broadcast(sa), "pa")
+        .join(F.broadcast(sb), "pb")
+        .select(
+            "pa",
+            "pb",
+            "w",
+            F.round(
+                F.col("w") / F.sqrt(F.col("na").cast("double") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+    )
+    return out.orderBy(F.col("cosine").desc(), "pa", "pb").limit(20)

@@ -941,3 +941,88 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("density"),
         )
     )
+
+
+@register(
+    "text_loglikelihood_keywords",
+    """
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT source, term, COUNT(*) AS a FROM tok GROUP BY 1, 2),
+totals AS (SELECT source, COUNT(*) AS c FROM tok GROUP BY 1),
+grand AS (SELECT term, COUNT(*) AS ab FROM tok GROUP BY 1),
+n AS (SELECT COUNT(*) AS nd FROM tok),
+scored AS (
+  SELECT tf.source, tf.term, tf.a,
+         g.ab - tf.a AS b, t.c, n.nd - t.c AS d,
+         2.0 * (tf.a * ln(tf.a / (CAST(t.c AS DOUBLE) * g.ab / n.nd))
+                + CASE WHEN g.ab - tf.a = 0 THEN 0.0
+                  ELSE (g.ab - tf.a)
+                       * ln((g.ab - tf.a)
+                            / (CAST(n.nd - t.c AS DOUBLE) * g.ab / n.nd))
+                  END) AS g2
+  FROM tf
+  JOIN totals t ON t.source = tf.source
+  JOIN grand g ON g.term = tf.term
+  CROSS JOIN n
+  WHERE tf.a >= 5
+),
+ranked AS (
+  SELECT source, term, a AS n_in_source, CAST(b AS BIGINT) AS n_elsewhere,
+         ROUND(g2, 6) AS g2,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY ROUND(g2, 6) DESC, term) AS rk
+  FROM scored
+)
+SELECT source, term, n_in_source, n_elsewhere, g2, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5
+""",
+)
+def text_loglikelihood_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive-keyword extraction per source via Dunning's
+    log-likelihood ratio (G², CL'93) — 'which terms does THIS source
+    over-use relative to the rest of the corpus', the
+    corpus-comparison statistic that raw TF-IDF (per-document) cannot
+    provide and that a data-mixing pipeline uses to characterize
+    sources. Two-cell G² with the standard zero-count limit
+    (b·ln(b/E)->0 as b->0).
+
+    Per-row double arithmetic (ln parity per SURVEY §7.5.2) on exact
+    integer counts from three grouped aggregates — vocabulary- and
+    source-grain tables only after the token explode; no cross-row
+    float sums. Top 5 per source by a keyed window."""
+    d = _docs(spark, sf_dir).withColumn("t", tokens_col())
+    tok = d.select("source", F.explode("t").alias("term"))
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("a"))
+    totals = tok.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    grand = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ab"))
+    nd = tok.agg(F.count(F.lit(1)).alias("nd"))
+    j = (
+        tf.filter(F.col("a") >= 5)
+        .join(F.broadcast(totals), "source")
+        .join(F.broadcast(grand), "term")
+        .crossJoin(F.broadcast(nd))
+    )
+    b = F.col("ab") - F.col("a")
+    e1 = F.col("c").cast("double") * F.col("ab") / F.col("nd")
+    e2 = (F.col("nd") - F.col("c")).cast("double") * F.col("ab") / F.col("nd")
+    g2 = F.lit(2.0) * (
+        F.col("a") * F.log(F.col("a") / e1)
+        + F.when(b == 0, F.lit(0.0)).otherwise(b * F.log(b / e2))
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.round(g2, 6).desc(), F.col("term")
+    )
+    return (
+        j.select(
+            "source",
+            "term",
+            F.col("a").alias("n_in_source"),
+            b.cast("bigint").alias("n_elsewhere"),
+            F.round(g2, 6).alias("g2"),
+            F.row_number().over(wr).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+    )

@@ -918,6 +918,8 @@ _ADDED_ROUND7 = frozenset(
         "text_winnow_fingerprints",
         "graph_cf_recommendations",
         "events_max_drawdown",
+        "graph_copurchase_cosine",
+        "text_loglikelihood_keywords",
     }
 )
 

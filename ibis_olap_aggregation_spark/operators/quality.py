@@ -914,3 +914,96 @@ def quality_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cusum_lo"),
     )
+
+
+@register(
+    "quality_ks_exponential_fit",
+    """
+WITH arr AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER
+           (PARTITION BY event_type ORDER BY ts, event_id) AS dt_us
+  FROM events
+),
+dts AS (SELECT event_type, dt_us / 86400000000.0 AS dt_d
+        FROM arr WHERE dt_us IS NOT NULL AND dt_us > 0),
+lam AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         COUNT(*) / (CAST(SUM(CAST(dt_d AS DECIMAL(28,12))) AS DOUBLE))
+           AS lambda_d
+  FROM dts GROUP BY 1
+),
+ranked AS (
+  SELECT d.event_type, d.dt_d, l.lambda_d, l.n,
+         ROW_NUMBER() OVER (PARTITION BY d.event_type
+                            ORDER BY d.dt_d, d.dt_d) AS i
+  FROM dts d JOIN lam l ON l.event_type = d.event_type
+),
+devs AS (
+  SELECT event_type, n, lambda_d,
+         GREATEST(ABS(i / CAST(n AS DOUBLE)
+                      - (1.0 - exp(-lambda_d * dt_d))),
+                  ABS((i - 1) / CAST(n AS DOUBLE)
+                      - (1.0 - exp(-lambda_d * dt_d)))) AS dev
+  FROM ranked
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_intervals,
+       ROUND(MAX(lambda_d), 6) AS lambda_per_day,
+       ROUND(MAX(dev), 6) AS ks_statistic,
+       MAX(dev) < 1.36 / sqrt(MAX(n)) AS fits_exponential_5pct
+FROM devs
+GROUP BY 1
+""",
+)
+def quality_ks_exponential_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov goodness-of-fit of per-type inter-arrival
+    times against the exponential distribution (lambda by MLE = 1/mean)
+    — 'is this event stream Poisson?' is the arrival-process sanity
+    check capacity models assume and drift monitors watch.
+
+    D = max_i max(|i/n - F(x_i)|, |(i-1)/n - F(x_i)|) over sorted
+    inter-arrivals — a pure ORDER-STATISTIC (rank window + MAX
+    aggregates, no float summation; the one cross-row sum, the MLE
+    denominator, routes through exact decimal). exp() rides the same
+    empirical cross-engine parity as the ln() family (SURVEY §7.5.2);
+    a 1-ulp exp difference moves D by ~1e-16, invisible at round-6.
+    The 1.36/sqrt(n) threshold is the asymptotic 5% KS critical value
+    (sqrt is correctly-rounded IEEE)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    arr = ev.select(
+        "event_type", (ts_us - F.lag(ts_us).over(w)).alias("dt_us")
+    )
+    dts = arr.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0)).select(
+        "event_type", (F.col("dt_us") / F.lit(86400000000.0)).alias("dt_d")
+    )
+    lam = dts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.count(F.lit(1))
+            / F.sum(F.col("dt_d").cast("decimal(28,12)")).cast("double")
+        ).alias("lambda_d"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("dt_d", "dt_d")
+    ranked = dts.join(lam, "event_type").withColumn(
+        "i", F.row_number().over(wr)
+    )
+    f_exp = F.lit(1.0) - F.exp(-F.col("lambda_d") * F.col("dt_d"))
+    dev = F.greatest(
+        F.abs(F.col("i") / F.col("n").cast("double") - f_exp),
+        F.abs((F.col("i") - 1) / F.col("n").cast("double") - f_exp),
+    )
+    return (
+        ranked.withColumn("dev", dev)
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_intervals"),
+            F.round(F.max("lambda_d"), 6).alias("lambda_per_day"),
+            F.round(F.max("dev"), 6).alias("ks_statistic"),
+            (F.max("dev") < F.lit(1.36) / F.sqrt(F.max("n"))).alias(
+                "fits_exponential_5pct"
+            ),
+        )
+    )

@@ -50,8 +50,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def _sf_tag() -> float:
-    return float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+def _sf_tag() -> float | None:
+    """Scale-factor tag parsed from the data dir name, or None for a
+    custom dir that doesn't end in 'sf<number>' — None disarms the
+    history sf-match (and thus the gate) instead of crashing the whole
+    bench run on an unguarded float() (ADVICE r7)."""
+    try:
+        return float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return None
 
 # Headline set: the flagship hierarchy rollups + the heaviest operator
 # families. Keep keys stable across rounds so BENCH_r{N}.json is
@@ -230,19 +237,43 @@ def _prev_bench() -> tuple[dict[str, float], str | None]:
     the regression gate for four rounds (it was comparing against the
     33-query round-2 file with basis None). Basis is None for legacy
     rounds (min-of-2 era) — the gate stays disarmed against those;
-    deltas are still reported."""
+    deltas are still reported.
+
+    Ratchet guard (ADVICE r7): baselining against only the LAST record
+    lets a gradual slowdown creep past the dual threshold one small
+    step at a time (each run re-baselines on the previous, flagged or
+    not). The baseline is therefore the per-query MIN over the last
+    K=5 same-sf, same-basis records that were themselves CLEAN (no
+    regressions flagged when they ran) — a regressing run never
+    becomes the baseline, and the min anchors against slow drift."""
+    tag = _sf_tag()
+    matching: list[dict] = []
     try:
         with open(_history_path()) as f:
-            lines = f.readlines()
-        for ln in reversed(lines):
-            try:
-                rec = json.loads(ln)
-            except Exception:  # noqa: BLE001
-                continue
-            if rec.get("queries") and rec.get("sf") == _sf_tag():
-                return rec["queries"], rec.get("basis")
+            for ln in f:
+                try:
+                    rec = json.loads(ln)
+                except Exception:  # noqa: BLE001
+                    continue
+                if rec.get("queries") and tag is not None and rec.get("sf") == tag:
+                    matching.append(rec)
     except OSError:
         pass
+    if matching:
+        clean_same_basis = [
+            r
+            for r in matching
+            if r.get("basis") == BENCH_BASIS and not r.get("regressions")
+        ][-5:]
+        if clean_same_basis:
+            base: dict[str, float] = {}
+            for r in clean_same_basis:
+                for k, v in r["queries"].items():
+                    base[k] = min(v, base[k]) if k in base else v
+            return base, BENCH_BASIS
+        # no clean same-basis record: report deltas vs the latest one
+        # but never arm the gate against a flagged/different-basis run
+        return matching[-1]["queries"], None
     best: tuple[int, dict, str | None] | None = None
     for path in glob.glob(os.path.join(_HERE, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -331,7 +362,6 @@ def main() -> None:
     regressions = (
         regression_gate(gated, prev) if prev_basis == BENCH_BASIS else {}
     )
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -340,7 +370,7 @@ def main() -> None:
         "spread": spreads,
         "basis": BENCH_BASIS,
         "reps": REPS,
-        "sf": float(sf),
+        "sf": _sf_tag(),
     }
     if deltas:
         out["deltas_vs_prev"] = deltas
@@ -360,6 +390,9 @@ def main() -> None:
                         "basis": BENCH_BASIS,
                         "sf": out["sf"],
                         "total": out["value"],
+                        # flagged runs are recorded but excluded from
+                        # future baselines (_prev_bench ratchet guard)
+                        "regressions": regressions,
                     }
                 )
                 + "\n"

@@ -79,13 +79,20 @@ scd2 AS (
 """
 
 
-def scd2_dim_from(events: DataFrame) -> DataFrame:
+def scd2_dim_from(events: DataFrame, with_last: bool = False) -> DataFrame:
     """SCD2 build over an arbitrary events DataFrame: run-length
     compress the per-user tier sequence into [valid_from, valid_to)
     versions (open versions have NULL valid_to). Shared by the batch
     operator below and the streaming maintenance sink
     (streaming/scd2_stream.py) — their equivalence test only means
-    something while both run THIS one construction."""
+    something while both run THIS one construction.
+
+    ``with_last=True`` additionally emits ``valid_last_us`` — the
+    timestamp of the LAST event counted into each version. The
+    streaming sink needs it as a per-user ordering watermark: the open
+    version's onset alone cannot detect a late event that interleaves
+    AFTER the onset but BEFORE events already counted (ADVICE r7). The
+    batch query surface keeps the historical 6-column schema."""
     ev = events.select(
         "user_id", "ts", "event_id", F.expr(_TIER).alias("tier")
     )
@@ -105,19 +112,27 @@ def scd2_dim_from(events: DataFrame) -> DataFrame:
         "user_id", F.col("run_id").cast("bigint").alias("version"), "tier"
     ).agg(
         F.min("ts").alias("valid_from_ts"),
+        F.max("ts").alias("valid_last_ts"),
         F.count(F.lit(1)).alias("n_events"),
     )
     w2 = Window.partitionBy("user_id").orderBy("version")
-    return grouped.select(
-        "user_id",
-        "version",
-        "tier",
+    cols = [
+        F.col("user_id"),
+        F.col("version"),
+        F.col("tier"),
         F.unix_micros(F.col("valid_from_ts").cast("timestamp")).alias("valid_from_us"),
         F.unix_micros(
             F.lead("valid_from_ts").over(w2).cast("timestamp")
         ).alias("valid_to_us"),
-        F.col("n_events").cast("bigint").alias("n_events"),
-    )
+    ]
+    if with_last:
+        cols.append(
+            F.unix_micros(F.col("valid_last_ts").cast("timestamp")).alias(
+                "valid_last_us"
+            )
+        )
+    cols.append(F.col("n_events").cast("bigint").alias("n_events"))
+    return grouped.select(*cols)
 
 
 def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,8 +19,16 @@ micro-batches (an event older than a user's open version would demand
 rewriting closed history — that is a backfill/replay, not streaming
 maintenance). Within a batch, order is reconstructed by (ts, event_id)
 exactly as the batch operator does. Late data should be fenced with a
-watermark upstream; a violation surfaces as a NEGATIVE-length interval,
-which `merge_scd2_batch` refuses loudly rather than corrupting history.
+watermark upstream; as a backstop the dimension carries each version's
+LAST counted event timestamp (`valid_last_us`), and `merge_scd2_batch`
+refuses loudly — raise_error, nothing committed — any batch containing
+an event at or before the open version's watermark. The onset alone
+would miss a late event that interleaves after the open version's
+start but before events already counted into it (ADVICE r7); the
+watermark guard catches both that interleave and the pre-onset case
+(the watermark is always >= the onset). Events exactly AT the
+watermark are refused too: their (ts, event_id) order relative to the
+already-counted event is no longer reconstructible across batches.
 
 Scale: each micro-batch costs one run-length aggregation of the batch
 (shuffle on user_id), one join against the open slice of the dimension
@@ -49,22 +57,26 @@ from pyspark.sql import functions as F
 
 from ibis_olap_aggregation_spark.operators.temporal import scd2_dim_from
 
-# dimension schema (mirrors operators/temporal.py scd2_user_tier_dim)
+# dimension schema: operators/temporal.py scd2_user_tier_dim plus the
+# per-version last-event watermark the ordering guard rides on
 SCD2_SCHEMA = (
     "user_id bigint, version bigint, tier string, "
-    "valid_from_us bigint, valid_to_us bigint, n_events bigint"
+    "valid_from_us bigint, valid_to_us bigint, valid_last_us bigint, "
+    "n_events bigint"
 )
 
 
 def scd2_batch_runs(batch: DataFrame) -> DataFrame:
     """Run-length compress ONE micro-batch into per-user tier runs:
     (user_id, run_seq 1.., tier, valid_from_us, valid_to_us — null for
-    the batch's last run — and n_events). Delegates to the BATCH
-    operator's construction (operators/temporal.scd2_dim_from): the
-    stream==batch equivalence only means something while both sides run
-    the one shared build, so there is deliberately no second copy of
-    the window logic or the tier thresholds here."""
-    return scd2_dim_from(batch).withColumnRenamed("version", "run_seq")
+    the batch's last run — valid_last_us and n_events). Delegates to
+    the BATCH operator's construction (operators/temporal.scd2_dim_from):
+    the stream==batch equivalence only means something while both sides
+    run the one shared build, so there is deliberately no second copy
+    of the window logic or the tier thresholds here."""
+    return scd2_dim_from(batch, with_last=True).withColumnRenamed(
+        "version", "run_seq"
+    )
 
 
 def merge_scd2_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
@@ -77,6 +89,7 @@ def merge_scd2_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
         F.col("version").alias("o_version"),
         F.col("tier").alias("o_tier"),
         F.col("valid_from_us").alias("o_from"),
+        F.col("valid_last_us").alias("o_last"),
         F.col("n_events").alias("o_n"),
     )
     first_run = runs.filter(F.col("run_seq") == 1).select(
@@ -87,23 +100,35 @@ def merge_scd2_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
     j = runs.join(open_v, runs.user_id == open_v.o_user, "left").join(
         first_run, runs.user_id == first_run.f_user
     )
-    # ordering contract: nothing in the batch may predate the open
-    # onset. The guard must ride a LIVE output column — an unreferenced
-    # withColumn gets pruned by Catalyst and raise_error never
-    # evaluates (the classic dead-assert pitfall; pinned by
-    # tests/test_streaming.py::test_scd2_stream_rejects_out_of_order) —
-    # so it wraps valid_from_us itself.
-    guarded_from = F.when(
-        F.col("o_from").isNotNull() & (F.col("valid_from_us") < F.col("o_from")),
+    # ordering contract: nothing in the batch may land at or before the
+    # open version's LAST counted event (the watermark — always >= the
+    # onset, so this subsumes the old predates-the-onset check and also
+    # catches a late event interleaving inside the open run's span,
+    # ADVICE r7). The guard must ride a column every output row
+    # EVALUATES — an unreferenced withColumn gets pruned by Catalyst,
+    # and a branch of a when() never evaluates for rows taking the
+    # other branch (the first cut wrapped valid_from_us, whose
+    # merged-first branch reads o_from instead: a same-tier late run
+    # slipped straight through — the per-ROW dead-assert pitfall; both
+    # pinned by tests/test_streaming.py::test_scd2_stream_rejects_*).
+    # valid_last_us is selected unconditionally below, so the guard
+    # wraps it. Run 1's onset is the user's minimum batch timestamp, so
+    # one comparison covers every event in the batch.
+    guarded_last = F.when(
+        F.col("o_last").isNotNull()
+        & (F.col("valid_from_us") <= F.col("o_last")),
         F.raise_error(
             F.concat(
                 F.lit("scd2 stream ordering violation for user "),
                 F.col("user_id").cast("string"),
-                F.lit(": batch event predates the open version"),
+                F.lit(
+                    ": batch event at or before the open version's"
+                    " last counted event"
+                ),
             )
         ).cast("bigint"),
-    ).otherwise(F.col("valid_from_us"))
-    j = j.withColumn("valid_from_us", guarded_from)
+    ).otherwise(F.col("valid_last_us"))
+    j = j.withColumn("valid_last_us", guarded_last)
     has_open = F.col("o_version").isNotNull()
     first_merges = has_open & (F.col("f_tier") == F.col("o_tier"))
     merged_first = first_merges & (F.col("run_seq") == 1)
@@ -123,12 +148,16 @@ def merge_scd2_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
         .otherwise(F.col("valid_from_us"))
         .alias("valid_from_us"),
         "valid_to_us",
+        # the batch's events all postdate o_last (guarded above), so a
+        # run's own last event is the merged version's watermark too
+        F.col("valid_last_us"),
         F.when(merged_first, F.col("n_events") + F.col("o_n"))
         .otherwise(F.col("n_events"))
         .alias("n_events"),
     )
     # closing row for a tier-changing open version: valid_to = the
-    # batch's first onset for that user
+    # batch's first onset for that user; its events (and watermark)
+    # are untouched
     closed = (
         open_v.join(first_run, open_v.o_user == first_run.f_user)
         .filter(F.col("o_tier") != F.col("f_tier"))
@@ -138,6 +167,7 @@ def merge_scd2_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
             F.col("o_tier").alias("tier"),
             F.col("o_from").alias("valid_from_us"),
             F.col("f_from").alias("valid_to_us"),
+            F.col("o_last").alias("valid_last_us"),
             F.col("o_n").alias("n_events"),
         )
     )

@@ -107,6 +107,68 @@ def test_prev_bench_recovers_basis_from_truncated_tail(tmp_path, monkeypatch):
     assert basis == "median3"
 
 
+def test_sf_tag_tolerates_custom_data_dir(monkeypatch):
+    """A custom SPARK_GRAFT_SF_DIR not ending in 'sf<number>' must
+    disarm the sf match (return None), not crash the bench with a
+    ValueError from deep inside _prev_bench (ADVICE r7)."""
+    monkeypatch.setattr(bench, "SF_DIR", "/data/my_custom_tables")
+    assert bench._sf_tag() is None
+    queries, basis = bench._prev_bench()  # must not raise
+    assert isinstance(queries, dict)
+
+
+def test_prev_bench_baseline_resists_ratchet(tmp_path, monkeypatch):
+    """A gradual slowdown must not re-baseline itself past the gate:
+    the baseline is the per-query MIN over recent CLEAN same-basis
+    records, so (a) a run recorded with flagged regressions never
+    becomes the baseline and (b) slow drift gates against the anchored
+    min, not the immediately preceding (already-drifted) run."""
+    import json
+
+    hist = [
+        {"queries": {"q1": 1.0}, "basis": "median3", "sf": 0.1},
+        {"queries": {"q1": 1.6}, "basis": "median3", "sf": 0.1},
+        # a flagged run: excluded from the baseline pool entirely
+        {
+            "queries": {"q1": 9.0},
+            "basis": "median3",
+            "sf": 0.1,
+            "regressions": {"q1": 7.4},
+        },
+    ]
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in hist) + "\n"
+    )
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    queries, basis = bench._prev_bench()
+    assert basis == bench.BENCH_BASIS
+    # min over the two clean records (1.0, 1.6), flagged 9.0 excluded
+    assert queries == {"q1": 1.0}
+    # the drift step that re-baselining would have waved through
+    # (1.6 -> 2.1 is +0.5s, under the floor) still fires vs the min
+    assert bench.regression_gate({"q1": 2.1}, queries) == {"q1": 1.1}
+
+
+def test_prev_bench_never_arms_against_flagged_only_history(tmp_path, monkeypatch):
+    """If every matching record was itself flagged, deltas still report
+    (vs the latest) but basis comes back None so the gate stays off."""
+    import json
+
+    rec = {
+        "queries": {"q1": 5.0},
+        "basis": "median3",
+        "sf": 0.1,
+        "regressions": {"q1": 3.0},
+    }
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(json.dumps(rec) + "\n")
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    queries, basis = bench._prev_bench()
+    assert queries == {"q1": 5.0}
+    assert basis is None
+
+
 def test_prev_bench_prefers_local_history(tmp_path, monkeypatch):
     """The local BENCH_HISTORY.jsonl (full per-query record) outranks
     the driver's truncated BENCH_r{N}.json capture; records at a

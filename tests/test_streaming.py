@@ -581,19 +581,25 @@ def test_scd2_stream_maintenance_equals_batch(spark, sf_small, tmp_path):
     from ibis_olap_aggregation_spark.streaming.engine import stream_events
 
     ev = load_table(spark, sf_small, "events")
-    # three ts-tercile files: per-user order is preserved across batches
+    # three ts-tercile batches: per-user order is preserved across
+    # batches. Written via _write_batch_files (one bare file per batch,
+    # strictly increasing mtimes): the file source orders by mod time,
+    # and coarse fs timestamps on three fast appends can tie and
+    # reorder batches, tripping the ordering guard (ADVICE r7).
     bounds = ev.selectExpr(
         "percentile(unix_micros(cast(ts as timestamp)), 0.34) AS b1",
         "percentile(unix_micros(cast(ts as timestamp)), 0.67) AS b2",
     ).first()
     src = str(tmp_path / "scd2_src")
+    os.makedirs(src)
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    for i, cond in enumerate(
-        [us <= bounds.b1, (us > bounds.b1) & (us <= bounds.b2), us > bounds.b2]
-    ):
-        ev.filter(cond).coalesce(1).write.mode(
-            "append" if i else "overwrite"
-        ).parquet(src)
+    _write_batch_files(
+        str(tmp_path),
+        src,
+        ev.filter(us <= bounds.b1),
+        ev.filter((us > bounds.b1) & (us <= bounds.b2)),
+        ev.filter(us > bounds.b2),
+    )
 
     seed = spark.createDataFrame([], ss.SCD2_SCHEMA)
     root = str(tmp_path / "scd2_dim")
@@ -602,9 +608,16 @@ def test_scd2_stream_maintenance_equals_batch(spark, sf_small, tmp_path):
     ss.run_scd2_sink(stream, table, checkpoint_dir=str(tmp_path / "ckpt"))
 
     assert table.current_version() >= 2  # one commit per non-empty batch
+    got_full = table.read().toPandas()
+    # watermark sanity: every version's last counted event sits inside
+    # its interval
+    assert (got_full["valid_last_us"] >= got_full["valid_from_us"]).all()
+    closed_rows = got_full[got_full["valid_to_us"].notna()]
+    assert (closed_rows["valid_last_us"] <= closed_rows["valid_to_us"]).all()
+    # the batch build keeps the historical 6-column schema; equivalence
+    # is over that shared surface
     got = (
-        table.read()
-        .toPandas()
+        got_full.drop(columns=["valid_last_us"])
         .sort_values(["user_id", "version"])
         .reset_index(drop=True)
     )
@@ -677,6 +690,59 @@ def test_scd2_stream_rejects_out_of_order(spark, sf_small, tmp_path):
     with pytest.raises(Exception, match="ordering violation"):
         ss.merge_scd2_batch(
             table.read(), late_first.filter(us <= med)
+        ).collect()
+
+
+def test_scd2_stream_rejects_interleaved_late_event(spark, sf_small, tmp_path):
+    """ADVICE r7 (medium): a late event landing AFTER the open
+    version's onset but BEFORE events already counted into it used to
+    pass the onset-only guard and silently corrupt history. The
+    valid_last_us watermark guard must refuse it."""
+    import pytest
+
+    from ibis_olap_aggregation_spark.operators.temporal import scd2_dim_from
+    from ibis_olap_aggregation_spark.sources.io import VersionedParquetTable
+    from ibis_olap_aggregation_spark.streaming import scd2_stream as ss
+
+    ev = load_table(spark, sf_small, "events").orderBy("ts", "event_id").limit(400)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # find an event strictly inside some user's OPEN run: removing it
+    # from batch 1 leaves that run's onset and watermark intact, and
+    # replaying it alone is exactly the interleave the guard must catch
+    open_runs = (
+        scd2_dim_from(ev, with_last=True)
+        .filter("valid_to_us IS NULL AND n_events >= 3")
+        .filter("valid_last_us > valid_from_us")
+        .limit(20)
+        .collect()
+    )
+    late_event_id = None
+    for r in open_runs:
+        cand = (
+            ev.filter(
+                (F.col("user_id") == r.user_id)
+                & (us > r.valid_from_us)
+                & (us < r.valid_last_us)
+            )
+            .limit(1)
+            .collect()
+        )
+        if cand:
+            late_event_id = cand[0]["event_id"]
+            break
+    assert late_event_id is not None, "fixture has no interior open-run event"
+
+    seed = spark.createDataFrame([], ss.SCD2_SCHEMA)
+    table = VersionedParquetTable.create(spark, str(tmp_path / "dim"), seed)
+    table.upsert(
+        ss.merge_scd2_batch(
+            table.read(), ev.filter(F.col("event_id") != late_event_id)
+        ),
+        ["user_id", "version"],
+    )
+    with pytest.raises(Exception, match="ordering violation"):
+        ss.merge_scd2_batch(
+            table.read(), ev.filter(F.col("event_id") == late_event_id)
         ).collect()
 
 

@@ -670,8 +670,8 @@ weighted AS (
 ),
 means AS (
   SELECT b,
-         CAST(SUM(CAST(w * x AS DECIMAL(24,6))) AS DOUBLE)
-           / CAST(SUM(w) AS DOUBLE) AS mean_b
+         CAST(SUM(w * CAST(ROUND(x * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 / CAST(SUM(w) AS DOUBLE) AS mean_b
   FROM weighted GROUP BY b
   HAVING SUM(w) > 0
 ),
@@ -727,13 +727,18 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reps = reps.withColumn("u", F.expr(hv) / F.lit(1152921504606846976.0))
     weighted = reps.withColumn("w", F.expr(_pois_case("u")))
+    # exact replica sums in CENTS as BIGINT, not DECIMAL(24,6): prices
+    # carry 2 decimal places, w <= 6, so w*round(x*100) is exact and the
+    # bigint sum keeps the hash-agg fast path a wide-decimal buffer
+    # defeats (measured ~30% on this query; round-parity between
+    # engines holds for positive values — half-up == half-away)
+    wc = F.col("w") * F.round(F.col("x") * 100).cast("bigint")
     means = (
         weighted.groupBy("b")
         .agg(
             (
-                F.sum((F.col("w") * F.col("x")).cast("decimal(24,6)")).cast(
-                    "double"
-                )
+                F.sum(wc).cast("double")
+                / F.lit(100.0)
                 / F.sum("w").cast("double")
             ).alias("mean_b"),
             F.sum("w").alias("wsum"),

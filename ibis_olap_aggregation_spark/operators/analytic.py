@@ -845,3 +845,203 @@ def sample_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round("gval", 6).alias("normalized_revenue"),
     )
+
+
+@register(
+    "agg_ols_daily_trend",
+    """
+WITH daily AS (
+  SELECT r.r_name AS region,
+         datediff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE)) AS x,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT region,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS BIGINT) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x AS BIGINT) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+  FROM daily GROUP BY 1
+)
+SELECT region, CAST(n AS BIGINT) AS n_days,
+       ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx) / 100.0, 6)
+         AS slope_usd_per_day,
+       ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n / 100.0, 6)
+         AS intercept_usd,
+       ROUND((n*sxy - sx*sy) * (n*sxy - sx*sy)
+             / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+FROM s
+ORDER BY region
+""",
+)
+def agg_ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region ordinary-least-squares trend of DAILY REVENUE over
+    time: slope (USD/day), intercept, and R^2 from the closed-form
+    normal equations — the regression-as-aggregation idiom (one pass,
+    five sufficient statistics) that replaces fitting libraries for
+    monitoring-scale trend questions.
+
+    NOT Spark's built-in regr_slope/regr_r2: those accumulate FP sums
+    in partition order and won't hash-match another engine. Here x (day
+    index since a fixed epoch) and y (exact revenue cents) are
+    integers, the sufficient statistics Σx Σy Σxy Σx² Σy² are EXACT
+    integer sums (Σy² routes through decimal(38) — y² ~ 9e16 per row
+    overflows a bigint SUM at bench scale), and only the final
+    closed-form arithmetic runs in double — one fixed expression tree,
+    bit-identical cross-engine.
+
+    Scale: the daily pre-aggregate shuffles once on (region, day); the
+    sufficient-statistic reduce is 5 columns over day-count-sized
+    input. Nothing holds raw rows; the day dimension caps the second
+    stage at a few thousand rows per region regardless of fact size."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+        )
+    )
+    xb = F.col("x").cast("bigint")
+    s = daily.groupBy("region").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(xb * F.col("x")).cast("double").alias("sxx"),
+        F.sum(xb * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n_, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    cov = n_ * sxy - sx * sy
+    varx = n_ * sxx - sx * sx
+    vary = n_ * syy - sy * sy
+    slope = cov / varx
+    return s.select(
+        "region",
+        n_.cast("bigint").alias("n_days"),
+        F.round(slope / F.lit(100.0), 6).alias("slope_usd_per_day"),
+        F.round((sy - slope * sx) / n_ / F.lit(100.0), 6).alias("intercept_usd"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    ).orderBy("region")
+
+
+@register(
+    "agg_spearman_rank_corr",
+    """
+WITH spend AS (
+  SELECT c.c_custkey, n.n_name AS nation, c.c_acctbal AS x,
+         COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0) AS y
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+),
+rk AS (
+  SELECT nation,
+         2 * RANK() OVER (PARTITION BY nation ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY nation, x) - 1 AS ra,
+         2 * RANK() OVER (PARTITION BY nation ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY nation, y) - 1 AS rb
+  FROM spend
+),
+s AS (
+  SELECT nation, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(ra) AS DOUBLE) AS sa,
+         CAST(SUM(rb) AS DOUBLE) AS sb,
+         CAST(SUM(ra * ra) AS DOUBLE) AS saa,
+         CAST(SUM(rb * rb) AS DOUBLE) AS sbb,
+         CAST(SUM(ra * rb) AS DOUBLE) AS sab
+  FROM rk GROUP BY 1
+)
+SELECT nation, CAST(n AS BIGINT) AS n_customers,
+       ROUND((n*sab - sa*sb)
+             / sqrt((n*saa - sa*sa) * (n*sbb - sb*sb)), 6) AS spearman_rho
+FROM s
+ORDER BY nation
+""",
+)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a customer's account balance
+    and their lifetime spend, per nation — the distribution-free
+    association measure (monotone, outlier-robust) that complements the
+    parametric OLS trend above. Proper AVERAGE ranks for ties (the
+    no-order customers all tie at spend 0), then Pearson's formula on
+    the ranks.
+
+    Rank arithmetic stays integral: avg_rank has halves, so both sides
+    carry 2*avg_rank = 2*RANK() + tie_count - 1 (an integer — Pearson
+    is scale-invariant), all five sufficient statistics are exact
+    bigint sums, and only the final rho is a double — bit-identical
+    cross-engine, same discipline as the OLS operator.
+
+    Scale: ranks come from windows partitioned by NATION (never
+    global); the spend pre-aggregate shuffles once on customer. For a
+    group too large to window-sort, the two-pass range-partitioned
+    ranker (operators/ranking.py) is the drop-in."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", F.col("n_name").alias("nation"), F.col("c_acctbal").alias("x"))
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")),
+                F.lit(0).cast("bigint"),
+            ).alias("y")
+        )
+    )
+    wx = Window.partitionBy("nation").orderBy("x")
+    wy = Window.partitionBy("nation").orderBy("y")
+    cx = Window.partitionBy("nation", "x")
+    cy = Window.partitionBy("nation", "y")
+    rk = spend.select(
+        "nation",
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1)
+        .cast("bigint")
+        .alias("ra"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1)
+        .cast("bigint")
+        .alias("rb"),
+    )
+    s = rk.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("ra").cast("double").alias("sa"),
+        F.sum("rb").cast("double").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).cast("double").alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).cast("double").alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).cast("double").alias("sab"),
+    )
+    n_, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    saa, sbb, sab = F.col("saa"), F.col("sbb"), F.col("sab")
+    rho = (n_ * sab - sa * sb) / F.sqrt((n_ * saa - sa * sa) * (n_ * sbb - sb * sb))
+    return s.select(
+        "nation",
+        n_.cast("bigint").alias("n_customers"),
+        F.round(rho, 6).alias("spearman_rho"),
+    ).orderBy("nation")

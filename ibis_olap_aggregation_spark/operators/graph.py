@@ -401,6 +401,99 @@ def graph_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_MIN_W = 2  # affinity floor: singleton co-occurrences are noise edges
+
+_CC_SQL = f"""
+WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+filt AS (SELECT pa, pb FROM und WHERE w >= {_CC_MIN_W}),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM filt
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM filt
+),
+nodes AS (SELECT DISTINCT src AS pk FROM edges),
+cc(pk, lbl) AS (
+  SELECT pk, pk FROM nodes
+  UNION
+  SELECT e.dst, c.lbl
+  FROM cc c JOIN edges e ON e.src = c.pk
+  WHERE c.lbl < e.dst
+),
+comp AS (SELECT pk, MIN(lbl) AS component_id FROM cc GROUP BY 1),
+tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_total,
+         CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_components
+  FROM comp
+)
+SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / t.n_total, 6) AS node_share,
+       t.n_components
+FROM comp, tot t
+GROUP BY component_id, t.n_total, t.n_components
+ORDER BY n_nodes DESC, component_id
+LIMIT 10
+"""
+
+
+@register("graph_connected_components", _CC_SQL)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the part co-purchase graph by MIN-LABEL
+    PROPAGATION TO FIXPOINT — unlike PageRank's fixed unrolled
+    iteration count, this is a genuinely data-dependent loop (runs
+    until the label vector stops changing, i.e. graph-diameter many
+    rounds), the one Pregel primitive the registry lacked. Returns the
+    10 largest components (id = smallest member part key) with node
+    counts, share of all connected nodes, and the total component
+    count. Edges need co-purchase weight >= _CC_MIN_W: thresholding the
+    projection is what makes component structure appear at all (the
+    unthresholded co-purchase graph is one giant blob), the same reason
+    the affinity queries floor their supports.
+
+    Runs on the SHARED connected_components kernel (operators/dedup.py)
+    — the probed strategy switch: a post-threshold edge set under 2M
+    edges answers in one driver union-find collect (iterating a few
+    thousand edges through distributed rounds is pure task overhead —
+    a first cut here spent ~1.2s/round on a 3.5k-edge graph), larger
+    graphs run the distributed min-label-propagation loop whose
+    parallelism is sized to the GRAPH, not the session shuffle width.
+
+    The DuckDB oracle computes the same fixpoint DECLARATIVELY: a
+    recursive CTE propagates every label downhill (lbl < node admits
+    exactly the paths that matter, since a component's minimum reaches
+    every member through nodes that are all larger), and MIN per node
+    is that fixpoint — so the differential check covers the whole
+    dynamic computation, not a fixed unrolling."""
+    from ibis_olap_aggregation_spark.operators.dedup import connected_components
+
+    und = query_cache(
+        copurchase_pairs(order_items(spark, sf_dir))
+        .filter(F.col("w") >= _CC_MIN_W)
+        .select("pa", "pb")
+    )
+    labels = connected_components(und, "pa", "pb")
+    labels = query_cache(labels)
+    n_total = labels.count()
+    n_components = labels.select("component").distinct().count()
+    out = labels.groupBy(F.col("component").alias("component_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    out = out.select(
+        "component_id",
+        "n_nodes",
+        F.round(F.col("n_nodes").cast("double") / F.lit(float(n_total)), 6).alias(
+            "node_share"
+        ),
+        F.lit(n_components).cast("bigint").alias("n_components"),
+    )
+    return out.orderBy(F.col("n_nodes").desc(), "component_id").limit(10)
+
+
 @register(
     "graph_copurchase_cosine",
     """

@@ -1012,3 +1012,104 @@ def quality_ks_exponential_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), pre-computed as
+# Python floats and injected as IDENTICAL literals into both engines —
+# sidestepping any cross-engine log10 question entirely. repr() of a
+# float round-trips exactly, so both sides parse the same IEEE double.
+import math as _math
+
+_BENFORD_WHENS = " ".join(
+    # CAST: both engines parse a bare 16-digit literal as DECIMAL(16,16)
+    # (Spark would then emit a Decimal column); the cast recovers the
+    # exact IEEE double repr() round-trips to
+    f"WHEN {d} THEN CAST({_math.log10(1.0 + 1.0 / d)!r} AS DOUBLE)"
+    for d in range(1, 10)
+)
+_BENFORD_CASE = f"CASE first_digit {_BENFORD_WHENS} END"
+
+_BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS first_digit
+  FROM orders
+),
+counts AS (
+  SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n
+  FROM digits GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM counts),
+terms AS (
+  SELECT first_digit, n,
+         CAST(n AS DOUBLE) / t.total AS obs_share,
+         {_BENFORD_CASE} AS exp_share,
+         CAST(ROUND(
+           (CAST(n AS DOUBLE) - t.total * ({_BENFORD_CASE}))
+           * (CAST(n AS DOUBLE) - t.total * ({_BENFORD_CASE}))
+           / (t.total * ({_BENFORD_CASE})) * 1e9) AS BIGINT) AS chi2_q
+  FROM counts, tot t
+)
+SELECT first_digit, n,
+       ROUND(obs_share, 6) AS obs_share,
+       ROUND(exp_share, 6) AS benford_share,
+       ROUND(CAST(chi2_q AS DOUBLE) / 1e9, 6) AS chi2_term,
+       ROUND(CAST(SUM(chi2_q) OVER () AS DOUBLE) / 1e9, 6) AS chi2_total
+FROM terms
+ORDER BY first_digit
+"""
+
+
+@register("quality_benford_digit_test", _BENFORD_SQL)
+def quality_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: the distribution of
+    FIRST SIGNIFICANT DIGITS vs log10(1+1/d), the classic forensic
+    screen for fabricated or truncated monetary data (Nigrini's
+    digital analysis). One row per digit 1-9 with observed vs expected
+    share, the per-digit chi-square contribution, and the overall
+    chi-square statistic (vs chi2(8) critical values).
+
+    Parity engineering: the first digit comes from the STRING of the
+    exact bigint cent amount — never from floor(log10(x)), whose
+    boundary behavior at exact powers of ten is an FP landmine — and
+    the chi-square total is a window sum of 1e-9-QUANTIZED bigint
+    terms, because summing 9 doubles in window order is the one spot
+    where engines could differ in the last bit. Map-side digit
+    extraction, a 9-group aggregate, and a 9-row window: scan-bound at
+    any scale."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    counts = digits.groupBy("first_digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    total = counts.agg(F.sum("n")).first()[0]
+    t = F.lit(float(total))
+    exp_share = F.expr(_BENFORD_CASE)
+    nd = F.col("n").cast("double")
+    chi2_q = (
+        F.round((nd - t * exp_share) * (nd - t * exp_share) / (t * exp_share) * F.lit(1e9))
+        .cast("bigint")
+    )
+    terms = counts.select(
+        "first_digit",
+        "n",
+        F.round(nd / t, 6).alias("obs_share"),
+        F.round(exp_share, 6).alias("benford_share"),
+        F.round(chi2_q.cast("double") / F.lit(1e9), 6).alias("chi2_term"),
+        chi2_q.alias("chi2_q"),
+    )
+    w = Window.partitionBy()
+    return (
+        terms.withColumn(
+            "chi2_total",
+            F.round(F.sum("chi2_q").over(w).cast("double") / F.lit(1e9), 6),
+        )
+        .drop("chi2_q")
+        .orderBy("first_digit")
+    )

@@ -925,12 +925,21 @@ _ADDED_ROUND7 = frozenset(
     }
 )
 
+_ADDED_ROUND8 = frozenset(
+    {
+        "graph_connected_components",
+        "quality_benford_digit_test",
+        "agg_ols_daily_trend",
+        "agg_spearman_rank_corr",
+    }
+)
+
 
 def _reorder_for_driver_coverage() -> None:
     flagship = "hierarchy_grocery_rollup"
     checked = _driver_verified_names()
     later = (_ADDED_ROUND2 | _ADDED_ROUND4 | _ADDED_ROUND5 | _ADDED_ROUND6
-             | _ADDED_ROUND6B | _ADDED_ROUND7)
+             | _ADDED_ROUND6B | _ADDED_ROUND7 | _ADDED_ROUND8)
     # never-driver-checked queries, oldest families first: the ones that
     # have been WAITING (not in a later-additions set) outrank the
     # newest additions for the guaranteed prefix slots
@@ -963,6 +972,10 @@ def _reorder_for_driver_coverage() -> None:
         n
         for n in QUERIES
         if n != flagship and n not in checked and n in _ADDED_ROUND7
+    ] + [
+        n
+        for n in QUERIES
+        if n != flagship and n not in checked and n in _ADDED_ROUND8
     ]
     # verified queries fill the remaining prefix slots STALEST-FIRST
     # (longest since a green driver row), so re-verification rotates

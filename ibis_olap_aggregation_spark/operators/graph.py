@@ -38,6 +38,14 @@ from ibis_olap_aggregation_spark.session import load_table, query_cache
 _DAMP = 0.85
 _ITERS = 3
 
+# Above this many distinct ordered co-purchase edges the forward
+# adjacency (edge-list-sized in total payload) stops being broadcast
+# and the triangle enumeration switches to sort-merge joins. ~5M edges
+# x ~16 bytes/entry ~ 80 MB serialized — comfortably under executor
+# memory as a broadcast but near the practical ceiling; a module
+# constant so tests can force either regime.
+TRIANGLE_BROADCAST_EDGE_CAP = 5_000_000
+
 
 def order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (l_orderkey, l_partkey) pairs — the basket item set the
@@ -265,19 +273,31 @@ def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The wedge join materializes EVERY path a->b->c before the closing
     # probe — ~70M wedge rows on the sf0.1 graph (avg degree 120),
     # measured 32.6s — where the intersection touches each edge once
-    # against two broadcast node-sized adjacency arrays and emits only
-    # ACTUAL triangles: measured ~6x faster, identical output. At a
-    # node-adjacency volume beyond broadcast reach, swap the two
-    # broadcast attaches for sort-merge joins on a then b (the edge
-    # stream stays the only fact-scale object either way).
+    # against two adjacency arrays and emits only ACTUAL triangles:
+    # measured ~6x faster, identical output.
+    #
+    # Join-strategy switch (the connected_components pattern,
+    # dedup.py): the adjacency table's total payload is EDGE-LIST
+    # sized (sum of forward degrees), not node-sized — broadcasting it
+    # is only right while the edge list itself is broadcast-small.
+    # Past TRIANGLE_BROADCAST_EDGE_CAP edges the two attaches become
+    # sort-merge joins (edge stream shuffled on a, then b; adjacency
+    # shuffled on n) — the same enumeration, never a wedge
+    # materialization, no executor-memory cliff. The size probe rides
+    # the already-cached edge list (one bounded count, reused by the
+    # cache for every downstream pass).
     fwd = und.groupBy(F.col("a").alias("n")).agg(
         F.sort_array(F.collect_list("b")).alias("nbrs")
     )
     na = fwd.select(F.col("n").alias("na_n"), F.col("nbrs").alias("nbrs_a"))
     nb = fwd.select(F.col("n").alias("nb_n"), F.col("nbrs").alias("nbrs_b"))
+    if und.limit(TRIANGLE_BROADCAST_EDGE_CAP).count() < TRIANGLE_BROADCAST_EDGE_CAP:
+        na, nb = F.broadcast(na), F.broadcast(nb)
+    else:
+        na, nb = na.hint("merge"), nb.hint("merge")
     tri = (
-        und.join(F.broadcast(na), und.a == F.col("na_n"))
-        .join(F.broadcast(nb), und.b == F.col("nb_n"))
+        und.join(na, und.a == F.col("na_n"))
+        .join(nb, und.b == F.col("nb_n"))
         .select(
             F.col("a").alias("ta"),
             F.col("b").alias("tb"),

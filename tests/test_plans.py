@@ -446,6 +446,33 @@ def test_triangle_clustering_no_cartesian_caches_edges(spark, sf_small):
     release_query_caches()
 
 
+def test_triangle_clustering_join_regime_switch(spark, sf_small, monkeypatch):
+    """The adjacency attach is edge-list-sized in total payload, so it
+    broadcasts only below TRIANGLE_BROADCAST_EDGE_CAP; above the cap
+    the enumeration runs as sort-merge joins. Both regimes are pinned
+    from the plan AND produce identical output (the switch changes the
+    physical strategy, never the triangle set)."""
+    from ibis_olap_aggregation_spark.operators import graph as g
+    from ibis_olap_aggregation_spark.session import release_query_caches
+
+    df_b = q.QUERIES["graph_triangle_clustering"](spark, sf_small)
+    plan_b = pi.physical_plan(df_b)
+    assert "BroadcastExchange" in plan_b, plan_b
+    rows_b = [tuple(r) for r in df_b.collect()]
+    release_query_caches()
+
+    monkeypatch.setattr(g, "TRIANGLE_BROADCAST_EDGE_CAP", 1)
+    df_m = q.QUERIES["graph_triangle_clustering"](spark, sf_small)
+    plan_m = pi.physical_plan(df_m)
+    # both adjacency attaches run as sort-merge joins in the large
+    # regime (the node-sized degree attach at the end may still
+    # auto-broadcast — that one IS node-sized and stays legal)
+    assert plan_m.count("SortMergeJoin") >= 2, plan_m
+    rows_m = [tuple(r) for r in df_m.collect()]
+    release_query_caches()
+    assert rows_b == rows_m
+
+
 def test_trimmed_mean_broadcasts_bounds(spark, sf_small):
     """agg_trimmed_mean: the per-group percentile bounds (group-count
     rows) broadcast back onto the fact stream — the big side is never

@@ -221,6 +221,31 @@ def regression_gate(
     return flagged
 
 
+def isolate_flagged(
+    flagged: dict[str, float],
+    prev: dict[str, float],
+    rerun,
+) -> tuple[dict[str, dict[str, float]], dict[str, dict[str, float]]]:
+    """Split gate flags into isolation-CONFIRMED regressions and
+    noise_cleared, by re-measuring each flagged query via ``rerun(name)
+    -> isolated median``. A flag whose isolated median no longer
+    violates the dual threshold vs the same baseline is noise (the
+    documented in-bench first-rep/jitter class); only confirmed flags
+    should block the history record from the clean baseline pool. Both
+    maps carry {'delta': in-bench delta, 'isolated_median': re-measure}
+    so the record shows the evidence either way."""
+    regressions: dict[str, dict[str, float]] = {}
+    noise_cleared: dict[str, dict[str, float]] = {}
+    for name, delta in flagged.items():
+        iso_med = rerun(name)
+        rec = {"delta": delta, "isolated_median": iso_med}
+        if regression_gate({name: iso_med}, prev):
+            regressions[name] = rec
+        else:
+            noise_cleared[name] = rec
+    return regressions, noise_cleared
+
+
 def _history_path() -> str:
     # derived from _HERE at call time so tests can monkeypatch _HERE and
     # redirect BOTH baseline sources together
@@ -242,10 +267,21 @@ def _prev_bench() -> tuple[dict[str, float], str | None]:
     Ratchet guard (ADVICE r7): baselining against only the LAST record
     lets a gradual slowdown creep past the dual threshold one small
     step at a time (each run re-baselines on the previous, flagged or
-    not). The baseline is therefore the per-query MIN over the last
+    not). The baseline is therefore the per-query MEDIAN over the last
     K=5 same-sf, same-basis records that were themselves CLEAN (no
     regressions flagged when they ran) — a regressing run never
-    becomes the baseline, and the min anchors against slow drift."""
+    becomes the baseline, and the median anchors against slow drift
+    without the one-sided noise amplification of a min (ADVICE r8: one
+    lucky-fast run would otherwise anchor the baseline for ~5 rounds
+    and false-flag every mid-size query with documented ±30% swings).
+
+    Rebase hatch (ADVICE r8): an INTENTIONAL, accepted slowdown would
+    otherwise wedge the gate permanently — the flagged run is excluded
+    from the clean pool, so every later run compares against the frozen
+    historic level and flags too, forever. SPARK_GRAFT_BENCH_REBASE=1
+    records the current run as clean (flags still PRINTED, only the
+    history record is unflagged) so the accepted level enters the
+    baseline pool."""
     tag = _sf_tag()
     matching: list[dict] = []
     try:
@@ -266,11 +302,14 @@ def _prev_bench() -> tuple[dict[str, float], str | None]:
             if r.get("basis") == BENCH_BASIS and not r.get("regressions")
         ][-5:]
         if clean_same_basis:
-            base: dict[str, float] = {}
+            samples: dict[str, list[float]] = {}
             for r in clean_same_basis:
                 for k, v in r["queries"].items():
-                    base[k] = min(v, base[k]) if k in base else v
-            return base, BENCH_BASIS
+                    samples.setdefault(k, []).append(v)
+            return (
+                {k: round(statistics.median(v), 3) for k, v in samples.items()},
+                BENCH_BASIS,
+            )
         # no clean same-basis record: report deltas vs the latest one
         # but never arm the gate against a flagged/different-basis run
         return matching[-1]["queries"], None
@@ -359,9 +398,28 @@ def main() -> None:
     # gate rests on does not hold for them (they stay delta-reported)
     build_names = {name for name, _ in DIM_BUILDS}
     gated = {k: v for k, v in timings.items() if k not in build_names}
-    regressions = (
+    flagged = (
         regression_gate(gated, prev) if prev_basis == BENCH_BASIS else {}
     )
+    # Auto re-measure every flagged line in ISOLATION (5 reps, back to
+    # back, nothing else between them) before letting the flag stand:
+    # two consecutive rounds' only flags (pagerank r7, triangles r8)
+    # were the documented in-bench noise class — a costly first rep or
+    # scheduler jitter inside a 60-query run — and each burned a round
+    # of investigation. A flag whose isolated median no longer violates
+    # the dual threshold vs the same baseline is demoted to
+    # noise_cleared; only isolation-confirmed regressions block the
+    # history record from the clean baseline pool. The injected
+    # slowdown (if any) stays applied so the gate's end-to-end test
+    # path still fires through the re-measure.
+    def _rerun_isolated(name: str) -> float:
+        fn = q.QUERIES[name]
+        med, _ = time_query(
+            name, lambda: materialize(fn(spark, SF_DIR)), reps=5, inject=inject
+        )
+        return med
+
+    regressions, noise_cleared = isolate_flagged(flagged, prev, _rerun_isolated)
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -375,7 +433,17 @@ def main() -> None:
     if deltas:
         out["deltas_vs_prev"] = deltas
     out["regressions"] = regressions
+    if noise_cleared:
+        out["noise_cleared"] = noise_cleared
     print(json.dumps(out))
+    # rebase hatch (ADVICE r8): flags stay in the printed output above,
+    # but the HISTORY record is written clean so an accepted new
+    # performance level can enter the baseline pool
+    recorded_regressions = (
+        {}
+        if os.environ.get("SPARK_GRAFT_BENCH_REBASE") == "1"
+        else regressions
+    )
     # Persist the full per-query record locally: the driver's stdout
     # capture truncates the long line above out of BENCH_r{N}.json, so
     # this appended history is the only durable same-basis baseline the
@@ -391,8 +459,9 @@ def main() -> None:
                         "sf": out["sf"],
                         "total": out["value"],
                         # flagged runs are recorded but excluded from
-                        # future baselines (_prev_bench ratchet guard)
-                        "regressions": regressions,
+                        # future baselines (_prev_bench ratchet guard);
+                        # REBASE=1 records clean (accepted slowdown)
+                        "regressions": recorded_regressions,
                     }
                 )
                 + "\n"

@@ -353,8 +353,7 @@ def hierarchy_geo_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "hierarchy_geo_rollup_orders",
+_GEO_ROLLUP_ORDERS_SQL = (
     _GEO_PRELUDE
     + """
 SELECT a.node_name AS node_name, a.level_name AS level_name,
@@ -367,11 +366,11 @@ JOIN so a ON a.node_id = c.ancestor_node_id
 JOIN so d ON d.node_id = c.descendant_node_id
 JOIN orders f ON f.o_custkey = d.node_natural_key
 GROUP BY 1, 2, 3, 4
-""",
+"""
 )
-def hierarchy_geo_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FLAGSHIP at scale: orders rolled up the geography hierarchy —
-    every region/nation/customer node in one flat closure-join groupBy."""
+
+
+def _geo_rollup_orders(spark: SparkSession, sf_dir: str, broadcast_dim) -> DataFrame:
     dim = _geo_dim(spark, sf_dir)
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     out = hierarchical_rollup_additive(
@@ -381,6 +380,7 @@ def hierarchy_geo_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_cols=[("o_totalprice", "sum_totalprice")],
         count_alias="count_of_fact_records",
         distinct_cols=[("o_custkey", "distinct_customer_count")],
+        broadcast_dim=broadcast_dim,
     )
     return out.select(
         F.col("ancestor_node_name").alias("node_name"),
@@ -391,6 +391,13 @@ def hierarchy_geo_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_customer_count",
         "count_of_fact_records",
     )
+
+
+@register("hierarchy_geo_rollup_orders", _GEO_ROLLUP_ORDERS_SQL)
+def hierarchy_geo_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP at scale: orders rolled up the geography hierarchy —
+    every region/nation/customer node in one flat closure-join groupBy."""
+    return _geo_rollup_orders(spark, sf_dir, True)
 
 
 _PART_PRELUDE = f"""
@@ -934,12 +941,18 @@ _ADDED_ROUND8 = frozenset(
     }
 )
 
+_ADDED_ROUND9: frozenset[str] = frozenset(
+    {
+        "hierarchy_geo_rollup_orders_shuffled",
+    }
+)
+
 
 def _reorder_for_driver_coverage() -> None:
     flagship = "hierarchy_grocery_rollup"
     checked = _driver_verified_names()
     later = (_ADDED_ROUND2 | _ADDED_ROUND4 | _ADDED_ROUND5 | _ADDED_ROUND6
-             | _ADDED_ROUND6B | _ADDED_ROUND7 | _ADDED_ROUND8)
+             | _ADDED_ROUND6B | _ADDED_ROUND7 | _ADDED_ROUND8 | _ADDED_ROUND9)
     # never-driver-checked queries, oldest families first: the ones that
     # have been WAITING (not in a later-additions set) outrank the
     # newest additions for the guaranteed prefix slots
@@ -976,6 +989,10 @@ def _reorder_for_driver_coverage() -> None:
         n
         for n in QUERIES
         if n != flagship and n not in checked and n in _ADDED_ROUND8
+    ] + [
+        n
+        for n in QUERIES
+        if n != flagship and n not in checked and n in _ADDED_ROUND9
     ]
     # verified queries fill the remaining prefix slots STALEST-FIRST
     # (longest since a green driver row), so re-verification rotates
@@ -1754,6 +1771,28 @@ def hierarchy_lca_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+_reorder_for_driver_coverage()
+
+
+# -- round 9: non-broadcast closure rollup (the 10M-node hierarchy path) -----
+
+
+@register("hierarchy_geo_rollup_orders_shuffled", _GEO_ROLLUP_ORDERS_SQL)
+def hierarchy_geo_rollup_orders_shuffled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The flagship geo rollup with ``broadcast_dim=False``: every dim
+    attach (closure join, distinct branch, branch merge, attribute
+    decorate) runs as a SORT-MERGE join instead of a broadcast — the
+    plan a 10M-node hierarchy needs once the closure (nodes x depth
+    rows) is past broadcast reach (SURVEY §7.3; reference main.py:36 is
+    this join). Same oracle SQL as hierarchy_geo_rollup_orders, so the
+    driver hash-verifies the two physical regimes against each other
+    through the shared DuckDB result; plan-pinned broadcast-free in
+    tests/test_plans.py."""
+    return _geo_rollup_orders(spark, sf_dir, False)
 
 
 _reorder_for_driver_coverage()

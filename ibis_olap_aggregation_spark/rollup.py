@@ -17,7 +17,9 @@ carries two columns instead of six, and the shuffle rows carry an
 id instead of repeating every display string (measured 8.1s -> ~3s
 for the sf0.1 part rollup's sums on local[32]). The closure is
 broadcast by default; for hierarchies too large to broadcast, pass
-``broadcast_dim=False`` and Catalyst/AQE picks a shuffled join.
+``broadcast_dim=False`` (every dim attach becomes a sort-merge join —
+plan-pinned broadcast-free) or ``"auto"`` (row-count probe against
+CLOSURE_BROADCAST_ROW_CAP picks the regime).
 """
 
 from __future__ import annotations
@@ -45,6 +47,36 @@ DEFAULT_GROUP_KEYS = (
 
 _ID = "ancestor_node_id"
 
+# "auto" switches the closure join off broadcast past this many closure
+# rows (closure rows ~ nodes x avg depth; 2M rows x ~32 B of key+id is
+# ~64 MB serialized — at the practical broadcast ceiling). A module
+# constant so tests can force either regime.
+CLOSURE_BROADCAST_ROW_CAP = 2_000_000
+
+
+def _resolve_broadcast(dim_slim: DataFrame, broadcast_dim) -> bool:
+    """Resolve the join strategy for the rollup's dim-derived sides.
+
+    True  -> broadcast hints (the default: closures are dim-sized).
+    False -> SHUFFLE_MERGE hints: every dim attach in the rollup becomes
+             a sort-merge join — the 10M-node-hierarchy path where the
+             closure (nodes x depth rows) is past broadcast reach
+             (SURVEY §7.3 design note; the reference's flagship closure
+             join, ref main.py:36, at the scale the brief names).
+    "auto" -> probe the closure row count once (one bounded count; dims
+             are cached after build, so this reads the cache) and pick.
+    """
+    if broadcast_dim is True or broadcast_dim is False:
+        return broadcast_dim
+    if broadcast_dim == "auto":
+        cap = CLOSURE_BROADCAST_ROW_CAP
+        return dim_slim.limit(cap).count() < cap
+    raise ValueError(f"broadcast_dim must be True, False or 'auto': {broadcast_dim!r}")
+
+
+def _dim_side(df: DataFrame, bcast: bool) -> DataFrame:
+    return F.broadcast(df) if bcast else df.hint("merge")
+
 
 def hierarchical_rollup(
     facts: DataFrame,
@@ -54,7 +86,7 @@ def hierarchical_rollup(
     *,
     descendant_key_col: str = "descendant_node_natural_key",
     group_keys: Sequence[str] = DEFAULT_GROUP_KEYS,
-    broadcast_dim: bool = True,
+    broadcast_dim: bool | str = True,
     sort: bool = True,
 ) -> DataFrame:
     """Roll facts up to every hierarchy node via the closure join.
@@ -71,8 +103,8 @@ def hierarchical_rollup(
     if _ID not in dim.columns or _ID in keys:
         # no compact id to pivot on (custom closure) — single wide groupBy
         dim_slim = dim.select(descendant_key_col, *keys)
-        if broadcast_dim:
-            dim_slim = F.broadcast(dim_slim)
+        bcast = _resolve_broadcast(dim_slim, broadcast_dim)
+        dim_slim = _dim_side(dim_slim, bcast)
         joined = facts.join(
             dim_slim, facts[fact_key_col] == dim_slim[descendant_key_col], "inner"
         )
@@ -81,19 +113,22 @@ def hierarchical_rollup(
         # aggregate on the id, decorate after: the expanded fact only
         # ever carries (fact columns + ancestor_node_id)
         dim_slim = dim.select(descendant_key_col, _ID)
-        if broadcast_dim:
-            dim_slim = F.broadcast(dim_slim)
+        bcast = _resolve_broadcast(dim_slim, broadcast_dim)
+        dim_slim = _dim_side(dim_slim, bcast)
         joined = facts.join(
             dim_slim, facts[fact_key_col] == dim_slim[descendant_key_col], "inner"
         )
         per_node = joined.groupBy(_ID).agg(*measures)
         # one attribute row per node: the closure's self-pairs are unique
-        # per ancestor; fall back to distinct when net_level is absent
+        # per ancestor; fall back to distinct when net_level is absent.
+        # attrs is node-sized (smaller than the closure by the depth
+        # factor) but follows the same regime: past broadcast reach for
+        # the closure usually means a 10M-node attr table too.
         if "net_level" in dim.columns:
             attrs = dim.filter(F.col("net_level") == 0).select(_ID, *keys)
         else:
             attrs = dim.select(_ID, *keys).distinct()
-        out = per_node.join(F.broadcast(attrs), _ID).select(
+        out = per_node.join(_dim_side(attrs, bcast), _ID).select(
             *keys, *[c for c in per_node.columns if c != _ID]
         )
     if sort and "ancestor_node_sort_order" in keys:
@@ -118,7 +153,7 @@ def hierarchical_rollup_additive(
     distinct_cols: Sequence[tuple[str, str]] = (),
     descendant_key_col: str = "descendant_node_natural_key",
     group_keys: Sequence[str] = DEFAULT_GROUP_KEYS,
-    broadcast_dim: bool = True,
+    broadcast_dim: bool | str = True,
     sort: bool = True,
     keep_node_id: bool = False,
 ) -> DataFrame:
@@ -156,8 +191,8 @@ def hierarchical_rollup_additive(
             f"{_ID} column — use hierarchical_rollup for custom closures"
         )
     dim_slim = dim.select(descendant_key_col, _ID)
-    if broadcast_dim:
-        dim_slim = F.broadcast(dim_slim)
+    bcast = _resolve_broadcast(dim_slim, broadcast_dim)
+    dim_slim = _dim_side(dim_slim, bcast)
 
     branches: list[DataFrame] = []
     if sum_cols or count_alias:
@@ -194,7 +229,10 @@ def hierarchical_rollup_additive(
         raise ValueError("no measures declared")
     per_node = branches[0]
     for b in branches[1:]:
-        per_node = per_node.join(b, _ID)
+        # branch merges are node-sized x node-sized; they follow the
+        # closure's regime so the non-broadcast plan has no broadcast
+        # anywhere (every side is dim-derived)
+        per_node = per_node.join(b if bcast else b.hint("merge"), _ID)
 
     if "net_level" in dim.columns:
         attrs = dim.filter(F.col("net_level") == 0).select(_ID, *keys)
@@ -202,7 +240,7 @@ def hierarchical_rollup_additive(
         attrs = dim.select(_ID, *keys).distinct()
     # keep_node_id=True retains the compact node id for consumers that
     # self-join the rolled table (share-of-parent, drill paths)
-    out = per_node.join(F.broadcast(attrs), _ID).select(
+    out = per_node.join(_dim_side(attrs, bcast), _ID).select(
         *([_ID] if keep_node_id else []),
         *keys,
         *[c for c in per_node.columns if c != _ID],
@@ -294,7 +332,7 @@ def hierarchical_rollup_partials(
     sum_cols: Sequence[tuple[str, str]] = (),
     count_alias: str | None = None,
     descendant_key_col: str = "descendant_node_natural_key",
-    broadcast_dim: bool = True,
+    broadcast_dim: bool | str = True,
 ) -> DataFrame:
     """Per-node ADDITIVE partials for a batch of facts: one row per
     ancestor_node_id carrying exact-decimal sums (decimal(38,2) — no

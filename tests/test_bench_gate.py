@@ -119,13 +119,18 @@ def test_sf_tag_tolerates_custom_data_dir(monkeypatch):
 
 def test_prev_bench_baseline_resists_ratchet(tmp_path, monkeypatch):
     """A gradual slowdown must not re-baseline itself past the gate:
-    the baseline is the per-query MIN over recent CLEAN same-basis
+    the baseline is the per-query MEDIAN over recent CLEAN same-basis
     records, so (a) a run recorded with flagged regressions never
     becomes the baseline and (b) slow drift gates against the anchored
-    min, not the immediately preceding (already-drifted) run."""
+    median, not the immediately preceding (already-drifted) run —
+    while a single lucky-fast run cannot one-sidedly anchor the
+    baseline the way the old MIN did (ADVICE r8)."""
     import json
 
     hist = [
+        # one lucky-fast outlier: under a MIN baseline this would
+        # anchor at 0.4 and false-flag a steady-state 1.3s query
+        {"queries": {"q1": 0.4}, "basis": "median3", "sf": 0.1},
         {"queries": {"q1": 1.0}, "basis": "median3", "sf": 0.1},
         {"queries": {"q1": 1.6}, "basis": "median3", "sf": 0.1},
         # a flagged run: excluded from the baseline pool entirely
@@ -143,11 +148,30 @@ def test_prev_bench_baseline_resists_ratchet(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
     queries, basis = bench._prev_bench()
     assert basis == bench.BENCH_BASIS
-    # min over the two clean records (1.0, 1.6), flagged 9.0 excluded
+    # median over the three clean records (0.4, 1.0, 1.6); flagged 9.0
+    # excluded; the 0.4 outlier does NOT become the anchor
     assert queries == {"q1": 1.0}
-    # the drift step that re-baselining would have waved through
-    # (1.6 -> 2.1 is +0.5s, under the floor) still fires vs the min
+    # steady state near the median never flags...
+    assert bench.regression_gate({"q1": 1.3}, queries) == {}
+    # ...but real drift still fires vs the anchored median
     assert bench.regression_gate({"q1": 2.1}, queries) == {"q1": 1.1}
+
+
+def test_isolate_flagged_demotes_noise_and_confirms_real():
+    """The in-bench gate flag is only a SUSPECT: each flagged query is
+    re-measured in isolation (5 reps) and the flag stands only if the
+    isolated median still violates the dual threshold vs the same
+    baseline. Both outcomes carry the evidence (delta + isolated
+    median)."""
+    prev = {"noisy": 5.0, "legit": 5.0}
+    flagged = bench.regression_gate({"noisy": 8.0, "legit": 8.0}, prev)
+    assert set(flagged) == {"noisy", "legit"}
+    iso = {"noisy": 5.2, "legit": 7.9}  # noise settles, real one stays
+    confirmed, cleared = bench.isolate_flagged(
+        flagged, prev, lambda name: iso[name]
+    )
+    assert confirmed == {"legit": {"delta": 3.0, "isolated_median": 7.9}}
+    assert cleared == {"noisy": {"delta": 3.0, "isolated_median": 5.2}}
 
 
 def test_prev_bench_never_arms_against_flagged_only_history(tmp_path, monkeypatch):

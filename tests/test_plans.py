@@ -33,6 +33,50 @@ def test_rollup_broadcasts_dim_and_prunes_fact_scan(spark, sf_small):
     )
 
 
+def test_shuffled_rollup_has_no_broadcast_and_matches_broadcast_twin(
+    spark, sf_small
+):
+    """hierarchy_geo_rollup_orders_shuffled (broadcast_dim=False): the
+    10M-node-hierarchy regime where the closure is past broadcast
+    reach. Pinned: ZERO BroadcastExchange anywhere in the plan (every
+    dim attach is a sort-merge join) and the rows are bit-identical to
+    the broadcast flagship."""
+    df_s = q.QUERIES["hierarchy_geo_rollup_orders_shuffled"](spark, sf_small)
+    # the EXECUTING plan: the cached dim's stored build lineage (display
+    # only — the cache is read, its broadcasts never run) and the AQE
+    # initial plan are stripped first
+    plan = pi._strip_non_executing(pi.physical_plan(df_s, executed=True))
+    assert "BroadcastExchange" not in plan, plan
+    assert plan.count("SortMergeJoin") >= 3, plan
+    df_b = q.QUERIES["hierarchy_geo_rollup_orders"](spark, sf_small)
+    assert [tuple(r) for r in df_s.collect()] == [
+        tuple(r) for r in df_b.collect()
+    ]
+
+
+def test_rollup_auto_regime_probes_row_count(spark, sf_small, monkeypatch):
+    """broadcast_dim='auto' picks broadcast under the row cap and
+    sort-merge above it (cap forced to 1 to simulate a 10M-node dim)."""
+    from ibis_olap_aggregation_spark import rollup as r
+
+    dim = q._geo_dim(spark, sf_small).aggregation_dim
+    orders = load_table(spark, sf_small, "orders")
+
+    def build():
+        return r.hierarchical_rollup_additive(
+            orders,
+            dim,
+            "o_custkey",
+            sum_cols=[("o_totalprice", "s")],
+            broadcast_dim="auto",
+        )
+
+    assert pi.has_broadcast_join(build())
+    monkeypatch.setattr(r, "CLOSURE_BROADCAST_ROW_CAP", 1)
+    plan = pi._strip_non_executing(pi.physical_plan(build(), executed=True))
+    assert "BroadcastExchange" not in plan, plan
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_small):
     li = load_table(spark, sf_small, "lineitem")
     df = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")

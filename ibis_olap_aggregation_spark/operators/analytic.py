@@ -992,9 +992,11 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rank arithmetic stays integral: avg_rank has halves, so both sides
     carry 2*avg_rank = 2*RANK() + tie_count - 1 (an integer — Pearson
-    is scale-invariant), all five sufficient statistics are exact
-    bigint sums, and only the final rho is a double — bit-identical
-    cross-engine, same discipline as the OLS operator.
+    is scale-invariant). First-order sums are exact bigints; the
+    second-order sums (~4n^3) are exact decimal(38,0) to mirror the
+    oracle's hugeint promotion past ~1.3M rows per group. Only the
+    final rho is a double — bit-identical cross-engine, same
+    discipline as the OLS operator.
 
     Scale: ranks come from windows partitioned by NATION (never
     global); the spend pre-aggregate shuffles once on customer. For a
@@ -1029,13 +1031,20 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rb"),
     )
+    # second-order sums route through decimal(38,0) like the OLS
+    # operator's syy: sum(ra^2) ~ 4n^3 exceeds bigint once a nation has
+    # ~1.3M customers, and Spark's non-ANSI bigint SUM wraps SILENTLY
+    # while the DuckDB oracle promotes to hugeint (ADVICE r8). The
+    # per-row PRODUCT stays bigint (safe to n ~ 1.5e9 rows per group);
+    # the cross-row sum is where the headroom is needed.
+    dsum = lambda col: F.sum(col.cast("decimal(38,0)")).cast("double")  # noqa: E731
     s = rk.groupBy("nation").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("ra").cast("double").alias("sa"),
         F.sum("rb").cast("double").alias("sb"),
-        F.sum(F.col("ra") * F.col("ra")).cast("double").alias("saa"),
-        F.sum(F.col("rb") * F.col("rb")).cast("double").alias("sbb"),
-        F.sum(F.col("ra") * F.col("rb")).cast("double").alias("sab"),
+        dsum(F.col("ra") * F.col("ra")).alias("saa"),
+        dsum(F.col("rb") * F.col("rb")).alias("sbb"),
+        dsum(F.col("ra") * F.col("rb")).alias("sab"),
     )
     n_, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
     saa, sbb, sab = F.col("saa"), F.col("sbb"), F.col("sab")

@@ -480,7 +480,8 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges answers in one driver union-find collect (iterating a few
     thousand edges through distributed rounds is pure task overhead —
     a first cut here spent ~1.2s/round on a 3.5k-edge graph), larger
-    graphs run the distributed min-label-propagation loop whose
+    graphs run the distributed alternating large-star/small-star loop
+    (O(log n) rounds on any graph shape, including chains) whose
     parallelism is sized to the GRAPH, not the session shuffle width.
 
     The DuckDB oracle computes the same fixpoint DECLARATIVELY: a

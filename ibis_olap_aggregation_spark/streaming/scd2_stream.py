@@ -83,6 +83,17 @@ def merge_scd2_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
     """The rows to UPSERT (keys: user_id, version) that bring ``dim``
     current with ``batch``. Closed history is never touched; returns
     only modified/new rows."""
+    if "valid_last_us" not in dim.columns:
+        # migration shim (ADVICE r8): valid_last_us joined the schema
+        # after dimensions were first persisted, so a 6-column dim from
+        # an older run would fail here with a missing column. Backfill
+        # with valid_from_us — the weakest watermark that is always
+        # true (the version's onset IS a counted event), so the
+        # ordering guard stays sound, merely less strict for the first
+        # merge after migration (events between the old dim's onset and
+        # its true last counted event are no longer detectable — they
+        # were already un-detectable in the 6-column schema).
+        dim = dim.withColumn("valid_last_us", F.col("valid_from_us"))
     runs = scd2_batch_runs(batch)
     open_v = dim.filter(F.col("valid_to_us").isNull()).select(
         F.col("user_id").alias("o_user"),

@@ -765,3 +765,34 @@ def test_scd2_ledger_survives_crash_between_phases(spark, sf_small, tmp_path):
     # a metadata-less upsert elsewhere must NOT wipe the ledger
     table.upsert(table.read().limit(1), ["user_id", "version"])
     assert table.current_meta() == {"scd2_applied_batches": [0]}
+
+
+def test_scd2_merge_migrates_six_column_dim(spark, sf_small):
+    """A dimension persisted before valid_last_us existed (6-column
+    schema) must merge cleanly: the shim backfills the watermark with
+    valid_from_us (ADVICE r8) instead of failing on a missing column,
+    and the result matches merging the same batch into the equivalent
+    7-column dim."""
+    from ibis_olap_aggregation_spark.streaming import scd2_stream as ss
+
+    ev = load_table(spark, sf_small, "events")
+    med = ev.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.5) AS m"
+    ).first().m
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    first, second = ev.filter(us <= med), ev.filter(us > med)
+
+    seed = spark.createDataFrame([], ss.SCD2_SCHEMA)
+    dim7 = ss.merge_scd2_batch(seed, first)
+    # the old persisted shape: same rows, watermark column absent —
+    # equivalent to a 7-column dim whose watermark equals the onset
+    dim6 = dim7.drop("valid_last_us")
+    got = ss.merge_scd2_batch(dim6, second)
+    want = ss.merge_scd2_batch(
+        dim7.withColumn("valid_last_us", F.col("valid_from_us")), second
+    )
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )

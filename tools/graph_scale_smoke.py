@@ -1,0 +1,137 @@
+"""Empirical scale smoke for the GRAPH axis: the co-purchase graph the
+graph family (triangles, PageRank, connected components, cosine) is
+built on. Two independent growth axes, because they stress different
+failure modes:
+
+- replica mode (default): amplify lineitem/orders/part Nx with
+  DISJOINT key remapping — copy k of order O carries copy k of its
+  parts, offset into a fresh key range. Edges, nodes and triangles all
+  grow ~Nx while degrees stay fixed: cost must grow ~linearly, and a
+  superlinear ratio means an operator is quadratic in GRAPH SIZE.
+- density mode (``density D``): merge D consecutive orders into one
+  basket (l_orderkey // D) — basket size grows ~Dx, so the pair
+  fan-out per basket grows ~D^2 and hub degrees climb. This is the
+  skew/fan-out cliff axis: the O(k^2/order) pair build and the
+  adjacency-array intersection are DESIGNED to be bounded by basket
+  size, and this mode measures what happens when that bound moves.
+
+Usage:
+  python tools/graph_scale_smoke.py [amplification]     # replica mode
+  python tools/graph_scale_smoke.py density [D]         # density mode
+
+Writes nothing to the repo; amplified parquet lives under /tmp.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.operators.graph import (
+    copurchase_pairs,
+    order_items,
+)
+from ibis_olap_aggregation_spark.queries import QUERIES
+from ibis_olap_aggregation_spark.session import (
+    get_spark,
+    load_table,
+    release_query_caches,
+)
+
+SRC = "/root/testdata/sf0.1"
+
+TIMED = [
+    "graph_triangle_clustering",
+    "graph_pagerank_copurchase",
+    "graph_connected_components",
+    "graph_copurchase_cosine",
+]
+
+
+def _mat(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+    release_query_caches()
+
+
+def _time(fn, *args) -> float:
+    best = None
+    for _ in range(2):  # min-of-2: steady state, not JIT luck
+        t0 = time.perf_counter()
+        _mat(fn(*args))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main() -> None:
+    density_mode = len(sys.argv) > 1 and sys.argv[1] == "density"
+    amp = int(sys.argv[2]) if density_mode and len(sys.argv) > 2 else (
+        int(sys.argv[1]) if not density_mode and len(sys.argv) > 1 else 10
+    )
+    spark = get_spark("graph-scale-smoke")
+    work = tempfile.mkdtemp(prefix="graph_scale_")
+    for t in ("region", "nation", "customer", "supplier",
+              "events", "documents", "embeddings"):
+        shutil.copy(
+            os.path.join(SRC, f"{t}.parquet"), os.path.join(work, f"{t}.parquet")
+        )
+
+    lineitem = load_table(spark, SRC, "lineitem")
+    orders = load_table(spark, SRC, "orders")
+    part = load_table(spark, SRC, "part")
+    if density_mode:
+        # merge amp consecutive orders into one basket: degrees grow
+        lineitem.withColumn(
+            "l_orderkey", (F.col("l_orderkey") / amp).cast("bigint")
+        ).write.parquet(os.path.join(work, "lineitem.parquet"))
+        orders.withColumn(
+            "o_orderkey", (F.col("o_orderkey") / amp).cast("bigint")
+        ).dropDuplicates(["o_orderkey"]).write.parquet(
+            os.path.join(work, "orders.parquet")
+        )
+        shutil.copy(
+            os.path.join(SRC, "part.parquet"), os.path.join(work, "part.parquet")
+        )
+        label = f"density x{amp}"
+    else:
+        # disjoint replicas: copy k of an order carries copy k of its
+        # parts in a fresh key range — graph size grows, degrees don't
+        maxp = part.agg(F.max("p_partkey")).first()[0] + 1
+        ks = spark.range(amp).select(F.col("id").alias("k"))
+        lineitem.crossJoin(ks).withColumn(
+            "l_orderkey", F.col("l_orderkey") * amp + F.col("k")
+        ).withColumn(
+            "l_partkey", F.col("l_partkey") + F.col("k") * maxp
+        ).drop("k").write.parquet(os.path.join(work, "lineitem.parquet"))
+        orders.crossJoin(ks).withColumn(
+            "o_orderkey", F.col("o_orderkey") * amp + F.col("k")
+        ).drop("k").write.parquet(os.path.join(work, "orders.parquet"))
+        part.crossJoin(ks).withColumn(
+            "p_partkey", F.col("p_partkey") + F.col("k") * maxp
+        ).drop("k").write.parquet(os.path.join(work, "part.parquet"))
+        label = f"replicas x{amp}"
+
+    for d in (SRC, work):
+        for t in ("lineitem", "orders", "part"):
+            load_table(spark, d, t).count()
+        e = copurchase_pairs(order_items(spark, d)).count()
+        print(f"{d}: co-purchase edges = {e}")
+
+    print(f"{'query':34s} {'base_s':>8s} {'amp_s':>8s} {'ratio':>6s}  ({label})")
+    for name in TIMED:
+        fn = QUERIES[name]
+        base_t = _time(fn, spark, SRC)
+        amp_t = _time(fn, spark, work)
+        print(f"{name:34s} {base_t:8.2f} {amp_t:8.2f} {amp_t / base_t:6.2f}")
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

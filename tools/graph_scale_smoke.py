@@ -135,3 +135,24 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+# Measured 2026-08-15 (local[32], shared VM), replica mode x10
+# (co-purchase edges 1.196M -> 11.96M; nodes & triangles x10, degrees
+# fixed). Every ratio is at or below the 10x edge growth — linear in
+# graph size, no plan flips; triangles ran the >5M-edge SORT-MERGE
+# regime (TRIANGLE_BROADCAST_EDGE_CAP auto-switch) end to end:
+#   query                              base_s    amp_s  ratio
+#   graph_triangle_clustering            6.17    48.38   7.84
+#   graph_pagerank_copurchase            7.16    44.87   6.26
+#   graph_connected_components           3.34     7.95   2.38
+#   graph_copurchase_cosine              2.16     6.40   2.97
+#
+# Density mode x3 (3 orders merged per basket: edges 1.196M -> 3.56M,
+# pair fan-out per basket ~x9, hub degrees ~x3). The per-basket O(k^2)
+# pair build and the adjacency-intersection enumeration absorb the
+# fan-out — nothing quadratic surfaces at the operator level:
+#   query                              base_s    amp_s  ratio
+#   graph_triangle_clustering            7.19    10.75   1.50
+#   graph_pagerank_copurchase            7.06     7.49   1.06
+#   graph_connected_components           3.17     2.69   0.85
+#   graph_copurchase_cosine              1.64     2.22   1.35

@@ -709,6 +709,7 @@ from ibis_olap_aggregation_spark.operators import allocation  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import sketch_eval  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import temporal  # noqa: E402,F401
 from ibis_olap_aggregation_spark.operators import graph  # noqa: E402,F401
+from ibis_olap_aggregation_spark.operators import timeseries  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -944,6 +945,10 @@ _ADDED_ROUND8 = frozenset(
 _ADDED_ROUND9: frozenset[str] = frozenset(
     {
         "hierarchy_geo_rollup_orders_shuffled",
+        "events_autocorrelation",
+        "events_cross_correlation",
+        "events_changepoint_binary_seg",
+        "events_seasonality_dow_index",
     }
 )
 

@@ -672,3 +672,178 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(dd), 6).alias("max_drawdown"),
         F.round(F.max(dd / F.col("run_max")), 6).alias("max_drawdown_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval analytics: overlap (range) join + concurrency sweep
+# ---------------------------------------------------------------------------
+#
+# Shipping windows [l_shipdate, l_shipdate + 7 days) per supplier — the
+# interval workload the brief's "range join" operator family names.
+# Two complementary primitives:
+# - the OVERLAP JOIN enumerates intersecting interval pairs. Spark has
+#   no interval-join operator, and the naive non-equi join is a
+#   per-supplier cross product; the scalable decomposition assigns each
+#   interval to every fixed-width time BUCKET it touches, equi-joins on
+#   (supplier, bucket), dedups pairs found in multiple buckets, and
+#   applies the exact overlap predicate as a residual. Per-task work is
+#   bounded by intervals-per-(supplier, bucket); nothing is ever
+#   all-pairs. The DuckDB oracle states the plain non-equi semantics,
+#   so the hash match PROVES the bucketed decomposition exact.
+# - MAX CONCURRENCY answers "how many windows are open at once" WITHOUT
+#   enumerating pairs at all: the classic +1/-1 boundary sweep, a
+#   per-supplier running sum over 2x|intervals| boundary rows. At equal
+#   timestamps closings sort before openings (half-open intervals), and
+#   within a tied block all deltas are equal, so the multiset of prefix
+#   values — hence the MAX — is tie-order independent in both engines.
+
+_SHIP_DAYS = 7
+_BUCKET_DAYS = 14
+
+_OVERLAP_SQL = f"""
+WITH iv AS (
+  SELECT l_suppkey AS supp,
+         l_orderkey * 10 + l_linenumber AS iid,
+         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s
+  FROM lineitem
+),
+pairs AS (
+  SELECT a.supp,
+         LEAST(a.s + {_SHIP_DAYS}, b.s + {_SHIP_DAYS})
+           - GREATEST(a.s, b.s) AS overlap_days
+  FROM iv a
+  JOIN iv b
+    ON a.supp = b.supp AND a.iid < b.iid
+   AND a.s < b.s + {_SHIP_DAYS} AND b.s < a.s + {_SHIP_DAYS}
+)
+SELECT supp AS l_suppkey,
+       COUNT(*) AS n_overlapping_pairs,
+       CAST(SUM(overlap_days) AS BIGINT) AS sum_overlap_days,
+       ROUND(CAST(SUM(overlap_days) AS DOUBLE) / COUNT(*), 6)
+         AS avg_overlap_days
+FROM pairs
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("interval_overlap_pairs", _OVERLAP_SQL)
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join (range join) via time-bucket equi-join —
+    see the section comment for the decomposition and why the oracle's
+    plain non-equi join proves it exact. Each interval lands in every
+    {_BUCKET_DAYS}-day bucket it touches (a 7-day window touches at
+    most 2), pairs are joined on (supplier, bucket) and deduped, the
+    strict overlap predicate is the residual filter."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("supp"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iid"),
+        F.unix_date(F.col("l_shipdate").cast("date")).cast("bigint").alias("s"),
+    )
+    e = F.col("s") + F.lit(_SHIP_DAYS)  # exclusive end
+    iv = li.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("s") / _BUCKET_DAYS).cast("bigint"),
+                ((e - 1) / _BUCKET_DAYS).cast("bigint"),
+            )
+        ),
+    )
+    a = iv.select(
+        F.col("supp"), F.col("bucket"),
+        F.col("iid").alias("a_iid"), F.col("s").alias("a_s"),
+    )
+    b = iv.select(
+        F.col("supp"), F.col("bucket"),
+        F.col("iid").alias("b_iid"), F.col("s").alias("b_s"),
+    )
+    pairs = (
+        a.join(b, ["supp", "bucket"])
+        .filter(
+            (F.col("a_iid") < F.col("b_iid"))
+            & (F.col("a_s") < F.col("b_s") + _SHIP_DAYS)
+            & (F.col("b_s") < F.col("a_s") + _SHIP_DAYS)
+        )
+        # a pair straddling a bucket boundary is found in both buckets
+        .select("supp", "a_iid", "b_iid", "a_s", "b_s")
+        .distinct()
+    )
+    overlap = F.least(
+        F.col("a_s") + _SHIP_DAYS, F.col("b_s") + _SHIP_DAYS
+    ) - F.greatest("a_s", "b_s")
+    return (
+        pairs.groupBy(F.col("supp").alias("l_suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_overlapping_pairs"),
+            F.sum(overlap).cast("bigint").alias("sum_overlap_days"),
+            F.round(
+                F.sum(overlap).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_overlap_days"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+_CONCURRENCY_SQL = f"""
+WITH iv AS (
+  SELECT l_suppkey AS supp,
+         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s
+  FROM lineitem
+),
+bounds AS (
+  SELECT supp, s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT supp, s + {_SHIP_DAYS}, -1 FROM iv
+),
+sweep AS (
+  SELECT supp,
+         SUM(delta) OVER (PARTITION BY supp ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS open_now
+  FROM bounds
+)
+SELECT supp AS l_suppkey,
+       (SELECT COUNT(*) FROM iv i WHERE i.supp = sweep.supp) AS n_shipments,
+       CAST(MAX(open_now) AS BIGINT) AS max_concurrent
+FROM sweep
+GROUP BY supp
+ORDER BY 1
+"""
+
+
+@register("interval_max_concurrency", _CONCURRENCY_SQL)
+def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously open shipping windows per supplier
+    — the interval-stabbing maximum via the +1/-1 boundary sweep (no
+    pair enumeration: 2 boundary rows per interval, one per-supplier
+    running sum). Half-open [s, s+7d): a window closing at t and one
+    opening at t do NOT overlap, enforced by sorting closings (-1)
+    before openings (+1) at equal t."""
+    iv = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("supp"),
+        F.unix_date(F.col("l_shipdate").cast("date")).cast("bigint").alias("s"),
+    )
+    bounds = iv.select(
+        "supp", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            "supp",
+            (F.col("s") + _SHIP_DAYS).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = Window.partitionBy("supp").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = bounds.select("supp", F.sum("delta").over(w).alias("open_now"))
+    peaks = sweep.groupBy("supp").agg(
+        F.max("open_now").cast("bigint").alias("max_concurrent")
+    )
+    counts = iv.groupBy("supp").agg(F.count(F.lit(1)).alias("n_shipments"))
+    return (
+        peaks.join(counts, "supp")
+        .select(
+            F.col("supp").alias("l_suppkey"), "n_shipments", "max_concurrent"
+        )
+        .orderBy("l_suppkey")
+    )

@@ -949,6 +949,8 @@ _ADDED_ROUND9: frozenset[str] = frozenset(
         "events_cross_correlation",
         "events_changepoint_binary_seg",
         "events_seasonality_dow_index",
+        "interval_overlap_pairs",
+        "interval_max_concurrency",
     }
 )
 

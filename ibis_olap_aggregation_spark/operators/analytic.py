@@ -1054,3 +1054,73 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_.cast("bigint").alias("n_customers"),
         F.round(rho, 6).alias("spearman_rho"),
     ).orderBy("nation")
+
+
+@register(
+    "agg_weighted_median",
+    """
+WITH w AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS wt
+  FROM lineitem
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT flag, price_c, wt,
+         SUM(wt) OVER (PARTITION BY flag ORDER BY price_c
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(wt) OVER (PARTITION BY flag) AS tw,
+         COUNT(*) OVER (PARTITION BY flag) AS n_prices
+  FROM w
+)
+SELECT flag AS l_returnflag,
+       CAST(n_prices AS BIGINT) AS n_distinct_prices,
+       CAST(tw AS BIGINT) AS total_weight_c,
+       ROUND(CAST(MIN(price_c) FILTER (WHERE 2 * cw >= tw) AS DOUBLE)
+             / 100, 2) AS weighted_median_price
+FROM c
+GROUP BY flag, n_prices, tw
+ORDER BY 1
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the smallest price whose cumulative quantity
+    weight reaches half the group total — the robust 'typical price
+    paid per unit' (an unweighted median over-counts small orders).
+    Prices and weights are quantized to bigint cents, ties collapse in
+    a pre-aggregate keyed on (group, price) so the cumulative window
+    runs over DISTINCT prices (rows == range semantics, no tie-order
+    sensitivity), and the selection 2*cum >= total is exact integer
+    arithmetic on both engines.
+
+    Scale: one fact-grain aggregate with map-side combine shrinks the
+    stream to distinct (group, price) pairs; the window partitions by
+    the group key — never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qw"),
+    )
+    w = li.groupBy("flag", "price_c").agg(F.sum("qw").alias("wt"))
+    wf = Window.partitionBy("flag")
+    wo = wf.orderBy("price_c").rowsBetween(Window.unboundedPreceding, 0)
+    c = w.select(
+        "flag",
+        "price_c",
+        F.sum("wt").over(wo).alias("cw"),
+        F.sum("wt").over(wf).alias("tw"),
+        F.count(F.lit(1)).over(wf).alias("n_prices"),
+    )
+    med = F.min(
+        F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_c"))
+    )
+    return (
+        c.groupBy(
+            F.col("flag").alias("l_returnflag"),
+            F.col("n_prices").cast("bigint").alias("n_distinct_prices"),
+            F.col("tw").cast("bigint").alias("total_weight_c"),
+        )
+        .agg(F.round(med.cast("double") / 100, 2).alias("weighted_median_price"))
+        .orderBy("l_returnflag")
+    )

@@ -566,3 +566,81 @@ def graph_copurchase_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.col("cosine").desc(), "pa", "pb").limit(20)
+
+
+@register(
+    "graph_degree_assortativity",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x
+  JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+deg AS (
+  SELECT pk, COUNT(*) AS d FROM (
+    SELECT a AS pk FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY 1
+),
+sym AS (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+),
+st AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(da.d) AS DOUBLE) AS sa,
+         CAST(SUM(CAST(da.d * da.d AS HUGEINT)) AS DOUBLE) AS saa,
+         CAST(SUM(CAST(da.d * db.d AS HUGEINT)) AS DOUBLE) AS sab
+  FROM sym s
+  JOIN deg da ON da.pk = s.u
+  JOIN deg db ON db.pk = s.v
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       ROUND((n * sab - sa * sa) / (n * saa - sa * sa), 6)
+         AS degree_assortativity
+FROM st
+""",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over all edges — positive means hubs attach to
+    hubs (social-network-like), negative means hub-and-spoke
+    (technological). Computed over the SYMMETRIZED edge list, where the
+    two endpoint-degree marginals coincide (sum over u of deg(u) across
+    incident edges), so one sa/saa pair serves both margins and the
+    estimator reduces to (n*sab - sa^2) / (n*saa - sa^2).
+
+    Sufficient statistics are exact: degrees are bigints; the
+    second-order sums route through decimal(38,0) (HUGEINT on the
+    oracle) — sum(d^2) over edges is degree-cubed-scale and would wrap
+    a silent non-ANSI bigint on a hub-heavy graph (the Spearman
+    lesson). Two equi-joins of the edge list against the node-sized
+    degree table and one aggregate: edge-list-bounded, never
+    quadratic."""
+    und = query_cache(
+        copurchase_pairs(order_items(spark, sf_dir)).select(
+            F.col("pa").alias("a"), F.col("pb").alias("b")
+        )
+    )
+    ends = und.select(F.col("a").alias("pk")).unionAll(
+        und.select(F.col("b").alias("pk"))
+    )
+    deg = ends.groupBy("pk").agg(F.count(F.lit(1)).alias("d"))
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    da = deg.select(F.col("pk").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("pk").alias("v"), F.col("d").alias("dv"))
+    joined = sym.join(da, "u").join(db, "v")
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    st = joined.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("du").cast("double").alias("sa"),
+        dec(F.col("du") * F.col("du")).alias("saa"),
+        dec(F.col("du") * F.col("dv")).alias("sab"),
+    )
+    n, sa = F.col("n"), F.col("sa")
+    r = (n * F.col("sab") - sa * sa) / (n * F.col("saa") - sa * sa)
+    return st.select(
+        (n / 2).cast("bigint").alias("n_edges"),
+        F.round(r, 6).alias("degree_assortativity"),
+    )

@@ -1019,3 +1019,89 @@ def sample_weighted_without_replacement(
         "n_chars",
         F.row_number().over(w).cast("bigint").alias("sample_rank"),
     )
+
+
+@register(
+    "sample_neyman_allocation",
+    """
+WITH s AS (
+  SELECT source, lang,
+         COUNT(*) AS nh,
+         SUM(n_chars) AS s1,
+         SUM(n_chars * n_chars) AS s2
+  FROM documents
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT source, lang, nh,
+         CAST(s1 AS DOUBLE) / nh AS mean_chars,
+         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nh)
+              / (nh - 1)) AS std_chars,
+         CAST(ROUND(nh * sqrt((CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * s1 / nh)
+                              / (nh - 1)) * 1000) AS BIGINT) AS wq
+  FROM s WHERE nh > 1
+),
+t AS (SELECT SUM(wq) AS tot FROM w)
+SELECT w.source, w.lang, CAST(w.nh AS BIGINT) AS n_docs,
+       ROUND(w.mean_chars, 6) AS mean_chars,
+       ROUND(w.std_chars, 6) AS std_chars,
+       CAST(ROUND(1000.0 * w.wq / t.tot) AS BIGINT) AS neyman_alloc
+FROM w, t
+ORDER BY 1, 2
+""",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (optimal) stratified-sampling allocation: for a budget of
+    1000 documents, each (source, lang) stratum receives n_h
+    proportional to N_h * S_h — more budget where strata are BIG or
+    internally VARIABLE (here: document length). The design that
+    minimizes the variance of the stratified mean at fixed budget
+    (Neyman 1934); uniform or proportional allocation oversamples
+    homogeneous strata.
+
+    Determinism: per-stratum std comes from exact integer sums
+    (n_chars is a bigint); the CROSS-STRATUM normalizer would be an
+    order-dependent double sum, so each stratum weight N_h*S_h is
+    quantized to bigint millis first and the normalizer sums exact
+    ints (the PageRank contribution idiom). Single-member strata are
+    excluded (std undefined).
+
+    Scale: one map-side-combined aggregate to stratum grain; all later
+    arithmetic is stratum-table-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    ).filter(F.col("nh") > 1)
+    mean = F.col("s1").cast("double") / F.col("nh")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("nh")
+    ) / (F.col("nh") - 1)
+    w = s.select(
+        "source",
+        "lang",
+        F.col("nh").cast("bigint").alias("n_docs"),
+        F.round(mean, 6).alias("mean_chars"),
+        F.round(F.sqrt(var), 6).alias("std_chars"),
+        F.round(F.col("nh") * F.sqrt(var) * 1000)
+        .cast("bigint")
+        .alias("wq"),
+    )
+    tot = w.agg(F.sum("wq").alias("tot"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "mean_chars",
+            "std_chars",
+            F.round(1000.0 * F.col("wq") / F.col("tot"))
+            .cast("bigint")
+            .alias("neyman_alloc"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -1113,3 +1113,54 @@ def quality_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("chi2_q")
         .orderBy("first_digit")
     )
+
+
+@register(
+    "privacy_k_anonymity_audit",
+    """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS k,
+         COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l
+  FROM customer
+  GROUP BY 1, 2
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+       CAST(k AS BIGINT) AS k_anonymity,
+       CAST(l AS BIGINT) AS l_diversity,
+       (k < 5 OR l < 2) AS at_risk
+FROM g
+ORDER BY 1, 2
+""",
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney; Machanavajjhala et al.)
+    over the customer table: quasi-identifiers (nation, market segment)
+    partition the table into equivalence classes; k = class size (an
+    individual hides among k records), l = distinct sensitive values
+    (account-balance band) within the class (a k-anonymous class with
+    one sensitive value still leaks it — the homogeneity attack).
+    Classes with k < 5 or l < 2 are flagged — the pre-release check any
+    privacy review runs before publishing a microdata extract.
+
+    Scale: one map-side-combined aggregate over the QI key; the
+    distinct-count dedups (QI, band) pairs at fact grain. Output is
+    equivalence-class-sized (|nations| x |segments|)."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    g = c.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        "c_mktsegment",
+    ).agg(
+        F.count(F.lit(1)).alias("k_anonymity"),
+        F.countDistinct(band).alias("l_diversity"),
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "k_anonymity",
+        "l_diversity",
+        ((F.col("k_anonymity") < 5) | (F.col("l_diversity") < 2)).alias(
+            "at_risk"
+        ),
+    ).orderBy("c_nationkey", "c_mktsegment")

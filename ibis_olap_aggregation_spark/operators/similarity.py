@@ -1354,3 +1354,138 @@ def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit.cast("bigint").alias("n_hit"),
         F.round(hit * F.lit(1.0) / F.count(F.lit(1)), 6).alias("recall_at_10"),
     )
+
+
+@register(
+    "emb_covariance_top_pairs",
+    """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+idx AS (
+  SELECT unnest(generate_series(1, (SELECT MAX(len(v)) FROM e))) AS i
+),
+sx AS (
+  SELECT i.i AS i,
+         SUM(CAST(ROUND(v[i.i] * 1e6) AS BIGINT)) AS sxq,
+         COUNT(*) AS n
+  FROM e CROSS JOIN idx i
+  GROUP BY 1
+),
+px AS (
+  SELECT ia.i AS i, ib.i AS j,
+         SUM(CAST(ROUND(v[ia.i] * v[ib.i] * 1e12) AS HUGEINT)) AS sq
+  FROM e CROSS JOIN idx ia CROSS JOIN idx ib
+  WHERE ib.i >= ia.i
+  GROUP BY 1, 2
+),
+mom AS (
+  SELECT p.i, p.j,
+         CAST(p.sq AS DOUBLE) / 1e12 / a.n
+           - (CAST(a.sxq AS DOUBLE) / 1e6 / a.n)
+             * (CAST(b.sxq AS DOUBLE) / 1e6 / b.n) AS cov,
+         a.n AS n
+  FROM px p
+  JOIN sx a ON a.i = p.i
+  JOIN sx b ON b.i = p.j
+),
+var AS (SELECT i, cov AS v FROM mom WHERE i = j)
+SELECT CAST(m.i AS INTEGER) AS dim_i, CAST(m.j AS INTEGER) AS dim_j,
+       CAST(m.n AS BIGINT) AS n_vectors,
+       ROUND(m.cov, 8) AS cov,
+       ROUND(m.cov / sqrt(va.v * vb.v), 6) AS corr
+FROM mom m
+JOIN var va ON va.i = m.i
+JOIN var vb ON vb.i = m.j
+WHERE m.i < m.j
+ORDER BY abs(m.cov) DESC, m.i, m.j
+LIMIT 20
+""",
+)
+def emb_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment structure of the embedding space: the top-20
+    most-correlated dimension pairs by |covariance| — the diagnostic
+    behind whitening / PCA decisions (strongly correlated dimensions
+    mean the space wastes capacity and ANN distance is dominated by a
+    few directions; a whitened space has this table ~empty).
+
+    Determinism: cross-row sums of float products are order-dependent,
+    so each product is QUANTIZED (round(x_i*x_j * 1e12) -> exact int,
+    the PageRank idiom) and summed as decimal(38,0)/HUGEINT; means come
+    from 1e6-quantized first-order sums. Both engines then evaluate the
+    identical fixed double tree over identical exact integers.
+
+    Scale: the explode produces dims*(dims+1)/2 rows per vector (2080
+    for 64 dims), immediately collapsed by a map-side-combined
+    aggregate into a 2080-group table — the standard distributed
+    second-moment (covariance matrix) computation; everything after is
+    dims^2-sized. The input is repartitioned on vec_id first: a single
+    parquet file is ONE input partition, and a 2080x explode in one
+    task is the round-7 single-task cliff."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(32, "vec_id")
+    )
+    pairs = e.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(v)), a ->"
+                " transform(sequence(a, size(v)), b ->"
+                " named_struct('i', a, 'j', b,"
+                "  'q', cast(round(element_at(v, a) * element_at(v, b) * 1e12)"
+                "       as decimal(38,0))))))"
+            )
+        ).alias("s")
+    ).select("s.i", "s.j", "s.q")
+    px = pairs.groupBy("i", "j").agg(F.sum("q").alias("sq"))
+    singles = e.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(v)), a -> named_struct('i', a,"
+                " 'x', cast(round(element_at(v, a) * 1e6) as bigint)))"
+            )
+        ).alias("s")
+    ).select("s.i", "s.x")
+    sx = singles.groupBy("i").agg(
+        F.sum("x").alias("sxq"), F.count(F.lit(1)).alias("n")
+    )
+    a = sx.select(
+        F.col("i"), F.col("sxq").alias("sxq_a"), F.col("n").alias("n")
+    )
+    b = sx.select(F.col("i").alias("j"), F.col("sxq").alias("sxq_b"))
+    mom = (
+        px.join(F.broadcast(a), "i")
+        .join(F.broadcast(b), "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            (
+                F.col("sq").cast("double") / F.lit(1e12) / F.col("n")
+                - (F.col("sxq_a").cast("double") / F.lit(1e6) / F.col("n"))
+                * (F.col("sxq_b").cast("double") / F.lit(1e6) / F.col("n"))
+            ).alias("cov"),
+        )
+    )
+    var = mom.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("vi"), F.col("cov").alias("v")
+    )
+    va = var.select(F.col("vi").alias("i"), F.col("v").alias("var_a"))
+    vb = var.select(F.col("vi").alias("j"), F.col("v").alias("var_b"))
+    return (
+        mom.filter(F.col("i") < F.col("j"))
+        .join(F.broadcast(va), "i")
+        .join(F.broadcast(vb), "j")
+        .select(
+            F.col("i").cast("int").alias("dim_i"),
+            F.col("j").cast("int").alias("dim_j"),
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.round("cov", 8).alias("cov"),
+            F.round(
+                F.col("cov") / F.sqrt(F.col("var_a") * F.col("var_b")), 6
+            ).alias("corr"),
+        )
+        .orderBy(F.abs(F.col("cov")).desc(), "dim_i", "dim_j")
+        .limit(20)
+    )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ibis_olap_aggregation_spark.queries import register
-from ibis_olap_aggregation_spark.session import load_table
+from ibis_olap_aggregation_spark.session import load_table, query_cache
 
 # tiny function-word list present in the synthetic vocabulary
 STOPWORDS = ("a", "the")
@@ -1025,4 +1025,95 @@ def text_loglikelihood_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(wr).cast("bigint").alias("rk"),
         )
         .filter(F.col("rk") <= 5)
+    )
+
+
+@register(
+    "text_pmi_cooccurrence",
+    """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tok GROUP BY 1
+),
+vocab AS (
+  SELECT term, df FROM df ORDER BY df DESC, term LIMIT 50
+),
+ft AS (
+  SELECT t.doc_id, t.term FROM tok t JOIN vocab v ON v.term = t.term
+),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_xy
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT p.term_a, p.term_b, CAST(p.n_xy AS BIGINT) AS n_xy,
+       ROUND(ln(CAST(p.n_xy AS DOUBLE) * n.n_docs / (va.df * vb.df)), 6)
+         AS pmi
+FROM pairs p
+JOIN vocab va ON va.term = p.term_a
+JOIN vocab vb ON vb.term = p.term_b
+CROSS JOIN n
+WHERE p.n_xy >= 5
+ORDER BY pmi DESC, term_a, term_b
+LIMIT 20
+""",
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs at DOCUMENT grain
+    (Church & Hanks 1990): PMI = ln(p(x,y) / (p(x)p(y))) over document
+    presence — the collocation / topical-association measure behind
+    phrase mining and embedding objectives (word2vec's SGNS factorizes
+    a shifted PMI matrix). Top-20 pairs with support >= 5.
+
+    Scale: the pair space is bounded by restricting to the top-50
+    vocabulary BEFORE pairing (vocabulary is corpus-bounded -> the
+    filter broadcasts; per-doc pair fan-out is <= C(50,2) regardless of
+    document or corpus size). ln parity between engines is established
+    (tfidf/BM25/entropy all hash-exact); the log's operand is one
+    rational of exact integers."""
+    tok = (
+        _docs(spark, sf_dir)
+        .withColumn("t", tokens_col())
+        .select("doc_id", F.explode("t").alias("term"))
+        .distinct()
+    )
+    tok = query_cache(tok)
+    n_docs = tok.select("doc_id").distinct().count()
+    df = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    vocab = df.orderBy(F.desc("df"), "term").limit(50)
+    va = vocab.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    ft = tok.join(
+        F.broadcast(vocab.select("term")), "term"
+    )
+    a = ft.select("doc_id", F.col("term").alias("term_a"))
+    b = ft.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= 5)
+    )
+    pmi = F.log(
+        F.col("n_xy").cast("double")
+        * F.lit(float(n_docs))
+        / (F.col("df_a") * F.col("df_b"))
+    )
+    return (
+        pairs.join(F.broadcast(va), "term_a")
+        .join(F.broadcast(vb), "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_xy").cast("bigint").alias("n_xy"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "term_a", "term_b")
+        .limit(20)
     )

@@ -951,6 +951,12 @@ _ADDED_ROUND9: frozenset[str] = frozenset(
         "events_seasonality_dow_index",
         "interval_overlap_pairs",
         "interval_max_concurrency",
+        "privacy_k_anonymity_audit",
+        "agg_weighted_median",
+        "sample_neyman_allocation",
+        "text_pmi_cooccurrence",
+        "graph_degree_assortativity",
+        "emb_covariance_top_pairs",
     }
 )
 

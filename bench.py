@@ -147,6 +147,13 @@ HEADLINE = [
     # in the headline so a regression of either fix is caught
     "graph_triangle_clustering",
     "sample_bootstrap_ci",
+    # round 9 additions: the non-broadcast closure regime (the 10M-node
+    # path must stay within sight of the broadcast twin), the bucketed
+    # interval join, and the two heaviest new analytics shapes
+    "hierarchy_geo_rollup_orders_shuffled",
+    "interval_overlap_pairs",
+    "graph_degree_assortativity",
+    "emb_covariance_top_pairs",
 ]
 
 

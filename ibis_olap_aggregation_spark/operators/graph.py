@@ -644,3 +644,108 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n / 2).cast("bigint").alias("n_edges"),
         F.round(r, 6).alias("degree_assortativity"),
     )
+
+
+# k-core peeling: fixed unrolled rounds, same contract as the 3-iteration
+# PageRank — a FIXED round count keeps the computation a pure dataflow
+# the oracle can mirror as unrolled CTEs, and the emitted `converged`
+# flag reports whether the fixpoint (the true k-core) was reached.
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+# AS MATERIALIZED: each stage references its predecessor several times,
+# and CTE inlining would otherwise expand the 8-stage chain into ~3^8
+# scans of the base table (measured: "too many open files")
+_KCORE_STAGE = """
+d{i} AS MATERIALIZED (
+  SELECT pk, COUNT(*) AS c FROM (
+    SELECT a AS pk FROM e{prev} UNION ALL SELECT b FROM e{prev}
+  ) GROUP BY 1
+),
+k{i} AS MATERIALIZED (SELECT pk FROM d{i} WHERE c >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{prev} e
+  JOIN k{i} x ON x.pk = e.a
+  JOIN k{i} y ON y.pk = e.b
+)"""
+
+_KCORE_SQL = (
+    f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS w
+  FROM li x
+  JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+),
+e0 AS MATERIALIZED (SELECT a, b FROM und WHERE w >= {_CC_MIN_W}),"""
+    + ",".join(
+        _KCORE_STAGE.format(i=i, prev=i - 1, k=_KCORE_K)
+        for i in range(1, _KCORE_ROUNDS + 1)
+    )
+    + f"""
+SELECT {_KCORE_K} AS k, {_KCORE_ROUNDS} AS rounds,
+       (SELECT COUNT(*) FROM k{_KCORE_ROUNDS}) AS n_core_nodes,
+       (SELECT COUNT(*) FROM e{_KCORE_ROUNDS}) AS n_core_edges,
+       ((SELECT COUNT(*) FROM k{_KCORE_ROUNDS})
+          = (SELECT COUNT(*) FROM k{_KCORE_ROUNDS - 1})
+        AND (SELECT COUNT(*) FROM e{_KCORE_ROUNDS})
+          = (SELECT COUNT(*) FROM e{_KCORE_ROUNDS - 1})) AS converged
+"""
+)
+
+
+@register("graph_kcore_peel", _KCORE_SQL)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    Batagelj-Zaversnik loop distributed): repeatedly drop nodes with
+    degree < k and the edges touching them — the surviving subgraph is
+    the k-core, the standard cohesive-subgraph / spam-farm detector.
+    Fixed 8 unrolled rounds (the PageRank contract: a pure
+    dataflow the oracle mirrors stage for stage) with a `converged`
+    flag comparing the last two rounds — True means the true fixpoint
+    k-core was reached within the budget.
+
+    Scale: each round is one degree aggregate plus two semi-join
+    filters, all keyed on the node id; the edge set only ever SHRINKS,
+    and each round is localCheckpointed so per-round cost stays flat
+    (the star-components lesson: an unpersisted parent otherwise grows
+    the lineage with the round number)."""
+    und = copurchase_pairs(order_items(spark, sf_dir)).filter(
+        F.col("w") >= _CC_MIN_W
+    )
+    edges = und.select("pa", "pb").localCheckpoint(eager=True)
+    prev_counts = None
+    counts = None
+    # early-exit once a round removes nothing: every later round is a
+    # no-op, so the 8-round output is already in hand (identical to the
+    # oracle's full unrolling) and converged is True by definition —
+    # measured 9.8s -> ~4s at sf0.1 (the graph fixpoints in 2-3 rounds)
+    for _ in range(_KCORE_ROUNDS):
+        ends = edges.select(F.col("pa").alias("pk")).unionAll(
+            edges.select(F.col("pb").alias("pk"))
+        )
+        keep = (
+            ends.groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= _KCORE_K)
+            .select("pk")
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("pk", "pa"), "pa")
+            .join(keep.withColumnRenamed("pk", "pb"), "pb")
+            .select("pa", "pb")
+            .localCheckpoint(eager=True)
+        )
+        prev_counts = counts
+        # node count = the KEPT node set (matches the oracle's k_i: a
+        # kept node may lose its last edge this round yet still counts)
+        counts = (keep.count(), edges.count())
+        if counts == prev_counts:
+            break
+    converged = counts == prev_counts
+    return spark.createDataFrame(
+        [(_KCORE_K, _KCORE_ROUNDS, counts[0], counts[1], converged)],
+        "k int, rounds int, n_core_nodes bigint, n_core_edges bigint, "
+        "converged boolean",
+    )

@@ -410,3 +410,111 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("width") * F.col("height")).alias("n_pixels_in"),
         (F.col("target_w") * F.col("target_h")).alias("n_pixels_out"),
     )
+
+
+PHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched perceptual-hash stub over binary payloads: the
+    first 8 payload bytes as a signed 64-bit fingerprint. A real pHash
+    (DCT of the decoded thumbnail) plugs in at exactly this line — the
+    surrounding plumbing (bytes in, int64 out, banding, Hamming join)
+    is the production shape either way."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "phash": pdf["media"]
+                .map(lambda b: int.from_bytes(b[:8], "big", signed=True))
+                .astype("int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_phash_neardup",
+    """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 16))::UBIGINT AS phash
+  FROM documents
+),
+bands AS (
+  SELECT doc_id, phash, b.b AS band,
+         (phash >> ((3 - b.b) * 16)) & 65535 AS band_key
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash AS pa, b.phash AS pb
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+)
+SELECT CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming,
+       COUNT(*) AS n_pairs
+FROM cand
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate candidate generation for media —
+    the image twin of MinHash LSH: a 64-bit fingerprint per payload
+    (computed in an Arrow-batched mapInPandas over the BINARY column —
+    the real pipeline shape; see _phash_batches for the codec seam),
+    banded into 4x16-bit keys so candidate pairs come from equi-joined
+    buckets (never all-pairs), then exact Hamming distance
+    (bit_count(xor)) on the candidates, reported as a distance
+    histogram. With a real DCT pHash, near-dup images land at small
+    Hamming; the md5-derived stub payloads give the uniform-random
+    baseline histogram the banding math predicts.
+
+    Cross-engine: Spark's signed int64 and the oracle's UBIGINT hold
+    the same 64-bit pattern, and both sides band via
+    shift-then-mask-0xFFFF (the mask discards the sign-extension
+    difference) and compare popcount-of-xor — bit-identical.
+
+    Scale: fingerprints are map-only over the payload scan (payload
+    bytes never shuffle — only the 8-byte hash does); the bucket join
+    shuffles on (band, band_key); per-bucket pair fan-out is capped the
+    same way the MinHash LSH path caps it (salted sub-buckets) once
+    bucket skew appears."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = attach_media(docs).select("doc_id", "media").mapInPandas(
+        _phash_batches, schema=PHASH_SCHEMA
+    )
+    band_ids = F.array(*[F.lit(i) for i in range(4)])
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(band_ids).alias("band"),
+    ).withColumn(
+        "band_key",
+        F.expr("(phash >> ((3 - band) * 16)) & 65535").cast("bigint"),
+    )
+    a = bands.select(
+        F.col("band"), F.col("band_key"),
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"),
+    )
+    b = bands.select(
+        F.col("band"), F.col("band_key"),
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb"),
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            F.bit_count(F.expr("pa ^ pb")).cast("int").alias("hamming")
+        )
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )

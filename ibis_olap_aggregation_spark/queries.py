@@ -957,6 +957,8 @@ _ADDED_ROUND9: frozenset[str] = frozenset(
         "text_pmi_cooccurrence",
         "graph_degree_assortativity",
         "emb_covariance_top_pairs",
+        "multimodal_phash_neardup",
+        "graph_kcore_peel",
     }
 )
 

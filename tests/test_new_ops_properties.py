@@ -494,3 +494,44 @@ def test_event_id_unique_per_event(spark, sf_small):
     ev = spark.read.parquet(sf_small + "/events.parquet")
     n = ev.count()
     assert ev.select("event_id").distinct().count() == n
+
+
+def test_kcore_peel_matches_python_peeling(spark, sf_small):
+    """Independent oracle for graph_kcore_peel: plain-Python peeling to
+    FIXPOINT over the same thresholded co-purchase edges. The registry
+    query runs 8 fixed rounds; when it reports converged=True its
+    counts must equal the true k-core, and the true k-core must satisfy
+    the closure property (every member keeps >= k neighbors inside)."""
+    from ibis_olap_aggregation_spark.operators.graph import (
+        _CC_MIN_W,
+        _KCORE_K,
+        copurchase_pairs,
+        order_items,
+    )
+
+    got = QUERIES["graph_kcore_peel"](spark, sf_small).first()
+    edges = {
+        (r.pa, r.pb)
+        for r in copurchase_pairs(order_items(spark, sf_small))
+        .filter(F.col("w") >= _CC_MIN_W)
+        .select("pa", "pb")
+        .collect()
+    }
+    while True:
+        deg: dict = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= _KCORE_K}
+        nxt = {(a, b) for a, b in edges if a in keep and b in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+    # closure property of the fixpoint core
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert all(d >= _KCORE_K for d in deg.values())
+    if got.converged:
+        assert (got.n_core_nodes, got.n_core_edges) == (len(keep), len(edges))

@@ -463,11 +463,11 @@ LIMIT 10
 
 @register("graph_connected_components", _CC_SQL)
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components of the part co-purchase graph by MIN-LABEL
-    PROPAGATION TO FIXPOINT — unlike PageRank's fixed unrolled
-    iteration count, this is a genuinely data-dependent loop (runs
-    until the label vector stops changing, i.e. graph-diameter many
-    rounds), the one Pregel primitive the registry lacked. Returns the
+    """Connected components of the part co-purchase graph — min-label
+    FIXPOINT semantics (component id = smallest member): unlike
+    PageRank's fixed unrolled iteration count, this is a genuinely
+    data-dependent loop that runs until labels stop changing, the one
+    Pregel primitive the registry lacked. Returns the
     10 largest components (id = smallest member part key) with node
     counts, share of all connected nodes, and the total component
     count. Edges need co-purchase weight >= _CC_MIN_W: thresholding the

@@ -559,3 +559,25 @@ def test_salted_join_partitions_on_flag_and_salt(spark, sf_small):
     left_keys, right_keys = smj.group(1), smj.group(2)
     assert "l_returnflag" in left_keys and "salt" in left_keys, plan
     assert "rf" in right_keys and "salt" in right_keys, plan
+
+
+def test_round9_pair_generators_are_equi_joined(spark, sf_small):
+    """Every round-9 operator that generates pairs must do it through
+    an EQUI join (bucket keys, band keys, doc keys, node keys) — never
+    a cartesian/nested-loop. The interval overlap join additionally
+    pins its residual-filter shape: the overlap predicate must not be
+    the JOIN condition (that would be the all-pairs theta join)."""
+    for name in (
+        "interval_overlap_pairs",
+        "multimodal_phash_neardup",
+        "graph_degree_assortativity",
+        "emb_covariance_top_pairs",
+        "text_pmi_cooccurrence",
+    ):
+        df = q.QUERIES[name](spark, sf_small)
+        plan = pi.physical_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+    from ibis_olap_aggregation_spark.session import release_query_caches
+
+    release_query_caches()

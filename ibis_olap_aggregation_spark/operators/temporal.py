@@ -703,26 +703,30 @@ _BUCKET_DAYS = 14
 _OVERLAP_SQL = f"""
 WITH iv AS (
   SELECT l_suppkey AS supp,
-         l_orderkey * 10 + l_linenumber AS iid,
          CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s
   FROM lineitem
 ),
-pairs AS (
-  SELECT a.supp,
-         LEAST(a.s + {_SHIP_DAYS}, b.s + {_SHIP_DAYS})
-           - GREATEST(a.s, b.s) AS overlap_days
-  FROM iv a
-  JOIN iv b
-    ON a.supp = b.supp AND a.iid < b.iid
-   AND a.s < b.s + {_SHIP_DAYS} AND b.s < a.s + {_SHIP_DAYS}
+g AS (
+  SELECT supp, s, COUNT(*) AS c FROM iv GROUP BY 1, 2
+),
+contrib AS (
+  -- doubled contributions (halved at the end): same-start shipments
+  -- pair within their group (full 7-day overlap), distinct starts pair
+  -- across groups with multiplicity ca*cb
+  SELECT supp, c * (c - 1) AS n2, {_SHIP_DAYS} * c * (c - 1) AS ov2 FROM g
+  UNION ALL
+  SELECT a.supp, 2 * a.c * b.c,
+         2 * a.c * b.c * (a.s + {_SHIP_DAYS} - b.s)
+  FROM g a
+  JOIN g b ON a.supp = b.supp AND b.s > a.s AND b.s < a.s + {_SHIP_DAYS}
 )
 SELECT supp AS l_suppkey,
-       COUNT(*) AS n_overlapping_pairs,
-       CAST(SUM(overlap_days) AS BIGINT) AS sum_overlap_days,
-       ROUND(CAST(SUM(overlap_days) AS DOUBLE) / COUNT(*), 6)
-         AS avg_overlap_days
-FROM pairs
+       CAST(SUM(n2) / 2 AS BIGINT) AS n_overlapping_pairs,
+       CAST(SUM(ov2) / 2 AS BIGINT) AS sum_overlap_days,
+       ROUND(CAST(SUM(ov2) AS DOUBLE) / SUM(n2), 6) AS avg_overlap_days
+FROM contrib
 GROUP BY 1
+HAVING SUM(n2) > 0
 ORDER BY 1
 """
 
@@ -731,17 +735,28 @@ ORDER BY 1
 def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval overlap join (range join) via time-bucket equi-join —
     see the section comment for the decomposition and why the oracle's
-    plain non-equi join proves it exact. Each interval lands in every
-    {_BUCKET_DAYS}-day bucket it touches (a 7-day window touches at
-    most 2), pairs are joined on (supplier, bucket) and deduped, the
-    strict overlap predicate is the residual filter."""
+    plain non-equi join proves it exact. Pairing runs at the
+    (supplier, start, multiplicity) GRAIN, not the row grain: the
+    testdata has no unique lineitem key (synthetic (orderkey,
+    linenumber) collides), and identical intervals pair arithmetically
+    anyway — C(c,2) within a start, ca*cb across starts — which also
+    shrinks the join input to distinct starts. Each start lands in
+    every {_BUCKET_DAYS}-day bucket its window touches (a 7-day window
+    touches at most 2), start pairs are equi-joined on (supplier,
+    bucket) and deduped, the strict overlap predicate is the
+    residual."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey").alias("supp"),
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iid"),
         F.unix_date(F.col("l_shipdate").cast("date")).cast("bigint").alias("s"),
     )
+    g = li.groupBy("supp", "s").agg(F.count(F.lit(1)).alias("c"))
+    within = g.select(
+        "supp",
+        (F.col("c") * (F.col("c") - 1)).alias("n2"),
+        (F.lit(_SHIP_DAYS) * F.col("c") * (F.col("c") - 1)).alias("ov2"),
+    )
     e = F.col("s") + F.lit(_SHIP_DAYS)  # exclusive end
-    iv = li.withColumn(
+    gb = g.withColumn(
         "bucket",
         F.explode(
             F.sequence(
@@ -750,37 +765,43 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    a = iv.select(
-        F.col("supp"), F.col("bucket"),
-        F.col("iid").alias("a_iid"), F.col("s").alias("a_s"),
+    a = gb.select(
+        "supp", "bucket", F.col("s").alias("a_s"), F.col("c").alias("a_c")
     )
-    b = iv.select(
-        F.col("supp"), F.col("bucket"),
-        F.col("iid").alias("b_iid"), F.col("s").alias("b_s"),
+    b = gb.select(
+        "supp", "bucket", F.col("s").alias("b_s"), F.col("c").alias("b_c")
     )
-    pairs = (
+    cross = (
         a.join(b, ["supp", "bucket"])
         .filter(
-            (F.col("a_iid") < F.col("b_iid"))
-            & (F.col("a_s") < F.col("b_s") + _SHIP_DAYS)
+            (F.col("b_s") > F.col("a_s"))
             & (F.col("b_s") < F.col("a_s") + _SHIP_DAYS)
         )
-        # a pair straddling a bucket boundary is found in both buckets
-        .select("supp", "a_iid", "b_iid", "a_s", "b_s")
+        # a start pair straddling a bucket boundary is found in both
+        .select("supp", "a_s", "b_s", "a_c", "b_c")
         .distinct()
+        .select(
+            "supp",
+            (2 * F.col("a_c") * F.col("b_c")).alias("n2"),
+            (
+                2
+                * F.col("a_c")
+                * F.col("b_c")
+                * (F.col("a_s") + _SHIP_DAYS - F.col("b_s"))
+            ).alias("ov2"),
+        )
     )
-    overlap = F.least(
-        F.col("a_s") + _SHIP_DAYS, F.col("b_s") + _SHIP_DAYS
-    ) - F.greatest("a_s", "b_s")
     return (
-        pairs.groupBy(F.col("supp").alias("l_suppkey"))
+        within.unionAll(cross)
+        .groupBy(F.col("supp").alias("l_suppkey"))
         .agg(
-            F.count(F.lit(1)).alias("n_overlapping_pairs"),
-            F.sum(overlap).cast("bigint").alias("sum_overlap_days"),
+            (F.sum("n2") / 2).cast("bigint").alias("n_overlapping_pairs"),
+            (F.sum("ov2") / 2).cast("bigint").alias("sum_overlap_days"),
             F.round(
-                F.sum(overlap).cast("double") / F.count(F.lit(1)), 6
+                F.sum("ov2").cast("double") / F.sum("n2"), 6
             ).alias("avg_overlap_days"),
         )
+        .filter(F.col("n_overlapping_pairs") > 0)
         .orderBy("l_suppkey")
     )
 

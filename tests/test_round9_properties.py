@@ -1,0 +1,193 @@
+"""Independent semantic oracles for the round-9 operators: each Spark
+result is recomputed with plain pandas/numpy/python over the same
+parquet rows. The DuckDB gate proves engine parity; these prove both
+engines implement the INTENDED statistics (same estimator, same
+quantization, same tie rules) — a shared misreading of the semantics
+would pass the differential check but fail here."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ibis_olap_aggregation_spark.queries import QUERIES
+
+
+def _events_pdf(sf_small: str) -> pd.DataFrame:
+    pdf = pd.read_parquet(f"{sf_small}/events.parquet")
+    pdf["d"] = pdf["ts"].dt.date
+    return pdf
+
+
+def _lineitem_pdf(sf_small: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_small}/lineitem.parquet")
+
+
+def test_autocorrelation_matches_numpy(spark, sf_small):
+    got = {
+        r["lag"]: r["acf"]
+        for r in QUERIES["events_autocorrelation"](spark, sf_small).collect()
+    }
+    daily = _events_pdf(sf_small).groupby("d").size()
+    x = {d: int(n) for d, n in daily.items()}
+    nn, s1 = len(x), sum(x.values())
+    s2 = sum(v * v for v in x.values())
+    m = s1 / nn
+    den = s2 - nn * m * m
+    for lag, acf in got.items():
+        pairs = [
+            (x[d], x[d + pd.Timedelta(days=lag)])
+            for d in x
+            if d + pd.Timedelta(days=lag) in x
+        ]
+        sxy = sum(a * b for a, b in pairs)
+        sx = sum(a for a, _ in pairs)
+        sy = sum(b for _, b in pairs)
+        want = (sxy - m * sx - m * sy + len(pairs) * m * m) / den
+        assert abs(acf - round(want, 6)) < 1e-9, (lag, acf, want)
+
+
+def test_changepoint_matches_bruteforce(spark, sf_small):
+    got = QUERIES["events_changepoint_binary_seg"](spark, sf_small).first()
+    ev = _events_pdf(sf_small)
+    ev = ev[ev["event_type"] == "purchase"]
+    cents = (
+        (ev["value"] * 100).round().astype("int64").groupby(ev["d"]).sum()
+    ).sort_index()
+    days, vals = list(cents.index), list(cents.values)
+    st, nt = int(sum(vals)), len(vals)
+    best = None
+    for i in range(1, nt):  # split AFTER days[i-1]
+        sl, nl = int(sum(vals[:i])), i
+        sr, nr = st - sl, nt - nl
+        gain = (sl * sl / nl + sr * sr / nr - st * st / nt) / 10000
+        if best is None or gain > best[0] + 1e-12:
+            best = (gain, days[i - 1], nl, nr)
+    assert got.split_after.date() == best[1]
+    assert (got.n_left, got.n_right) == (best[2], best[3])
+    assert abs(got.gain - round(best[0], 4)) < 1e-6
+
+
+def test_weighted_median_matches_python(spark, sf_small):
+    got = {
+        r["l_returnflag"]: r["weighted_median_price"]
+        for r in QUERIES["agg_weighted_median"](spark, sf_small).collect()
+    }
+    li = _lineitem_pdf(sf_small)
+    li["price_c"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    li["qw"] = (li["l_quantity"] * 100).round().astype("int64")
+    for flag, grp in li.groupby("l_returnflag"):
+        w = grp.groupby("price_c")["qw"].sum().sort_index()
+        tot = int(w.sum())
+        cum = 0
+        for price_c, wt in w.items():
+            cum += int(wt)
+            if 2 * cum >= tot:
+                assert got[flag] == round(price_c / 100, 2), flag
+                break
+
+
+def test_interval_ops_match_bruteforce(spark, sf_small):
+    li = _lineitem_pdf(sf_small)
+    li["s"] = (
+        pd.to_datetime(li["l_shipdate"]).dt.normalize()
+        - pd.Timestamp("1970-01-01")
+    ).dt.days.astype("int64")
+    li["iid"] = li["l_orderkey"] * 10 + li["l_linenumber"]
+    SHIP = 7
+    # overlap pairs: O(n^2) per supplier brute force
+    got = {
+        r["l_suppkey"]: (r["n_overlapping_pairs"], r["sum_overlap_days"])
+        for r in QUERIES["interval_overlap_pairs"](spark, sf_small).collect()
+    }
+    for supp, grp in li.groupby("l_suppkey"):
+        rows = sorted(zip(grp["iid"], grp["s"]))
+        n_pairs = sum_ov = 0
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                (ia, sa), (ib, sb) = rows[i], rows[j]
+                if sa < sb + SHIP and sb < sa + SHIP:
+                    n_pairs += 1
+                    sum_ov += min(sa + SHIP, sb + SHIP) - max(sa, sb)
+        if n_pairs:
+            assert got[supp] == (n_pairs, sum_ov), supp
+        else:
+            assert supp not in got
+    # max concurrency: brute-force day stabbing (half-open windows)
+    got_c = {
+        r["l_suppkey"]: r["max_concurrent"]
+        for r in QUERIES["interval_max_concurrency"](spark, sf_small).collect()
+    }
+    for supp, grp in li.groupby("l_suppkey"):
+        starts = sorted(grp["s"])
+        peak = max(
+            sum(1 for s in starts if s <= t < s + SHIP) for t in starts
+        )
+        assert got_c[supp] == peak, supp
+
+
+def test_assortativity_matches_numpy(spark, sf_small):
+    got = QUERIES["graph_degree_assortativity"](spark, sf_small).first()
+    li = _lineitem_pdf(sf_small)[["l_orderkey", "l_partkey"]].drop_duplicates()
+    m = li.merge(li, on="l_orderkey")
+    und = (
+        m[m["l_partkey_x"] < m["l_partkey_y"]][["l_partkey_x", "l_partkey_y"]]
+        .drop_duplicates()
+        .to_numpy()
+    )
+    deg: dict = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    du = np.array([deg[a] for a, b in und] + [deg[b] for a, b in und], float)
+    dv = np.array([deg[b] for a, b in und] + [deg[a] for a, b in und], float)
+    n = len(du)
+    sa, saa, sab = du.sum(), (du * du).sum(), (du * dv).sum()
+    want = (n * sab - sa * sa) / (n * saa - sa * sa)
+    assert got.n_edges == len(und)
+    assert abs(got.degree_assortativity - round(want, 6)) < 1e-6
+
+
+def test_neyman_allocation_properties(spark, sf_small):
+    """Allocation sums to ~budget and is ordered like N_h * S_h."""
+    rows = QUERIES["sample_neyman_allocation"](spark, sf_small).collect()
+    total = sum(r["neyman_alloc"] for r in rows)
+    # per-stratum rounding drifts at most 0.5 each way
+    assert abs(total - 1000) <= len(rows) / 2 + 1
+    w = [(r["n_docs"] * r["std_chars"], r["neyman_alloc"]) for r in rows]
+    w.sort()
+    allocs = [a for _, a in w]
+    # monotone up to rounding: larger weight never gets 2+ fewer samples
+    assert all(b >= a - 1 for a, b in zip(allocs, allocs[1:]))
+
+
+def test_phash_histogram_matches_python(spark, sf_small):
+    import hashlib
+
+    got = {
+        r["hamming"]: r["n_pairs"]
+        for r in QUERIES["multimodal_phash_neardup"](spark, sf_small).collect()
+    }
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    ph = {
+        int(d): int.from_bytes(
+            hashlib.md5(t.encode()).digest()[:8], "big", signed=True
+        )
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    bands: dict = {}
+    for doc, h in ph.items():
+        for b in range(4):
+            key = (b, (h >> ((3 - b) * 16)) & 0xFFFF)
+            bands.setdefault(key, []).append(doc)
+    cand = set()
+    for members in bands.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cand.add((members[i], members[j]))
+    hist: dict = {}
+    for a, b in cand:
+        hd = bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1")
+        hist[hd] = hist.get(hd, 0) + 1
+    assert got == hist

@@ -1105,3 +1105,104 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "sample_importance_reweighting",
+    """
+WITH s AS (
+  SELECT source,
+         COUNT(*) AS nh,
+         COUNT(*) FILTER (WHERE lang = 'en') AS nh_en
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT SUM(nh) AS n, SUM(nh_en) AS n_en FROM s
+),
+w AS (
+  SELECT source, nh, nh_en,
+         CAST(ROUND((CAST(nh_en AS DOUBLE) / t.n_en)
+                    / (CAST(nh AS DOUBLE) / t.n) * 1e9) AS BIGINT) AS wq
+  FROM s, tot t
+  WHERE nh_en > 0
+),
+ess AS (
+  SELECT SUM(CAST(nh * wq AS HUGEINT)) AS s1,
+         SUM(CAST(nh AS HUGEINT) * wq * wq) AS s2
+  FROM w
+)
+SELECT w.source, CAST(w.nh AS BIGINT) AS n_docs,
+       CAST(w.nh_en AS BIGINT) AS n_docs_en,
+       ROUND(CAST(w.wq AS DOUBLE) / 1e9, 6) AS weight,
+       ROUND(CAST(e.s1 AS DOUBLE) * e.s1 / e.s2, 3)
+         AS effective_sample_size
+FROM w, ess e
+ORDER BY 1
+""",
+)
+def sample_importance_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights for domain shift: reweight the corpus so each
+    source contributes with the share it has WITHIN the English subset
+    (target) rather than its overall share (source distribution) —
+    w_h = p_target(h) / p_source(h), the standard covariate-shift
+    correction for training-mixture rebalancing. Also reports Kish's
+    effective sample size (sum(n*w))^2 / sum(n*w^2): how many
+    equivalent unweighted samples the reweighted corpus is worth —
+    ESS << N flags a weighting too aggressive to train on.
+
+    Weights are per-stratum rationals of exact counts, quantized to
+    1e-9 units before the CROSS-stratum ESS sums (order-free exact
+    hugeint/decimal arithmetic — the Neyman normalizer idiom; n*wq^2
+    reaches ~1e27 at corpus scale, past bigint). Strata absent from
+    the target (no English docs) get weight 0 and are excluded.
+
+    Scale: one map-side-combined aggregate to source grain; everything
+    after is strata-table-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("nh_en"),
+    )
+    tot = s.agg(
+        F.sum("nh").alias("n"), F.sum("nh_en").alias("n_en")
+    )
+    w = (
+        s.crossJoin(F.broadcast(tot))
+        .filter(F.col("nh_en") > 0)
+        .select(
+            "source",
+            "nh",
+            "nh_en",
+            F.round(
+                (F.col("nh_en").cast("double") / F.col("n_en"))
+                / (F.col("nh").cast("double") / F.col("n"))
+                * 1e9
+            )
+            .cast("bigint")
+            .alias("wq"),
+        )
+    )
+    ess = w.agg(
+        F.sum((F.col("nh") * F.col("wq")).cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            F.col("nh").cast("decimal(38,0)") * F.col("wq") * F.col("wq")
+        ).alias("s2"),
+    )
+    return (
+        w.crossJoin(F.broadcast(ess))
+        .select(
+            "source",
+            F.col("nh").cast("bigint").alias("n_docs"),
+            F.col("nh_en").cast("bigint").alias("n_docs_en"),
+            F.round(F.col("wq").cast("double") / 1e9, 6).alias("weight"),
+            # ESS = (sum n*w)^2 / sum n*w^2; the 1e9 quanta cancel:
+            # (s1/1e9)^2 / (s2/1e18) == s1^2/s2
+            F.round(
+                F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("s2").cast("double"),
+                3,
+            ).alias("effective_sample_size"),
+        )
+        .orderBy("source")
+    )

@@ -341,3 +341,178 @@ def events_seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow_iso")
     )
+
+
+_ROLL_DAYS = 6  # trailing window: current day + 6 preceding
+
+_ROLLCORR_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS x,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS y
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT d, x, y,
+         COUNT(*) OVER win AS n,
+         SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+         SUM(x * x) OVER win AS sxx, SUM(y * y) OVER win AS syy,
+         SUM(x * y) OVER win AS sxy
+  FROM daily
+  WINDOW win AS (ORDER BY d RANGE BETWEEN INTERVAL {_ROLL_DAYS} DAYS
+                 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(d AS TIMESTAMP) AS day, CAST(n AS BIGINT) AS n_days,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * CAST(n * syy - sy * sy AS DOUBLE)),
+             6) AS rolling_corr
+FROM w
+WHERE n >= 3 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+ORDER BY day
+"""
+
+
+@register("window_rolling_corr", _ROLLCORR_SQL)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing rolling correlation between daily click and
+    purchase counts — the windowed form of the global cross-correlation
+    (is the click->purchase coupling stable or drifting?). All five
+    sufficient statistics are exact integer WINDOW sums over a
+    value-based (RANGE) date frame, so a missing day shrinks the window
+    on both engines identically; the correlation is one fixed double
+    tree per row. Degenerate windows (n<3 or zero variance) are
+    excluded on both sides.
+
+    Scale: the window runs over the DAY-grain series (dim-sized); the
+    unpartitioned frame is a few hundred rows at any fact volume."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+    )
+    # RANGE frame on epoch days == DuckDB's RANGE INTERVAL frame
+    win = (
+        Window.orderBy(F.unix_date("d"))
+        .rangeBetween(-_ROLL_DAYS, Window.currentRow)
+    )
+    w = daily.select(
+        "d",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        vx * vy.cast("double")
+    )
+    return (
+        w.filter((n >= 3) & (vx > 0) & (vy > 0))
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            n.cast("bigint").alias("n_days"),
+            F.round(corr, 6).alias("rolling_corr"),
+        )
+        .orderBy("day")
+    )
+
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+_HOLT_H = 7
+
+_HOLT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1
+),
+series AS (
+  SELECT list(x ORDER BY d) AS xs, MAX(d) AS last_d, COUNT(*) AS n
+  FROM daily
+),
+fitted AS (
+  -- DuckDB list_reduce has no seed parameter: the fold is acc-first
+  -- SEEDED BY THE FIRST ELEMENT, so each x is lifted to the state
+  -- shape [x, 0.0] and the first element IS the wanted seed (x1, 0);
+  -- the lambda then runs from element 2 onward — exactly Spark's
+  -- aggregate(slice(xs, 2, n-1), array(x1, 0.0), ...)
+  SELECT n, last_d,
+         list_reduce(
+           list_transform(xs, v -> [v, 0.0]),
+           (acc, el) ->
+             [{_HOLT_ALPHA} * el[1]
+                + (1 - {_HOLT_ALPHA}) * (acc[1] + acc[2]),
+              {_HOLT_BETA} * (({_HOLT_ALPHA} * el[1]
+                + (1 - {_HOLT_ALPHA}) * (acc[1] + acc[2])) - acc[1])
+                + (1 - {_HOLT_BETA}) * acc[2]]
+         ) AS st
+  FROM series
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(last_d AS TIMESTAMP) AS last_day,
+       ROUND(st[1], 6) AS level,
+       ROUND(st[2], 6) AS trend,
+       ROUND(st[1] + {_HOLT_H} * st[2], 6) AS forecast_7d
+FROM fitted
+"""
+
+
+@register("events_forecast_holt", _HOLT_SQL)
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing over the daily
+    event-count series: level/trend recursion l' = a*x + (1-a)*(l+t),
+    t' = b*(l'-l) + (1-b)*t seeded at (x1, 0), plus the h=7 forecast
+    l + 7t — the simplest trend-aware forecaster, and the registry's
+    demonstration that SEQUENTIAL recursions (which no window frame
+    expresses) still pair with the oracle: a per-row array fold in
+    plain double is bit-identical across engines because the
+    evaluation ORDER is fixed by the fold itself (the established
+    EWMA/entropy idiom). Spark folds with aggregate(); DuckDB with
+    list_reduce — no seed parameter there, so each x lifts to the
+    state shape [x, 0] and the first element IS the seed (see the SQL
+    comment).
+
+    Scale: the fold input is the DAY-grain series (dim-sized array,
+    hundreds of elements); the fact stream collapses in one map-side
+    combined aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    series = daily.agg(
+        F.array_sort(
+            F.collect_list(F.struct("d", "x"))
+        ).alias("pairs"),
+        F.max("d").alias("last_d"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "n",
+        "last_d",
+        F.expr("transform(pairs, p -> p.x)").alias("xs"),
+    )
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    st = F.expr(
+        f"""aggregate(
+              slice(xs, 2, size(xs) - 1),
+              array(element_at(xs, 1), 0.0D),
+              (acc, v) -> array(
+                {a}D * v + {1 - a}D * (element_at(acc, 1)
+                                       + element_at(acc, 2)),
+                {b}D * (({a}D * v + {1 - a}D * (element_at(acc, 1)
+                                                + element_at(acc, 2)))
+                        - element_at(acc, 1))
+                  + {1 - b}D * element_at(acc, 2)))"""
+    )
+    return series.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("last_d").cast("timestamp").alias("last_day"),
+        F.round(F.element_at(st, 1), 6).alias("level"),
+        F.round(F.element_at(st, 2), 6).alias("trend"),
+        F.round(
+            F.element_at(st, 1) + _HOLT_H * F.element_at(st, 2), 6
+        ).alias("forecast_7d"),
+    )

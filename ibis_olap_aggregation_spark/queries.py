@@ -959,6 +959,9 @@ _ADDED_ROUND9: frozenset[str] = frozenset(
         "emb_covariance_top_pairs",
         "multimodal_phash_neardup",
         "graph_kcore_peel",
+        "window_rolling_corr",
+        "events_forecast_holt",
+        "sample_importance_reweighting",
     }
 )
 

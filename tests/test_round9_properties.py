@@ -191,3 +191,61 @@ def test_phash_histogram_matches_python(spark, sf_small):
         hd = bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1")
         hist[hd] = hist.get(hd, 0) + 1
     assert got == hist
+
+
+def test_holt_forecast_matches_python_recursion(spark, sf_small):
+    got = QUERIES["events_forecast_holt"](spark, sf_small).first()
+    daily = _events_pdf(sf_small).groupby("d").size().sort_index()
+    xs = [float(v) for v in daily.values]
+    a, b = 0.5, 0.3
+    level, trend = xs[0], 0.0
+    for v in xs[1:]:
+        new_level = a * v + (1 - a) * (level + trend)
+        trend = b * (new_level - level) + (1 - b) * trend
+        level = new_level
+    assert got.n_days == len(xs)
+    assert abs(got.level - round(level, 6)) < 1e-9
+    assert abs(got.trend - round(trend, 6)) < 1e-9
+    assert abs(got.forecast_7d - round(level + 7 * trend, 6)) < 1e-9
+
+
+def test_rolling_corr_matches_numpy(spark, sf_small):
+    got = {
+        r["day"].date(): r["rolling_corr"]
+        for r in QUERIES["window_rolling_corr"](spark, sf_small).collect()
+    }
+    ev = _events_pdf(sf_small)
+    daily = (
+        ev.groupby("d")
+        .agg(
+            x=("event_type", lambda s: int((s == "click").sum())),
+            y=("event_type", lambda s: int((s == "purchase").sum())),
+        )
+        .sort_index()
+    )
+    days = list(daily.index)
+    for d in days:
+        win = daily[(daily.index > d - pd.Timedelta(days=7)) & (daily.index <= d)]
+        n = len(win)
+        sx, sy = int(win["x"].sum()), int(win["y"].sum())
+        sxx = int((win["x"] ** 2).sum())
+        syy = int((win["y"] ** 2).sum())
+        sxy = int((win["x"] * win["y"]).sum())
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if n < 3 or vx <= 0 or vy <= 0:
+            assert d not in got
+            continue
+        want = (n * sxy - sx * sy) / np.sqrt(vx * float(vy))
+        assert abs(got[d] - round(want, 6)) < 1e-9, d
+
+
+def test_importance_reweighting_conserves_mass(spark, sf_small):
+    """sum over strata of n_h * w_h == N (the reweighted corpus has the
+    original total mass) up to weight quantization, and ESS <= N."""
+    rows = QUERIES["sample_importance_reweighting"](spark, sf_small).collect()
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    n = len(docs)
+    mass = sum(r["n_docs"] * r["weight"] for r in rows)
+    assert abs(mass - n) < 1e-3 * n
+    ess = rows[0]["effective_sample_size"]
+    assert 0 < ess <= n + 1e-6

@@ -47,18 +47,22 @@ def build_and_roll(spark, customer, orders, tag: str) -> None:
     _mat(dim.aggregation_dim)
     build_s = time.perf_counter() - t0
     closure_rows = dim.aggregation_dim.count()
-    t0 = time.perf_counter()
-    _mat(
-        hierarchical_rollup_additive(
-            orders, dim.aggregation_dim, "o_custkey",
-            sum_cols=[("o_totalprice", "sum_totalprice")],
-            count_alias="n",
+    regimes = {}
+    for regime in (True, False, "auto"):
+        t0 = time.perf_counter()
+        _mat(
+            hierarchical_rollup_additive(
+                orders, dim.aggregation_dim, "o_custkey",
+                sum_cols=[("o_totalprice", "sum_totalprice")],
+                count_alias="n",
+                broadcast_dim=regime,
+            )
         )
-    )
-    rollup_s = time.perf_counter() - t0
+        regimes[str(regime)] = time.perf_counter() - t0
     print(
         f"{tag:8s} nodes={n_nodes:>9,} closure={closure_rows:>9,} "
-        f"build={build_s:6.2f}s rollup={rollup_s:6.2f}s"
+        f"build={build_s:6.2f}s rollup_bcast={regimes['True']:6.2f}s "
+        f"rollup_smj={regimes['False']:6.2f}s rollup_auto={regimes['auto']:6.2f}s"
     )
 
 
@@ -106,3 +110,13 @@ if __name__ == "__main__":
 # sub-linear; the closure-rollup stays constant because its cost is the
 # fact side, and the closure join just broadcasts a bigger (but still
 # skinny) table. No depth x nodes or quadratic term anywhere.
+#
+# Round-9 (2026-08-15), join-regime split at AMP=50 (closure 3.0M rows,
+# PAST the 2M "auto" cap, so auto picks sort-merge):
+#   base nodes=15,031  closure=60,086    build= 4.83s
+#        rollup_bcast=1.54s rollup_smj=1.31s rollup_auto=0.81s
+#   x50  nodes=750,031 closure=3,000,086 build=18.08s
+#        rollup_bcast=1.49s rollup_smj=1.35s rollup_auto=1.40s
+# The sort-merge regime is at PARITY with broadcast at the crossover
+# scale — switching off broadcast for oversized closures costs nothing
+# here and removes the executor-memory ceiling.

@@ -1422,10 +1422,11 @@ def emb_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims^2-sized. The input is repartitioned on vec_id first: a single
     parquet file is ONE input partition, and a 2080x explode in one
     task is the round-7 single-task cliff."""
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .repartition(32, "vec_id")
+        .repartition(parts, "vec_id")
     )
     pairs = e.select(
         F.explode(

@@ -214,3 +214,13 @@ def test_prev_bench_prefers_local_history(tmp_path, monkeypatch):
     queries, basis = bench._prev_bench()
     assert queries == {"q1": 1.1, "q2": 0.4}
     assert basis == "median3"
+
+
+def test_rebase_hatch_cleans_history_record_only(monkeypatch):
+    """SPARK_GRAFT_BENCH_REBASE=1 records the run as clean (so it can
+    re-enter the baseline pool) without touching the printed flags."""
+    flagged = {"q": {"delta": 3.0, "isolated_median": 7.9}}
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_REBASE", raising=False)
+    assert bench._recorded_regressions(flagged) == flagged
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REBASE", "1")
+    assert bench._recorded_regressions(flagged) == {}

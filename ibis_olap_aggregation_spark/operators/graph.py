@@ -725,22 +725,28 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ends = edges.select(F.col("pa").alias("pk")).unionAll(
             edges.select(F.col("pb").alias("pk"))
         )
+        # cache keep for the round: it feeds BOTH edge filters and the
+        # node count — uncached, the count re-ran the degree aggregate
+        # as its own job every round
         keep = (
             ends.groupBy("pk")
             .agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") >= _KCORE_K)
             .select("pk")
+            .cache()
         )
+        # node count = the KEPT node set (matches the oracle's k_i: a
+        # kept node may lose its last edge this round yet still counts)
+        n_keep = keep.count()
         edges = (
             edges.join(keep.withColumnRenamed("pk", "pa"), "pa")
             .join(keep.withColumnRenamed("pk", "pb"), "pb")
             .select("pa", "pb")
             .localCheckpoint(eager=True)
         )
+        keep.unpersist()
         prev_counts = counts
-        # node count = the KEPT node set (matches the oracle's k_i: a
-        # kept node may lose its last edge this round yet still counts)
-        counts = (keep.count(), edges.count())
+        counts = (n_keep, edges.count())
         if counts == prev_counts:
             break
     converged = counts == prev_counts

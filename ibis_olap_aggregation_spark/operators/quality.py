@@ -1164,3 +1164,150 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "at_risk"
         ),
     ).orderBy("c_nationkey", "c_mktsegment")
+
+
+@register(
+    "quality_runs_test",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x FROM events GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS nn, SUM(x) AS s1 FROM daily),
+signs AS (
+  -- above/below the mean decided in EXACT integers: x*nn <> s1
+  SELECT d, (x * t.nn > t.s1) AS up
+  FROM daily, tot t
+  WHERE x * t.nn <> t.s1
+),
+runs AS (
+  SELECT up,
+         CASE WHEN LAG(up) OVER (ORDER BY d) IS DISTINCT FROM up
+              THEN 1 ELSE 0 END AS boundary
+  FROM signs
+),
+st AS (
+  SELECT CAST(SUM(boundary) AS BIGINT) AS r,
+         CAST(COUNT(*) FILTER (WHERE up) AS DOUBLE) AS n1,
+         CAST(COUNT(*) FILTER (WHERE NOT up) AS DOUBLE) AS n2
+  FROM runs
+)
+SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+       r AS n_runs,
+       ROUND((r - (2 * n1 * n2 / (n1 + n2) + 1))
+             / sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 6)
+         AS z_statistic
+FROM st
+""",
+)
+def quality_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily event-count series: are
+    above-mean / below-mean days RANDOMLY interleaved, or does the
+    series trend/cluster (too few runs) or oscillate (too many)? The
+    standard nonparametric randomness check behind seasonality/trend
+    triage. Runs are counted as 1 + sign-change boundaries via a lag
+    over the day grain; exactly-at-mean days are dropped on both
+    engines by the exact integer comparison x*nn == s1 (never a double
+    equality); the z-statistic is one fixed double tree over exact
+    counts.
+
+    Scale: fact stream collapses to day grain in one map-side-combined
+    aggregate; the lag window runs over the dim-sized day table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    tot = daily.agg(F.count(F.lit(1)).alias("nn"), F.sum("x").alias("s1"))
+    signs = (
+        daily.crossJoin(F.broadcast(tot))
+        .filter(F.col("x") * F.col("nn") != F.col("s1"))
+        .select("d", (F.col("x") * F.col("nn") > F.col("s1")).alias("up"))
+    )
+    w = Window.orderBy("d")
+    runs = signs.select(
+        "up",
+        F.when(
+            ~F.lag("up").over(w).eqNullSafe(F.col("up")), 1
+        ).otherwise(0).alias("boundary"),
+    )
+    st = runs.agg(
+        F.sum("boundary").cast("bigint").alias("r"),
+        F.count(F.when(F.col("up"), 1)).cast("double").alias("n1"),
+        F.count(F.when(~F.col("up"), 1)).cast("double").alias("n2"),
+    )
+    r, n1, n2 = F.col("r"), F.col("n1"), F.col("n2")
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return st.select(
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        r.alias("n_runs"),
+        F.round((r - mu) / F.sqrt(var), 6).alias("z_statistic"),
+    )
+
+
+@register(
+    "quality_peak_over_threshold",
+    """
+WITH u AS (
+  SELECT event_type, quantile_cont(value, 0.95) AS u
+  FROM events GROUP BY 1
+),
+exc AS (
+  SELECT e.event_type, u.u,
+         CAST(ROUND((e.value - u.u) * 1e6) AS BIGINT) AS exq
+  FROM events e JOIN u ON u.event_type = e.event_type
+  WHERE e.value > u.u
+)
+SELECT event_type,
+       ROUND(MAX(u), 6) AS threshold_p95,
+       COUNT(*) AS n_exceedances,
+       ROUND(CAST(SUM(exq) AS DOUBLE) / COUNT(*) / 1e6, 6)
+         AS mean_excess,
+       ROUND(CAST(MAX(exq) AS DOUBLE) / 1e6, 6) AS max_excess
+FROM exc
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def quality_peak_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-over-threshold tail diagnostic (the EVT/GPD first step):
+    per event type, exceedances above the P95 value with their mean
+    and maximum excess — mean excess rising with the threshold is the
+    textbook heavy-tail signal, and these are the sufficient inputs to
+    a GPD fit. The threshold is PERCENTILE_CONT (established
+    cross-engine parity); each excess is quantized to exact 1e-6 units
+    before the cross-row sum (the repo's order-free summation idiom).
+
+    Scale: one percentile aggregate (typed partial merge) + one
+    broadcast threshold join + one aggregate; no window, no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.95)").alias("u")
+    )
+    exc = (
+        ev.join(F.broadcast(u), "event_type")
+        .filter(F.col("value") > F.col("u"))
+        .select(
+            "event_type",
+            "u",
+            F.round((F.col("value") - F.col("u")) * 1e6)
+            .cast("bigint")
+            .alias("exq"),
+        )
+    )
+    return (
+        exc.groupBy("event_type")
+        .agg(
+            F.round(F.max("u"), 6).alias("threshold_p95"),
+            F.count(F.lit(1)).alias("n_exceedances"),
+            F.round(
+                F.sum("exq").cast("double") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("mean_excess"),
+            F.round(F.max("exq").cast("double") / 1e6, 6).alias("max_excess"),
+        )
+        .orderBy("event_type")
+    )

@@ -962,6 +962,8 @@ _ADDED_ROUND9: frozenset[str] = frozenset(
         "window_rolling_corr",
         "events_forecast_holt",
         "sample_importance_reweighting",
+        "quality_runs_test",
+        "quality_peak_over_threshold",
     }
 )
 

@@ -249,3 +249,40 @@ def test_importance_reweighting_conserves_mass(spark, sf_small):
     assert abs(mass - n) < 1e-3 * n
     ess = rows[0]["effective_sample_size"]
     assert 0 < ess <= n + 1e-6
+
+
+def test_runs_test_matches_python(spark, sf_small):
+    got = QUERIES["quality_runs_test"](spark, sf_small).first()
+    daily = _events_pdf(sf_small).groupby("d").size().sort_index()
+    xs = [int(v) for v in daily.values]
+    nn, s1 = len(xs), sum(xs)
+    signs = [x * nn > s1 for x in xs if x * nn != s1]
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    r = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    assert (got.n_above, got.n_below) == (n1, n2)
+    # the operator counts boundaries with the first row contributing 1
+    # (lag NULL != sign), i.e. exactly r
+    assert got.n_runs == r
+    assert abs(got.z_statistic - round((r - mu) / np.sqrt(var), 6)) < 1e-9
+
+
+def test_peak_over_threshold_matches_numpy(spark, sf_small):
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["quality_peak_over_threshold"](spark, sf_small).collect()
+    }
+    ev = _events_pdf(sf_small)
+    for et, grp in ev.groupby("event_type"):
+        u = float(np.percentile(grp["value"], 95))  # linear == CONT
+        exc = grp["value"][grp["value"] > u]
+        exq = ((exc - u) * 1e6).round().astype("int64")
+        row = got[et]
+        assert abs(row["threshold_p95"] - round(u, 6)) < 1e-9
+        assert row["n_exceedances"] == len(exc)
+        assert abs(row["mean_excess"] - round(exq.sum() / len(exc) / 1e6, 6)) < 1e-9
+        assert abs(row["max_excess"] - round(exq.max() / 1e6, 6)) < 1e-9

@@ -286,3 +286,43 @@ def test_peak_over_threshold_matches_numpy(spark, sf_small):
         assert row["n_exceedances"] == len(exc)
         assert abs(row["mean_excess"] - round(exq.sum() / len(exc) / 1e6, 6)) < 1e-9
         assert abs(row["max_excess"] - round(exq.max() / 1e6, 6)) < 1e-9
+
+
+def test_interval_overlap_boundary_and_skew_cases(spark, tmp_path):
+    """Adversarial shapes for the bucketed overlap join:
+    - half-open boundary: starts exactly 7 days apart do NOT overlap;
+      6 days apart overlap exactly 1 day;
+    - bucket boundary: a pair straddling a 14-day bucket edge is found
+      once (the cross-bucket dedup);
+    - same-start skew: a large identical-start group pairs
+      ARITHMETICALLY (C(c,2) with full 7-day overlap), never through a
+      join fan-out."""
+    import datetime as dt
+
+    from ibis_olap_aggregation_spark.operators.temporal import (
+        interval_overlap_pairs,
+    )
+
+    base = dt.datetime(1995, 1, 1)  # epoch day 9131; 9131 % 14 != 0
+    rows = []
+    # supplier 1: starts at day 0 and day 7 (no overlap), day 20 & 26
+    # (overlap 1); day 27/28 straddle a bucket edge relative to 13/14
+    for off in (0, 7, 20, 26):
+        rows.append((1, base + dt.timedelta(days=off)))
+    # supplier 2: 50 shipments all on one day (same-start skew)
+    rows += [(2, base)] * 50
+    df = spark.createDataFrame(
+        [(s, 9, 9, 1, ts) for s, ts in rows],
+        "l_suppkey long, l_orderkey long, l_linenumber int,"
+        " l_quantity int, l_shipdate timestamp",
+    )
+    path = str(tmp_path / "lineitem.parquet")
+    df.write.parquet(path)
+    got = {
+        r["l_suppkey"]: (r["n_overlapping_pairs"], r["sum_overlap_days"])
+        for r in interval_overlap_pairs(spark, str(tmp_path)).collect()
+    }
+    # supplier 1: only (20, 26) overlap, by exactly 1 day
+    assert got[1] == (1, 1)
+    # supplier 2: C(50,2)=1225 pairs, each the full 7-day window
+    assert got[2] == (1225, 1225 * 7)

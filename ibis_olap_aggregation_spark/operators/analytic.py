@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ibis_olap_aggregation_spark.queries import dsum, register
+from ibis_olap_aggregation_spark.queries import dsum, register, sum_wide
 from ibis_olap_aggregation_spark.session import load_table
 
 
@@ -1037,14 +1037,13 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while the DuckDB oracle promotes to hugeint (ADVICE r8). The
     # per-row PRODUCT stays bigint (safe to n ~ 1.5e9 rows per group);
     # the cross-row sum is where the headroom is needed.
-    dsum = lambda col: F.sum(col.cast("decimal(38,0)")).cast("double")  # noqa: E731
     s = rk.groupBy("nation").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("ra").cast("double").alias("sa"),
         F.sum("rb").cast("double").alias("sb"),
-        dsum(F.col("ra") * F.col("ra")).alias("saa"),
-        dsum(F.col("rb") * F.col("rb")).alias("sbb"),
-        dsum(F.col("ra") * F.col("rb")).alias("sab"),
+        sum_wide(F.col("ra") * F.col("ra")).cast("double").alias("saa"),
+        sum_wide(F.col("rb") * F.col("rb")).cast("double").alias("sbb"),
+        sum_wide(F.col("ra") * F.col("rb")).cast("double").alias("sab"),
     )
     n_, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
     saa, sbb, sab = F.col("saa"), F.col("sbb"), F.col("sab")
@@ -1102,9 +1101,12 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
         F.round(F.col("l_quantity") * 100).cast("bigint").alias("qw"),
     )
-    w = li.groupBy("flag", "price_c").agg(F.sum("qw").alias("wt"))
+    w = li.groupBy("flag", "price_c").agg(sum_wide(F.col("qw")).alias("wt"))
     wf = Window.partitionBy("flag")
     wo = wf.orderBy("price_c").rowsBetween(Window.unboundedPreceding, 0)
+    # cumulative/total weights stay EXACT decimal (oracle: hugeint):
+    # 2*cw at 1e12 rows x 5e6 cent-quanta passes 2^63, and the median
+    # selection is an integer comparison that must never round
     c = w.select(
         "flag",
         "price_c",

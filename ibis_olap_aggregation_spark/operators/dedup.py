@@ -856,10 +856,11 @@ def connected_components(
     near-dup edge set is a tiny fraction of the corpus, so when it fits
     the driver (< driver_threshold edges) a local union-find answers in
     one collect — no iterative jobs at all. Larger graphs run the
-    distributed min-label-propagation loop: rounds ~ graph diameter,
-    each one join + groupBy shuffling on the node id (for planet-scale
-    graphs swap in large-star/small-star; the loop shape is identical).
-    Both paths produce identical output."""
+    distributed ALTERNATING LARGE-STAR/SMALL-STAR kernel
+    (:func:`_star_components` — O(log n) rounds on any graph shape,
+    including the chain-shaped components contamination graphs
+    produce). Both paths produce identical output, including
+    self-loop-only nodes (labeled with themselves)."""
     # one materialization of the (expensive: LSH + verify lineage) edge
     # set serves the size probe AND the chosen algorithm
     edges = edges.cache()
@@ -900,6 +901,18 @@ def connected_components(
         .distinct()
     )
     labels, _rounds = _star_components(oriented, max_iter=max_iter)
+    # self-loop-only nodes never enter the star kernel (their edges
+    # carry no connectivity) but the driver union-find path labels
+    # them — keep the two paths' node sets identical
+    selfloop_only = (
+        edges.filter(F.col(node_col_a) == F.col(node_col_b))
+        .select(F.col(node_col_a).alias("node"))
+        .distinct()
+        .join(labels.select("node"), "node", "left_anti")
+    )
+    labels = labels.unionByName(
+        selfloop_only.select("node", F.col("node").alias("component"))
+    )
     edges.unpersist()
     return labels
 

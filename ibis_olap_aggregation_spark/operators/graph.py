@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ibis_olap_aggregation_spark.queries import register
+from ibis_olap_aggregation_spark.queries import register, sum_wide
 from ibis_olap_aggregation_spark.session import load_table, query_cache
 
 _DAMP = 0.85
@@ -631,12 +631,13 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("pk").alias("u"), F.col("d").alias("du"))
     db = deg.select(F.col("pk").alias("v"), F.col("d").alias("dv"))
     joined = sym.join(da, "u").join(db, "v")
-    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    # sa = sum over edge-ends of deg(u) = sum of deg^2 — second-order
+    # magnitude like saa/sab, so all three route through the wide sum
     st = joined.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("du").cast("double").alias("sa"),
-        dec(F.col("du") * F.col("du")).alias("saa"),
-        dec(F.col("du") * F.col("dv")).alias("sab"),
+        sum_wide(F.col("du")).cast("double").alias("sa"),
+        sum_wide(F.col("du") * F.col("du")).cast("double").alias("saa"),
+        sum_wide(F.col("du") * F.col("dv")).cast("double").alias("sab"),
     )
     n, sa = F.col("n"), F.col("sa")
     r = (n * F.col("sab") - sa * sa) / (n * F.col("saa") - sa * sa)

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ibis_olap_aggregation_spark.queries import register
+from ibis_olap_aggregation_spark.queries import register, sum_wide
 from ibis_olap_aggregation_spark.session import load_table
 
 __all__ = ["check_unique", "check_not_null", "check_foreign_key"]
@@ -1304,8 +1304,11 @@ def quality_peak_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.max("u"), 6).alias("threshold_p95"),
             F.count(F.lit(1)).alias("n_exceedances"),
+            # exact wide sum (oracle hugeint): ~1e10 exceedances x
+            # ~1e9 quanta passes 2^63
             F.round(
-                F.sum("exq").cast("double") / F.count(F.lit(1)) / 1e6, 6
+                sum_wide(F.col("exq")).cast("double")
+                / F.count(F.lit(1)) / 1e6, 6
             ).alias("mean_excess"),
             F.round(F.max("exq").cast("double") / 1e6, 6).alias("max_excess"),
         )

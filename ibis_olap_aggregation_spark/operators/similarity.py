@@ -1398,7 +1398,10 @@ FROM mom m
 JOIN var va ON va.i = m.i
 JOIN var vb ON vb.i = m.j
 WHERE m.i < m.j
-ORDER BY abs(m.cov) DESC, m.i, m.j
+-- order on the ROUNDED value (the emitted column) like the Spark
+-- side: ordering on raw cov could disagree with Spark's post-select
+-- alias binding at ties past the 8th decimal, flipping the LIMIT edge
+ORDER BY abs(ROUND(m.cov, 8)) DESC, m.i, m.j
 LIMIT 20
 """,
 )

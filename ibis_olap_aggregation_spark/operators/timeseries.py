@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ibis_olap_aggregation_spark.queries import register
+from ibis_olap_aggregation_spark.queries import register, sum_wide
 from ibis_olap_aggregation_spark.session import load_table
 
 
@@ -85,8 +85,8 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_counts(spark, sf_dir)
     tot = daily.agg(
         F.count(F.lit(1)).cast("double").alias("nn"),
-        F.sum("x").cast("double").alias("s1"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("s2"),
+        sum_wide(F.col("x")).cast("double").alias("s1"),
+        sum_wide(F.col("x") * F.col("x")).cast("double").alias("s2"),
     )
     lags = spark.range(1, _ACF_LAGS + 1).select(F.col("id").cast("int").alias("lag"))
     a = daily.select(F.col("d").alias("ad"), F.col("x").alias("ax"))
@@ -97,9 +97,9 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("ax") * F.col("bx")).cast("double").alias("sxy"),
-            F.sum("ax").cast("double").alias("sx"),
-            F.sum("bx").cast("double").alias("sy"),
+            sum_wide(F.col("ax") * F.col("bx")).cast("double").alias("sxy"),
+            sum_wide(F.col("ax")).cast("double").alias("sx"),
+            sum_wide(F.col("bx")).cast("double").alias("sy"),
         )
     )
     m = F.col("s1") / F.col("nn")
@@ -168,10 +168,10 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = daily.agg(
         F.count(F.lit(1)).cast("double").alias("nn"),
-        F.sum("x").cast("double").alias("s1x"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("s2x"),
-        F.sum("y").cast("double").alias("s1y"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("s2y"),
+        sum_wide(F.col("x")).cast("double").alias("s1x"),
+        sum_wide(F.col("x") * F.col("x")).cast("double").alias("s2x"),
+        sum_wide(F.col("y")).cast("double").alias("s1y"),
+        sum_wide(F.col("y") * F.col("y")).cast("double").alias("s2y"),
     )
     lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
     a = daily.select(F.col("d").alias("ad"), F.col("x").alias("ax"))
@@ -182,9 +182,9 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("ax") * F.col("by")).cast("double").alias("sxy"),
-            F.sum("ax").cast("double").alias("sx"),
-            F.sum("by").cast("double").alias("sy"),
+            sum_wide(F.col("ax") * F.col("by")).cast("double").alias("sxy"),
+            sum_wide(F.col("ax")).cast("double").alias("sx"),
+            sum_wide(F.col("by")).cast("double").alias("sy"),
         )
     )
     mx, my = F.col("s1x") / F.col("nn"), F.col("s1y") / F.col("nn")
@@ -265,13 +265,18 @@ def events_changepoint_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame
     wall = Window.partitionBy()
     pre = daily.select(
         "d",
-        F.sum("cents").over(w).alias("sl"),
+        # prefix/total cents sums routed wide (exact at any fact scale,
+        # mirroring the oracle's hugeint window sums)
+        F.sum(F.col("cents").cast("decimal(38,0)")).over(w).alias("sl"),
         F.row_number().over(Window.orderBy("d")).cast("bigint").alias("nl"),
-        F.sum("cents").over(wall).alias("st"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).over(wall).alias("st"),
         F.count(F.lit(1)).over(wall).alias("nt"),
     ).filter(F.col("nl") < F.col("nt"))
     sl, st = F.col("sl").cast("double"), F.col("st").cast("double")
-    sr = st - sl
+    # sr mirrors the oracle's CAST(st - sl AS DOUBLE): the subtraction
+    # happens EXACTLY (decimal), then one conversion — a double-minus-
+    # double here would diverge by ulps once cents sums pass 2^53
+    sr = (F.col("st") - F.col("sl")).cast("double")
     nl, nt = F.col("nl"), F.col("nt")
     nr = nt - nl
     gain = (sl * F.col("sl") / nl + sr * (F.col("st") - F.col("sl")) / nr
@@ -353,18 +358,23 @@ WITH daily AS (
   FROM events GROUP BY 1
 ),
 w AS (
+  -- window sums auto-promote to HUGEINT (exact) and convert to
+  -- double HERE, the single rounding point — downstream arithmetic is
+  -- then one identical double tree on both engines
   SELECT d, x, y,
          COUNT(*) OVER win AS n,
-         SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
-         SUM(x * x) OVER win AS sxx, SUM(y * y) OVER win AS syy,
-         SUM(x * y) OVER win AS sxy
+         CAST(SUM(x) OVER win AS DOUBLE) AS sx,
+         CAST(SUM(y) OVER win AS DOUBLE) AS sy,
+         CAST(SUM(x * x) OVER win AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) OVER win AS DOUBLE) AS syy,
+         CAST(SUM(x * y) OVER win AS DOUBLE) AS sxy
   FROM daily
   WINDOW win AS (ORDER BY d RANGE BETWEEN INTERVAL {_ROLL_DAYS} DAYS
                  PRECEDING AND CURRENT ROW)
 )
 SELECT CAST(d AS TIMESTAMP) AS day, CAST(n AS BIGINT) AS n_days,
        ROUND((n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * CAST(n * syy - sy * sy AS DOUBLE)),
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
              6) AS rolling_corr
 FROM w
 WHERE n >= 3 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
@@ -395,21 +405,22 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.unix_date("d"))
         .rangeBetween(-_ROLL_DAYS, Window.currentRow)
     )
+    def wsum(col):  # exact wide window sum -> double (see oracle note)
+        return F.sum(col.cast("decimal(38,0)")).over(win).cast("double")
+
     w = daily.select(
         "d",
         F.count(F.lit(1)).over(win).alias("n"),
-        F.sum("x").over(win).alias("sx"),
-        F.sum("y").over(win).alias("sy"),
-        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+        wsum(F.col("x")).alias("sx"),
+        wsum(F.col("y")).alias("sy"),
+        wsum(F.col("x") * F.col("x")).alias("sxx"),
+        wsum(F.col("y") * F.col("y")).alias("syy"),
+        wsum(F.col("x") * F.col("y")).alias("sxy"),
     )
     n = F.col("n")
     vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = n * F.col("syy") - F.col("sy") * F.col("sy")
-    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
-        vx * vy.cast("double")
-    )
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(vx * vy)
     return (
         w.filter((n >= 3) & (vx > 0) & (vy > 0))
         .select(

@@ -96,6 +96,18 @@ def dsum(col: str, alias: str) -> F.Column:
     return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
 
 
+def sum_wide(col: F.Column) -> F.Column:
+    """SUM of an integer expression over decimal(38,0) — the exact
+    wide-sum idiom for second-order statistics (sum of squares /
+    products). The DuckDB oracle's SUM(BIGINT) auto-promotes to
+    HUGEINT; Spark's non-ANSI bigint SUM wraps SILENTLY past 2^63
+    (ADVICE r8 — the Spearman lesson), so every sum whose magnitude is
+    value^2 x rows must route through this. Callers cast the result to
+    double (one rounding point, identical both engines) or keep the
+    exact decimal for integer comparisons."""
+    return F.sum(col.cast("decimal(38,0)"))
+
+
 # Dimensions are ETL artifacts: built once, queried many times (the
 # reference materializes them via CTAS at construction and every query
 # reuses the tables; ref classes/hierarchy_dimension_table.py:162-163,

@@ -343,8 +343,7 @@ def hierarchical_rollup_partials(
     if not sum_cols and not count_alias:
         raise ValueError("no measures declared")
     dim_slim = aggregation_dim.select(descendant_key_col, _ID)
-    if broadcast_dim:
-        dim_slim = F.broadcast(dim_slim)
+    dim_slim = _dim_side(dim_slim, _resolve_broadcast(dim_slim, broadcast_dim))
     partial_aggs = [
         F.sum(F.col(c).cast("decimal(18,2)")).alias(a) for c, a in sum_cols
     ]

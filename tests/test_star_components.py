@@ -80,3 +80,18 @@ def test_star_kernel_handles_string_ids(spark):
         "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
         "zz": "doc-a", "q-1": "q-1", "q-2": "q-1",
     }
+
+
+def test_self_loop_only_nodes_kept_on_both_paths(spark):
+    """A node whose only edge is a self-loop must appear (labeled with
+    itself) from BOTH strategy paths — the union-find path always kept
+    it; the star kernel drops connectivity-free loops, so the
+    distributed path re-attaches such nodes explicitly."""
+    edges = spark.createDataFrame(
+        [(5, 5), (2, 1), (1, 2)], ["na", "nb"]
+    )
+    want = {1: 1, 2: 1, 5: 5}
+    drv = _labels(connected_components(edges, "na", "nb", driver_threshold=10**6))
+    dist = _labels(connected_components(edges, "na", "nb", driver_threshold=0))
+    assert drv == want
+    assert dist == want

@@ -927,7 +927,8 @@ def agg_ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("double").alias("sx"),
         F.sum("y").cast("double").alias("sy"),
         F.sum(xb * F.col("x")).cast("double").alias("sxx"),
-        F.sum(xb * F.col("y")).cast("double").alias("sxy"),
+        # x*y ~ day-index x daily-cents passes 2^63 at fact scale
+        sum_wide(xb * F.col("y")).cast("double").alias("sxy"),
         F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
         .cast("double")
         .alias("syy"),

@@ -460,7 +460,14 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (
         hourly.withColumn("k", F.count(F.lit(1)).over(w))
         .withColumn("s1", F.sum("n").over(w).cast("double"))
-        .withColumn("s2", F.sum(F.col("n") * F.col("n")).over(w).cast("double"))
+        # wide sum (oracle hugeint): sum of squared hourly counts
+        # passes 2^63 once hours run ~1e8 events (the Spearman lesson)
+        .withColumn(
+            "s2",
+            F.sum((F.col("n") * F.col("n")).cast("decimal(38,0)"))
+            .over(w)
+            .cast("double"),
+        )
     )
     var_num = F.col("s2") - F.col("s1") * F.col("s1") / F.col("k")
     z = (F.col("n") - F.col("s1") / F.col("k")) / F.sqrt(

@@ -46,6 +46,16 @@ _ITERS = 3
 # constant so tests can force either regime.
 TRIANGLE_BROADCAST_EDGE_CAP = 5_000_000
 
+# Above this many nodes the PageRank rank vector (and the node-sized
+# part-name attach) stops being broadcast and the per-iteration join
+# runs as a sort-merge join on src instead. The rank vector is
+# ~16 B/row, but the broadcast re-serializes per iteration (x3) and
+# per decorate; at a 20M-part scale that is ~320 MB per broadcast —
+# past the practical ceiling. The probe is FREE here: n_nodes is
+# already collected for the damping constants. Module constant so
+# tests can force either regime.
+PAGERANK_BROADCAST_NODE_CAP = 5_000_000
+
 
 def order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (l_orderkey, l_partkey) pairs — the basket item set the
@@ -166,15 +176,24 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.0/n and 0.15/n are bit-identical to the oracle's in-engine
     # divisions on the same exact integer.
     n_nodes = nodes.count()
+    # Join-regime switch (the triangle/closure pattern): BELOW the node
+    # cap, broadcast the node-sized rank vector so the edge stream (the
+    # fact-scale side) is never shuffled — the only per-iteration
+    # shuffle is the contribution aggregate on dst. ABOVE the cap (a
+    # 20M-part graph: ~320 MB serialized, re-shipped per iteration and
+    # per decorate) every node-sized attach runs as a sort-merge join
+    # instead — identical semantics, no executor-memory cliff. The
+    # probe is free: n_nodes is already collected for the damping
+    # constants. Both regimes are plan- and output-pinned
+    # (tests/test_plans.py::test_pagerank_join_regime_switch).
+    small_nodes = n_nodes < PAGERANK_BROADCAST_NODE_CAP
+
+    def _node_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_nodes else df.hint("merge")
+
     pr = nodes.select("pk", F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(_ITERS):
-        # BROADCAST the node-sized rank vector: the edge stream (the
-        # fact-scale side) is never shuffled for the join — the only
-        # per-iteration shuffle is the contribution aggregate on dst.
-        # Same size argument as the broadcast closure in rollup.py; a
-        # node set beyond broadcast reach drops the hint and degrades to
-        # a shuffled equi-join with identical semantics.
-        contrib = ew.join(F.broadcast(pr), ew.src == pr.pk).select(
+        contrib = ew.join(_node_side(pr), ew.src == pr.pk).select(
             F.col("dst"),
             F.round(F.col("pr") * F.col("w") / F.col("out_w") * F.lit(1e15), 0)
             .cast("bigint")
@@ -196,9 +215,10 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pin is registry-drained like every query cache.
         pr = query_cache(pr)
         pr.count()
+    # the part-name decorate is node-sized too — same regime switch
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
     out = (
-        pr.join(F.broadcast(part), pr.pk == part.p_partkey)
+        pr.join(_node_side(part), pr.pk == part.p_partkey)
         .join(outw.select(F.col("src"), "degree"), pr.pk == F.col("src"))
         .select(
             F.col("pk").alias("p_partkey"),

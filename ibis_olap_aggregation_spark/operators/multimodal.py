@@ -479,10 +479,13 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference) and compare popcount-of-xor — bit-identical.
 
     Scale: fingerprints are map-only over the payload scan (payload
-    bytes never shuffle — only the 8-byte hash does); the bucket join
-    shuffles on (band, band_key); per-bucket pair fan-out is capped the
-    same way the MinHash LSH path caps it (salted sub-buckets) once
-    bucket skew appears."""
+    bytes never shuffle — only the 8-byte hash does); candidate pairs
+    route through the same salted sub-bucket generator as every other
+    LSH family (dedup.bucket_pairs, cap 4096) — on the exact corpus
+    this operator targets (many near-identical images all sharing a
+    16-bit band key) the degenerate bucket is split across sub-bucket
+    tasks instead of producing a quadratic fan-out in one task. Pinned
+    by tests/test_bucket_cap.py::test_phash_neardup_identical_corpus."""
     docs = load_table(spark, sf_dir, "documents")
     hashes = attach_media(docs).select("doc_id", "media").mapInPandas(
         _phash_batches, schema=PHASH_SCHEMA
@@ -496,18 +499,31 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_key",
         F.expr("(phash >> ((3 - band) * 16)) & 65535").cast("bigint"),
     )
-    a = bands.select(
-        F.col("band"), F.col("band_key"),
-        F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"),
-    )
-    b = bands.select(
-        F.col("band"), F.col("band_key"),
-        F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb"),
+    # function-level import: operator modules are loaded by queries.py
+    # in registration order, so a module-level cross-operator import
+    # would cycle (repo convention, see pipeline.py)
+    from ibis_olap_aggregation_spark.operators.dedup import bucket_pairs
+
+    # salted sub-bucket pair generation (dedup.bucket_pairs): the member
+    # struct leads with doc_id (unique per band), so struct ordering ==
+    # doc_id ordering and the generator's a<b orientation matches the
+    # oracle's a.doc_id < b.doc_id; phash rides along as the second
+    # field so the Hamming residual needs no re-join.
+    members = bands.select(
+        "band",
+        "band_key",
+        F.struct(
+            F.col("doc_id").alias("i"), F.col("phash").alias("h")
+        ).alias("m"),
     )
     cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", "pb")
+        bucket_pairs(members, ["band", "band_key"], "m")
+        .select(
+            F.col("a.i").alias("doc_a"),
+            F.col("b.i").alias("doc_b"),
+            F.col("a.h").alias("pa"),
+            F.col("b.h").alias("pb"),
+        )
         .distinct()
     )
     return (

@@ -210,3 +210,18 @@ def test_rp_lsh_adaptive_bits_match_oracle_at_checked_scales():
         assert bits(n) == DEDUP_RP_BITS, n
     assert bits(200_000) >= 8  # wide enough that E[bucket] stays bounded
     assert bits(20_000_000) <= 16  # and recall on true near-dups survives
+
+
+def test_phash_neardup_identical_corpus(spark, identical_sf_dir, tiny_cap):
+    """multimodal_phash_neardup on an all-identical corpus: every doc's
+    md5-derived payload yields the SAME 64-bit pHash, so all 120 docs
+    share every 16-bit band key — the exact degenerate bucket the salted
+    generator exists for. Under a 16-member cap the bucket must split
+    across sub-bucket tasks yet still emit the full quadratic candidate
+    set exactly once: one histogram row, hamming 0, C(120,2) pairs."""
+    from ibis_olap_aggregation_spark.operators import multimodal as mm
+
+    rows = mm.multimodal_phash_neardup(spark, identical_sf_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].hamming == 0
+    assert rows[0].n_pairs == math.comb(N_DOCS, 2)

@@ -253,14 +253,22 @@ def isolate_flagged(
     return regressions, noise_cleared
 
 
-def _recorded_regressions(regressions: dict) -> dict:
+def _recorded_regressions(regressions: dict) -> tuple[dict, dict]:
     """Rebase hatch (ADVICE r8): flags always stay in the PRINTED
     output, but with SPARK_GRAFT_BENCH_REBASE=1 the history record is
     written clean so an intentionally accepted new performance level
-    can enter the baseline pool instead of wedging the gate forever."""
+    can enter the baseline pool instead of wedging the gate forever.
+
+    Audit trail (ADVICE r9): a rebased record must NOT be
+    indistinguishable from a genuinely clean run — a lingering exported
+    env var would otherwise silently launder real regressions into the
+    baseline pool. Returns (regressions-for-the-clean-gate, rebased):
+    the suppressed flags are recorded verbatim under "rebased" so the
+    record still enters the pool but the acceptance stays auditable in
+    BENCH_HISTORY.jsonl."""
     if os.environ.get("SPARK_GRAFT_BENCH_REBASE") == "1":
-        return {}
-    return regressions
+        return {}, dict(regressions)
+    return regressions, {}
 
 
 def _history_path() -> str:
@@ -453,7 +461,7 @@ def main() -> None:
     if noise_cleared:
         out["noise_cleared"] = noise_cleared
     print(json.dumps(out))
-    recorded_regressions = _recorded_regressions(regressions)
+    recorded_regressions, rebased = _recorded_regressions(regressions)
     # Persist the full per-query record locally: the driver's stdout
     # capture truncates the long line above out of BENCH_r{N}.json, so
     # this appended history is the only durable same-basis baseline the
@@ -471,7 +479,10 @@ def main() -> None:
                         # flagged runs are recorded but excluded from
                         # future baselines (_prev_bench ratchet guard);
                         # REBASE=1 records clean (accepted slowdown)
+                        # but keeps the suppressed flags under
+                        # "rebased" so the acceptance is auditable
                         "regressions": recorded_regressions,
+                        **({"rebased": rebased} if rebased else {}),
                     }
                 )
                 + "\n"

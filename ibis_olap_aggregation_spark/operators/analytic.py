@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ibis_olap_aggregation_spark.queries import dsum, register, sum_wide
+from ibis_olap_aggregation_spark.queries import dsum, register, sum_wide, sum_wide_product
 from ibis_olap_aggregation_spark.session import load_table
 
 
@@ -927,8 +927,10 @@ def agg_ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("double").alias("sx"),
         F.sum("y").cast("double").alias("sy"),
         F.sum(xb * F.col("x")).cast("double").alias("sxx"),
-        # x*y ~ day-index x daily-cents passes 2^63 at fact scale
-        sum_wide(xb * F.col("y")).cast("double").alias("sxy"),
+        # x*y ~ day-index x daily-cents passes 2^63 at fact scale —
+        # and the PRODUCT itself must be decimal, not just the sum
+        # (day 2500 x ~1e17 cents wraps bigint before any widening)
+        sum_wide_product(xb, F.col("y")).cast("double").alias("sxy"),
         F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
         .cast("double")
         .alias("syy"),
@@ -1042,9 +1044,9 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("ra").cast("double").alias("sa"),
         F.sum("rb").cast("double").alias("sb"),
-        sum_wide(F.col("ra") * F.col("ra")).cast("double").alias("saa"),
-        sum_wide(F.col("rb") * F.col("rb")).cast("double").alias("sbb"),
-        sum_wide(F.col("ra") * F.col("rb")).cast("double").alias("sab"),
+        sum_wide_product(F.col("ra"), F.col("ra")).cast("double").alias("saa"),
+        sum_wide_product(F.col("rb"), F.col("rb")).cast("double").alias("sbb"),
+        sum_wide_product(F.col("ra"), F.col("rb")).cast("double").alias("sab"),
     )
     n_, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
     saa, sbb, sab = F.col("saa"), F.col("sbb"), F.col("sab")

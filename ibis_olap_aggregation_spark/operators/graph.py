@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ibis_olap_aggregation_spark.queries import register, sum_wide
+from ibis_olap_aggregation_spark.queries import register, sum_wide, sum_wide_product
 from ibis_olap_aggregation_spark.session import load_table, query_cache
 
 _DAMP = 0.85
@@ -656,8 +656,8 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = joined.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         sum_wide(F.col("du")).cast("double").alias("sa"),
-        sum_wide(F.col("du") * F.col("du")).cast("double").alias("saa"),
-        sum_wide(F.col("du") * F.col("dv")).cast("double").alias("sab"),
+        sum_wide_product(F.col("du"), F.col("du")).cast("double").alias("saa"),
+        sum_wide_product(F.col("du"), F.col("dv")).cast("double").alias("sab"),
     )
     n, sa = F.col("n"), F.col("sa")
     r = (n * F.col("sab") - sa * sa) / (n * F.col("saa") - sa * sa)

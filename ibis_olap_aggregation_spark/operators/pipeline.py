@@ -38,7 +38,7 @@ from ibis_olap_aggregation_spark.functions.idioms import (
 from ibis_olap_aggregation_spark.functions.minhash_sql import (
     DUCK_NEAR_DUP_COMP as _DUCK_NEAR_DUP_COMP,
 )
-from ibis_olap_aggregation_spark.queries import register, sum_wide
+from ibis_olap_aggregation_spark.queries import register, sum_wide, sum_wide_product
 from ibis_olap_aggregation_spark.session import load_table, query_cache
 
 # sibling operator modules (shingles_col, tokens_col, IVF assignment)
@@ -1075,7 +1075,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # wide sums (oracle hugeint): sum(n_chars^2) ~ 1e12 x 1e9 docs
         # passes 2^63; s1 widened for the same tree shape
         sum_wide(F.col("n_chars")).alias("s1"),
-        sum_wide(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+        sum_wide_product(F.col("n_chars"), F.col("n_chars")).alias("s2"),
     ).filter(F.col("nh") > 1)
     mean = F.col("s1").cast("double") / F.col("nh")
     var = (

@@ -1365,29 +1365,23 @@ WITH e AS (
 idx AS (
   SELECT unnest(generate_series(1, (SELECT MAX(len(v)) FROM e))) AS i
 ),
-sx AS (
-  SELECT i.i AS i,
-         SUM(CAST(ROUND(v[i.i] * 1e6) AS BIGINT)) AS sxq,
-         COUNT(*) AS n
-  FROM e CROSS JOIN idx i
-  GROUP BY 1
-),
 px AS (
   SELECT ia.i AS i, ib.i AS j,
-         SUM(CAST(ROUND(v[ia.i] * v[ib.i] * 1e12) AS HUGEINT)) AS sq
+         SUM(CAST(ROUND(v[ia.i] * v[ib.i] * 1e12) AS HUGEINT)) AS sq,
+         SUM(CAST(ROUND(v[ia.i] * 1e6) AS BIGINT)) AS sxa,
+         SUM(CAST(ROUND(v[ib.i] * 1e6) AS BIGINT)) AS sxb,
+         COUNT(*) AS n
   FROM e CROSS JOIN idx ia CROSS JOIN idx ib
-  WHERE ib.i >= ia.i
+  WHERE ib.i >= ia.i AND ia.i <= len(v) AND ib.i <= len(v)
   GROUP BY 1, 2
 ),
 mom AS (
-  SELECT p.i, p.j,
-         CAST(p.sq AS DOUBLE) / 1e12 / a.n
-           - (CAST(a.sxq AS DOUBLE) / 1e6 / a.n)
-             * (CAST(b.sxq AS DOUBLE) / 1e6 / b.n) AS cov,
-         a.n AS n
-  FROM px p
-  JOIN sx a ON a.i = p.i
-  JOIN sx b ON b.i = p.j
+  SELECT i, j,
+         CAST(sq AS DOUBLE) / 1e12 / n
+           - (CAST(sxa AS DOUBLE) / 1e6 / n)
+             * (CAST(sxb AS DOUBLE) / 1e6 / n) AS cov,
+         n
+  FROM px
 ),
 var AS (SELECT i, cov AS v FROM mom WHERE i = j)
 SELECT CAST(m.i AS INTEGER) AS dim_i, CAST(m.j AS INTEGER) AS dim_j,
@@ -1418,6 +1412,16 @@ def emb_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from 1e6-quantized first-order sums. Both engines then evaluate the
     identical fixed double tree over identical exact integers.
 
+    Ragged-length embeddings (ADVICE r9): both sides compute
+    PAIRWISE-COMPLETE moments — n and the single-dim sums ride the same
+    per-(i,j) aggregate, restricted to vectors carrying both dims (the
+    Spark explode by construction; the oracle via i <= len(v) guards on
+    its dimension-grid cross joins) — so n_vectors counts the vectors
+    that actually carry the pair and parity does not rest on a
+    fixed-dim assumption (pinned on a ragged corpus in
+    tests/test_round9_properties.py). On fixed-length corpora the
+    values are bit-identical to the per-dim formulation.
+
     Scale: the explode produces dims*(dims+1)/2 rows per vector (2080
     for 64 dims), immediately collapsed by a map-side-combined
     aggregate into a 2080-group table — the standard distributed
@@ -1438,39 +1442,32 @@ def emb_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " transform(sequence(a, size(v)), b ->"
                 " named_struct('i', a, 'j', b,"
                 "  'q', cast(round(element_at(v, a) * element_at(v, b) * 1e12)"
-                "       as decimal(38,0))))))"
+                "       as decimal(38,0)),"
+                "  'xa', cast(round(element_at(v, a) * 1e6) as bigint),"
+                "  'xb', cast(round(element_at(v, b) * 1e6) as bigint)))))"
             )
         ).alias("s")
-    ).select("s.i", "s.j", "s.q")
-    px = pairs.groupBy("i", "j").agg(F.sum("q").alias("sq"))
-    singles = e.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(v)), a -> named_struct('i', a,"
-                " 'x', cast(round(element_at(v, a) * 1e6) as bigint)))"
-            )
-        ).alias("s")
-    ).select("s.i", "s.x")
-    sx = singles.groupBy("i").agg(
-        F.sum("x").alias("sxq"), F.count(F.lit(1)).alias("n")
+    ).select("s.i", "s.j", "s.q", "s.xa", "s.xb")
+    # pairwise-complete moments: n and the single-dim sums ride the
+    # SAME per-pair aggregate (restricted to vectors carrying both
+    # dims), so ragged-length embeddings get a coherent covariance and
+    # fixed-length corpora get bit-identical values to the per-dim
+    # formulation — with one fewer shuffle (no separate singles agg).
+    px = pairs.groupBy("i", "j").agg(
+        F.sum("q").alias("sq"),
+        F.sum("xa").alias("sxa"),
+        F.sum("xb").alias("sxb"),
+        F.count(F.lit(1)).alias("n"),
     )
-    a = sx.select(
-        F.col("i"), F.col("sxq").alias("sxq_a"), F.col("n").alias("n")
-    )
-    b = sx.select(F.col("i").alias("j"), F.col("sxq").alias("sxq_b"))
-    mom = (
-        px.join(F.broadcast(a), "i")
-        .join(F.broadcast(b), "j")
-        .select(
-            "i",
-            "j",
-            "n",
-            (
-                F.col("sq").cast("double") / F.lit(1e12) / F.col("n")
-                - (F.col("sxq_a").cast("double") / F.lit(1e6) / F.col("n"))
-                * (F.col("sxq_b").cast("double") / F.lit(1e6) / F.col("n"))
-            ).alias("cov"),
-        )
+    mom = px.select(
+        "i",
+        "j",
+        "n",
+        (
+            F.col("sq").cast("double") / F.lit(1e12) / F.col("n")
+            - (F.col("sxa").cast("double") / F.lit(1e6) / F.col("n"))
+            * (F.col("sxb").cast("double") / F.lit(1e6) / F.col("n"))
+        ).alias("cov"),
     )
     var = mom.filter(F.col("i") == F.col("j")).select(
         F.col("i").alias("vi"), F.col("cov").alias("v")

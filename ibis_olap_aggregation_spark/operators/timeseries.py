@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ibis_olap_aggregation_spark.queries import register, sum_wide
+from ibis_olap_aggregation_spark.queries import register, sum_wide, sum_wide_product
 from ibis_olap_aggregation_spark.session import load_table
 
 
@@ -86,7 +86,7 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = daily.agg(
         F.count(F.lit(1)).cast("double").alias("nn"),
         sum_wide(F.col("x")).cast("double").alias("s1"),
-        sum_wide(F.col("x") * F.col("x")).cast("double").alias("s2"),
+        sum_wide_product(F.col("x"), F.col("x")).cast("double").alias("s2"),
     )
     lags = spark.range(1, _ACF_LAGS + 1).select(F.col("id").cast("int").alias("lag"))
     a = daily.select(F.col("d").alias("ad"), F.col("x").alias("ax"))
@@ -97,7 +97,7 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            sum_wide(F.col("ax") * F.col("bx")).cast("double").alias("sxy"),
+            sum_wide_product(F.col("ax"), F.col("bx")).cast("double").alias("sxy"),
             sum_wide(F.col("ax")).cast("double").alias("sx"),
             sum_wide(F.col("bx")).cast("double").alias("sy"),
         )
@@ -169,9 +169,9 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = daily.agg(
         F.count(F.lit(1)).cast("double").alias("nn"),
         sum_wide(F.col("x")).cast("double").alias("s1x"),
-        sum_wide(F.col("x") * F.col("x")).cast("double").alias("s2x"),
+        sum_wide_product(F.col("x"), F.col("x")).cast("double").alias("s2x"),
         sum_wide(F.col("y")).cast("double").alias("s1y"),
-        sum_wide(F.col("y") * F.col("y")).cast("double").alias("s2y"),
+        sum_wide_product(F.col("y"), F.col("y")).cast("double").alias("s2y"),
     )
     lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
     a = daily.select(F.col("d").alias("ad"), F.col("x").alias("ax"))
@@ -182,7 +182,7 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            sum_wide(F.col("ax") * F.col("by")).cast("double").alias("sxy"),
+            sum_wide_product(F.col("ax"), F.col("by")).cast("double").alias("sxy"),
             sum_wide(F.col("ax")).cast("double").alias("sx"),
             sum_wide(F.col("by")).cast("double").alias("sy"),
         )

@@ -108,6 +108,23 @@ def sum_wide(col: F.Column) -> F.Column:
     return F.sum(col.cast("decimal(38,0)"))
 
 
+def sum_wide_product(a: F.Column, b: F.Column) -> F.Column:
+    """SUM(a*b) with the PRODUCT itself evaluated in decimal — the
+    companion to sum_wide for second-order statistics. sum_wide widens
+    the SUM but a bigint product passed into it has already wrapped
+    silently past |a*b| ~ 2^63 (a ~ 3.04e9 for a*a — reachable at
+    ~1e12 events: ~2.7e9 events/day as a daily count; ADVICE r9).
+    Casting both operands to decimal(20,0) first makes the product
+    decimal(38,0) — exact up to 1e38, same overflow-to-null-vs-raise
+    visibility as sum_wide, matching DuckDB's bigint*bigint → int128
+    auto-promotion. One decimal multiply per row costs more than a
+    bigint multiply, but these sites aggregate immediately (no wide
+    agg-buffer fan-out — the buffer is a single decimal either way;
+    the 2x hash-agg penalty measured in PARITY r6 was 64 decimal
+    buffers per group, not one)."""
+    return F.sum(a.cast("decimal(20,0)") * b.cast("decimal(20,0)"))
+
+
 # Dimensions are ETL artifacts: built once, queried many times (the
 # reference materializes them via CTAS at construction and every query
 # reuses the tables; ref classes/hierarchy_dimension_table.py:162-163,

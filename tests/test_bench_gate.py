@@ -218,9 +218,11 @@ def test_prev_bench_prefers_local_history(tmp_path, monkeypatch):
 
 def test_rebase_hatch_cleans_history_record_only(monkeypatch):
     """SPARK_GRAFT_BENCH_REBASE=1 records the run as clean (so it can
-    re-enter the baseline pool) without touching the printed flags."""
+    re-enter the baseline pool) without touching the printed flags —
+    and (ADVICE r9) the suppressed flags come back as the `rebased`
+    audit trail so the acceptance remains visible in history."""
     flagged = {"q": {"delta": 3.0, "isolated_median": 7.9}}
     monkeypatch.delenv("SPARK_GRAFT_BENCH_REBASE", raising=False)
-    assert bench._recorded_regressions(flagged) == flagged
+    assert bench._recorded_regressions(flagged) == (flagged, {})
     monkeypatch.setenv("SPARK_GRAFT_BENCH_REBASE", "1")
-    assert bench._recorded_regressions(flagged) == {}
+    assert bench._recorded_regressions(flagged) == ({}, flagged)

@@ -326,3 +326,64 @@ def test_interval_overlap_boundary_and_skew_cases(spark, tmp_path):
     assert got[1] == (1, 1)
     # supplier 2: C(50,2)=1225 pairs, each the full 7-day window
     assert got[2] == (1225, 1225 * 7)
+
+
+def test_sum_wide_product_survives_bigint_product_wrap(spark):
+    """ADVICE r9: sum_wide widened the SUM but a bigint PRODUCT passed
+    into it has already wrapped past |a*b| ~ 2^63 (a ~ 3.04e9 for a*a).
+    sum_wide_product casts the operands first — pin that it returns the
+    exact mathematical value on inputs where the naive bigint product
+    wraps negative."""
+    from pyspark.sql import functions as F
+
+    from ibis_olap_aggregation_spark.queries import sum_wide, sum_wide_product
+
+    vals = [4_000_000_000, 3_100_000_000]  # each square > 2^63
+    df = spark.createDataFrame([(v,) for v in vals], "x bigint")
+    exact = sum(v * v for v in vals)
+    wide = df.agg(sum_wide_product(F.col("x"), F.col("x")).alias("s")).collect()[0].s
+    assert int(wide) == exact
+    # the naive bigint product FAILS: raises under ANSI (this session's
+    # config), wraps silently under non-ANSI — never the exact value
+    try:
+        naive = df.agg(sum_wide(F.col("x") * F.col("x")).alias("s")).collect()[0].s
+    except Exception:
+        naive = None
+    assert naive is None or int(naive) != exact
+
+
+def test_emb_covariance_ragged_lengths_match_oracle(spark, tmp_path):
+    """ADVICE r9: the emb-covariance oracle built its dimension grid
+    from MAX(len(v)) and counted n per dimension as COUNT(*), so
+    ragged-length embeddings silently diverged from the Spark side
+    (which iterates only each vector's own dims). The oracle now guards
+    with i <= len(v); pin parity on a corpus where lengths 2/3/4 mix —
+    per-dimension n must count only the vectors carrying the dim."""
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    from tests.test_entry_oracle import normalize, run_oracle
+
+    emb = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3, 4, 5],
+            "embedding": [
+                [0.5, -0.25],
+                [1.0, 0.75, 0.5],
+                [-0.5, 0.25, 1.25, 2.0],
+                [0.125, 0.0, -1.0],
+                [2.0, 1.5],
+                [0.25, -0.75, 0.5, 1.0],
+            ],
+            "label": [0, 1, 0, 1, 0, 1],
+        }
+    )
+    d = tmp_path / "ragged"
+    d.mkdir()
+    emb.to_parquet(str(d / "embeddings.parquet"), index=False)
+    name = "emb_covariance_top_pairs"
+    sdf = entry_mod.queries()[name](spark, str(d)).toPandas()
+    odf = run_oracle(entry_mod.oracle_sql()[name], str(d), tables=("embeddings",))
+    # dims 3/4 exist in only a subset: n_vectors must reflect that
+    assert set(sdf["n_vectors"]) != {len(emb)}
+    pd.testing.assert_frame_equal(normalize(sdf), normalize(odf))

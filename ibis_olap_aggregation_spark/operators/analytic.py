@@ -1034,12 +1034,14 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rb"),
     )
-    # second-order sums route through decimal(38,0) like the OLS
-    # operator's syy: sum(ra^2) ~ 4n^3 exceeds bigint once a nation has
-    # ~1.3M customers, and Spark's non-ANSI bigint SUM wraps SILENTLY
-    # while the DuckDB oracle promotes to hugeint (ADVICE r8). The
-    # per-row PRODUCT stays bigint (safe to n ~ 1.5e9 rows per group);
-    # the cross-row sum is where the headroom is needed.
+    # second-order sums route through sum_wide_product: sum(ra^2) ~ 4n^3
+    # exceeds bigint once a nation has ~1.3M customers, and Spark's
+    # non-ANSI bigint SUM wraps SILENTLY while the DuckDB oracle
+    # promotes to hugeint (ADVICE r8). The per-row PRODUCT is evaluated
+    # in decimal too (operands cast to decimal(20,0) -> decimal(38,0)
+    # product, matching DuckDB's int128 promotion): a bigint rank
+    # product ra*ra wraps at n ~ 2^31.5 rows per group, BEFORE the sum
+    # widens (ADVICE r9).
     s = rk.groupBy("nation").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("ra").cast("double").alias("sa"),

@@ -566,16 +566,31 @@ def graph_copurchase_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     singleton-pair cosines (trivially high) out of the top-k.
 
     Same join graph as the lift query: one pair build (shared helper),
-    two broadcast-sized support attaches, distributed TakeOrdered."""
+    two NODE-sized support attaches, distributed TakeOrdered. The
+    support side is one row per distinct part — SF-linear, the same
+    shape as PageRank's rank vector — so it broadcasts only below
+    PAGERANK_BROADCAST_NODE_CAP (bounded probe on the query-cached
+    aggregate; the probe populates the cache both attaches then read)
+    and attaches as a sort-merge join above it. Both regimes are plan-
+    and output-pinned (test_plans.py::
+    test_copurchase_cosine_support_regime_switch)."""
     und = copurchase_pairs(order_items(spark, sf_dir)).filter(F.col("w") >= 3)
-    supp = order_items(spark, sf_dir).groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("n")
+    supp = query_cache(
+        order_items(spark, sf_dir).groupBy("l_partkey").agg(
+            F.count(F.lit(1)).alias("n")
+        )
     )
+    cap = PAGERANK_BROADCAST_NODE_CAP
+    small_nodes = supp.limit(cap).count() < cap
+
+    def _node_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_nodes else df.hint("merge")
+
     sa = supp.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na"))
     sb = supp.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb"))
     out = (
-        und.join(F.broadcast(sa), "pa")
-        .join(F.broadcast(sb), "pb")
+        und.join(_node_side(sa), "pa")
+        .join(_node_side(sb), "pb")
         .select(
             "pa",
             "pb",

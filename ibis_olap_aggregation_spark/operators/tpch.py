@@ -19,11 +19,18 @@ Determinism: every money sum is decimal-exact pre-aggregate; unit
 price (a double division) is identical IEEE arithmetic on both engines,
 so MIN() over it and equality joins against that MIN are engine-stable.
 
-Scale notes: all joins are key-equi (shuffle or broadcast as Catalyst
-sizes them — nation/region/supplier/part are dim-sized); the derived
-partsupp is one extra shuffle of lineitem that a real deployment would
-materialize once. No theta joins anywhere; q19's OR-of-brackets is a
-single scan with the disjunction evaluated post-join on part columns.
+Scale notes: all joins are key-equi; the derived partsupp is one extra
+shuffle of lineitem that a real deployment would materialize once. No
+theta joins anywhere; q19's OR-of-brackets is a single scan with the
+disjunction evaluated post-join on part columns. Join sides split into
+two classes: nation/region are CONSTANT-size (25/5 rows — unconditional
+broadcast is a proven bound) while supplier (SFx10k) and part (SFx200k)
+are SF-LINEAR — at sf10 part is ~2M rows, past the practical broadcast
+ceiling, and a broadcast hint is never dropped by Spark on size. Every
+SF-linear side therefore routes through ``queries.dim_side`` (bounded
+row-count probe -> broadcast under DIM_BROADCAST_ROW_CAP, sort-merge
+hint above); both regimes are plan- and output-pinned
+(tests/test_plans.py::test_tpch_q2_dim_join_regime_switch).
 """
 
 from __future__ import annotations
@@ -31,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ibis_olap_aggregation_spark.queries import register
+from ibis_olap_aggregation_spark.queries import dim_side, register
 from ibis_olap_aggregation_spark.session import load_tables
 
 
@@ -98,7 +105,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs = (
         _ps(spark, sf_dir)
         .join(
-            F.broadcast(t["supplier"]),
+            dim_side(t["supplier"]),
             F.col("ps_suppkey") == F.col("s_suppkey"),
         )
         .join(
@@ -119,7 +126,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (costs["ps_supplycost"] == mn["min_cost"]),
         )
         .drop(mn["ps_partkey"])
-        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(dim_side(p), F.col("ps_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -158,7 +165,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "supplier", "nation")
     v = (
         _ps(spark, sf_dir)
-        .join(F.broadcast(t["supplier"]), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(dim_side(t["supplier"]), F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(
             F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_7")),
             F.col("s_nationkey") == F.col("n_nationkey"),
@@ -257,8 +264,8 @@ def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _ps(spark, sf_dir)
-        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(dim_side(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(dim_side(p), F.col("ps_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -288,7 +295,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full disjunction evaluates post-join."""
     t = _t(spark, sf_dir, "lineitem", "part")
     j = t["lineitem"].join(
-        F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey")
+        dim_side(t["part"]), F.col("p_partkey") == F.col("l_partkey")
     )
     bracket = (
         (
@@ -361,12 +368,12 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ps_partkey") == F.col("l_partkey"))
             & (F.col("ps_suppkey") == F.col("l_suppkey")),
         )
-        .join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(dim_side(red), F.col("ps_partkey") == F.col("p_partkey"))
         .filter(F.col("ps_availqty") > F.lit(2.0) * F.col("qty_1998"))
     )
     return (
         qual.join(
-            F.broadcast(_t(spark, sf_dir, "supplier")["supplier"]),
+            dim_side(_t(spark, sf_dir, "supplier")["supplier"]),
             F.col("ps_suppkey") == F.col("s_suppkey"),
         )
         .join(
@@ -440,7 +447,7 @@ def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_order, "l_orderkey")
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .join(
-            F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+            dim_side(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

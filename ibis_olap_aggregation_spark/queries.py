@@ -121,8 +121,45 @@ def sum_wide_product(a: F.Column, b: F.Column) -> F.Column:
     bigint multiply, but these sites aggregate immediately (no wide
     agg-buffer fan-out — the buffer is a single decimal either way;
     the 2x hash-agg penalty measured in PARITY r6 was 64 decimal
-    buffers per group, not one)."""
+    buffers per group, not one).
+
+    Operands must be INTEGRAL (bigint/int counts, ranks, degrees): the
+    decimal(20,0) cast ROUNDS fractional values to whole numbers before
+    the multiply, silently changing the product. (Same precondition
+    style as bucket_pairs' "members must be distinct".)"""
     return F.sum(a.cast("decimal(20,0)") * b.cast("decimal(20,0)"))
+
+
+# Above this many rows a dim-derived join side stops being broadcast and
+# is attached with a sort-merge hint instead. A broadcast HINT is never
+# dropped by Spark on size, so an unconditional F.broadcast on an
+# SF-LINEAR side (supplier = SFx10k, part = SFx200k, per-node
+# aggregates) becomes an executor-memory cliff at 100x scale; 2M rows x
+# ~32 B of join key + payload is ~64 MB serialized — the practical
+# broadcast ceiling (same bound as rollup.CLOSURE_BROADCAST_ROW_CAP).
+# Module constant so tests can force either regime.
+DIM_BROADCAST_ROW_CAP = 2_000_000
+
+
+def dim_side(df: DataFrame, cap: int | None = None) -> DataFrame:
+    """Broadcast-or-merge resolver for SF-LINEAR dim-derived join sides.
+
+    Probes the row count once with a bounded ``limit(cap).count()`` (one
+    cheap job over a dim-sized input; on a query-cached input the probe
+    populates the cache the join then reads) and returns
+    ``F.broadcast(df)`` below the cap, ``df.hint("merge")`` at/above it
+    — making "broadcast-sized" a CHECKED bound instead of a docstring
+    claim. Constant-size sides (nation/region's fixed 25/5 rows,
+    single-row scalar aggregates, fixed-k codebooks) should keep their
+    unconditional broadcast hints; see the broadcast audit table in
+    PARITY.md. Mirrors ``rollup._resolve_broadcast`` (closure cap) and
+    graph's node/edge-cap regime switches.
+    """
+    if cap is None:
+        cap = DIM_BROADCAST_ROW_CAP
+    if df.limit(cap).count() < cap:
+        return F.broadcast(df)
+    return df.hint("merge")
 
 
 # Dimensions are ETL artifacts: built once, queried many times (the

@@ -611,3 +611,55 @@ def test_pagerank_join_regime_switch(spark, sf_small, monkeypatch):
     rows_m = [tuple(r) for r in df_m.collect()]
     release_query_caches()
     assert rows_b == rows_m
+
+
+def test_tpch_q2_dim_join_regime_switch(spark, sf_small, monkeypatch):
+    """tpch_q2: supplier (SFx10k) and the filtered part probe (SFx200k)
+    are SF-LINEAR sides, so they broadcast only below
+    queries.DIM_BROADCAST_ROW_CAP (bounded row-count probe via
+    queries.dim_side) and attach as sort-merge joins above it —
+    nation/region keep their unconditional broadcasts (constant 25/5
+    rows). Both regimes pinned from the plan AND identical output."""
+    df_b = q.QUERIES["tpch_q2_min_cost_supplier"](spark, sf_small)
+    plan_b = pi.physical_plan(df_b)
+    assert "BroadcastHashJoin" in plan_b, plan_b
+    rows_b = [tuple(r) for r in df_b.collect()]
+
+    monkeypatch.setattr(q, "DIM_BROADCAST_ROW_CAP", 1)
+    df_m = q.QUERIES["tpch_q2_min_cost_supplier"](spark, sf_small)
+    plan_m = pi.physical_plan(df_m)
+    # supplier + part attaches run as sort-merge in the large regime
+    # (two supplier attaches — costs is built once but referenced on
+    # both sides of the min-cost self-join — plus the part probe);
+    # nation/region broadcasts (constant-size) legitimately remain
+    assert plan_m.count("SortMergeJoin") >= 2, plan_m
+    rows_m = [tuple(r) for r in df_m.collect()]
+    assert rows_b == rows_m
+
+
+def test_copurchase_cosine_support_regime_switch(spark, sf_small, monkeypatch):
+    """graph_copurchase_cosine: the per-part support aggregate is
+    NODE-sized (SF-linear, PageRank's rank-vector shape), so both
+    attaches broadcast only below PAGERANK_BROADCAST_NODE_CAP and run
+    as sort-merge joins above it. Both regimes pinned from the plan
+    AND identical output."""
+    from ibis_olap_aggregation_spark.operators import graph as g
+    from ibis_olap_aggregation_spark.session import release_query_caches
+
+    df_b = q.QUERIES["graph_copurchase_cosine"](spark, sf_small)
+    plan_b = pi.physical_plan(df_b)
+    assert "BroadcastHashJoin" in plan_b, plan_b
+    rows_b = [tuple(r) for r in df_b.collect()]
+    release_query_caches()
+
+    monkeypatch.setattr(g, "PAGERANK_BROADCAST_NODE_CAP", 1)
+    df_m = q.QUERIES["graph_copurchase_cosine"](spark, sf_small)
+    plan_m = pi.physical_plan(df_m)
+    # both support attaches run as sort-merge; the pair build's
+    # lineitem self-join is UN-hinted (Catalyst/AQE sizes it from real
+    # statistics — broadcast at sf0.001, sort-merge at scale), so it is
+    # legitimately allowed to stay a broadcast join here
+    assert plan_m.count("SortMergeJoin") >= 2, plan_m
+    rows_m = [tuple(r) for r in df_m.collect()]
+    release_query_caches()
+    assert rows_b == rows_m

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ibis_olap_aggregation_spark.operators.ranking import global_row_number
+from ibis_olap_aggregation_spark.session import dim_side
 
 __all__ = ["HierarchyDimension", "prepare_nodes"]
 
@@ -84,9 +85,11 @@ def prepare_nodes(
         .distinct()
         .withColumn("_is_parent", F.lit(True))
     )
-    # one broadcast left join marks interior nodes; unmatched = leaves
+    # one node-sized left join marks interior nodes; unmatched = leaves
+    # (bounded probe: broadcast for ordinary dims, sort-merge past the
+    # cap — a 10M-node hierarchy's parent set is past broadcast reach)
     return (
-        df.join(F.broadcast(parents), "node_id", "left")
+        df.join(dim_side(parents), "node_id", "left")
         .withColumn("is_leaf", F.col("_is_parent").isNull())
         .drop("_is_parent")
     )
@@ -828,7 +831,7 @@ class HierarchyDimension:
             F.col("node_id").alias("ancestor_node_id"),
             F.col("node_sort_order").alias("ancestor_node_sort_order"),
         )
-        closure = closure.join(F.broadcast(sort_orders), "ancestor_node_id", "left")
+        closure = closure.join(dim_side(sort_orders), "ancestor_node_id", "left")
         anc_cols = [f"ancestor_{c}" for c in self._attr_out_cols()] + [
             "ancestor_level_number",
             "ancestor_node_sort_order",

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ibis_olap_aggregation_spark.queries import _GEO_PRELUDE, register
-from ibis_olap_aggregation_spark.session import load_table
+from ibis_olap_aggregation_spark.session import dim_side, load_table
 
 __all__ = ["weighted_closure"]
 
@@ -159,7 +159,7 @@ def hierarchy_weighted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         facts.join(
-            F.broadcast(paths), facts["leaf"] == paths["descendant"]
+            dim_side(paths), facts["leaf"] == paths["descendant"]
         )
         .groupBy(F.col("ancestor").alias("node_id"))
         .agg(
@@ -233,7 +233,7 @@ def hierarchy_topdown_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("descendant_node_natural_key").alias("custkey"),
         F.col("ancestor_node_name").alias("region_name"),
     )
-    j = rev.join(F.broadcast(cust_region), rev.o_custkey == F.col("custkey"))
+    j = rev.join(dim_side(cust_region), rev.o_custkey == F.col("custkey"))
     reg = j.groupBy("region_name").agg(F.sum("rev_dec").alias("reg_dec"))
     out = j.join(F.broadcast(reg), "region_name")
     rev_d = F.col("rev_dec").cast("double")

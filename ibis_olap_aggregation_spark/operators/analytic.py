@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ibis_olap_aggregation_spark.queries import dsum, register, sum_wide, sum_wide_product
-from ibis_olap_aggregation_spark.session import load_table
+from ibis_olap_aggregation_spark.session import dim_side, load_table, query_cache
 
 
 @register(
@@ -489,7 +489,9 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, -1
     )
     verdict = per_price.withColumn("run_prev", F.max("msz").over(w))
-    out = p.join(F.broadcast(verdict), "p_retailprice")
+    # per-distinct-price verdicts are part-derived (SF-linear): leave
+    # the join un-hinted — AQE sizes the actual aggregate at runtime
+    out = p.join(verdict, "p_retailprice")
     dominated = (
         F.col("run_prev").isNotNull() & (F.col("run_prev") >= F.col("p_size"))
     ) | (F.col("msz") > F.col("p_size"))
@@ -540,7 +542,7 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
     )
-    ranked = rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey).select(
+    ranked = rev.join(dim_side(c), rev.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
         "r",
         F.row_number()
@@ -682,7 +684,22 @@ def affinity_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pb").alias("part_b"),
         F.col("w").alias("n_both"),
     ).filter(F.col("n_both") >= 5)
-    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    # the per-part support is NODE-sized (SF-linear — PageRank's
+    # rank-vector shape): broadcast only below the node cap, probed on
+    # the query-cached aggregate both attaches then read
+    from ibis_olap_aggregation_spark.operators.graph import (
+        PAGERANK_BROADCAST_NODE_CAP,
+    )
+
+    supp = query_cache(
+        items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    )
+    cap = PAGERANK_BROADCAST_NODE_CAP
+    small_nodes = supp.limit(cap).count() < cap
+
+    def _node_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_nodes else df.hint("merge")
+
     n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     sa = supp.select(
         F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
@@ -691,8 +708,8 @@ def affinity_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
     )
     out = (
-        pairs.join(F.broadcast(sa), "part_a")
-        .join(F.broadcast(sb), "part_b")
+        pairs.join(_node_side(sa), "part_a")
+        .join(_node_side(sb), "part_b")
         .crossJoin(F.broadcast(n))
         .select(
             "part_a",
@@ -812,7 +829,7 @@ def sample_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(dim_side(c), o.o_custkey == c.c_custkey)
         .groupBy("o_custkey", F.col("c_mktsegment").alias("segment"))
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))

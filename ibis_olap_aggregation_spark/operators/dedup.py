@@ -1123,9 +1123,10 @@ def dedup_cluster_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs LEFT JOIN broadcasts it at any scale."""
     comp = _near_dup_components(spark, sf_dir)
     d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
-    j = d.join(
-        F.broadcast(comp.withColumnRenamed("node", "doc_id")), "doc_id", "left"
-    )
+    # components are a tiny fraction of the corpus in practice but
+    # corpus-sized in the worst case (everything near-duplicated):
+    # un-hinted, AQE sizes the actual label table at runtime
+    j = d.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
     kept = F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
     return j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -712,7 +712,9 @@ def dedup_crosslingual_contamination(spark: SparkSession, sf_dir: str) -> DataFr
 
     comp = _near_dup_components(spark, sf_dir)
     d = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"), "lang")
-    j = d.join(F.broadcast(comp), "node")
+    # corpus-sized worst case (everything near-duplicated): un-hinted,
+    # AQE sizes the actual component-label table at runtime
+    j = d.join(comp, "node")
     return (
         j.groupBy(F.col("component").cast("bigint").alias("cluster_id"))
         .agg(

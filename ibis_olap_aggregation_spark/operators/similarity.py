@@ -627,7 +627,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ranked.filter(
         (F.col("rk") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
     ).select(F.col("vec_id").alias("query_id"), "c_label")
-    cand = probes.join(F.broadcast(assign.hint("broadcast")), "c_label").filter(
+    # broadcast the PROBE side (N_QUERIES x NPROBE rows — fixed-size),
+    # never the corpus-sized assignment table: the old hint shipped one
+    # row per vector to every executor, an SF-linear broadcast
+    cand = assign.join(F.broadcast(probes), "c_label").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     qe = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
@@ -1035,8 +1038,10 @@ def sim_tfidf_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
     cosd = (
-        pairs.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        # norms are doc-count-sized (SF-linear): un-hinted, AQE sizes
+        # the actual aggregate at runtime
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

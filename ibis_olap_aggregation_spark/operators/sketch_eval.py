@@ -236,7 +236,9 @@ def sketch_topk_heavy_hitters_verdict(
             F.col("e.count").alias("est_n"),
         )
     )
-    joined = approx.join(F.broadcast(exact), "item", "left").crossJoin(
+    # exact counts are item-vocabulary-sized (unbounded): un-hinted —
+    # AQE sizes it; the k-row approx side bounds the output either way
+    joined = approx.join(exact, "item", "left").crossJoin(
         F.broadcast(thresh)
     )
     # coalesce: a zero-bigram corpus (all-empty docs) leaves joined empty

@@ -331,15 +331,19 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus; top-3 terms per document.
 
     Plan shape: one groupBy for TF (map-side combined), one for DF; the
-    DF table is vocabulary-sized -> broadcast back onto the TF stream;
-    ranking windows partition by doc_id. At 100 TB the vocabulary (not
-    the corpus) bounds the broadcast — cap it with a min-df filter."""
+    DF table is vocabulary-sized — unbounded on an open-vocab 100 TB
+    corpus, so the join back onto the TF stream is UN-hinted and AQE
+    picks broadcast vs shuffle from the aggregate's actual runtime
+    size; ranking windows partition by doc_id."""
     d = _docs(spark, sf_dir).withColumn("t", tokens_col())
     tok = d.select("doc_id", F.explode("t").alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = _docs(spark, sf_dir).count()
-    scored = tf.join(F.broadcast(df), "term").select(
+    # the DF table is vocabulary-sized — unbounded on an open-vocab
+    # corpus, so no broadcast hint: AQE sizes the actual aggregate at
+    # runtime (broadcast when small, shuffle join past the threshold)
+    scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
@@ -398,7 +402,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.agg(F.sum("c").alias("n"))
     sc = (
-        ex.join(F.broadcast(cnt), "w")
+        # cnt is vocabulary-sized: un-hinted, AQE sizes it at runtime
+        ex.join(cnt, "w")
         .join(F.broadcast(tot))
         .select(
             "doc_id",
@@ -786,7 +791,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl)
     )
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        # dfreq is vocabulary-sized: un-hinted, AQE sizes it at runtime
+        tf.join(dfreq, "term")
         .join(lens, "doc_id")
         .select(
             "doc_id",
@@ -1002,7 +1008,8 @@ def text_loglikelihood_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         tf.filter(F.col("a") >= 5)
         .join(F.broadcast(totals), "source")
-        .join(F.broadcast(grand), "term")
+        # grand is vocabulary-sized: un-hinted, AQE sizes it at runtime
+        .join(grand, "term")
         .crossJoin(F.broadcast(nd))
     )
     b = F.col("ab") - F.col("a")

@@ -130,36 +130,15 @@ def sum_wide_product(a: F.Column, b: F.Column) -> F.Column:
     return F.sum(a.cast("decimal(20,0)") * b.cast("decimal(20,0)"))
 
 
-# Above this many rows a dim-derived join side stops being broadcast and
-# is attached with a sort-merge hint instead. A broadcast HINT is never
-# dropped by Spark on size, so an unconditional F.broadcast on an
-# SF-LINEAR side (supplier = SFx10k, part = SFx200k, per-node
-# aggregates) becomes an executor-memory cliff at 100x scale; 2M rows x
-# ~32 B of join key + payload is ~64 MB serialized — the practical
-# broadcast ceiling (same bound as rollup.CLOSURE_BROADCAST_ROW_CAP).
-# Module constant so tests can force either regime.
-DIM_BROADCAST_ROW_CAP = 2_000_000
-
-
-def dim_side(df: DataFrame, cap: int | None = None) -> DataFrame:
-    """Broadcast-or-merge resolver for SF-LINEAR dim-derived join sides.
-
-    Probes the row count once with a bounded ``limit(cap).count()`` (one
-    cheap job over a dim-sized input; on a query-cached input the probe
-    populates the cache the join then reads) and returns
-    ``F.broadcast(df)`` below the cap, ``df.hint("merge")`` at/above it
-    — making "broadcast-sized" a CHECKED bound instead of a docstring
-    claim. Constant-size sides (nation/region's fixed 25/5 rows,
-    single-row scalar aggregates, fixed-k codebooks) should keep their
-    unconditional broadcast hints; see the broadcast audit table in
-    PARITY.md. Mirrors ``rollup._resolve_broadcast`` (closure cap) and
-    graph's node/edge-cap regime switches.
-    """
-    if cap is None:
-        cap = DIM_BROADCAST_ROW_CAP
-    if df.limit(cap).count() < cap:
-        return F.broadcast(df)
-    return df.hint("merge")
+# Re-exported from session.py (the canonical home: hierarchy.py needs
+# the resolver too and queries.py imports hierarchy, so session is the
+# import-cycle-free host). Tests forcing the merge regime monkeypatch
+# session.DIM_BROADCAST_ROW_CAP (dim_side resolves the cap at call
+# time from that module global).
+from ibis_olap_aggregation_spark.session import (  # noqa: E402
+    DIM_BROADCAST_ROW_CAP,
+    dim_side,
+)
 
 
 # Dimensions are ETL artifacts: built once, queried many times (the
@@ -1034,11 +1013,23 @@ _ADDED_ROUND9: frozenset[str] = frozenset(
 )
 
 
+# Queries ADDED in round 11 (streaming-native replay twins): same deal —
+# last in line for prefix slots; the local oracle mirrors cover them
+# until a driver slot frees up.
+_ADDED_ROUND11: frozenset[str] = frozenset(
+    {
+        "streaming_dedup_within_watermark_twin",
+        "streaming_file_replay_rate_limited",
+    }
+)
+
+
 def _reorder_for_driver_coverage() -> None:
     flagship = "hierarchy_grocery_rollup"
     checked = _driver_verified_names()
     later = (_ADDED_ROUND2 | _ADDED_ROUND4 | _ADDED_ROUND5 | _ADDED_ROUND6
-             | _ADDED_ROUND6B | _ADDED_ROUND7 | _ADDED_ROUND8 | _ADDED_ROUND9)
+             | _ADDED_ROUND6B | _ADDED_ROUND7 | _ADDED_ROUND8 | _ADDED_ROUND9
+             | _ADDED_ROUND11)
     # never-driver-checked queries, oldest families first: the ones that
     # have been WAITING (not in a later-additions set) outrank the
     # newest additions for the guaranteed prefix slots
@@ -1079,6 +1070,10 @@ def _reorder_for_driver_coverage() -> None:
         n
         for n in QUERIES
         if n != flagship and n not in checked and n in _ADDED_ROUND9
+    ] + [
+        n
+        for n in QUERIES
+        if n != flagship and n not in checked and n in _ADDED_ROUND11
     ]
     # verified queries fill the remaining prefix slots STALEST-FIRST
     # (longest since a green driver row), so re-verification rotates
@@ -1200,8 +1195,10 @@ def hierarchy_cross_geo_part_rollup(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return (
-        facts.join(F.broadcast(geo), F.col("custkey") == F.col("o_custkey"))
-        .join(F.broadcast(prt), F.col("partkey") == F.col("l_partkey"))
+        # closure slices are customer-/part-grain (SF-linear): probe the
+        # cached dims instead of hinting an uncapped broadcast
+        facts.join(dim_side(geo), F.col("custkey") == F.col("o_custkey"))
+        .join(dim_side(prt), F.col("partkey") == F.col("l_partkey"))
         .groupBy("geo_node", "geo_level", "part_node", "part_level")
         .agg(
             dsum("l_extendedprice", "sum_extendedprice"),
@@ -1253,20 +1250,27 @@ def hierarchy_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     join semantics, both engines); the root drops (no parent). Both
     totals come from the same exact-decimal sums, so the double division
     is bit-identical across engines."""
+    from ibis_olap_aggregation_spark.session import query_cache
+
     dim = _geo_dim(spark, sf_dir)
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
-    tot = hierarchical_rollup_additive(
-        orders,
-        dim.aggregation_dim,
-        "o_custkey",
-        sum_cols=[("o_totalprice", "tot")],
-        group_keys=(
-            "ancestor_node_name",
-            "ancestor_level_name",
-            "ancestor_level_number",
-        ),
-        sort=False,
-        keep_node_id=True,
+    # node-sized but SF-linear (customer-grain leaves): cache the rollup
+    # (read twice — as the child side and as the parent-total side) and
+    # let the bounded probe pick broadcast vs sort-merge for the attach
+    tot = query_cache(
+        hierarchical_rollup_additive(
+            orders,
+            dim.aggregation_dim,
+            "o_custkey",
+            sum_cols=[("o_totalprice", "tot")],
+            group_keys=(
+                "ancestor_node_name",
+                "ancestor_level_name",
+                "ancestor_level_number",
+            ),
+            sort=False,
+            keep_node_id=True,
+        )
     )
     parent_of = dim.reporting_dim.select(
         F.col("node_id").alias("_nid"), F.col("parent_node_id").alias("_pid")
@@ -1276,8 +1280,8 @@ def hierarchy_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tot").alias("parent_sum_totalprice"),
     )
     return (
-        tot.join(F.broadcast(parent_of), tot["ancestor_node_id"] == F.col("_nid"))
-        .join(F.broadcast(ptot), F.col("_pid") == F.col("_pnid"))
+        tot.join(dim_side(parent_of), tot["ancestor_node_id"] == F.col("_nid"))
+        .join(dim_side(ptot), F.col("_pid") == F.col("_pnid"))
         .select(
             F.col("ancestor_node_name").alias("node_name"),
             F.col("ancestor_level_name").alias("level_name"),
@@ -1345,7 +1349,7 @@ def hierarchy_topk_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    joined = rev.join(F.broadcast(pairs), "custkey")
+    joined = rev.join(dim_side(pairs), "custkey")
     w = W.partitionBy("ancestor_node_id").orderBy(F.col("tot").desc(), "custkey")
     return (
         joined.withColumn("rk", F.row_number().over(w).cast("bigint"))
@@ -1406,7 +1410,7 @@ def hierarchy_level_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("descendant_node_id").alias("node_id"),
         F.col("descendant_level_number").alias("level_number"),
     )
-    j = nodes.join(F.broadcast(ch), nodes["node_id"] == ch["pid"], "left")
+    j = nodes.join(dim_side(ch), nodes["node_id"] == ch["pid"], "left")
     interior = F.count(F.when(F.col("pid").isNotNull(), 1))
     return j.groupBy("level_number").agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -1757,7 +1761,7 @@ def hierarchy_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(
-            F.broadcast(agg),
+            dim_side(agg),
             orders["o_custkey"] == agg["descendant_node_natural_key"],
         )
         .groupBy(
@@ -1880,5 +1884,11 @@ def hierarchy_geo_rollup_orders_shuffled(
     tests/test_plans.py."""
     return _geo_rollup_orders(spark, sf_dir, False)
 
+
+_reorder_for_driver_coverage()
+
+
+# -- round 11: streaming-native replay twins (registered last) --------------
+from ibis_olap_aggregation_spark.streaming import replay_queries  # noqa: E402,F401
 
 _reorder_for_driver_coverage()

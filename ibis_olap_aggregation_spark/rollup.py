@@ -281,7 +281,8 @@ def hierarchical_rollup_sketch(
     leaf = facts.groupBy(fact_key_col).agg(
         F.expr(f"hll_sketch_agg({distinct_col}, {lgk})").alias("_sk")
     )
-    dim_slim = F.broadcast(dim.select(descendant_key_col, _ID))
+    dim_slim = dim.select(descendant_key_col, _ID)
+    dim_slim = _dim_side(dim_slim, _resolve_broadcast(dim_slim, "auto"))
     per_node = (
         leaf.join(dim_slim, leaf[fact_key_col] == dim_slim[descendant_key_col])
         .groupBy(_ID)
@@ -291,7 +292,7 @@ def hierarchical_rollup_sketch(
         attrs = dim.filter(F.col("net_level") == 0).select(_ID, *keys)
     else:
         attrs = dim.select(_ID, *keys).distinct()
-    return per_node.join(F.broadcast(attrs), _ID).select(
+    return per_node.join(_dim_side(attrs, _resolve_broadcast(attrs, "auto")), _ID).select(
         *keys, F.expr("hll_sketch_estimate(_u)").alias(out)
     )
 
@@ -395,7 +396,8 @@ def finalize_rollup_partials(
     sort: bool = True,
 ) -> DataFrame:
     """Render a merged partial table to the one-shot rollup's output
-    shape: decorate node attributes (broadcast — one row per node),
+    shape: decorate node attributes (one row per node — broadcast under
+    the closure cap, sort-merge past it, probed like every dim attach),
     cast the exact-decimal sums to the presentation double, sort by the
     hierarchy's display order. Keeping this a separate step is the
     point: the STORED partials stay exact and mergeable; only the
@@ -406,7 +408,7 @@ def finalize_rollup_partials(
         attrs = dim.filter(F.col("net_level") == 0).select(_ID, *keys)
     else:
         attrs = dim.select(_ID, *keys).distinct()
-    out = merged.join(F.broadcast(attrs), _ID).select(
+    out = merged.join(_dim_side(attrs, _resolve_broadcast(attrs, "auto")), _ID).select(
         *keys,
         *[
             (F.col(c).cast("double").alias(c) if c in sum_aliases else F.col(c))

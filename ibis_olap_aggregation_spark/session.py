@@ -93,6 +93,42 @@ def load_tables(
     return out
 
 
+# Above this many rows a dim-derived join side stops being broadcast and
+# is attached with a sort-merge hint instead. A broadcast HINT is never
+# dropped by Spark on size, so an unconditional F.broadcast on an
+# SF-LINEAR side (supplier = SFx10k, part = SFx200k, per-node/customer
+# aggregates, hierarchy node tables) becomes an executor-memory cliff at
+# 100x scale; 2M rows x ~32 B of join key + payload is ~64 MB serialized
+# — the practical broadcast ceiling (same bound as
+# rollup.CLOSURE_BROADCAST_ROW_CAP). Module constant so tests can force
+# either regime.
+DIM_BROADCAST_ROW_CAP = 2_000_000
+
+
+def dim_side(df: DataFrame, cap: int | None = None) -> DataFrame:
+    """Broadcast-or-merge resolver for SF-LINEAR dim-derived join sides.
+
+    Probes the row count once with a bounded ``limit(cap).count()`` (one
+    cheap job over a dim-sized input; on a query-cached input the probe
+    populates the cache the join then reads) and returns a broadcast
+    hint below the cap, a sort-merge hint at/above it — making
+    "broadcast-sized" a CHECKED bound instead of a docstring claim.
+    Constant-size sides (nation/region's fixed 25/5 rows, single-row
+    scalar aggregates, fixed-k codebooks/probes) keep their
+    unconditional broadcast hints; see the broadcast audit table in
+    PARITY.md (tools/broadcast_audit.py keeps it honest). Mirrors
+    ``rollup._resolve_broadcast`` (closure cap) and graph's
+    node/edge-cap regime switches.
+    """
+    from pyspark.sql import functions as F
+
+    if cap is None:
+        cap = DIM_BROADCAST_ROW_CAP
+    if df.limit(cap).count() < cap:
+        return F.broadcast(df)
+    return df.hint("merge")
+
+
 # Query-scoped cache registry: see query_cache/release_query_caches.
 # THREAD-LOCAL: Spark drivers legitimately run queries from multiple
 # threads, and a shared list would let thread B's drain release thread

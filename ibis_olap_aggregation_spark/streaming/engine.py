@@ -215,7 +215,14 @@ def interval_join_streams(
 def enrich_with_static(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static join: each micro-batch broadcast-joins the static
     dimension (re-read per batch, so slowly-changing dims stay fresh).
-    The streaming side never shuffles for the join."""
+    The streaming side never shuffles for the join.
+
+    CALLER CONTRACT: ``dim`` must be broadcast-sized (the hint is
+    unconditional because a row-count probe per micro-batch would add a
+    blocking job on every trigger). For SF-linear dims past the ~2M-row
+    bound (session.DIM_BROADCAST_ROW_CAP), pre-aggregate or slice the
+    dim before enriching, or use a plain un-hinted join and let AQE
+    size it per micro-batch."""
     return events.join(F.broadcast(dim), on, "left")
 
 

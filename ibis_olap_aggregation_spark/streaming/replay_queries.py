@@ -1,0 +1,184 @@
+"""Registry-facing Structured Streaming twins: the two streaming-native
+surfaces the batch registry can oracle-pair (VERDICT r10 item 6).
+
+Both queries REALLY run a stream — a rate-limited file-source replay
+(``maxFilesPerTrigger=1`` over an 8-file, time-range-partitioned copy
+of the events table, so the run takes 8 genuine micro-batches through
+a checkpointed Trigger.AvailableNow drain into a memory sink) — and
+return a batch DataFrame over the sink that a plain DuckDB aggregate
+can mirror. That closes the loop the suite's stream==batch equivalence
+tests open: the driver's differential gate now exercises the streaming
+engine end-to-end (source schema normalization, watermarking, stateful
+dedup, exactly-once drain), not just the batch twins.
+
+Determinism notes:
+- the replay directory is built once per (application, sf_dir) by
+  ``repartitionByRange(8, ts)`` — contiguous event-time ranges, so a
+  chronological replay never late-drops a first occurrence; file
+  mtimes are staggered so the file source's mtime ordering replays
+  them chronologically.
+- the dedup twin's watermark horizon (3650 days) covers any fixture's
+  event-time span: state is never purged mid-run, so the streamed
+  output equals the batch DISTINCT for ANY replay order — the oracle
+  equality does not depend on the mtime ordering, which is best-effort.
+  (Production uses a horizon matched to its duplicate window; the
+  operator and plumbing are identical.)
+- each invocation uses a fresh checkpoint dir and a unique memory-sink
+  name, so re-runs drain the full input instead of replay-skipping.
+
+Scale notes (100 TB): the file-source replay IS the production shape —
+a backlogged landing directory drained at a bounded files-per-trigger
+rate; dropDuplicatesWithinWatermark keys state on (user_id,
+event_type, ts) and purges it past the horizon, so state is bounded by
+the duplicate window, not the stream's history. The memory sink is the
+test/driver harness; production writes parquet/kafka with the same
+writeStream call (engine.run_to_memory docstring).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibis_olap_aggregation_spark.queries import register
+from ibis_olap_aggregation_spark.session import load_table
+from ibis_olap_aggregation_spark.streaming.engine import (
+    dedup_within_watermark,
+    run_to_memory,
+    stream_events,
+)
+
+_N_REPLAY_FILES = 8
+_IDS = itertools.count()
+
+
+def _replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Time-range-partitioned 8-file copy of events for rate-limited
+    replay, built once per (application, sf_dir) under the system tmp
+    dir. Contiguous ranges per file + staggered mtimes give the file
+    source a chronological replay (see module docstring)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_replay",
+        f"{spark.sparkContext.applicationId}_{key}",
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .repartitionByRange(_N_REPLAY_FILES, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        parts = sorted(
+            f for f in os.listdir(out) if f.startswith("part-")
+        )
+        base = os.stat(out).st_mtime
+        for i, f in enumerate(parts):
+            p = os.path.join(out, f)
+            os.utime(p, (base + i + 1, base + i + 1))
+    return out
+
+
+def _drain(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
+    name = f"{prefix}_{next(_IDS)}"
+    ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
+    run_to_memory(df, name, checkpoint_dir=ckpt)
+    return spark.table(name)
+
+
+@register(
+    "streaming_dedup_within_watermark_twin",
+    """
+WITH d AS (SELECT DISTINCT user_id, event_type, ts FROM events),
+a AS (SELECT event_type, COUNT(*) AS n_after_dedup FROM d GROUP BY 1),
+r AS (SELECT event_type, COUNT(*) AS n_raw FROM events GROUP BY 1)
+SELECT a.event_type, a.n_after_dedup,
+       r.n_raw - a.n_after_dedup AS n_duplicates_dropped
+FROM a JOIN r ON r.event_type = a.event_type
+ORDER BY a.event_type
+""",
+)
+def streaming_dedup_within_watermark_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark, driven end-to-end: 8-micro-batch
+    rate-limited file replay -> watermarked stateful dedup on
+    (user_id, event_type, ts) -> checkpointed AvailableNow drain ->
+    per-type survivor counts next to the duplicates dropped. The oracle
+    is the batch DISTINCT — exactly what the streaming operator must
+    reproduce (first-seen row per key emitted once, later arrivals
+    within the horizon suppressed). Output stays at the dedup-KEY grain
+    (counts per event_type): which physical row survives a key tie is
+    the operator's own arrival-order choice and is not part of the
+    cross-engine contract."""
+    ev = stream_events(spark, _replay_dir(spark, sf_dir), max_files_per_trigger=1)
+    dd = dedup_within_watermark(ev, watermark="3650 days")
+    sunk = _drain(spark, dd, "dedup_wm")
+    after = sunk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_after_dedup")
+    )
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_raw"))
+    )
+    return (
+        after.join(raw, "event_type")
+        .select(
+            "event_type",
+            "n_after_dedup",
+            (F.col("n_raw") - F.col("n_after_dedup")).alias(
+                "n_duplicates_dropped"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "streaming_file_replay_rate_limited",
+    """
+SELECT event_type,
+       COUNT(*) AS event_count,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def streaming_file_replay_rate_limited(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The rate-limited replay harness itself, verified for integrity:
+    8 micro-batches (maxFilesPerTrigger=1) drain the full events table
+    through the checkpointed memory sink, and the per-type counts, user
+    cardinality, exact-decimal value sums and ts range must equal the
+    batch table's — proving exactly-once file-source delivery and the
+    ts physical-type normalization (TIMESTAMP(NANOS) -> timestamp) on
+    the streaming read path. This is the replay harness a backfill or
+    reprocessing pipeline runs against a landing directory; the oracle
+    is the plain batch aggregate of the same rows."""
+    ev = stream_events(spark, _replay_dir(spark, sf_dir), max_files_per_trigger=1)
+    sunk = _drain(spark, ev, "replay_raw")
+    return (
+        sunk.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,68 @@
+"""Broadcast-bound gate: every ``F.broadcast(`` site in the source must
+carry a CLASSIFIED size bound (tools/broadcast_audit.py — the PARITY.md
+audit table generator). A new broadcast hint without a stated bound —
+or worse, an SF-linear side hinted unconditionally — fails here until
+it is either routed through a probe (session.dim_side /
+rollup._resolve_broadcast / the graph caps) or given an explicit bound
+rule (VERDICT r10 finding 1: a broadcast HINT is never dropped by Spark
+on size, so an unbounded hint is a 100x-scale executor-memory cliff).
+
+Pure source analysis — no SparkSession needed.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_TOOL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "broadcast_audit.py",
+)
+
+
+def _load():
+    spec = importlib.util.spec_from_file_location("broadcast_audit", _TOOL)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_every_broadcast_site_classified():
+    audit = _load()
+    unclassified = []
+    n = 0
+    for rel, lineno, line in audit.sites():
+        c = audit.classify(rel, line)
+        if c is None:
+            continue
+        n += 1
+        klass, _bound = c
+        if klass == "UNCLASSIFIED":
+            unclassified.append(f"{rel}:{lineno}: {line}")
+    assert n > 50, "audit scanner found suspiciously few broadcast sites"
+    assert not unclassified, (
+        "F.broadcast sites without a size bound — route through "
+        "session.dim_side / a cap probe, or add a bound rule to "
+        "tools/broadcast_audit.py:\n" + "\n".join(unclassified)
+    )
+
+
+def test_no_unconditional_sf_linear_table_broadcasts():
+    """The raw SF-linear base tables (supplier/part/customer/orders/
+    lineitem/documents/embeddings) must never appear directly inside an
+    unconditional F.broadcast — they route through dim_side or a regime
+    probe. (nation/region are constant-size and exempt.)"""
+    audit = _load()
+    bad = []
+    for rel, lineno, line in audit.sites():
+        for pat in (
+            'F.broadcast(t["supplier"]', 'F.broadcast(t["part"]',
+            'F.broadcast(t["customer"]', 'F.broadcast(t["orders"]',
+            'F.broadcast(t["lineitem"]', 'F.broadcast(t["documents"]',
+            'F.broadcast(t["embeddings"]',
+        ):
+            if pat in line:
+                bad.append(f"{rel}:{lineno}: {line}")
+    assert not bad, "unconditional broadcast of an SF-linear base table:\n" + "\n".join(bad)

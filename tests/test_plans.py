@@ -625,7 +625,9 @@ def test_tpch_q2_dim_join_regime_switch(spark, sf_small, monkeypatch):
     assert "BroadcastHashJoin" in plan_b, plan_b
     rows_b = [tuple(r) for r in df_b.collect()]
 
-    monkeypatch.setattr(q, "DIM_BROADCAST_ROW_CAP", 1)
+    import ibis_olap_aggregation_spark.session as sess
+
+    monkeypatch.setattr(sess, "DIM_BROADCAST_ROW_CAP", 1)
     df_m = q.QUERIES["tpch_q2_min_cost_supplier"](spark, sf_small)
     plan_m = pi.physical_plan(df_m)
     # supplier + part attaches run as sort-merge in the large regime

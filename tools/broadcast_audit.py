@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Broadcast-bound audit: every ``F.broadcast(`` site in the source,
+classified with its SIZE BOUND — making "broadcast-sized" a CHECKED
+claim repo-wide (VERDICT r10 item 1).
+
+Emits a markdown table (grouped by bound class) for PARITY.md; exits
+non-zero if any site is UNCLASSIFIED, so adding a new broadcast without
+stating its bound fails the suite
+(tests/test_broadcast_audit.py::test_every_broadcast_site_classified).
+
+Classes:
+- resolver      the F.broadcast INSIDE a row-count-probed regime switch
+                (session.dim_side, rollup._dim_side, graph/analytic
+                _node_side, triangle edge-cap) — capped by construction
+- constant      fixed-cardinality inputs (nation=25, region=5, their
+                joins, literal grids/planes/probes/buckets)
+- single-row    global scalar aggregates (thresholds, totals, N)
+- fixed-k       top-k / k-means / codebook / query-set tables whose row
+                count is a module constant (k, N_QUERIES, NPROBE, lags)
+- bounded-enum  grouped by a low-cardinality column of the schema
+                (event_type, source, l_returnflag, cohort weeks, dims)
+- calendar      one row per time bucket of the data's span
+- update-batch  incremental-maintenance inputs sized by the UPDATE
+                (new/moved/deleted nodes and their subtree membership),
+                not by the dimension
+- witness-only  small-sf cross-check paths never run at scale (test
+                oracles for the capped production twin)
+- caller-bound  documented caller contract (streaming enrich dim)
+
+Sites that are NONE of these must route through a probe (dim_side /
+_resolve_broadcast) or drop the hint for AQE — see PARITY.md round 11.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+PKG = os.path.join(ROOT, "ibis_olap_aggregation_spark")
+
+# Ordered (file_regex, line_regex, class, bound) — first match wins.
+RULES: list[tuple[str, str, str, str]] = [
+    # --- probe/regime resolvers: the only F.broadcast that may carry an
+    # SF-linear side, because a bounded row-count probe guards it
+    (r"session\.py$", r"return F\.broadcast\(df\)", "resolver",
+     "≤ DIM_BROADCAST_ROW_CAP = 2M rows (bounded limit(cap).count() probe)"),
+    (r"rollup\.py$", r"return F\.broadcast\(df\) if bcast", "resolver",
+     "≤ CLOSURE_BROADCAST_ROW_CAP = 2M rows (_resolve_broadcast probe)"),
+    (r"graph\.py$", r"return F\.broadcast\(df\) if small_nodes", "resolver",
+     "≤ PAGERANK_BROADCAST_NODE_CAP = 5M nodes (probe rides n_nodes count)"),
+    (r"graph\.py$", r"na, nb = F\.broadcast\(na\), F\.broadcast\(nb\)", "resolver",
+     "≤ TRIANGLE_BROADCAST_EDGE_CAP = 5M edges (bounded count; else merge)"),
+    (r"analytic\.py$", r"return F\.broadcast\(df\) if small_nodes", "resolver",
+     "≤ PAGERANK_BROADCAST_NODE_CAP = 5M nodes (probe on cached support)"),
+    # --- constant-cardinality dims and literal tables
+    (r"tpch\.py$", r'F\.broadcast\(t\["nation"\]', "constant", "nation = 25 rows"),
+    (r"tpch\.py$", r'F\.broadcast\(t\["region"\]', "constant", "region = 5 rows"),
+    (r"relational\.py$", r"F\.broadcast\(t\[.nation.\]\)|F\.broadcast\(r\)|F\.broadcast\(n\d?\)",
+     "constant", "nation/region(-derived) ≤ 25 rows"),
+    (r"analytic\.py$", r"F\.broadcast\(n\)|F\.broadcast\(r\)", "constant",
+     "nation/region ≤ 25 rows"),
+    (r"analytic\.py$", r"F\.broadcast\(buckets\)", "constant",
+     "literal histogram grid (value-domain/5 buckets, spark.range literal)"),
+    (r"rp_lsh\.py$", r"F\.broadcast\(planes\)", "constant",
+     "N_PLANES random hyperplanes (module constant)"),
+    (r"dedup\.py$", r"F\.broadcast\(grid\)", "constant",
+     "COSINE_BLOCKS² /2 literal block pairs (module constant)"),
+    (r"layout\.py$", r"F\.broadcast\(probes\)", "constant",
+     "fixed literal probe rectangles"),
+    # --- single-row global scalars
+    (r"tpch\.py$", r"F\.broadcast\(thresh\)", "single-row", "1 row (global SUM threshold)"),
+    (r"relational\.py$", r"F\.broadcast\(avg_price\)|F\.broadcast\(mx\)|F\.broadcast\(avg_bal\)",
+     "single-row", "1 row (global aggregate)"),
+    (r"analytic\.py$", r"F\.broadcast\(n\)$|crossJoin\(F\.broadcast\(n\)\)", "single-row",
+     "1 row (global order count)"),
+    (r"timeseries\.py$", r"F\.broadcast\(tot\)", "single-row", "1 row (global moments)"),
+    (r"text\.py$", r"F\.broadcast\(tot\)|F\.broadcast\(nd\)", "single-row",
+     "1 row (corpus token total)"),
+    (r"quality\.py$", r"F\.broadcast\(t\)|F\.broadcast\(dof\)|F\.broadcast\(point\)|F\.broadcast\(tot\)",
+     "single-row", "1 row (global threshold/dof/point/total)"),
+    (r"pipeline\.py$", r"F\.broadcast\(tot\)|F\.broadcast\(z\)|F\.broadcast\(ess\)",
+     "single-row", "1 row (global total / normalizer / ESS)"),
+    (r"sketch_eval\.py$", r"F\.broadcast\(thresh\)", "single-row", "1 row (tolerance)"),
+    # --- fixed-k tables (module-constant row counts)
+    (r"similarity\.py$", r"F\.broadcast\(q\w*\)|F\.broadcast\(eq\)|F\.broadcast\(probes\)",
+     "fixed-k", "N_QUERIES (=10) x NPROBE rows (module constants)"),
+    (r"similarity\.py$", r"F\.broadcast\(cent\w*\)|F\.broadcast\(cb2?\)|F\.broadcast\(lut\)|F\.broadcast\(adc_top\)",
+     "fixed-k", "K centroids / M x 2^b codebook / k x M LUT / top-k (module constants)"),
+    (r"similarity\.py$", r"F\.broadcast\(va\)|F\.broadcast\(vb\)", "fixed-k",
+     "one row per embedding dimension (EMB_DIM, fixed)"),
+    (r"timeseries\.py$", r"F\.broadcast\(lags\)", "fixed-k", "MAX_LAG literal lag offsets"),
+    (r"text\.py$", r"F\.broadcast\(vocab\.select|F\.broadcast\(va\)|F\.broadcast\(vb\)",
+     "fixed-k", "PMI vocab capped at top-50 (module constant)"),
+    (r"text\.py$", r"F\.broadcast\(profile", "fixed-k",
+     "top-20 tokens per language (row_number ≤ 20 filter)"),
+    # --- bounded-enum grouping columns
+    (r"sketch_eval\.py$", r"F\.broadcast\(r\),|F\.broadcast\(long\)", "bounded-enum",
+     "one row per event_type (x quantile probs) — low-cardinality enum"),
+    (r"quality\.py$", r"F\.broadcast\(med\)|F\.broadcast\(mad\)|F\.broadcast\(u\)",
+     "bounded-enum", "one row per event_type — low-cardinality enum"),
+    (r"analytic\.py$", r"F\.broadcast\(bounds\)", "bounded-enum",
+     "one row per l_returnflag — 3 values"),
+    (r"text\.py$", r"F\.broadcast\(totals\)", "bounded-enum",
+     "one row per documents.source — low-cardinality enum"),
+    (r"events\.py$", r"F\.broadcast\(base\)", "calendar",
+     "one row per cohort week of the data span"),
+    (r"events\.py$", r"F\.broadcast\(grid\)", "calendar",
+     "event_type x hour of the data span (gapfill grid)"),
+    # --- incremental-maintenance batches (hierarchy.py)
+    (r"hierarchy\.py$", r"F\.broadcast\((known|hit|parent_anc|parent_depth|doomed|u)\b",
+     "update-batch", "sized by the maintenance batch (new/changed nodes + their ancestor rows), not the dim"),
+    (r"hierarchy\.py$", r"F\.broadcast\((memb_d|memb_a|members|memb_rows)\b",
+     "update-batch", "membership of the moved/deleted subtree (maintenance grain)"),
+    (r"allocation\.py$", r"F\.broadcast\(reg\)", "constant",
+     "one row per region = 5 rows"),
+    (r"pipeline\.py$", r"F\.broadcast\(ev\)", "fixed-k",
+     "distinct shingle keys of the BENCHMARK corpus — an external "
+     "reference set, fixed-size by design (does not grow with the "
+     "production corpus)"),
+    # --- witness-only small-sf cross-check paths
+    (r"dedup\.py$", r"F\.broadcast\(s[ab]\)", "witness-only",
+     "_ngram_jaccard_allpairs: doc-sized, but the function is the small-sf "
+     "test oracle for the prefix-filtered production twin (never registered)"),
+    # --- documented caller contract
+    (r"streaming/engine\.py$", r"F\.broadcast\(dim\)", "caller-bound",
+     "enrich_with_static: caller contract (docstring) — dim must be "
+     "broadcast-sized; probe-per-microbatch would block every trigger"),
+]
+
+
+def sites() -> list[tuple[str, int, str]]:
+    out = []
+    for dirpath, _dirs, files in os.walk(PKG):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, ROOT)
+            with open(path) as f:
+                for i, line in enumerate(f, 1):
+                    if "F.broadcast(" in line and not line.lstrip().startswith("#"):
+                        out.append((rel, i, line.strip()))
+    return out
+
+
+def classify(rel: str, line: str) -> tuple[str, str] | None:
+    for file_re, line_re, klass, bound in RULES:
+        if re.search(file_re, rel) and re.search(line_re, line):
+            return klass, bound
+    # docstring/comment mentions inside session.py helper text
+    if "``F.broadcast" in line or line.startswith('"'):
+        return None
+    return ("UNCLASSIFIED", "")
+
+
+def main() -> int:
+    rows = []
+    unclassified = []
+    for rel, lineno, line in sites():
+        c = classify(rel, line)
+        if c is None:
+            continue
+        klass, bound = c
+        if klass == "UNCLASSIFIED":
+            unclassified.append((rel, lineno, line))
+        rows.append((klass, rel, lineno, bound, line))
+
+    order = ["resolver", "constant", "single-row", "fixed-k", "bounded-enum",
+             "calendar", "update-batch", "witness-only", "caller-bound",
+             "UNCLASSIFIED"]
+    rows.sort(key=lambda r: (order.index(r[0]), r[1], r[2]))
+    print("| class | site | bound |")
+    print("|---|---|---|")
+    for klass, rel, lineno, bound, _line in rows:
+        print(f"| {klass} | `{rel}:{lineno}` | {bound} |")
+    print(f"\n{len(rows)} sites; {len(unclassified)} unclassified.")
+    if unclassified:
+        print("\nUNCLASSIFIED sites (add a bound rule or route through a probe):",
+              file=sys.stderr)
+        for rel, lineno, line in unclassified:
+            print(f"  {rel}:{lineno}: {line}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

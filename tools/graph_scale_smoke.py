@@ -19,6 +19,14 @@ Usage:
   python tools/graph_scale_smoke.py [amplification]     # replica mode
   python tools/graph_scale_smoke.py density [D]         # density mode
 
+Env knobs:
+  SPARK_GRAFT_SMOKE_ONLY=name1,name2   time only these queries
+  SPARK_GRAFT_PAGERANK_CAP=N           force PAGERANK_BROADCAST_NODE_CAP
+      (e.g. 1000 forces the sort-merge regime for the rank-vector /
+      support attaches at real scale — VERDICT r10 item 5: exercise the
+      merge regime end-to-end at the x10-edge graph, like the triangle
+      switch got in r9)
+
 Writes nothing to the repo; amplified parquet lives under /tmp.
 """
 
@@ -52,6 +60,7 @@ TIMED = [
     "graph_pagerank_copurchase",
     "graph_connected_components",
     "graph_copurchase_cosine",
+    "graph_kcore_peel",
 ]
 
 
@@ -75,6 +84,16 @@ def main() -> None:
     amp = int(sys.argv[2]) if density_mode and len(sys.argv) > 2 else (
         int(sys.argv[1]) if not density_mode and len(sys.argv) > 1 else 10
     )
+    timed = TIMED
+    only = os.environ.get("SPARK_GRAFT_SMOKE_ONLY")
+    if only:
+        timed = [n for n in TIMED if n in only.split(",")]
+    cap = os.environ.get("SPARK_GRAFT_PAGERANK_CAP")
+    if cap:
+        from ibis_olap_aggregation_spark.operators import graph as _g
+
+        _g.PAGERANK_BROADCAST_NODE_CAP = int(cap)
+        print(f"PAGERANK_BROADCAST_NODE_CAP forced to {cap} (merge regime)")
     spark = get_spark("graph-scale-smoke")
     work = tempfile.mkdtemp(prefix="graph_scale_")
     for t in ("region", "nation", "customer", "supplier",
@@ -125,7 +144,7 @@ def main() -> None:
         print(f"{d}: co-purchase edges = {e}")
 
     print(f"{'query':34s} {'base_s':>8s} {'amp_s':>8s} {'ratio':>6s}  ({label})")
-    for name in TIMED:
+    for name in timed:
         fn = QUERIES[name]
         base_t = _time(fn, spark, SRC)
         amp_t = _time(fn, spark, work)
@@ -156,3 +175,17 @@ if __name__ == "__main__":
 #   graph_pagerank_copurchase            7.06     7.49   1.06
 #   graph_connected_components           3.17     2.69   0.85
 #   graph_copurchase_cosine              1.64     2.22   1.35
+#
+# Round 11 (2026-08-15), k-core added to both axes (VERDICT r10 item
+# 4). Peeling-round structure holds on both: no round-count or
+# per-round-cost cliff (time ~ edges, never fan-out^2):
+#   graph_kcore_peel   replica x10:       3.55     9.36   2.64
+#   graph_kcore_peel   density x3:        2.92    10.12   3.47
+#
+# Round 11 (2026-08-15), PageRank/support MERGE regime at real scale
+# (VERDICT r10 item 5): SPARK_GRAFT_PAGERANK_CAP=1000 forces every
+# node-sized attach (rank vector, part-name decorate, cosine supports)
+# to sort-merge; replica x10 = 12M edges, both scales run the merge
+# regime end-to-end — sub-linear vs the x10 edge growth, no cliff:
+#   graph_pagerank_copurchase (merge)     9.07    24.92   2.75
+#   graph_copurchase_cosine   (merge)     2.44    10.92   4.48

@@ -1020,6 +1020,8 @@ _ADDED_ROUND11: frozenset[str] = frozenset(
     {
         "streaming_dedup_within_watermark_twin",
         "streaming_file_replay_rate_limited",
+        "streaming_interval_join_twin",
+        "streaming_upsert_latest_state_twin",
     }
 )
 

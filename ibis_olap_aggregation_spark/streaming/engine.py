@@ -336,6 +336,7 @@ def run_upsert_sink(
     *,
     checkpoint_dir: str,
     keep_versions: int = 2,
+    prepare=None,
 ) -> None:
     """Stream into a `VersionedParquetTable` with one atomic commit per
     micro-batch (foreachBatch -> SCD-1 upsert -> manifest flip): the
@@ -350,11 +351,24 @@ def run_upsert_sink(
     At scale each micro-batch costs one key anti-join against the
     current snapshot — right for metadata-sized tables (quality scores,
     dedup verdicts, license state); for append-only event firehoses use
-    a plain parquet append sink and compact instead."""
+    a plain parquet append sink and compact instead.
+
+    ``prepare`` (optional): a ``DataFrame -> DataFrame`` hook applied to
+    each non-empty micro-batch before the upsert — the CDC
+    conflict-resolution point. The raw SCD-1 merge is last-write-wins
+    and appends update rows verbatim, so a batch carrying several rows
+    per key (or a replay arriving out of order) needs the hook to
+    reduce to one winner per key — e.g. greatest-(ts, id), optionally
+    re-merged against ``table.read()`` for order-independence (see
+    streaming/replay_queries.py's latest-state twin). Replays stay
+    idempotent as long as ``prepare`` is deterministic given (batch,
+    current table state)."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        if prepare is not None:
+            batch = prepare(batch)
         table.upsert(batch, key_cols, keep_versions=keep_versions)
 
     q = (

@@ -1,7 +1,9 @@
-"""Registry-facing Structured Streaming twins: the two streaming-native
-surfaces the batch registry can oracle-pair (VERDICT r10 item 6).
+"""Registry-facing Structured Streaming twins (VERDICT r10 item 6):
+four streaming-native surfaces the batch registry oracle-pairs —
+watermarked stateful dedup, replay-harness integrity, a stream-stream
+event-time interval join, and a CDC latest-state upsert sink.
 
-Both queries REALLY run a stream — a rate-limited file-source replay
+Every query REALLY runs a stream — a rate-limited file-source replay
 (``maxFilesPerTrigger=1`` over an 8-file, time-range-partitioned copy
 of the events table, so the run takes 8 genuine micro-batches through
 a checkpointed Trigger.AvailableNow drain into a memory sink) — and
@@ -48,7 +50,9 @@ from ibis_olap_aggregation_spark.queries import register
 from ibis_olap_aggregation_spark.session import load_table
 from ibis_olap_aggregation_spark.streaming.engine import (
     dedup_within_watermark,
+    interval_join_streams,
     run_to_memory,
+    run_upsert_sink,
     stream_events,
 )
 
@@ -182,3 +186,128 @@ def streaming_file_replay_rate_limited(
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "streaming_interval_join_twin",
+    """
+SELECT l.user_id,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT l.event_id) AS n_left_events
+FROM events l
+JOIN events r ON r.user_id = l.user_id
+  AND r.ts > l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def streaming_interval_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join, driven end-to-end: two
+    independent rate-limited replays of the events table inner-join on
+    user_id with the (l.ts - 1h, l.ts] time bound, drain through the
+    checkpointed memory sink, and the per-user pair counts must equal
+    the batch self-join (oracle). Inner stream-stream joins emit each
+    match exactly once as soon as both rows have arrived, so the
+    equality holds for any replay interleaving as long as state is not
+    purged mid-run — the twin's watermark horizon (3650 days) covers
+    the fixture span, exactly like the dedup twin. (Production sets the
+    horizon to its lateness bound and the same time constraint lets the
+    state store evict rows that can no longer match — the reason the
+    join condition carries the bound at all.)
+
+    Cost note: with the span-covering horizon NOTHING evicts, and the
+    default HDFS-backed state store rewrites each partition's full
+    state snapshot every micro-batch — measured ~33s at sf0.1 (100k
+    rows/side x 8 batches). That is the twin's verification trade, not
+    the operator's scale shape: a production lateness horizon keeps
+    state at the bound's width, and RocksDB state stores write deltas."""
+    path = _replay_dir(spark, sf_dir)
+    l = stream_events(spark, path, max_files_per_trigger=1)
+    r = stream_events(spark, path, max_files_per_trigger=1)
+    j = interval_join_streams(
+        l, r, key="user_id", interval="1 hour", watermark="3650 days"
+    )
+    sunk = _drain(spark, j, "ivjoin")
+    return (
+        sunk.groupBy(F.col("l_key").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("l_event_id").alias("n_left_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "streaming_upsert_latest_state_twin",
+    """
+WITH ranked AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+)
+SELECT user_id, event_type, ts_us, value, event_id
+FROM ranked WHERE rk = 1
+ORDER BY 1, 2
+""",
+)
+def streaming_upsert_latest_state_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC latest-state maintenance, driven end-to-end: the rate-limited
+    replay streams into a VersionedParquetTable through foreachBatch
+    (engine.run_upsert_sink) with a conflict-resolving ``prepare`` hook
+    — each micro-batch reduces to its greatest-(ts, event_id) row per
+    (user_id, event_type) and re-merges against the CURRENT snapshot
+    for the touched keys, so the committed state converges to the
+    global latest row per key for ANY replay order (order-independent
+    CDC, not last-write-wins). The oracle is the batch argmax; the
+    final snapshot must equal it after 8 atomic version commits.
+
+    Scale shape: per micro-batch one key anti-join against the current
+    snapshot plus a semi-join-bounded conflict re-merge — the state
+    table is KEY-sized (users x event types), never event-sized."""
+    from pyspark.sql import Window
+
+    from ibis_olap_aggregation_spark.sources.io import VersionedParquetTable
+
+    ev = stream_events(spark, _replay_dir(spark, sf_dir), max_files_per_trigger=1)
+    proj = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "event_id",
+    )
+    cols = ["user_id", "event_type", "ts_us", "value", "event_id"]
+    keys = ["user_id", "event_type"]
+    root = os.path.join(
+        tempfile.mkdtemp(prefix="spark_graft_state_"), "latest_state"
+    )
+    base = spark.createDataFrame(
+        [], "user_id bigint, event_type string, ts_us bigint, value double, event_id bigint"
+    )
+    table = VersionedParquetTable.create(spark, root, base)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+
+    def _latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter("_rk = 1")
+            .select(*cols)
+        )
+
+    def _prepare(batch: DataFrame) -> DataFrame:
+        reduced = _latest(batch.select(*cols))
+        contested = table.read().join(
+            reduced.select(*keys).distinct(), keys, "semi"
+        )
+        return _latest(reduced.unionByName(contested.select(*cols)))
+
+    name = f"upsert_{next(_IDS)}"
+    ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
+    run_upsert_sink(proj, table, keys, checkpoint_dir=ckpt, prepare=_prepare)
+    return table.read().select(*cols).orderBy("user_id", "event_type")

@@ -140,7 +140,14 @@ def sites() -> list[tuple[str, int, str]]:
             rel = os.path.relpath(path, ROOT)
             with open(path) as f:
                 for i, line in enumerate(f, 1):
-                    if "F.broadcast(" in line and not line.lstrip().startswith("#"):
+                    stripped = line.lstrip()
+                    if stripped.startswith("#"):
+                        continue
+                    # both hint spellings: F.broadcast(df) and the
+                    # string form df.hint("broadcast")
+                    if "F.broadcast(" in line or re.search(
+                        r"\.hint\(\s*['\"]broadcast['\"]", line
+                    ):
                         out.append((rel, i, line.strip()))
     return out
 

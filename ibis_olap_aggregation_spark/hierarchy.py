@@ -889,7 +889,9 @@ class HierarchyDimension:
         missing = [
             r["new_node_id"]
             for r in new.join(
-                F.broadcast(known), new["new_parent_node_id"] == known["_k"], "left_anti"
+                # known = EVERY node id (dim-sized): bounded probe, not
+                # an unconditional broadcast (10M-node dims)
+                dim_side(known), new["new_parent_node_id"] == known["_k"], "left_anti"
             )
             .select("new_node_id")
             .limit(5)
@@ -933,7 +935,9 @@ class HierarchyDimension:
             F.col("descendant_level_number").alias("_parent_level"),
         )
         inherited = new.join(
-            F.broadcast(parent_anc),
+            # parent_anc is CLOSURE-sized (ancestor rows of every node):
+            # bounded probe — sort-merge past the cap
+            dim_side(parent_anc),
             F.col("new_parent_node_id") == F.col("_parent_id"),
         ).select(
             *anc_cols,
@@ -950,7 +954,8 @@ class HierarchyDimension:
             F.col("descendant_level_number").alias("_parent_level"),
         )
         self_pairs = new.join(
-            F.broadcast(parent_depth),
+            # node-count-sized (one depth row per node): bounded probe
+            dim_side(parent_depth),
             F.col("new_parent_node_id") == F.col("_parent_id"),
         ).select(
             *[F.col(f"new_{c}").alias(f"ancestor_{c}") for c in attr],
@@ -994,7 +999,9 @@ class HierarchyDimension:
                 f"remove_subtree_from_closure: node {node_id!r} not in closure"
             )
         kept = base.join(
-            F.broadcast(doomed),
+            # the doomed set is SUBTREE-sized — near-dim-sized for a
+            # near-root delete: bounded probe, not a blind broadcast
+            dim_side(doomed),
             base["descendant_node_id"] == doomed["_gone"],
             "left_anti",
         )
@@ -1101,12 +1108,14 @@ class HierarchyDimension:
         memb_d = members.select(F.col("_m").alias("_md"))
         memb_a = members.select(F.col("_m").alias("_ma"))
         in_d, in_a = F.col("_md").isNotNull(), F.col("_ma").isNotNull()
+        # subtree membership is near-dim-sized for a near-root move:
+        # bounded probes on both attaches
         kept = (
             base.join(
-                F.broadcast(memb_d), base["descendant_node_id"] == F.col("_md"), "left"
+                dim_side(memb_d), base["descendant_node_id"] == F.col("_md"), "left"
             )
             .join(
-                F.broadcast(memb_a), base["ancestor_node_id"] == F.col("_ma"), "left"
+                dim_side(memb_a), base["ancestor_node_id"] == F.col("_ma"), "left"
             )
             # drop old outside-links; keep outside-outside + within-S rows
             .filter(~(in_d & ~in_a))
@@ -1146,7 +1155,7 @@ class HierarchyDimension:
         ).select(*anc_cols)
         memb_rows = (
             base.filter("net_level = 0")
-            .join(F.broadcast(members), F.col("descendant_node_id") == F.col("_m"))
+            .join(dim_side(members), F.col("descendant_node_id") == F.col("_m"))
             .select(
                 *[F.col(f"descendant_{c}") for c in attr],
                 (F.col("descendant_level_number") + delta).alias(
@@ -1155,7 +1164,9 @@ class HierarchyDimension:
                 F.lit(None).cast("int").alias("descendant_node_sort_order"),
             )
         )
-        cross = new_anc.crossJoin(F.broadcast(memb_rows)).withColumn(
+        # broadcast the DEPTH-bounded side (ancestors of ONE node, ≤ tree
+        # depth rows), never the subtree-sized member rows
+        cross = memb_rows.crossJoin(F.broadcast(new_anc)).withColumn(
             "net_level",
             F.col("descendant_level_number") - F.col("ancestor_level_number"),
         )

@@ -108,11 +108,18 @@ RULES: list[tuple[str, str, str, str]] = [
      "one row per cohort week of the data span"),
     (r"events\.py$", r"F\.broadcast\(grid\)", "calendar",
      "event_type x hour of the data span (gapfill grid)"),
-    # --- incremental-maintenance batches (hierarchy.py)
-    (r"hierarchy\.py$", r"F\.broadcast\((known|hit|parent_anc|parent_depth|doomed|u)\b",
-     "update-batch", "sized by the maintenance batch (new/changed nodes + their ancestor rows), not the dim"),
-    (r"hierarchy\.py$", r"F\.broadcast\((memb_d|memb_a|members|memb_rows)\b",
-     "update-batch", "membership of the moved/deleted subtree (maintenance grain)"),
+    # --- incremental-maintenance batches (hierarchy.py). The dim-,
+    # closure- and subtree-sized sides (known, parent_anc, parent_depth,
+    # doomed, memb_*) route through session.dim_side since round 11 —
+    # only provably small sides keep unconditional hints:
+    (r"hierarchy\.py$", r"F\.broadcast\(hit\b", "update-batch",
+     "leaf-flip set: distinct parents of the append batch / ≤2 parents "
+     "of a single-node move or delete"),
+    (r"hierarchy\.py$", r"F\.broadcast\(new_anc\)", "update-batch",
+     "ancestors of ONE node — ≤ tree-depth rows"),
+    (r"hierarchy\.py$", r"F\.broadcast\(u\b", "caller-bound",
+     "update_node_attributes: updates are change-sized (docstring "
+     "contract — renames/relabels, never structural)"),
     (r"allocation\.py$", r"F\.broadcast\(reg\)", "constant",
      "one row per region = 5 rows"),
     (r"pipeline\.py$", r"F\.broadcast\(ev\)", "fixed-k",

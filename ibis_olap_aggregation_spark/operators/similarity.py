@@ -1495,3 +1495,103 @@ def emb_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cov")).desc(), "dim_i", "dim_j")
         .limit(20)
     )
+
+
+# -- matryoshka truncation eval ---------------------------------------------
+# Prefix widths evaluated against the full-width (64) ground truth; the
+# recall cutoff matches the embedding-compression evals (int8 / PQ):
+# "what does keeping only the first d dimensions cost in retrieval?"
+_MRL_DIMS = (8, 16, 32)
+_MRL_K = 10
+
+
+def _mrl_duck_cos(d: int, a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {d}), i -> {a}[i] * {b}[i]))"
+        f" / (sqrt(list_sum(list_transform(generate_series(1, {d}), i -> {a}[i] * {a}[i])))"
+        f" * sqrt(list_sum(list_transform(generate_series(1, {d}), i -> {b}[i] * {b}[i]))))"
+    )
+
+
+def _mrl_duck_block(d: int) -> str:
+    return f"""
+  SELECT CAST({d} AS BIGINT) AS dims, query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({_mrl_duck_cos(d, "q.v", "e.v")}, 6) DESC, e.vec_id
+           ) AS rk
+    FROM q JOIN e ON q.vec_id <> e.vec_id
+  ) WHERE rk <= {_MRL_K}"""
+
+
+@register(
+    "emb_truncation_recall",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+gt AS ({_mrl_duck_block(64)}),
+tr AS ({" UNION ALL ".join(_mrl_duck_block(d) for d in _MRL_DIMS)})
+SELECT t.query_id, t.dims,
+       CAST(COUNT(g.neighbor_id) AS BIGINT) AS n_overlap,
+       ROUND(COUNT(g.neighbor_id) / {_MRL_K}.0, 6) AS recall_at_{_MRL_K}
+FROM tr t
+LEFT JOIN gt g ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def emb_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval (Kusupati et al., NeurIPS'22):
+    retrieval recall@10 of PREFIX-truncated embeddings (first 8/16/32
+    dims) against the full-width (64) brute-force ground truth, per
+    query vector — the eval a pipeline runs before storing truncated
+    vectors to cut the ANN index 2-8x. Complements the int8 and PQ
+    compression evals (value-quantization vs dimension-truncation).
+
+    Plan shape: ONE corpus scan per width (4 total), each a broadcast
+    of the fixed 10-query set against the streaming corpus (the
+    bruteforce-witness shape — bounded by N_QUERIES, never corpus x
+    corpus), ranking windows partitioned by query. Cosines are
+    sequential per-row folds over prefix slices — bit-identical across
+    engines (idioms contract), rounded to 6 before ranking so the
+    top-k boundary cannot flip."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+
+    def topk(d: int) -> DataFrame:
+        cos = _cosine(f"slice(qv, 1, {d})", f"slice(v, 1, {d})")
+        return (
+            e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(F.expr(cos), 6).alias("cosine"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _MRL_K)
+            .select(
+                F.lit(d).cast("bigint").alias("dims"),
+                "query_id",
+                "neighbor_id",
+            )
+        )
+
+    gt = topk(64).select("query_id", "neighbor_id").withColumn("_g", F.lit(1))
+    tr = topk(_MRL_DIMS[0])
+    for d in _MRL_DIMS[1:]:
+        tr = tr.unionByName(topk(d))
+    return (
+        tr.join(F.broadcast(gt), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id", "dims")
+        .agg(
+            F.count("_g").alias("n_overlap"),
+            F.round(F.count("_g") / F.lit(float(_MRL_K)), 6).alias(
+                f"recall_at_{_MRL_K}"
+            ),
+        )
+        .orderBy("query_id", "dims")
+    )

@@ -1022,6 +1022,7 @@ _ADDED_ROUND11: frozenset[str] = frozenset(
         "streaming_file_replay_rate_limited",
         "streaming_interval_join_twin",
         "streaming_upsert_latest_state_twin",
+        "emb_truncation_recall",
     }
 )
 

@@ -669,10 +669,12 @@ def affinity_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot do.
 
     Scale: identical join graph to the pair-count query (shuffle on
-    l_orderkey bounded by order fan-out) plus two broadcast-sized
-    attaches (per-part supports, single-row basket count). The min-
-    support filter runs BEFORE the support joins, so the pair stream is
-    pruned early; ratios are per-row double arithmetic on exact counts."""
+    l_orderkey bounded by order fan-out) plus two NODE-sized support
+    attaches (broadcast only below PAGERANK_BROADCAST_NODE_CAP, probed
+    on the cached aggregate — SF-linear, the cosine query's shape) and
+    a single-row basket-count attach. The min-support filter runs
+    BEFORE the support joins, so the pair stream is pruned early;
+    ratios are per-row double arithmetic on exact counts."""
     from ibis_olap_aggregation_spark.operators.graph import (
         copurchase_pairs,
         order_items,

@@ -1247,9 +1247,10 @@ def hierarchy_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Built from ONE leaf-grain additive rollup (the flagship's 100 TB
     shape — fact shuffle at |leaf keys|, not |facts| x depth), reused
-    for both sides of the ratio: the node-total table is dim-sized, so
-    the child->parent join is a broadcast self-join, costing nothing at
-    fact scale. Nodes with no facts in their subtree drop out (inner
+    for both sides of the ratio: the node-total table is dim-sized
+    (SF-linear — customer-grain leaves), so the child->parent self-join
+    runs through the bounded dim_side probe: broadcast under the cap,
+    sort-merge past it. Nodes with no facts in their subtree drop out (inner
     join semantics, both engines); the root drops (no parent). Both
     totals come from the same exact-decimal sums, so the double division
     is bit-identical across engines."""

@@ -90,6 +90,8 @@ RULES: list[tuple[str, str, str, str]] = [
      "fixed-k", "K centroids / M x 2^b codebook / k x M LUT / top-k (module constants)"),
     (r"similarity\.py$", r"F\.broadcast\(va\)|F\.broadcast\(vb\)", "fixed-k",
      "one row per embedding dimension (EMB_DIM, fixed)"),
+    (r"similarity\.py$", r"F\.broadcast\(gt\)", "fixed-k",
+     "N_QUERIES x _MRL_K = 100 ground-truth rows (module constants)"),
     (r"timeseries\.py$", r"F\.broadcast\(lags\)", "fixed-k", "MAX_LAG literal lag offsets"),
     (r"text\.py$", r"F\.broadcast\(vocab\.select|F\.broadcast\(va\)|F\.broadcast\(vb\)",
      "fixed-k", "PMI vocab capped at top-50 (module constant)"),

@@ -1,0 +1,67 @@
+"""Regime pins for the round-11 session.dim_side probe sites beyond the
+query-level switches in test_plans.py: the hierarchy BUILD (prepare_nodes
+leaf mark, closure sort-order attach), the sketch-rollup attaches and
+the incremental-maintenance ops must produce IDENTICAL output whether
+the probe picks broadcast (default at test scale) or the sort-merge
+regime (DIM_BROADCAST_ROW_CAP forced to 1 — the 10M-node-dim path).
+"""
+
+from __future__ import annotations
+
+import ibis_olap_aggregation_spark.session as sess
+from ibis_olap_aggregation_spark.fixtures import geo_nodes
+from ibis_olap_aggregation_spark.hierarchy import HierarchyDimension
+from ibis_olap_aggregation_spark.session import load_tables
+from pyspark.sql import functions as F
+
+
+def _build(spark, sf_small):
+    t = load_tables(spark, sf_small, ("region", "nation", "customer"))
+    return HierarchyDimension(
+        geo_nodes(t["region"], t["nation"], t["customer"]),
+        dimension_name="geo",
+        sort_key_col="node_id",
+        flatten_levels=4,
+    )
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    rows = [tuple(r) for r in df.select(*cols).collect()]
+    # None-safe total order (nullable attribute columns)
+    return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+
+
+def test_dim_build_identical_across_probe_regimes(spark, sf_small, monkeypatch):
+    base_rep = _canon(_build(spark, sf_small).reporting_dim)
+    base_agg = _canon(_build(spark, sf_small).aggregation_dim)
+    monkeypatch.setattr(sess, "DIM_BROADCAST_ROW_CAP", 1)
+    merged = _build(spark, sf_small)
+    assert _canon(merged.reporting_dim) == base_rep
+    assert _canon(merged.aggregation_dim) == base_agg
+
+
+def test_maintenance_ops_identical_across_probe_regimes(
+    spark, sf_small, monkeypatch
+):
+    dim = _build(spark, sf_small)
+    agg = dim.aggregation_dim
+    some_nation = agg.filter(
+        (F.col("ancestor_level_number") == 2) & (F.col("net_level") == 0)
+    ).select("ancestor_node_id").first()[0]
+    nations = [
+        r[0]
+        for r in agg.filter(
+            (F.col("descendant_level_number") == 2) & (F.col("net_level") == 0)
+        )
+        .select("descendant_node_id")
+        .limit(2)
+        .collect()
+    ]
+
+    removed_b = _canon(dim.remove_subtree_from_closure(some_nation))
+    moved_b = _canon(dim.move_subtree_in_closure(nations[0], nations[1]))
+
+    monkeypatch.setattr(sess, "DIM_BROADCAST_ROW_CAP", 1)
+    assert _canon(dim.remove_subtree_from_closure(some_nation)) == removed_b
+    assert _canon(dim.move_subtree_in_closure(nations[0], nations[1])) == moved_b

@@ -949,7 +949,7 @@ def agg_ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         # x*y ~ day-index x daily-cents passes 2^63 at fact scale —
         # and the PRODUCT itself must be decimal, not just the sum
         # (day 2500 x ~1e17 cents wraps bigint before any widening)
-        sum_wide_product(xb, F.col("y")).cast("double").alias("sxy"),
+        sum_wide_product(xb, F.col("y"), check_in=daily).cast("double").alias("sxy"),
         F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
         .cast("double")
         .alias("syy"),
@@ -1065,9 +1065,15 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("ra").cast("double").alias("sa"),
         F.sum("rb").cast("double").alias("sb"),
-        sum_wide_product(F.col("ra"), F.col("ra")).cast("double").alias("saa"),
-        sum_wide_product(F.col("rb"), F.col("rb")).cast("double").alias("sbb"),
-        sum_wide_product(F.col("ra"), F.col("rb")).cast("double").alias("sab"),
+        sum_wide_product(F.col("ra"), F.col("ra"), check_in=rk)
+        .cast("double")
+        .alias("saa"),
+        sum_wide_product(F.col("rb"), F.col("rb"), check_in=rk)
+        .cast("double")
+        .alias("sbb"),
+        sum_wide_product(F.col("ra"), F.col("rb"), check_in=rk)
+        .cast("double")
+        .alias("sab"),
     )
     n_, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
     saa, sbb, sab = F.col("saa"), F.col("sbb"), F.col("sab")

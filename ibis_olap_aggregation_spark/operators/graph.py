@@ -671,8 +671,12 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = joined.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         sum_wide(F.col("du")).cast("double").alias("sa"),
-        sum_wide_product(F.col("du"), F.col("du")).cast("double").alias("saa"),
-        sum_wide_product(F.col("du"), F.col("dv")).cast("double").alias("sab"),
+        sum_wide_product(F.col("du"), F.col("du"), check_in=joined)
+        .cast("double")
+        .alias("saa"),
+        sum_wide_product(F.col("du"), F.col("dv"), check_in=joined)
+        .cast("double")
+        .alias("sab"),
     )
     n, sa = F.col("n"), F.col("sa")
     r = (n * F.col("sab") - sa * sa) / (n * F.col("saa") - sa * sa)

@@ -1077,7 +1077,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # wide sums (oracle hugeint): sum(n_chars^2) ~ 1e12 x 1e9 docs
         # passes 2^63; s1 widened for the same tree shape
         sum_wide(F.col("n_chars")).alias("s1"),
-        sum_wide_product(F.col("n_chars"), F.col("n_chars")).alias("s2"),
+        sum_wide_product(F.col("n_chars"), F.col("n_chars"), check_in=d).alias("s2"),
     ).filter(F.col("nh") > 1)
     mean = F.col("s1").cast("double") / F.col("nh")
     var = (

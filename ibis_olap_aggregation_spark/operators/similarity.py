@@ -633,7 +633,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = assign.join(F.broadcast(probes), "c_label").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    qe = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # explicit bound BEFORE the broadcast: without the filter, qe only
+    # shrinks to N_QUERIES rows if Catalyst propagates the probes-side
+    # constraint across the join — at scale that would be an SF-linear
+    # broadcast riding on an optimizer behavior (ADVICE r11 item 1)
+    qe = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
     ce = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("nv"),

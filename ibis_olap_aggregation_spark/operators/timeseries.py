@@ -86,18 +86,23 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = daily.agg(
         F.count(F.lit(1)).cast("double").alias("nn"),
         sum_wide(F.col("x")).cast("double").alias("s1"),
-        sum_wide_product(F.col("x"), F.col("x")).cast("double").alias("s2"),
+        sum_wide_product(F.col("x"), F.col("x"), check_in=daily)
+        .cast("double")
+        .alias("s2"),
     )
     lags = spark.range(1, _ACF_LAGS + 1).select(F.col("id").cast("int").alias("lag"))
     a = daily.select(F.col("d").alias("ad"), F.col("x").alias("ax"))
     b = daily.select(F.col("d").alias("bd"), F.col("x").alias("bx"))
+    matched = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("bd") == F.date_add(F.col("ad"), F.col("lag"))
+    )
     pairs = (
-        a.crossJoin(F.broadcast(lags))
-        .join(b, F.col("bd") == F.date_add(F.col("ad"), F.col("lag")))
-        .groupBy("lag")
+        matched.groupBy("lag")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            sum_wide_product(F.col("ax"), F.col("bx")).cast("double").alias("sxy"),
+            sum_wide_product(F.col("ax"), F.col("bx"), check_in=matched)
+            .cast("double")
+            .alias("sxy"),
             sum_wide(F.col("ax")).cast("double").alias("sx"),
             sum_wide(F.col("bx")).cast("double").alias("sy"),
         )
@@ -169,20 +174,27 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = daily.agg(
         F.count(F.lit(1)).cast("double").alias("nn"),
         sum_wide(F.col("x")).cast("double").alias("s1x"),
-        sum_wide_product(F.col("x"), F.col("x")).cast("double").alias("s2x"),
+        sum_wide_product(F.col("x"), F.col("x"), check_in=daily)
+        .cast("double")
+        .alias("s2x"),
         sum_wide(F.col("y")).cast("double").alias("s1y"),
-        sum_wide_product(F.col("y"), F.col("y")).cast("double").alias("s2y"),
+        sum_wide_product(F.col("y"), F.col("y"), check_in=daily)
+        .cast("double")
+        .alias("s2y"),
     )
     lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
     a = daily.select(F.col("d").alias("ad"), F.col("x").alias("ax"))
     b = daily.select(F.col("d").alias("bd"), F.col("y").alias("by"))
+    matched = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("bd") == F.date_add(F.col("ad"), F.col("lag"))
+    )
     pairs = (
-        a.crossJoin(F.broadcast(lags))
-        .join(b, F.col("bd") == F.date_add(F.col("ad"), F.col("lag")))
-        .groupBy("lag")
+        matched.groupBy("lag")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            sum_wide_product(F.col("ax"), F.col("by")).cast("double").alias("sxy"),
+            sum_wide_product(F.col("ax"), F.col("by"), check_in=matched)
+            .cast("double")
+            .alias("sxy"),
             sum_wide(F.col("ax")).cast("double").alias("sx"),
             sum_wide(F.col("by")).cast("double").alias("sy"),
         )

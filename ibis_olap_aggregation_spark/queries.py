@@ -108,7 +108,29 @@ def sum_wide(col: F.Column) -> F.Column:
     return F.sum(col.cast("decimal(38,0)"))
 
 
-def sum_wide_product(a: F.Column, b: F.Column) -> F.Column:
+def _assert_integral_operands(check_in, *ops: F.Column) -> None:
+    """Raise if any operand resolves to a fractional type against
+    ``check_in`` (the pre-aggregation DataFrame). ``df.select(...).schema``
+    is driver-side analysis only — no job runs. VERDICT r11 item 5:
+    the decimal(20,0) cast in sum_wide_product ROUNDS fractional
+    values, silently changing the product — a loud TypeError at
+    construction beats a latent precondition in a docstring."""
+    from pyspark.sql.types import ByteType, DecimalType, IntegerType, LongType, ShortType
+
+    for op in ops:
+        dt = check_in.select(op).schema[0].dataType
+        ok = isinstance(dt, (ByteType, ShortType, IntegerType, LongType)) or (
+            isinstance(dt, DecimalType) and dt.scale == 0
+        )
+        if not ok:
+            raise TypeError(
+                f"sum_wide_product operand {op} has fractional/non-integral "
+                f"type {dt.simpleString()}: the decimal(20,0) cast would "
+                "round it before the multiply. Quantize explicitly first."
+            )
+
+
+def sum_wide_product(a: F.Column, b: F.Column, *, check_in) -> F.Column:
     """SUM(a*b) with the PRODUCT itself evaluated in decimal — the
     companion to sum_wide for second-order statistics. sum_wide widens
     the SUM but a bigint product passed into it has already wrapped
@@ -125,8 +147,11 @@ def sum_wide_product(a: F.Column, b: F.Column) -> F.Column:
 
     Operands must be INTEGRAL (bigint/int counts, ranks, degrees): the
     decimal(20,0) cast ROUNDS fractional values to whole numbers before
-    the multiply, silently changing the product. (Same precondition
-    style as bucket_pairs' "members must be distinct".)"""
+    the multiply, silently changing the product. ``check_in`` (required)
+    is the pre-aggregation DataFrame both operands resolve against; the
+    integrality precondition is CHECKED there at construction time
+    (driver-side analysis, no job) and a fractional operand raises."""
+    _assert_integral_operands(check_in, a, b)
     return F.sum(a.cast("decimal(20,0)") * b.cast("decimal(20,0)"))
 
 

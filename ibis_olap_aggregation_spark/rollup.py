@@ -69,8 +69,9 @@ def _resolve_broadcast(dim_slim: DataFrame, broadcast_dim) -> bool:
     if broadcast_dim is True or broadcast_dim is False:
         return broadcast_dim
     if broadcast_dim == "auto":
-        cap = CLOSURE_BROADCAST_ROW_CAP
-        return dim_slim.limit(cap).count() < cap
+        from .session import probe_small
+
+        return probe_small(dim_slim, CLOSURE_BROADCAST_ROW_CAP)
     raise ValueError(f"broadcast_dim must be True, False or 'auto': {broadcast_dim!r}")
 
 

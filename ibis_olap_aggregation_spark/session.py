@@ -104,17 +104,54 @@ def load_tables(
 # either regime.
 DIM_BROADCAST_ROW_CAP = 2_000_000
 
+# Session-scoped memo of dim_side probe verdicts, keyed on
+# (session identity, effective cap, md5 of the CANONICALIZED analyzed
+# plan). Spark's plan canonicalization normalizes expression ids (it is
+# what CacheManager uses for plan equality), so the same logical dim
+# re-constructed by each of a sweep's queries maps to one key — one
+# bounded count job per distinct dim per session instead of one per
+# call site per query (39 sites; VERDICT r11 item 1). Dims are
+# immutable within a run; the only same-path overwrites are test-local
+# CTAS round-trips, and a stale verdict there can only flip the JOIN
+# REGIME, never the output (both regimes are output-pinned by
+# tests/test_dim_side_regimes.py and the test_plans.py pins). The cap
+# is part of the key so the forced-regime test hook (monkeypatching
+# DIM_BROADCAST_ROW_CAP) always takes a fresh probe.
+_DIM_SIDE_MEMO: dict[tuple[int, int, str], bool] = {}
+DIM_SIDE_PROBE_STATS = {"probes": 0, "hits": 0}
+
+
+def _dim_side_memo_key(df: DataFrame, cap: int) -> tuple[int, int, str] | None:
+    """Memo key from the canonicalized analyzed plan (Classic API only;
+    returns None — probe uncached — if the JVM handle is unavailable)."""
+    import hashlib
+
+    try:
+        canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
+        sess_id = id(df.sparkSession)
+    except Exception:  # noqa: BLE001 - e.g. Spark Connect: no _jdf
+        return None
+    return (sess_id, cap, hashlib.md5(canon.encode()).hexdigest())
+
+
+def clear_dim_side_memo() -> None:
+    """Drop all memoized probe verdicts (for tests that overwrite a
+    dim's storage in place and need a re-probe)."""
+    _DIM_SIDE_MEMO.clear()
+
 
 def dim_side(df: DataFrame, cap: int | None = None) -> DataFrame:
     """Broadcast-or-merge resolver for SF-LINEAR dim-derived join sides.
 
-    Probes the row count once with a bounded ``limit(cap).count()`` (one
+    Probes the row count with a bounded ``limit(cap).count()`` (one
     cheap job over a dim-sized input; on a query-cached input the probe
     populates the cache the join then reads) and returns a broadcast
     hint below the cap, a sort-merge hint at/above it — making
     "broadcast-sized" a CHECKED bound instead of a docstring claim.
-    Constant-size sides (nation/region's fixed 25/5 rows, single-row
-    scalar aggregates, fixed-k codebooks/probes) keep their
+    The verdict is memoized per (session, cap, canonical plan), so a
+    bench pass pays ~#distinct-dims probe jobs, not #call-sites x
+    #queries. Constant-size sides (nation/region's fixed 25/5 rows,
+    single-row scalar aggregates, fixed-k codebooks/probes) keep their
     unconditional broadcast hints; see the broadcast audit table in
     PARITY.md (tools/broadcast_audit.py keeps it honest). Mirrors
     ``rollup._resolve_broadcast`` (closure cap) and graph's
@@ -124,9 +161,24 @@ def dim_side(df: DataFrame, cap: int | None = None) -> DataFrame:
 
     if cap is None:
         cap = DIM_BROADCAST_ROW_CAP
-    if df.limit(cap).count() < cap:
+    if probe_small(df, cap):
         return F.broadcast(df)
     return df.hint("merge")
+
+
+def probe_small(df: DataFrame, cap: int) -> bool:
+    """Memoized bounded row-count probe: True iff ``df`` has fewer than
+    ``cap`` rows. The shared verdict store behind ``dim_side`` and
+    rollup's ``broadcast_dim="auto"`` resolver."""
+    key = _dim_side_memo_key(df, cap)
+    if key is not None and key in _DIM_SIDE_MEMO:
+        DIM_SIDE_PROBE_STATS["hits"] += 1
+        return _DIM_SIDE_MEMO[key]
+    DIM_SIDE_PROBE_STATS["probes"] += 1
+    small = df.limit(cap).count() < cap
+    if key is not None:
+        _DIM_SIDE_MEMO[key] = small
+    return small
 
 
 # Query-scoped cache registry: see query_cache/release_query_caches.
@@ -145,6 +197,31 @@ def _query_cache_list() -> list[DataFrame]:
     if lst is None:
         lst = _QUERY_CACHES.items = []
     return lst
+
+
+def _query_cleanup_list() -> list:
+    lst = getattr(_QUERY_CACHES, "cleanups", None)
+    if lst is None:
+        lst = _QUERY_CACHES.cleanups = []
+    return lst
+
+
+def register_query_cleanup(fn) -> None:
+    """Register a zero-arg callback released with the calling thread's
+    query-scoped caches (``release_query_caches``): the generic hook for
+    per-query side artifacts that outlive the query's construction —
+    memory-sink temp views, streaming checkpoint dirs, tmp state trees
+    (ADVICE r11 item 2: a 252-query sweep otherwise accumulates one
+    drained memory sink + checkpoint dir per streaming-twin invocation
+    until session stop). Same consumption contract as query_cache: the
+    caller (bench/driver/sweep) materializes a query's result before
+    invoking the next registry query, so releasing at the NEXT
+    invocation never destroys data a consumer still needs — with one
+    difference: a released CACHE recomputes transparently, a released
+    ARTIFACT is gone, so cleanup callbacks are only for artifacts whose
+    results have been fully drained into the returned plan or are
+    re-creatable on re-invocation."""
+    _query_cleanup_list().append(fn)
 
 
 def query_cache(df: DataFrame) -> DataFrame:
@@ -196,5 +273,11 @@ def release_query_caches() -> None:
     while lst:
         try:
             lst.pop().unpersist()
+        except Exception:  # noqa: BLE001 - a stopped session never blocks release
+            pass
+    cleanups = _query_cleanup_list()
+    while cleanups:
+        try:
+            cleanups.pop()()
         except Exception:  # noqa: BLE001 - a stopped session never blocks release
             pass

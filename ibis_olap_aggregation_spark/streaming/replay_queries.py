@@ -90,9 +90,27 @@ def _replay_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _drain(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
+    """Checkpointed AvailableNow drain into a uniquely-named memory
+    sink. The sink's temp view and the checkpoint dir are registered
+    for query-scoped release (ADVICE r11 item 2): without it a long
+    sweep accumulates one fully-drained stream in driver memory plus
+    one checkpoint tree on disk PER streaming-twin invocation until
+    session stop. Release happens at the next registry-query entry —
+    after the driver/bench has consumed this query's result (the
+    registry-wide consumption contract, see session.query_cache)."""
+    import shutil
+
+    from ibis_olap_aggregation_spark.session import register_query_cleanup
+
     name = f"{prefix}_{next(_IDS)}"
     ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
     run_to_memory(df, name, checkpoint_dir=ckpt)
+
+    def _release(view=name, path=ckpt):
+        spark.catalog.dropTempView(view)
+        shutil.rmtree(path, ignore_errors=True)
+
+    register_query_cleanup(_release)
     return spark.table(name)
 
 
@@ -310,4 +328,31 @@ def streaming_upsert_latest_state_twin(
     name = f"upsert_{next(_IDS)}"
     ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
     run_upsert_sink(proj, table, keys, checkpoint_dir=ckpt, prepare=_prepare)
+
+    # the versioned state tree and checkpoint are per-invocation /tmp
+    # artifacts (ADVICE r11 item 2) — released at the next registry
+    # query, after the returned snapshot has been consumed
+    import shutil
+
+    from ibis_olap_aggregation_spark.session import register_query_cleanup
+
+    state_tmp = os.path.dirname(root)
+    register_query_cleanup(
+        lambda: (
+            shutil.rmtree(state_tmp, ignore_errors=True),
+            shutil.rmtree(ckpt, ignore_errors=True),
+        )
+    )
     return table.read().select(*cols).orderBy("user_id", "event_type")
+
+
+# Re-run the driver-coverage reorder AFTER this module's @register calls
+# (ADVICE r11 item 3): when this module is imported FIRST, the circular
+# import binds a partially-initialized replay_queries into queries.py,
+# whose own final reorder then runs BEFORE the registrations above —
+# this call makes the scheduler placement import-path independent.
+from ibis_olap_aggregation_spark.queries import (  # noqa: E402
+    _reorder_for_driver_coverage,
+)
+
+_reorder_for_driver_coverage()

@@ -41,6 +41,44 @@ def test_dim_build_identical_across_probe_regimes(spark, sf_small, monkeypatch):
     assert _canon(merged.aggregation_dim) == base_agg
 
 
+def test_dim_side_probe_memoized_per_plan_and_cap(spark, sf_small, monkeypatch):
+    """One count job per (plan, cap): re-constructing the SAME logical
+    side hits the memo; changing the cap (the forced-regime test hook)
+    or clearing the memo takes a fresh probe."""
+    sess.clear_dim_side_memo()
+    t = load_tables(spark, sf_small, ("nation",))
+
+    def probes():
+        return sess.DIM_SIDE_PROBE_STATS["probes"]
+
+    def hits():
+        return sess.DIM_SIDE_PROBE_STATS["hits"]
+
+    p0, h0 = probes(), hits()
+    side = t["nation"].select("n_nationkey", "n_name")
+    sess.dim_side(side)
+    assert (probes(), hits()) == (p0 + 1, h0)
+    # fresh DataFrame object, same logical plan -> memo hit, no new job
+    sess.dim_side(t["nation"].select("n_nationkey", "n_name"))
+    assert (probes(), hits()) == (p0 + 1, h0 + 1)
+    # different plan -> fresh probe
+    sess.dim_side(t["nation"].select("n_nationkey"))
+    assert probes() == p0 + 2
+    # forced cap (monkeypatch hook) -> fresh probe, and regime flips
+    monkeypatch.setattr(sess, "DIM_BROADCAST_ROW_CAP", 1)
+    forced = sess.dim_side(side)
+    assert probes() == p0 + 3
+    assert "UnresolvedHint merge" in forced._jdf.queryExecution().logical().toString()
+    monkeypatch.undo()
+    # default-cap verdict was memoized independently of the forced one
+    bcast = sess.dim_side(side)
+    assert probes() == p0 + 3
+    assert "UnresolvedHint broadcast" in bcast._jdf.queryExecution().logical().toString()
+    sess.clear_dim_side_memo()
+    sess.dim_side(side)
+    assert probes() == p0 + 4
+
+
 def test_maintenance_ops_identical_across_probe_regimes(
     spark, sf_small, monkeypatch
 ):

@@ -341,7 +341,9 @@ def test_sum_wide_product_survives_bigint_product_wrap(spark):
     vals = [4_000_000_000, 3_100_000_000]  # each square > 2^63
     df = spark.createDataFrame([(v,) for v in vals], "x bigint")
     exact = sum(v * v for v in vals)
-    wide = df.agg(sum_wide_product(F.col("x"), F.col("x")).alias("s")).collect()[0].s
+    wide = df.agg(
+        sum_wide_product(F.col("x"), F.col("x"), check_in=df).alias("s")
+    ).collect()[0].s
     assert int(wide) == exact
     # the naive bigint product FAILS: raises under ANSI (this session's
     # config), wraps silently under non-ANSI — never the exact value
@@ -350,6 +352,33 @@ def test_sum_wide_product_survives_bigint_product_wrap(spark):
     except Exception:
         naive = None
     assert naive is None or int(naive) != exact
+
+
+def test_sum_wide_product_rejects_fractional_operands(spark):
+    """VERDICT r11 item 5: the decimal(20,0) operand cast ROUNDS
+    fractional values before the multiply — the integrality
+    precondition is now CHECKED against the required ``check_in``
+    frame at construction time (no job), raising a loud TypeError
+    instead of silently changing the product."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ibis_olap_aggregation_spark.queries import sum_wide_product
+
+    df = spark.createDataFrame([(2, 1.5)], "i bigint, d double")
+    with pytest.raises(TypeError, match="fractional"):
+        sum_wide_product(F.col("i"), F.col("d"), check_in=df)
+    with pytest.raises(TypeError, match="fractional"):
+        # derived fractional expression over integral inputs
+        sum_wide_product(F.col("i") / 2, F.col("i"), check_in=df)
+    # integral expressions (bigint, int literal arithmetic, scale-0
+    # decimal) pass and the sum is exact
+    got = df.agg(
+        sum_wide_product(
+            F.col("i"), F.col("i").cast("decimal(20,0)"), check_in=df
+        ).alias("s")
+    ).collect()[0].s
+    assert int(got) == 4
 
 
 def test_emb_covariance_ragged_lengths_match_oracle(spark, tmp_path):

@@ -796,3 +796,54 @@ def test_scd2_merge_migrates_six_column_dim(spark, sf_small):
     assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
         map(tuple, want.select(*cols).collect())
     )
+
+
+def test_streaming_twin_artifacts_released_with_query_caches(spark, sf_small):
+    """ADVICE r11 item 2: each streaming-twin invocation used to leave
+    its drained memory-sink table (full stream in driver memory) and
+    checkpoint dir behind for the session's lifetime. They are now
+    registered as query-scoped cleanups: after the result is consumed
+    and release_query_caches() runs (what the next registry-query entry
+    does), the sink's temp view is gone and the checkpoint dir removed."""
+    import glob
+    import tempfile
+
+    from ibis_olap_aggregation_spark.queries import QUERIES
+    from ibis_olap_aggregation_spark.session import release_query_caches
+
+    release_query_caches()
+    views_before = {t.name for t in spark.catalog.listTables()}
+    ckpt_glob = os.path.join(tempfile.gettempdir(), "spark_graft_ckpt_dedup_wm_*")
+    ckpts_before = set(glob.glob(ckpt_glob))
+
+    out = QUERIES["streaming_dedup_within_watermark_twin"](spark, sf_small)
+    assert out.count() > 0  # consume BEFORE release (the registry contract)
+
+    views_mid = {t.name for t in spark.catalog.listTables()}
+    assert any(v.startswith("dedup_wm_") for v in views_mid - views_before)
+    assert set(glob.glob(ckpt_glob)) - ckpts_before
+
+    release_query_caches()
+    views_after = {t.name for t in spark.catalog.listTables()}
+    assert not any(v.startswith("dedup_wm_") for v in views_after - views_before)
+    assert set(glob.glob(ckpt_glob)) == ckpts_before
+
+
+def test_streaming_upsert_state_tree_released(spark, sf_small):
+    """The upsert twin's versioned /tmp state tree is query-scoped too:
+    gone after release (its snapshot must be consumed first)."""
+    import glob
+    import tempfile
+
+    from ibis_olap_aggregation_spark.queries import QUERIES
+    from ibis_olap_aggregation_spark.session import release_query_caches
+
+    release_query_caches()
+    state_glob = os.path.join(tempfile.gettempdir(), "spark_graft_state_*")
+    before = set(glob.glob(state_glob))
+    out = QUERIES["streaming_upsert_latest_state_twin"](spark, sf_small)
+    rows = out.collect()
+    assert rows
+    assert set(glob.glob(state_glob)) - before
+    release_query_caches()
+    assert set(glob.glob(state_glob)) == before

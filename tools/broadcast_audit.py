@@ -84,7 +84,11 @@ RULES: list[tuple[str, str, str, str]] = [
      "single-row", "1 row (global total / normalizer / ESS)"),
     (r"sketch_eval\.py$", r"F\.broadcast\(thresh\)", "single-row", "1 row (tolerance)"),
     # --- fixed-k tables (module-constant row counts)
-    (r"similarity\.py$", r"F\.broadcast\(q\w*\)|F\.broadcast\(eq\)|F\.broadcast\(probes\)",
+    # exact names, not q\w* — each listed side is EXPLICITLY bounded at
+    # its site (vec_id < N_QUERIES filter or min-key equi-join) before
+    # the hint; a new q-named broadcast must be classified on its own
+    (r"similarity\.py$",
+     r"F\.broadcast\((?:q|qs|qe|qmin)\)|F\.broadcast\(eq\)|F\.broadcast\(probes\)",
      "fixed-k", "N_QUERIES (=10) x NPROBE rows (module constants)"),
     (r"similarity\.py$", r"F\.broadcast\(cent\w*\)|F\.broadcast\(cb2?\)|F\.broadcast\(lut\)|F\.broadcast\(adc_top\)",
      "fixed-k", "K centroids / M x 2^b codebook / k x M LUT / top-k (module constants)"),

@@ -154,6 +154,12 @@ HEADLINE = [
     "interval_overlap_pairs",
     "graph_degree_assortativity",
     "emb_covariance_top_pairs",
+    # round 12 additions: radius search (the LSH family's non-top-k
+    # shape), the graded ranking eval (two index builds per run), and
+    # the survival estimator (two co-partitioned user-grain aggs)
+    "sim_range_search",
+    "sim_ndcg_eval",
+    "events_survival_kaplan_meier",
 ]
 
 

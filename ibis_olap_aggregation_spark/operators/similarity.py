@@ -448,7 +448,11 @@ def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    eq = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # explicit N_QUERIES bound before the broadcast (ADVICE r11 item 1:
+    # don't ride on Catalyst constraint propagation for a broadcast bound)
+    eq = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
     ec = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
     scored = (
         cand.join(F.broadcast(eq), "query_id")
@@ -549,7 +553,11 @@ def sim_rp_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    eq = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # explicit N_QUERIES bound before the broadcast (ADVICE r11 item 1:
+    # don't ride on Catalyst constraint propagation for a broadcast bound)
+    eq = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
     ec = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
     scored = (
         cand.join(F.broadcast(eq), "query_id")
@@ -1601,3 +1609,174 @@ def emb_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "dims")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 12: radius (range) search + graded ranking-quality evaluation
+# ---------------------------------------------------------------------------
+
+RANGE_TAU = 0.25  # cosine radius: in-range = cosine >= RANGE_TAU
+
+
+@register(
+    "sim_range_search",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+{duck_rp_planes_sql(RP_PLANES, RP_BITS).strip()},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs c
+    ON q.table_id = c.table_id AND q.bucket = c.bucket
+   AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, ec.label AS neighbor_label,
+         ROUND({{cos}}, 6) AS cosine
+  FROM cand
+  JOIN e eq ON eq.vec_id = cand.query_id
+  JOIN e ec ON ec.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine
+FROM scored WHERE cosine >= {RANGE_TAU}
+ORDER BY query_id, neighbor_id
+""".format(cos=_DUCK_COS.format(a="eq.v", b="ec.v")),
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) query, the top-k family's missing complement
+    (VERDICT r11 item 6): ALL corpus vectors within a fixed cosine
+    radius (cosine >= RANGE_TAU) of each query vector, found through
+    the banded RP-LSH buckets — candidates are bucket collisions in any
+    of the 4 hash tables, then an exact-cosine filter keeps the
+    in-range ones. Unlike top-k, the result size follows the data (a
+    dedup/recall use case: "everything this similar", not "the 5 most
+    similar"). Both engines derive identical md5 hyperplanes, so the
+    candidate sets — and therefore the radius results — match exactly.
+
+    Scale shape: identical to sim_rp_lsh_topk (the scale path of the
+    family) — map-only signatures, equi-join on (table, bucket) against
+    a broadcast query-signature set, exact re-score touches candidates
+    only; no window needed at all (the filter replaces the rank)."""
+    e = _emb(spark, sf_dir)
+    sigs = rp_sigs(e, rp_planes_df(spark, RP_PLANES, RP_BITS), RP_BITS)
+    qs = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("table_id").alias("q_table"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = (
+        sigs.join(
+            F.broadcast(qs),
+            (F.col("q_table") == F.col("table_id"))
+            & (F.col("q_bucket") == F.col("bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    eq = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    ec = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("label").alias("neighbor_label"),
+    )
+    return (
+        cand.join(F.broadcast(eq), "query_id")
+        .join(ec, "neighbor_id")
+        .withColumn("cosine", F.round(F.expr(_cosine("qv", "nv")), 6))
+        .filter(F.col("cosine") >= RANGE_TAU)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine")
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
+def _register_ndcg_eval() -> None:
+    """NDCG@k of the RP-LSH ranking against the exact ideal — declared
+    in a closure (like _register_recall_eval) so the oracle composes the
+    two already-registered oracle strings."""
+    from ibis_olap_aggregation_spark.queries import ORACLES
+
+    # ordered-fold DCG: both engines build the rank-ordered term list
+    # and fold it sequentially (list_sum == aggregate seeded 0d), so the
+    # float sum is bit-identical cross-engine (PARITY r7: fixed-order
+    # array folds in plain double match; ln parity measured). log2 is
+    # spelled ln(rk+1)/ln(2) on BOTH sides — same libm calls, same
+    # operation order — rather than trusting two log2 implementations.
+    duck_dcg = (
+        "list_sum(list(cosine / (ln(rk + 1.0) / ln(2.0)) ORDER BY rk))"
+    )
+    oracle = f"""
+WITH truth AS ({ORACLES["sim_bruteforce_topk"].strip()}),
+approx AS ({ORACLES["sim_rp_lsh_topk"].strip()}),
+td AS (SELECT query_id, {duck_dcg} AS idcg FROM truth GROUP BY 1),
+ad AS (SELECT query_id, {duck_dcg} AS dcg FROM approx GROUP BY 1)
+SELECT t.query_id,
+       ROUND(COALESCE(a.dcg, 0), 6) AS dcg_at_{TOP_K},
+       ROUND(t.idcg, 6) AS idcg_at_{TOP_K},
+       ROUND(COALESCE(a.dcg, 0) / t.idcg, 6) AS ndcg_at_{TOP_K}
+FROM td t LEFT JOIN ad a USING (query_id)
+ORDER BY 1
+"""
+
+    @register("sim_ndcg_eval", oracle)
+    def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Graded ranking-quality evaluation (VERDICT r11 item 6 —
+        retrieval-eval family): NDCG@5 of the banded RP-LSH ranking
+        against the exact brute-force ideal, with the exact cosine as
+        the graded gain. Complements sim_ann_recall_eval's SET overlap:
+        recall@k treats a hit at rank 1 and rank 5 the same, NDCG
+        penalizes the index for returning the right neighbors in the
+        wrong order (the metric reranker tuning optimizes).
+
+        Scale shape: both inputs are the family's own top-k results
+        (query-count x k rows); the eval itself is a per-query fold —
+        negligible against the indexes it measures."""
+        from ibis_olap_aggregation_spark.queries import QUERIES
+
+        fold = (
+            "aggregate(sort_array(collect_terms), cast(0 as double),"
+            " (acc, t) -> acc + t.cosine / (ln(t.rk + 1.0) / ln(2.0)))"
+        )
+
+        def dcg(df: DataFrame, alias: str) -> DataFrame:
+            return (
+                df.groupBy("query_id")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(F.struct("rk", "cosine"))
+                    ).alias("collect_terms")
+                )
+                .select("query_id", F.expr(fold).alias(alias))
+            )
+
+        truth = dcg(
+            QUERIES["sim_bruteforce_topk"](spark, sf_dir).select(
+                "query_id", "rk", "cosine"
+            ),
+            "idcg",
+        )
+        approx = dcg(
+            QUERIES["sim_rp_lsh_topk"](spark, sf_dir).select(
+                "query_id", "rk", "cosine"
+            ),
+            "dcg",
+        )
+        return (
+            truth.join(approx, "query_id", "left")
+            .select(
+                "query_id",
+                F.round(F.coalesce(F.col("dcg"), F.lit(0.0)), 6).alias(
+                    f"dcg_at_{TOP_K}"
+                ),
+                F.round(F.col("idcg"), 6).alias(f"idcg_at_{TOP_K}"),
+                F.round(
+                    F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), 6
+                ).alias(f"ndcg_at_{TOP_K}"),
+            )
+            .orderBy("query_id")
+        )
+
+
+_register_ndcg_eval()

@@ -1051,13 +1051,25 @@ _ADDED_ROUND11: frozenset[str] = frozenset(
     }
 )
 
+# Queries ADDED in round 12 (bounded-horizon eviction twin, radius
+# search, ranking-quality eval, survival analysis): same deal — last in
+# line for prefix slots.
+_ADDED_ROUND12: frozenset[str] = frozenset(
+    {
+        "streaming_interval_join_eviction",
+        "sim_range_search",
+        "sim_ndcg_eval",
+        "events_survival_kaplan_meier",
+    }
+)
+
 
 def _reorder_for_driver_coverage() -> None:
     flagship = "hierarchy_grocery_rollup"
     checked = _driver_verified_names()
     later = (_ADDED_ROUND2 | _ADDED_ROUND4 | _ADDED_ROUND5 | _ADDED_ROUND6
              | _ADDED_ROUND6B | _ADDED_ROUND7 | _ADDED_ROUND8 | _ADDED_ROUND9
-             | _ADDED_ROUND11)
+             | _ADDED_ROUND11 | _ADDED_ROUND12)
     # never-driver-checked queries, oldest families first: the ones that
     # have been WAITING (not in a later-additions set) outrank the
     # newest additions for the guaranteed prefix slots
@@ -1102,6 +1114,10 @@ def _reorder_for_driver_coverage() -> None:
         n
         for n in QUERIES
         if n != flagship and n not in checked and n in _ADDED_ROUND11
+    ] + [
+        n
+        for n in QUERIES
+        if n != flagship and n not in checked and n in _ADDED_ROUND12
     ]
     # verified queries fill the remaining prefix slots STALEST-FIRST
     # (longest since a green driver row), so re-verification rotates

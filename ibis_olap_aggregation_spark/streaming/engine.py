@@ -232,10 +232,14 @@ def run_to_memory(
     *,
     checkpoint_dir: str,
     output_mode: str = "append",
-) -> None:
+) -> list[dict]:
     """Drain all available input (Trigger.AvailableNow) into an
     in-memory table `name`, then stop. Test/inspection sink; production
-    sinks are parquet/kafka with the same writeStream call."""
+    sinks are parquet/kafka with the same writeStream call. Returns the
+    run's per-micro-batch progress reports (dicts) so callers can audit
+    state-store behavior — numRowsTotal / numRowsRemoved under
+    ``stateOperators`` are how the eviction tests prove state actually
+    flattens under a bounded watermark horizon."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -245,6 +249,7 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    return list(q.recentProgress)
 
 
 # -- silence / gap detection: event-time state timeouts ---------------------

@@ -104,7 +104,8 @@ def _drain(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
 
     name = f"{prefix}_{next(_IDS)}"
     ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
-    run_to_memory(df, name, checkpoint_dir=ckpt)
+    global LAST_DRAIN_PROGRESS
+    LAST_DRAIN_PROGRESS = run_to_memory(df, name, checkpoint_dir=ckpt)
 
     def _release(view=name, path=ckpt):
         spark.catalog.dropTempView(view)
@@ -112,6 +113,12 @@ def _drain(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
 
     register_query_cleanup(_release)
     return spark.table(name)
+
+
+# Per-micro-batch progress reports of the most recent _drain, for state
+# audits (tests read stateOperators.numRowsTotal/numRowsRemoved to prove
+# the bounded-horizon twin's eviction path actually runs).
+LAST_DRAIN_PROGRESS: list[dict] = []
 
 
 @register(
@@ -246,6 +253,56 @@ def streaming_interval_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         l, r, key="user_id", interval="1 hour", watermark="3650 days"
     )
     sunk = _drain(spark, j, "ivjoin")
+    return (
+        sunk.groupBy(F.col("l_key").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("l_event_id").alias("n_left_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "streaming_interval_join_eviction",
+    """
+SELECT l.user_id,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT l.event_id) AS n_left_events
+FROM events l
+JOIN events r ON r.user_id = l.user_id
+  AND r.ts > l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def streaming_interval_join_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interval join with a PRODUCTION watermark horizon (2h = 2x
+    the 1h interval), so the state-eviction machinery the operator
+    exists for actually RUNS (VERDICT r11 item 4 — the span-covering
+    twin above never evicts): with both sides time-bounded, Spark
+    evicts left rows once watermark > l.ts and right rows once
+    watermark > r.ts + 1h, keeping state at the horizon's width (~4h of
+    events) instead of the stream's history.
+
+    Why the FULL batch self-join is still the oracle: the replay dir is
+    contiguous event-time ranges (repartitionByRange) drained oldest-
+    file-first (distinct staggered mtimes, maxFilesPerTrigger=1), so
+    every batch's min ts >= every earlier batch's max ts — no row is
+    ever late, and for any within-interval pair (r.ts <= l.ts, so r
+    lands in an earlier-or-same batch) the watermark when l arrives is
+    <= l.ts - 2h < r.ts + 1h, i.e. r is provably still in state. Spark
+    only evicts provably-unmatchable rows, so eviction cannot drop a
+    pair — the streamed output equals the unrestricted batch join while
+    per-batch state stays bounded (asserted from the run's
+    stateOperators metrics in tests; sf0.1 smoke in PARITY.md)."""
+    path = _replay_dir(spark, sf_dir)
+    l = stream_events(spark, path, max_files_per_trigger=1)
+    r = stream_events(spark, path, max_files_per_trigger=1)
+    j = interval_join_streams(
+        l, r, key="user_id", interval="1 hour", watermark="2 hours"
+    )
+    sunk = _drain(spark, j, "ivjoin_evict")
     return (
         sunk.groupBy(F.col("l_key").alias("user_id"))
         .agg(

@@ -847,3 +847,52 @@ def test_streaming_upsert_state_tree_released(spark, sf_small):
     assert set(glob.glob(state_glob)) - before
     release_query_caches()
     assert set(glob.glob(state_glob)) == before
+
+
+def test_interval_join_eviction_matches_batch_and_state_flattens(spark, sf_small):
+    """VERDICT r12 item 4: the bounded-horizon (2h watermark) interval
+    join twin must (a) still equal the full batch self-join — the
+    chronological contiguous replay means no row is late and no
+    in-state row a future pair needs is ever evicted — and (b) actually
+    EXERCISE eviction: rows must be removed from the join state during
+    the run and peak state must stay well below the twice-streamed
+    input (the unbounded twin holds 2x all rows by the last batch)."""
+    from ibis_olap_aggregation_spark.queries import QUERIES
+    from ibis_olap_aggregation_spark.session import load_table, release_query_caches
+    from ibis_olap_aggregation_spark.streaming import replay_queries as rq
+
+    release_query_caches()
+    got = QUERIES["streaming_interval_join_eviction"](spark, sf_small)
+    got_rows = {r.user_id: (r.n_pairs, r.n_left_events) for r in got.collect()}
+    progress = list(rq.LAST_DRAIN_PROGRESS)
+
+    ev = load_table(spark, sf_small, "events").select("user_id", "ts", "event_id")
+    l = ev.select(
+        F.col("user_id").alias("lu"), F.col("ts").alias("lts"),
+        F.col("event_id").alias("lid"),
+    )
+    r = ev.select(F.col("user_id").alias("ru"), F.col("ts").alias("rts"))
+    batch = (
+        l.join(
+            r,
+            (F.col("ru") == F.col("lu"))
+            & (F.col("rts") > F.col("lts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("rts") <= F.col("lts")),
+        )
+        .groupBy("lu")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("lid").alias("n_left_events"),
+        )
+    )
+    want = {r.lu: (r.n_pairs, r.n_left_events) for r in batch.collect()}
+    assert got_rows == want
+
+    # state audit: eviction ran, and state never held both full streams
+    ops = [p["stateOperators"][0] for p in progress if p.get("stateOperators")]
+    assert ops, "no state operator metrics captured"
+    assert sum(o.get("numRowsRemoved", 0) for o in ops) > 0, "nothing evicted"
+    n_events = ev.count()
+    peak = max(o["numRowsTotal"] for o in ops)
+    assert peak < 2 * n_events * 0.6, (peak, 2 * n_events)
+    release_query_caches()

@@ -112,6 +112,8 @@ RULES: list[tuple[str, str, str, str]] = [
      "one row per documents.source — low-cardinality enum"),
     (r"events\.py$", r"F\.broadcast\(base\)", "calendar",
      "one row per cohort week of the data span"),
+    (r"events\.py$", r"F\.broadcast\(hz\)|F\.broadcast\(total\)", "single-row",
+     "1 row (global max-ts horizon / cohort size scalar)"),
     (r"events\.py$", r"F\.broadcast\(grid\)", "calendar",
      "event_type x hour of the data span (gapfill grid)"),
     # --- incremental-maintenance batches (hierarchy.py). The dim-,

@@ -665,3 +665,35 @@ def test_copurchase_cosine_support_regime_switch(spark, sf_small, monkeypatch):
     rows_m = [tuple(r) for r in df_m.collect()]
     release_query_caches()
     assert rows_b == rows_m
+
+
+def test_range_search_plan_broadcasts_query_sides_only(spark, sf_small):
+    """sim_range_search (round 12): candidates come from the bucket
+    equi-join against the BROADCAST query-signature set — never a
+    cartesian pair enumeration — and the only other broadcast is the
+    explicitly N_QUERIES-filtered query-vector side; the corpus streams
+    through sort/hash joins. Also: the embeddings scan is pruned to the
+    columns used."""
+    df = q.QUERIES["sim_range_search"](spark, sf_small)
+    plan = pi._strip_non_executing(pi.physical_plan(df, executed=True))
+    assert "CartesianProduct" not in plan, plan
+    assert pi.has_broadcast_join(df)
+    for cols in pi.scan_columns(df):
+        assert "vec_id" in cols and len(cols) <= 3, cols
+
+
+def test_kaplan_meier_plan_pushes_type_filters_and_prunes(spark, sf_small):
+    """events_survival_kaplan_meier: the signup/purchase event_type
+    filters reach the parquet scans (PushedFilters), the scans read
+    only (user_id, ts, event_type), and the single-partition cumulative
+    window runs at DAY grain only (after the day aggregation), never on
+    the event stream."""
+    df = q.QUERIES["events_survival_kaplan_meier"](spark, sf_small)
+    pushed = " ".join(pi.pushed_filters(df))
+    assert "event_type" in pushed, pushed
+    for cols in pi.scan_columns(df):
+        assert set(cols) <= {"user_id", "ts", "event_type"}, cols
+    # the global windows sit above a HashAggregate on `day` — assert the
+    # day agg exists (window input is day-grain, calendar-bounded)
+    plan = pi.physical_plan(df)
+    assert "Window" in plan and "day" in plan, plan

@@ -44,6 +44,10 @@ TIMED = [
     "sim_bruteforce_topk",
     "sim_rp_lsh_multiprobe_topk",
     "sim_pq_adc_topk",
+    # round 12: radius search + graded ranking eval (corpus-side cost
+    # must track the LSH top-k family it shares machinery with)
+    "sim_range_search",
+    "sim_ndcg_eval",
 ]
 
 
@@ -107,3 +111,9 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+#
+# Round 12 (2026-08-15), corpus x50 (embeddings 2k -> 100k rows):
+#   sim_range_search                 base=0.93s amp= 2.24s ratio=2.41
+#   sim_ndcg_eval                    base=1.13s amp= 2.57s ratio=2.27
+# Both track the LSH top-k family they share machinery with (x50 data,
+# ~2.3x time): bucketed candidates, never all-pairs.

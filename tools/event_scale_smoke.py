@@ -54,6 +54,11 @@ TIMED = [
     # grow ~linearly on the replica axis
     "streaming_dedup_within_watermark_twin",
     "streaming_upsert_latest_state_twin",
+    # round 12: survival estimator (user-grain aggs + day-grain window)
+    # and the bounded-horizon eviction twin (state must stay flat on
+    # the replica axis — more users, same horizon width per partition)
+    "events_survival_kaplan_meier",
+    "streaming_interval_join_eviction",
 ]
 
 
@@ -164,3 +169,10 @@ if __name__ == "__main__":
 # Both far below the x10 data growth — the fixed batch structure
 # dominates and the per-batch state work (key-sized dedup state,
 # (user x type)-sized upsert snapshots) grows gracefully.
+#
+# Round 12 (2026-08-15), replica x10 (events 100k -> 1M, users x10):
+#   events_survival_kaplan_meier         1.27     1.39   1.10
+#   streaming_interval_join_eviction    34.16    37.51   1.10
+# The eviction twin's 1.10x is the bounded-state story end-to-end: 10x
+# the stream, same horizon width per partition, near-flat wall time
+# (the unbounded twin's state would grow 10x with the data).

@@ -339,3 +339,234 @@ def test_cf_recommendations_matches_python(spark, sf_small):
             want.append((cust, rec, s, rk))
     got = sorted(tuple(r) for r in rows)
     assert got == sorted(want) and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-12 cohort: the highest-risk r8-r11 statistics operators (same
+# rationale as above — the DuckDB gate can't see a reading both engines
+# share; these are from-scratch pandas/numpy/python derivations of the
+# published math: Spearman rho, OLS normal equations, lagged
+# cross-correlation, Benford/Nigrini digit test, PSI, Zipf log-log fit,
+# ratio-to-average seasonal indexes).
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+import numpy as _np
+
+_SF = "/root/testdata/sf0.001"
+
+
+def _pq(name):
+    return pd.read_parquet(f"{_SF}/{name}.parquet")
+
+
+def _cents(s):
+    # exact half-up cents, mirroring ROUND(x*100) on positive prices
+    return (s * 100).round().astype("int64")
+
+
+def test_spearman_matches_pandas(spark):
+    c, n, o = _pq("customer"), _pq("nation"), _pq("orders")
+    spend = o.groupby("o_custkey")["o_totalprice"].apply(
+        lambda s: int(_cents(s).sum())
+    )
+    df = c.merge(n, left_on="c_nationkey", right_on="n_nationkey")
+    df["y"] = df["c_custkey"].map(spend).fillna(0).astype("int64")
+    want = {}
+    for nation, g in df.groupby("n_name"):
+        ra = g["c_acctbal"].rank(method="average")
+        rb = g["y"].rank(method="average")
+        rho = _np.corrcoef(ra, rb)[0, 1]
+        want[nation] = (len(g), round(float(rho), 6))
+    got = {
+        r.nation: (r.n_customers, r.spearman_rho)
+        for r in q.QUERIES["agg_spearman_rank_corr"](spark, _SF).collect()
+    }
+    release_query_caches()
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6), (k, got[k], want[k])
+
+
+def test_ols_daily_trend_matches_numpy(spark):
+    o, c, n, r = _pq("orders"), _pq("customer"), _pq("nation"), _pq("region")
+    df = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(r, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    df["x"] = (
+        pd.to_datetime(df["o_orderdate"]).dt.normalize()
+        - pd.Timestamp("1992-01-01")
+    ).dt.days
+    df["yc"] = _cents(df["o_totalprice"])
+    daily = df.groupby(["r_name", "x"])["yc"].sum().reset_index()
+    want = {}
+    for region, g in daily.groupby("r_name"):
+        slope_c, intercept_c = _np.polyfit(g["x"], g["yc"], 1)
+        r2 = float(_np.corrcoef(g["x"], g["yc"])[0, 1]) ** 2
+        want[region] = (
+            len(g),
+            round(slope_c / 100, 6),
+            round(intercept_c / 100, 6),
+            round(r2, 6),
+        )
+    got = {
+        row.region: (row.n_days, row.slope_usd_per_day, row.intercept_usd, row.r2)
+        for row in q.QUERIES["agg_ols_daily_trend"](spark, _SF).collect()
+    }
+    release_query_caches()
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        for a, b in zip(got[k][1:], want[k][1:]):
+            assert a == pytest.approx(b, rel=1e-6, abs=2e-6), (k, got[k], want[k])
+
+
+def test_cross_correlation_matches_numpy(spark):
+    ev = _pq("events")
+    daily = (
+        ev.assign(d=pd.to_datetime(ev["ts"]).dt.normalize())
+        .groupby("d")
+        .agg(
+            x=("event_type", lambda s: int((s == "click").sum())),
+            y=("event_type", lambda s: int((s == "purchase").sum())),
+        )
+    )
+    mx, my = daily["x"].mean(), daily["y"].mean()
+    s2x = float(((daily["x"] - mx) ** 2).sum())
+    s2y = float(((daily["y"] - my) ** 2).sum())
+    want = {}
+    for lag in range(-3, 4):
+        b = daily.copy()
+        b.index = b.index - pd.Timedelta(days=lag)  # b.d == a.d + lag
+        m = daily.join(b, how="inner", rsuffix="_b").dropna()
+        num = float(((m["x"] - mx) * (m["y_b"] - my)).sum())
+        want[lag] = (len(m), round(num / _math.sqrt(s2x * s2y), 6))
+    got = {
+        r.lag: (r.n_pairs, r.xcorr)
+        for r in q.QUERIES["events_cross_correlation"](spark, _SF).collect()
+    }
+    release_query_caches()
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6), (k, got[k], want[k])
+
+
+def test_benford_matches_python(spark):
+    o = _pq("orders")
+    digits = _cents(o["o_totalprice"]).astype(str).str[0].astype(int)
+    counts = digits.value_counts().to_dict()
+    t = float(sum(counts.values()))
+    chi2_q = {}
+    for d in range(1, 10):
+        nd, e = counts.get(d, 0), _math.log10(1 + 1 / d)
+        chi2_q[d] = int(
+            Decimal((nd - t * e) ** 2 / (t * e) * 1e9).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+    total6 = round(sum(chi2_q.values()) / 1e9, 6)
+    got = {
+        r.first_digit: r
+        for r in q.QUERIES["quality_benford_digit_test"](spark, _SF).collect()
+    }
+    release_query_caches()
+    assert set(got) == set(d for d in range(1, 10) if counts.get(d, 0) > 0)
+    for d, r in got.items():
+        assert r.n == counts[d]
+        assert r.obs_share == pytest.approx(counts[d] / t, abs=2e-6)
+        assert r.benford_share == pytest.approx(_math.log10(1 + 1 / d), abs=2e-6)
+        assert r.chi2_term == pytest.approx(chi2_q[d] / 1e9, abs=2e-6)
+        assert r.chi2_total == pytest.approx(total6, abs=2e-6)
+
+
+def test_psi_matches_python(spark):
+    from ibis_olap_aggregation_spark.operators.quality import (
+        PSI_BUCKET_WIDTH,
+        PSI_N_BUCKETS,
+    )
+
+    ev = _pq("events")
+    ev = ev[ev.event_type.isin(["view", "purchase"])]
+    bucket = _np.minimum(
+        _np.floor(ev["value"] / PSI_BUCKET_WIDTH).astype("int64"),
+        PSI_N_BUCKETS - 1,
+    )
+    base = bucket[ev.event_type == "view"].value_counts().to_dict()
+    cur = bucket[ev.event_type == "purchase"].value_counts().to_dict()
+    tb, tc = sum(base.values()), sum(cur.values())
+    got = {
+        r.bucket: r for r in q.QUERIES["quality_psi_drift"](spark, _SF).collect()
+    }
+    release_query_caches()
+    assert set(got) == set(base) | set(cur)
+    for b, r in got.items():
+        nb, nc = base.get(b, 0), cur.get(b, 0)
+        assert (r.n_base, r.n_cur) == (nb, nc)
+        sa, sc = nb / tb, nc / tc
+        assert r.share_base == pytest.approx(sa, abs=2e-6)
+        assert r.share_cur == pytest.approx(sc, abs=2e-6)
+        if nb > 0 and nc > 0:
+            assert r.psi_term == pytest.approx(
+                (sa - sc) * _math.log(sa / sc), abs=2e-6
+            )
+        else:
+            assert r.psi_term is None
+
+
+def test_zipf_slope_matches_python(spark):
+    docs = _pq("documents")
+    freq: dict[str, int] = {}
+    for text in docs["text"]:
+        for tok in re.split(r"\s+", str(text).strip()):
+            if tok:
+                freq[tok] = freq.get(tok, 0) + 1
+    ranked = sorted(freq.items(), key=lambda t: (-t[1], t[0]))
+    xs = [_math.log(i + 1) for i in range(len(ranked))]
+    ys = [_math.log(f) for _, f in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    r = q.QUERIES["text_zipf_slope"](spark, _SF).collect()[0]
+    release_query_caches()
+    assert r.vocab_size == n
+    assert r.zipf_slope == pytest.approx(round(slope, 6), abs=2e-6)
+    assert r.zipf_intercept == pytest.approx(round(intercept, 6), abs=2e-6)
+    assert r.r_squared == pytest.approx(round(r2, 6), abs=2e-6)
+
+
+def test_dow_seasonality_matches_pandas(spark):
+    ev = _pq("events")
+    daily = (
+        ev.assign(d=pd.to_datetime(ev["ts"]).dt.normalize())
+        .groupby("d")
+        .size()
+        .rename("x")
+        .reset_index()
+    )
+    overall = daily["x"].sum() / len(daily)
+    daily["dow"] = daily["d"].dt.dayofweek + 1  # 1 = Monday (ISO)
+    want = {}
+    for dow, g in daily.groupby("dow"):
+        want[int(dow)] = (
+            len(g),
+            int(g["x"].sum()),
+            round((g["x"].sum() / len(g)) / overall, 6),
+        )
+    got = {
+        r.dow_iso: (r.n_days, r.n_events, r.seasonal_index)
+        for r in q.QUERIES["events_seasonality_dow_index"](spark, _SF).collect()
+    }
+    release_query_caches()
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2], (k, got[k], want[k])
+        assert got[k][2] == pytest.approx(want[k][2], abs=2e-6)

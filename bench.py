@@ -160,6 +160,7 @@ HEADLINE = [
     "sim_range_search",
     "sim_ndcg_eval",
     "events_survival_kaplan_meier",
+    "sim_rrf_fusion",
 ]
 
 

@@ -1780,3 +1780,87 @@ ORDER BY 1
 
 
 _register_ndcg_eval()
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion constant (Cormack '09)
+
+
+def _register_rrf_fusion() -> None:
+    """Reciprocal rank fusion of two ANN retrievers — declared in a
+    closure (the sim_ndcg_eval pattern) so the oracle composes the two
+    already-registered oracle strings."""
+    from ibis_olap_aggregation_spark.queries import ORACLES
+
+    oracle = f"""
+WITH lsh AS ({ORACLES["sim_rp_lsh_topk"].strip()}),
+ivf AS ({ORACLES["sim_ivf_topk"].strip()}),
+pooled AS (
+  SELECT query_id, neighbor_id, rk FROM lsh
+  UNION ALL
+  SELECT query_id, neighbor_id, rk FROM ivf
+),
+fused AS (
+  SELECT query_id, neighbor_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lists,
+         SUM(1.0 / ({_RRF_K} + rk)) AS rrf
+  FROM pooled GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number()
+            OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rk
+  FROM fused
+)
+SELECT query_id, neighbor_id, n_lists, ROUND(rrf, 6) AS rrf_score,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {TOP_K}
+"""
+
+    @register("sim_rrf_fusion", oracle)
+    def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Reciprocal rank fusion (RRF, Cormack et al. '09) of the two
+        approximate retrievers — banded RP-LSH and IVF — into one
+        ranking: score(q, n) = sum over lists of 1/(60 + rank). The
+        standard way production retrieval stacks combine heterogeneous
+        indexes (keyword + vector, or two vector indexes with different
+        recall profiles) without score calibration: only RANKS are
+        consumed, so the fusion is scale-free. Ties in the fused score
+        (same rank pattern) break on neighbor_id — and the score sums
+        at most two exact small-integer reciprocals, so equal patterns
+        are bit-equal and distinct patterns differ by >= ~2.5e-4: the
+        fused ORDER is engine-stable, no rounding hazard.
+
+        Scale shape: inputs are the retrievers' own top-k results
+        (query-count x k rows each); the fusion is a (query, neighbor)
+        group-by over <= 2k rows per query — negligible against the
+        indexes it combines."""
+        from ibis_olap_aggregation_spark.queries import QUERIES
+
+        lsh = QUERIES["sim_rp_lsh_topk"](spark, sf_dir).select(
+            "query_id", "neighbor_id", "rk"
+        )
+        ivf = QUERIES["sim_ivf_topk"](spark, sf_dir).select(
+            "query_id", "neighbor_id", "rk"
+        )
+        fused = (
+            lsh.unionByName(ivf)
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+                F.sum(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rk"))).alias("rrf"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "neighbor_id")
+        return (
+            fused.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "n_lists",
+                F.round("rrf", 6).alias("rrf_score"),
+                F.col("rk").cast("bigint").alias("rk"),
+            )
+        )
+
+
+_register_rrf_fusion()

@@ -1059,6 +1059,7 @@ _ADDED_ROUND12: frozenset[str] = frozenset(
         "streaming_interval_join_eviction",
         "sim_range_search",
         "sim_ndcg_eval",
+        "sim_rrf_fusion",
         "events_survival_kaplan_meier",
     }
 )

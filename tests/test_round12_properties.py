@@ -190,3 +190,37 @@ def test_kaplan_meier_matches_pandas_rederivation(spark):
     assert all(0.0 <= s <= 1.0 for s in s_vals)
     n_vals = [got[d][0] for d in days]
     assert all(a > b for a, b in zip(n_vals, n_vals[1:]))
+
+
+def test_rrf_fusion_matches_python_fusion_of_components(spark):
+    """Independent derivation of the FUSION math: collect the two
+    component retrievers' own outputs (each independently verified —
+    rp_lsh by the numpy bucket re-derivation above, ivf by the driver
+    oracle) and fuse them in plain python; the registered query must
+    agree on scores, list counts and fused order."""
+    lsh = QUERIES["sim_rp_lsh_topk"](spark, SF).collect()
+    ivf = QUERIES["sim_ivf_topk"](spark, SF).collect()
+    pool: dict[tuple, list] = {}
+    for rows in (lsh, ivf):
+        for r in rows:
+            pool.setdefault((r.query_id, r.neighbor_id), []).append(r.rk)
+    fused = {
+        k: (len(rks), sum(1.0 / (60 + rk) for rk in rks))
+        for k, rks in pool.items()
+    }
+    want = {}
+    for q in {k[0] for k in fused}:
+        ranked = sorted(
+            ((v[1], k[1], v[0]) for k, v in fused.items() if k[0] == q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for i, (score, nid, nl) in enumerate(ranked[:5], start=1):
+            want[(q, nid)] = (nl, round(score, 6), i)
+    got = {
+        (r.query_id, r.neighbor_id): (r.n_lists, r.rrf_score, r.rk)
+        for r in QUERIES["sim_rrf_fusion"](spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+    # fusion sanity: a neighbor in BOTH lists outranks one with the
+    # same best rank in a single list
+    assert any(v[0] == 2 for v in got.values())

@@ -48,6 +48,7 @@ TIMED = [
     # must track the LSH top-k family it shares machinery with)
     "sim_range_search",
     "sim_ndcg_eval",
+    "sim_rrf_fusion",
 ]
 
 
@@ -117,3 +118,5 @@ if __name__ == "__main__":
 #   sim_ndcg_eval                    base=1.13s amp= 2.57s ratio=2.27
 # Both track the LSH top-k family they share machinery with (x50 data,
 # ~2.3x time): bucketed candidates, never all-pairs.
+#   sim_rrf_fusion                   base=1.67s amp= 4.38s ratio=2.62
+# (x50 run incl. RRF: fusion cost ~ sum of its two component indexes.)

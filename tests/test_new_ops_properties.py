@@ -118,6 +118,12 @@ def test_results_invariant_to_shuffle_partitioning(spark, sf_small):
         "sample_pack_sequences",
         "dedup_minhash_lsh_candidates",
         "events_activity_islands",
+        # round 12: the NDCG fold collects per-query term lists
+        # (collect_list is partition-order-nondeterministic; sort_array
+        # must fully fix the fold order) and the KM estimator's global
+        # day-grain cumulative windows must not see partition count
+        "sim_ndcg_eval",
+        "events_survival_kaplan_meier",
     ]
     conf = "spark.sql.shuffle.partitions"
     orig = spark.conf.get(conf)
@@ -146,6 +152,11 @@ def test_results_invariant_to_aqe_toggle(spark, sf_small):
         "hierarchy_geo_rollup_orders",
         "affinity_part_pairs_topk",
         "events_gapfill_hourly",
+        # round 12: bucket equi-join + broadcast query sides (range
+        # search) and the two-retriever fusion must survive AQE's
+        # runtime join re-selection unchanged
+        "sim_range_search",
+        "sim_rrf_fusion",
     ]
     conf = "spark.sql.adaptive.enabled"
     orig = spark.conf.get(conf)

@@ -224,3 +224,113 @@ def test_rrf_fusion_matches_python_fusion_of_components(spark):
     # fusion sanity: a neighbor in BOTH lists outranks one with the
     # same best rank in a single list
     assert any(v[0] == 2 for v in got.values())
+
+
+def test_kaplan_meier_censoring_path_on_synthetic_fixture(spark, tmp_path):
+    """The real fixtures have ZERO censored users at every SF (all
+    signup users purchase afterward), so the censoring branch —
+    horizon-censored durations, censored removals shrinking the risk
+    set WITHOUT moving the survival curve, and the strictly-after-t0
+    filter — never executes against them. This synthetic events table
+    exercises it with a hand-computed product-limit expectation,
+    verified THREE ways: hand math == Spark == the registered DuckDB
+    oracle on the same parquet.
+
+    6 users sign up at day 0; u1 purchases day 0, u2+u3 day 2, u4+u6
+    never, u5 only BEFORE signup (must count as censored); horizon =
+    day 10 (a view event). KM: S(0)=5/6, S(2)=5/6*3/5=1/2, day 10 has
+    d=0/c=3 so S stays 1/2 while n_at_risk drops to 3."""
+    import duckdb
+
+    from ibis_olap_aggregation_spark.queries import ORACLES
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+
+    def ts(days, hours=0):
+        return base + pd.Timedelta(days=days, hours=hours)
+
+    rows, eid = [], 0
+
+    def ev(user, etype, when):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, when, user, etype, 1.0, "{}"))
+
+    for u in range(1, 7):
+        ev(u, "signup", ts(0))
+    ev(1, "purchase", ts(0, hours=1))   # day 0
+    ev(2, "purchase", ts(2, hours=12))  # day 2
+    ev(3, "purchase", ts(2, hours=20))  # day 2
+    ev(5, "purchase", ts(-1))           # BEFORE signup: not an event
+    ev(1, "view", ts(10))               # horizon = day 10
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf_dir = str(tmp_path / "km_fixture")
+    spark.createDataFrame(pdf).repartition(4).write.parquet(
+        f"{sf_dir}/events.parquet"
+    )
+
+    expected = {
+        0: (6, 1, 0, round(5 / 6, 6)),
+        2: (5, 2, 0, 0.5),
+        10: (3, 0, 3, 0.5),
+    }
+    got = {
+        r.day: (r.n_at_risk, r.n_events, r.n_censored, r.survival)
+        for r in QUERIES["events_survival_kaplan_meier"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    want = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]), float(r[4]))
+        for r in con.execute(ORACLES["events_survival_kaplan_meier"]).fetchall()
+    }
+    assert want == expected
+
+
+def test_ndcg_zero_candidate_query_scores_zero(spark, tmp_path):
+    """The coalesce-0 branch: on the real fixtures every query has LSH
+    candidates, so 'approx list empty -> dcg 0 -> ndcg 0' never
+    executes. Synthetic corpus: v0 = all +1, v1/v2 = near all -1.
+    Sign signatures of -v are the bitwise complement of +v in every
+    table (never equal), so query 0 collides with NOTHING and its
+    fused row must come back dcg=0, ndcg=0 from BOTH engines."""
+    import duckdb
+
+    from ibis_olap_aggregation_spark.queries import ORACLES
+
+    vecs = {
+        0: [1.0] * 64,
+        1: [-1.0] * 64,
+        2: [-1.0] * 63 + [-0.9],
+    }
+    pdf = pd.DataFrame(
+        [(i, [float(x) for x in v], i) for i, v in vecs.items()],
+        columns=["vec_id", "embedding", "label"],
+    )
+    sf_dir = str(tmp_path / "ndcg_fixture")
+    spark.createDataFrame(pdf).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    got = {
+        r.query_id: (r.dcg_at_5, r.idcg_at_5, r.ndcg_at_5)
+        for r in QUERIES["sim_ndcg_eval"](spark, sf_dir).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    assert got[0][0] == 0.0 and got[0][2] == 0.0  # isolated: no candidates
+    assert got[0][1] != 0.0  # the ideal still exists
+    assert got[1][2] > 0 and got[2][2] > 0  # the -1 pair find each other
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    want = {
+        int(r[0]): (float(r[1]), float(r[2]), float(r[3]))
+        for r in con.execute(ORACLES["sim_ndcg_eval"]).fetchall()
+    }
+    assert want == got

@@ -32,9 +32,24 @@ from ibis_olap_aggregation_spark.session import load_table
 FORMATS = ("parquet", "csv", "json", "orc")
 
 
+def _invalidate_probe_memo() -> None:
+    """Any in-place table write/overwrite/commit invalidates the
+    session-scoped dim_side probe memo (session._DIM_SIDE_MEMO): a plan
+    reading the SAME path after an overwrite canonicalizes identically,
+    so a cached verdict could otherwise pick the join regime from the
+    PREVIOUS contents. A stale verdict is regime-only (never wrong
+    output — both regimes are output-pinned), but clearing here makes
+    even that impossible; the memo re-fills at one bounded probe per
+    distinct dim."""
+    from ibis_olap_aggregation_spark.session import clear_dim_side_memo
+
+    clear_dim_side_memo()
+
+
 def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
     """Overwrite-write in any supported format (CSV gets a header so the
     round-trip keeps column names)."""
+    _invalidate_probe_memo()
     w = df.write.mode("overwrite").format(fmt)
     if fmt == "csv":
         w = w.option("header", "true")
@@ -65,6 +80,7 @@ def write_partitioned(
 ) -> None:
     """Hive-style partitioned layout: one directory per partition value;
     filters on partition columns prune at file-listing time."""
+    _invalidate_probe_memo()
     df.write.mode("overwrite").format(fmt).partitionBy(*partition_cols).save(path)
 
 
@@ -79,6 +95,7 @@ def write_bucketed(
     hierarchy-dim materialization, plus co-location): rows are
     hash-distributed into n_buckets files by bucket_cols at WRITE time,
     so joins/groupBys on those columns skip their shuffle."""
+    _invalidate_probe_memo()
     w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
@@ -316,6 +333,7 @@ def upsert_parquet(
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)
+    _invalidate_probe_memo()  # same path now holds different contents
 
 
 def _merge_upsert(
@@ -448,6 +466,9 @@ class VersionedParquetTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path())  # the atomic commit
+        # a new committed version is readable at the same root: drop
+        # any memoized probe verdicts taken against the old snapshot
+        _invalidate_probe_memo()
 
     def _claim_slot(self, staging: str, target: str) -> None:
         """CAS-claim ``target``: the rename fails if another writer got
@@ -620,6 +641,7 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
     from urllib.parse import urlparse
 
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    _invalidate_probe_memo()  # a re-created table reuses the same name/location
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     scheme = urlparse(wh).scheme
     if scheme in ("", "file"):

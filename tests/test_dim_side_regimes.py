@@ -79,6 +79,26 @@ def test_dim_side_probe_memoized_per_plan_and_cap(spark, sf_small, monkeypatch):
     assert probes() == p0 + 4
 
 
+def test_probe_memo_invalidated_by_table_writes(spark, sf_small, tmp_path):
+    """Overwriting a path invalidates the probe memo: a dim that GREW
+    past the cap at the same path must be re-probed, not served the
+    stale broadcast verdict (io write paths call _invalidate_probe_memo)."""
+    from ibis_olap_aggregation_spark.sources.io import write_table
+
+    sess.clear_dim_side_memo()
+    path = str(tmp_path / "grown_dim")
+    write_table(spark.range(5).selectExpr("id AS k"), path)
+    side = spark.read.parquet(path)
+    sess.dim_side(side)
+    assert len(sess._DIM_SIDE_MEMO) >= 1
+    # overwrite in place -> memo dropped -> next dim_side re-probes
+    write_table(spark.range(7).selectExpr("id AS k"), path)
+    assert len(sess._DIM_SIDE_MEMO) == 0
+    p0 = sess.DIM_SIDE_PROBE_STATS["probes"]
+    sess.dim_side(spark.read.parquet(path))
+    assert sess.DIM_SIDE_PROBE_STATS["probes"] == p0 + 1
+
+
 def test_maintenance_ops_identical_across_probe_regimes(
     spark, sf_small, monkeypatch
 ):

@@ -1215,12 +1215,16 @@ def _pq_adc_truth(spark: SparkSession, sf_dir: str):
     subdist = e.crossJoin(F.broadcast(cb)).select(
         "vec_id", "m", "cj", sub_d2.alias("d2")
     )
-    w_code = Window.partitionBy("vec_id", "m").orderBy("d2", "cj")
-    codes = (
-        subdist.withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "cj")
-    )
+    # argmin by (d2, cj) as a HASH-AGG (min_by over the struct's
+    # lexicographic order), not a sort window: same code assignment and
+    # tiebreak, but the per-(vector, m) reduce is map-side-combinable —
+    # at scale the encode never sorts the n x 16 candidate rows
+    def _argmin_codes(sd: DataFrame) -> DataFrame:
+        return sd.groupBy("vec_id", "m").agg(
+            F.min_by("cj", F.struct("d2", "cj")).alias("cj")
+        )
+
+    codes = _argmin_codes(subdist)
     # one Lloyd refinement (PQ training IS k-means per subspace): the
     # hash seed only initializes; re-estimating centroids from the
     # first-pass codes and re-encoding roughly doubles recall@10.
@@ -1244,11 +1248,7 @@ def _pq_adc_truth(spark: SparkSession, sf_dir: str):
     subdist2 = e.crossJoin(F.broadcast(cb2)).select(
         "vec_id", "m", "cj", sub_d2.alias("d2")
     )
-    codes2 = (
-        subdist2.withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "cj")
-    )
+    codes2 = _argmin_codes(subdist2)
     qmin = e.agg(F.min("vec_id").alias("qid"))
     q = e.join(F.broadcast(qmin), e.vec_id == F.col("qid")).select(
         F.col("v").alias("qv")

@@ -1273,6 +1273,12 @@ class HierarchyDimension:
         self.aggregation_dim.write.mode("overwrite").format(fmt).partitionBy(
             "ancestor_level_number"
         ).save(f"{base_path}/aggregation_dim")
+        # a re-save to the same base_path (e.g. after maintenance ops
+        # grew the closure) must drop broadcast-probe verdicts taken
+        # against the previous contents
+        from ibis_olap_aggregation_spark.sources.io import _invalidate_probe_memo
+
+        _invalidate_probe_memo()
 
     @staticmethod
     def load(spark, base_path: str, *, fmt: str = "parquet"):

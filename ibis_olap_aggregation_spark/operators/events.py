@@ -1054,19 +1054,25 @@ def events_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("observed").cast("bigint").alias("n_events"),
         F.sum(1 - F.col("observed")).cast("bigint").alias("n_censored"),
     )
-    total = dur.agg(F.count(F.lit(1)).alias("n_total"))
+    # n_at_risk = cohort size minus everyone removed on EARLIER days;
+    # both terms come from byday itself (an unbounded-frame window sum
+    # = the cohort total), so the events stream is scanned exactly once
+    # per arm — a separate dur.count() would re-run the whole
+    # signup-agg + purchase-join pipeline a third time (code-review r12)
     w_prev = (
         Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
     )
     w_cum = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     km = (
-        byday.crossJoin(F.broadcast(total))
-        .withColumn(
+        byday.withColumn(
             "n_at_risk",
             (
-                F.col("n_total")
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_all)
                 - F.coalesce(
                     F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev),
                     F.lit(0),

@@ -337,6 +337,9 @@ def export_training_shards(
     sharded.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(path)
+    from ibis_olap_aggregation_spark.sources.io import _invalidate_probe_memo
+
+    _invalidate_probe_memo()  # in-place shard re-export
 
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if fingerprint_col is not None:
@@ -403,6 +406,9 @@ def compact_parquet_dir(
         .option("maxRecordsPerFile", target_rows_per_file)
         .parquet(dst)
     )
+    from ibis_olap_aggregation_spark.sources.io import _invalidate_probe_memo
+
+    _invalidate_probe_memo()  # in-place compaction rewrite
     return n_out
 
 

@@ -104,39 +104,58 @@ def load_tables(
 # either regime.
 DIM_BROADCAST_ROW_CAP = 2_000_000
 
-# Session-scoped memo of dim_side probe verdicts, keyed on
-# (session identity, effective cap, md5 of the CANONICALIZED analyzed
-# plan). Spark's plan canonicalization normalizes expression ids (it is
-# what CacheManager uses for plan equality), so the same logical dim
-# re-constructed by each of a sweep's queries maps to one key — one
-# bounded count job per distinct dim per session instead of one per
-# call site per query (39 sites; VERDICT r11 item 1). Dims are
-# immutable within a run; the only same-path overwrites are test-local
-# CTAS round-trips, and a stale verdict there can only flip the JOIN
+# Session-scoped memo of dim_side probe verdicts: a WeakKeyDictionary
+# keyed on the SparkSession OBJECT (a stopped-and-collected session's
+# verdicts vanish with it — an id()-based key could be recycled by a
+# later session and serve stale verdicts), with inner keys of
+# (effective cap, md5 of the CANONICALIZED analyzed plan). Spark's plan
+# canonicalization normalizes expression ids (it is what CacheManager
+# uses for plan equality), so the same logical dim re-constructed by
+# each of a sweep's queries maps to one key — one bounded count job per
+# distinct dim per session instead of one per call site per query (39
+# sites; VERDICT r11 item 1). In-place writes through sources/io.py
+# invalidate the memo; a stale verdict could anyway only flip the JOIN
 # REGIME, never the output (both regimes are output-pinned by
 # tests/test_dim_side_regimes.py and the test_plans.py pins). The cap
 # is part of the key so the forced-regime test hook (monkeypatching
 # DIM_BROADCAST_ROW_CAP) always takes a fresh probe.
-_DIM_SIDE_MEMO: dict[tuple[int, int, str], bool] = {}
+import weakref as _weakref
+
+_DIM_SIDE_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 DIM_SIDE_PROBE_STATS = {"probes": 0, "hits": 0}
 
+# Plan nodes whose canonicalized string carries NO data identity:
+# createDataFrame/RDD-backed frames all canonicalize to the same
+# "LogicalRDD [none#0L]" regardless of contents (empirically confirmed
+# — two same-schema local frames collide), and memory-sink scans
+# snapshot mutable state. Plans containing any of these are NEVER
+# memoized — the probe just runs (local/driver-side inputs are cheap to
+# count anyway).
+_UNMEMOIZABLE_PLAN_NODES = ("LogicalRDD", "LocalRelation", "MemoryPlan")
 
-def _dim_side_memo_key(df: DataFrame, cap: int) -> tuple[int, int, str] | None:
-    """Memo key from the canonicalized analyzed plan (Classic API only;
-    returns None — probe uncached — if the JVM handle is unavailable)."""
+
+def _dim_side_memo_entry(df: DataFrame, cap: int):
+    """(per-session memo dict, key) for ``df`` — (None, None) when the
+    plan must not be memoized (Connect API without ``_jdf``, or a
+    data-identity-less plan node)."""
     import hashlib
 
     try:
         canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
-        sess_id = id(df.sparkSession)
+        sess_obj = df.sparkSession
     except Exception:  # noqa: BLE001 - e.g. Spark Connect: no _jdf
-        return None
-    return (sess_id, cap, hashlib.md5(canon.encode()).hexdigest())
+        return None, None
+    if any(node in canon for node in _UNMEMOIZABLE_PLAN_NODES):
+        return None, None
+    inner = _DIM_SIDE_MEMO.get(sess_obj)
+    if inner is None:
+        inner = _DIM_SIDE_MEMO.setdefault(sess_obj, {})
+    return inner, (cap, hashlib.md5(canon.encode()).hexdigest())
 
 
 def clear_dim_side_memo() -> None:
-    """Drop all memoized probe verdicts (for tests that overwrite a
-    dim's storage in place and need a re-probe)."""
+    """Drop all memoized probe verdicts (called by every in-place table
+    write in sources/io.py, and by tests that mutate storage directly)."""
     _DIM_SIDE_MEMO.clear()
 
 
@@ -170,14 +189,14 @@ def probe_small(df: DataFrame, cap: int) -> bool:
     """Memoized bounded row-count probe: True iff ``df`` has fewer than
     ``cap`` rows. The shared verdict store behind ``dim_side`` and
     rollup's ``broadcast_dim="auto"`` resolver."""
-    key = _dim_side_memo_key(df, cap)
-    if key is not None and key in _DIM_SIDE_MEMO:
+    memo, key = _dim_side_memo_entry(df, cap)
+    if memo is not None and key in memo:
         DIM_SIDE_PROBE_STATS["hits"] += 1
-        return _DIM_SIDE_MEMO[key]
+        return memo[key]
     DIM_SIDE_PROBE_STATS["probes"] += 1
     small = df.limit(cap).count() < cap
-    if key is not None:
-        _DIM_SIDE_MEMO[key] = small
+    if memo is not None:
+        memo[key] = small
     return small
 
 

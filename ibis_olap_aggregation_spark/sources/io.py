@@ -38,9 +38,12 @@ def _invalidate_probe_memo() -> None:
     reading the SAME path after an overwrite canonicalizes identically,
     so a cached verdict could otherwise pick the join regime from the
     PREVIOUS contents. A stale verdict is regime-only (never wrong
-    output — both regimes are output-pinned), but clearing here makes
-    even that impossible; the memo re-fills at one bounded probe per
-    distinct dim."""
+    output — both regimes are output-pinned); clearing here (and in the
+    other in-place writers: HierarchyDimension.save, the stream sinks)
+    removes even that for writes that go through these helpers. Always
+    invalidate AFTER the write completes — a pre-write clear leaves a
+    window where a concurrent reader re-memoizes the old contents. The
+    memo re-fills at one bounded probe per distinct dim."""
     from ibis_olap_aggregation_spark.session import clear_dim_side_memo
 
     clear_dim_side_memo()
@@ -49,13 +52,15 @@ def _invalidate_probe_memo() -> None:
 def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
     """Overwrite-write in any supported format (CSV gets a header so the
     round-trip keeps column names)."""
-    _invalidate_probe_memo()
     w = df.write.mode("overwrite").format(fmt)
     if fmt == "csv":
         w = w.option("header", "true")
     for k, v in options.items():
         w = w.option(k, v)
     w.save(path)
+    # AFTER the write: a pre-write clear leaves a window where a
+    # concurrent reader re-memoizes a verdict from the old contents
+    _invalidate_probe_memo()
 
 
 def read_table(
@@ -80,8 +85,8 @@ def write_partitioned(
 ) -> None:
     """Hive-style partitioned layout: one directory per partition value;
     filters on partition columns prune at file-listing time."""
-    _invalidate_probe_memo()
     df.write.mode("overwrite").format(fmt).partitionBy(*partition_cols).save(path)
+    _invalidate_probe_memo()  # after the write (see write_table)
 
 
 def write_bucketed(
@@ -95,11 +100,11 @@ def write_bucketed(
     hierarchy-dim materialization, plus co-location): rows are
     hash-distributed into n_buckets files by bucket_cols at WRITE time,
     so joins/groupBys on those columns skip their shuffle."""
-    _invalidate_probe_memo()
     w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table_name)
+    _invalidate_probe_memo()  # after the write (see write_table)
 
 
 def _roundtrip_dir(fmt: str) -> str:

@@ -109,6 +109,9 @@ def seed_signature_store(docs: DataFrame, store_dir: str) -> None:
     doc_signatures(docs).write.mode("overwrite").parquet(
         os.path.join(store_dir, f"_batch_id={SEED_BATCH_ID}")
     )
+    from ibis_olap_aggregation_spark.sources.io import _invalidate_probe_memo
+
+    _invalidate_probe_memo()  # signature store (re-)seeded in place
     landed = _stream_partitions()
     if landed:
         raise RuntimeError(

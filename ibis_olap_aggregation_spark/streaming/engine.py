@@ -239,7 +239,13 @@ def run_to_memory(
     run's per-micro-batch progress reports (dicts) so callers can audit
     state-store behavior — numRowsTotal / numRowsRemoved under
     ``stateOperators`` are how the eviction tests prove state actually
-    flattens under a bounded watermark horizon."""
+    flattens under a bounded watermark horizon.
+
+    CAVEAT: ``recentProgress`` keeps only the LAST
+    spark.sql.streaming.numRecentProgressUpdates reports (default 100)
+    — a drain of more micro-batches than that returns a truncated tail,
+    so audits summing across "the run" must either keep batch counts
+    under the cap (the replay twins use 8 files) or raise the conf."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)

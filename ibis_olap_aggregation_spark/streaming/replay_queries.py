@@ -104,21 +104,34 @@ def _drain(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
 
     name = f"{prefix}_{next(_IDS)}"
     ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
-    global LAST_DRAIN_PROGRESS
-    LAST_DRAIN_PROGRESS = run_to_memory(df, name, checkpoint_dir=ckpt)
+    _DRAIN_PROGRESS.value = run_to_memory(df, name, checkpoint_dir=ckpt)
 
     def _release(view=name, path=ckpt):
-        spark.catalog.dropTempView(view)
+        # rmtree FIRST (ignore_errors — cannot raise): if the session is
+        # already stopped, dropTempView raises and release swallows it —
+        # ordering the other way would leak the checkpoint tree the
+        # cleanup exists to remove (code-review r12)
         shutil.rmtree(path, ignore_errors=True)
+        spark.catalog.dropTempView(view)
 
     register_query_cleanup(_release)
     return spark.table(name)
 
 
-# Per-micro-batch progress reports of the most recent _drain, for state
-# audits (tests read stateOperators.numRowsTotal/numRowsRemoved to prove
-# the bounded-horizon twin's eviction path actually runs).
-LAST_DRAIN_PROGRESS: list[dict] = []
+# Per-micro-batch progress reports of the CALLING THREAD's most recent
+# _drain, for state audits (tests read stateOperators.numRowsTotal /
+# numRowsRemoved to prove the bounded-horizon twin's eviction path
+# actually runs). Thread-local for the same reason session's cache
+# registry is: concurrent driver threads must not clobber each other's
+# audit evidence.
+import threading as _threading
+
+_DRAIN_PROGRESS = _threading.local()
+
+
+def last_drain_progress() -> list[dict]:
+    """Progress reports of the calling thread's most recent _drain."""
+    return getattr(_DRAIN_PROGRESS, "value", [])
 
 
 @register(

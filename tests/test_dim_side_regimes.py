@@ -79,6 +79,24 @@ def test_dim_side_probe_memoized_per_plan_and_cap(spark, sf_small, monkeypatch):
     assert probes() == p0 + 4
 
 
+def test_probe_memo_never_caches_data_identityless_plans(spark):
+    """Code-review r12 finding (empirically confirmed): createDataFrame
+    frames canonicalize to 'LogicalRDD [none#0L]' with NO data identity
+    — two same-schema local frames hash to one key, so a memoized
+    verdict from a 3-row frame would certify a 50-row (or 50M-row)
+    frame as broadcast-safe. Such plans must never be memoized: every
+    probe_small call on them runs a fresh probe."""
+    sess.clear_dim_side_memo()
+    small = spark.createDataFrame([(i,) for i in range(3)], "k bigint")
+    big = spark.createDataFrame([(i,) for i in range(50)], "k bigint")
+    p0 = sess.DIM_SIDE_PROBE_STATS["probes"]
+    assert sess.probe_small(small, 10) is True
+    assert sess.probe_small(big, 10) is False  # would be True on a stale hit
+    assert sess.probe_small(small, 10) is True
+    assert sess.DIM_SIDE_PROBE_STATS["probes"] == p0 + 3  # no memoization
+    assert len(sess._DIM_SIDE_MEMO) == 0
+
+
 def test_probe_memo_invalidated_by_table_writes(spark, sf_small, tmp_path):
     """Overwriting a path invalidates the probe memo: a dim that GREW
     past the cap at the same path must be re-probed, not served the

@@ -864,7 +864,7 @@ def test_interval_join_eviction_matches_batch_and_state_flattens(spark, sf_small
     release_query_caches()
     got = QUERIES["streaming_interval_join_eviction"](spark, sf_small)
     got_rows = {r.user_id: (r.n_pairs, r.n_left_events) for r in got.collect()}
-    progress = list(rq.LAST_DRAIN_PROGRESS)
+    progress = list(rq.last_drain_progress())
 
     ev = load_table(spark, sf_small, "events").select("user_id", "ts", "event_id")
     l = ev.select(

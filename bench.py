@@ -161,6 +161,12 @@ HEADLINE = [
     "sim_ndcg_eval",
     "events_survival_kaplan_meier",
     "sim_rrf_fusion",
+    # round-12 second batch: the wedge-join link predictor (the graph
+    # family's heaviest new shape), the bloom-pruned semi-join (three
+    # broadcast semi stages + confirm), and the shard-window packer
+    "graph_adamic_adar",
+    "join_bloom_pruned_semi",
+    "pipeline_pack_sequences",
 ]
 
 

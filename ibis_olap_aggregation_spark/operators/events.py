@@ -1117,3 +1117,108 @@ def events_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km.select(
         "day", "n_at_risk", "n_events", "n_censored", "survival"
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: last-touch credit with a lookback window
+# ---------------------------------------------------------------------------
+
+# Marketing-touch event types (errors are not touches) and the lookback
+# horizon after which a purchase is credited to 'direct'.
+ATTR_TOUCH_TYPES = ("click", "view", "signup")
+ATTR_WINDOW_DAYS = 7
+
+
+@register(
+    "events_attribution_lookback",
+    f"""
+WITH seq AS (
+  SELECT user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type IN {ATTR_TOUCH_TYPES!r}
+                         THEN event_type END IGNORE NULLS) OVER w AS lt,
+         last_value(CASE WHEN event_type IN {ATTR_TOUCH_TYPES!r}
+                         THEN ts END IGNORE NULLS) OVER w AS lts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+pur AS (
+  SELECT CASE WHEN lt IS NOT NULL
+                   AND lts >= ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+              THEN lt ELSE 'direct' END AS credited_type,
+         value,
+         CASE WHEN lt IS NOT NULL
+                   AND lts >= ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+              THEN date_diff('microsecond', lts, ts) ELSE 0 END AS lat
+  FROM seq WHERE event_type = 'purchase'
+)
+SELECT credited_type,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value,
+       ROUND(CAST(SUM(lat) AS DOUBLE) / COUNT(*) / 1e6, 6) AS avg_latency_sec
+FROM pur GROUP BY 1
+""",
+)
+def events_attribution_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent marketing touch (click/view/signup) within a
+    ATTR_WINDOW_DAYS lookback, else to 'direct'; per credited channel:
+    purchase count, attributed revenue, mean touch-to-purchase latency.
+
+    Scale shape: ONE window partitioned by user_id (high-cardinality —
+    even shuffle), carrying the last touch forward with
+    last(ignorenulls) — the same union-tag/as-of idiom as
+    events_asof_join, so there is no range self-join and no per-purchase
+    probe. Purchase rows themselves yield NULL in the touch CASE, so the
+    frame may include the current row (strictly-prior semantics fall out
+    for free); ties on ts order by event_id on both engines. Latency
+    sums are exact microsecond bigints through sum_wide (repo wide-sum
+    convention) with one rounding point at the end.
+    """
+    from ibis_olap_aggregation_spark.queries import sum_wide
+
+    ev = _events(spark, sf_dir)
+    is_touch = F.col("event_type").isin(*ATTR_TOUCH_TYPES)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("lt"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("lts"),
+    ).filter(F.col("event_type") == "purchase")
+    attributed = F.col("lt").isNotNull() & (
+        F.col("lts")
+        >= F.col("ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+    )
+    pur = seq.select(
+        F.when(attributed, F.col("lt")).otherwise("direct").alias(
+            "credited_type"
+        ),
+        "value",
+        # events.ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP. The
+        # cast applies the session zone to BOTH operands, so the
+        # difference is shift-invariant
+        F.when(
+            attributed,
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("lts").cast("timestamp")),
+        )
+        .otherwise(F.lit(0))
+        .alias("lat"),
+    )
+    return pur.groupBy("credited_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum("value", "attributed_value"),
+        F.round(
+            sum_wide(F.col("lat")).cast("double") / F.count(F.lit(1)) / 1e6, 6
+        ).alias("avg_latency_sec"),
+    )

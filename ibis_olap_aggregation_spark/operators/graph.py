@@ -795,3 +795,114 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k int, rounds int, n_core_nodes bigint, n_core_edges bigint, "
         "converged boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: Adamic-Adar over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+# Skew cut for the Adamic-Adar wedge enumeration: a center of degree d
+# fans out d*(d-1)/2 neighbor pairs, so one hub can dominate the whole
+# stage. Centers past the cap are EXCLUDED (not truncated): their
+# per-wedge contribution 1/ln(d) is already the smallest in the graph,
+# and an exclusion (unlike a top-d truncation) keeps the score a pure
+# function of the degree-capped graph — identically expressible in the
+# oracle. Module constant so tests can force the cut.
+AA_CENTER_DEGREE_CAP = 4096
+
+_AA_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM und
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM und
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+ctr AS (
+  SELECT e.src, e.dst,
+         CAST(ROUND(1e12 / LN(d.d), 0) AS BIGINT) AS u
+  FROM edges e JOIN deg d ON d.src = e.src
+  WHERE d.d >= 2 AND d.d <= {AA_CENTER_DEGREE_CAP}
+),
+aa AS (
+  SELECT x.dst AS a, y.dst AS c, SUM(x.u) AS s
+  FROM ctr x JOIN ctr y ON x.src = y.src AND x.dst < y.dst
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT aa.a, aa.c, aa.s
+  FROM aa LEFT JOIN und ON und.pa = aa.a AND und.pb = aa.c
+  WHERE und.pa IS NULL
+)
+SELECT a AS part_a, c AS part_b,
+       ROUND(CAST(s AS DOUBLE) / 1e12, 6) AS aa_score
+FROM cand
+ORDER BY s DESC, a, c
+LIMIT 20
+"""
+
+
+@register("graph_adamic_adar", _AA_SQL)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003): score every
+    NON-edge pair (a, c) by sum over common neighbors b of 1/ln(deg(b))
+    — low-degree shared neighbors are stronger evidence of a missing
+    link than hubs — and return the top-20 predicted links.
+
+    Scale shape: the wedge enumeration self-joins the center-keyed edge
+    list on src (ONE shuffle on the high-cardinality center key) with
+    the a < c ordering emitting each pair once; the degree attach
+    routes through session.dim_side (node-sized, SF-linear — checked
+    broadcast). Skew: hub centers are excluded past
+    AA_CENTER_DEGREE_CAP (see constant note — the standard cut, since
+    1/ln(d) makes hub evidence negligible anyway), bounding per-center
+    fan-out at cap². Determinism: contributions quantized to 1e-12
+    units -> exact decimal sum (repo wide-sum convention; the final
+    ranking orders on the EXACT integer sum, never a rounded double);
+    ln() parity is the empirically-pinned SURVEY §7.5.2 contract.
+    """
+    from ibis_olap_aggregation_spark.session import dim_side
+
+    und = query_cache(
+        copurchase_pairs(order_items(spark, sf_dir)).select("pa", "pb")
+    )
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ctr = (
+        edges.join(dim_side(deg), "src")
+        .filter((F.col("d") >= 2) & (F.col("d") <= AA_CENTER_DEGREE_CAP))
+        .select(
+            "src",
+            "dst",
+            F.round(F.lit(1e12) / F.log("d"), 0).cast("bigint").alias("u"),
+        )
+    )
+    x = ctr.select("src", F.col("dst").alias("a"), "u")
+    y = ctr.select(F.col("src").alias("src_y"), F.col("dst").alias("c"))
+    aa = (
+        x.join(y, (F.col("src") == F.col("src_y")) & (F.col("a") < F.col("c")))
+        .groupBy("a", "c")
+        .agg(sum_wide(F.col("u")).alias("s"))
+    )
+    cand = aa.join(
+        und,
+        (F.col("a") == F.col("pa")) & (F.col("c") == F.col("pb")),
+        "left_anti",
+    )
+    return (
+        cand.orderBy(F.col("s").desc(), "a", "c")
+        .limit(20)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("c").alias("part_b"),
+            F.round(F.col("s").cast("double") / 1e12, 6).alias("aa_score"),
+        )
+    )

@@ -1210,3 +1210,90 @@ def sample_importance_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: the concat-and-chunk plan a tokenizer shard runs
+# ---------------------------------------------------------------------------
+
+# Context window length (tokens) and shard fan-out for the packing plan.
+# PACK_SHARDS is the parallelism knob: each shard packs independently, so
+# a production run sets it near the cluster's task count (e.g. 2^16 at
+# 100 TB — each shard then sorts only corpus/2^16 docs). Fixed at 16 here
+# so the plan is deterministic and oracle-comparable at test scale.
+PACK_CTX = 2048
+PACK_SHARDS = 16
+
+
+@register(
+    "pipeline_pack_sequences",
+    f"""
+WITH tok AS (
+  SELECT doc_id,
+         doc_id % {PACK_SHARDS} AS shard,
+         (n_chars + 3) // 4 AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT shard, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM tok
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST((cum - n_tok) // {PACK_CTX} AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CASE WHEN (cum - 1) // {PACK_CTX} > (cum - n_tok) // {PACK_CTX}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+       ROUND(SUM(n_tok) / {PACK_CTX}.0, 6) AS fill_ratio
+FROM packed
+GROUP BY 1, 2
+""",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing plan: the concat-and-chunk layout a
+    training-data tokenizer shard produces. Docs are sharded by
+    doc_id % PACK_SHARDS, concatenated in doc_id order within the
+    shard, and each doc is assigned to the PACK_CTX-token window its
+    FIRST token lands in; the plan reports per-window doc count, token
+    mass, boundary-straddler count, and fill ratio (can exceed 1 where
+    a straddler spills into the next window).
+
+    Scale shape: token estimate ((n_chars+3)/4, the BPE-ish chars/4
+    rule) is MAP-ONLY off the parquet footer columns (text is never
+    read — ReadSchema carries doc_id/n_chars only); the only shuffle is
+    the window partitioned by shard. Parallelism == PACK_SHARDS by
+    construction, so the production knob is shard count (see constant
+    note above): packing is embarrassingly parallel across shards and
+    strictly sequential within one, which is exactly the contract a
+    deterministic pack layout needs.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.floor((F.col("n_chars") + 3) / 4).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn("cum", F.sum("n_tok").over(w))
+    start_win = F.floor((F.col("cum") - F.col("n_tok")) / PACK_CTX)
+    end_win = F.floor((F.col("cum") - 1) / PACK_CTX)
+    return (
+        packed.groupBy(
+            F.col("shard").cast("bigint").alias("shard"),
+            start_win.cast("bigint").alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+            F.sum((end_win > start_win).cast("int"))
+            .cast("bigint")
+            .alias("n_straddlers"),
+            F.round(F.sum("n_tok") / float(PACK_CTX), 6).alias("fill_ratio"),
+        )
+    )

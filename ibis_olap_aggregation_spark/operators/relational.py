@@ -1724,3 +1724,94 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary").cast("double").alias("total_monetary"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter-pruned semi-join (runtime row-level filter pushdown)
+# ---------------------------------------------------------------------------
+
+# Bloom geometry: m bit positions, k hash probes. The broadcast side is
+# the DISTINCT position set — hard-capped at BLOOM_M rows (~8 MB of
+# longs) NO MATTER the build side's cardinality, which is the whole
+# point: the prune ships a bounded sketch where a broadcast of the keys
+# themselves would be SF-linear. k=3 at n ≈ BLOOM_M/10 keys gives a
+# false-positive rate ≈ (1 - e^(-kn/m))^k ≈ 2.5% — false positives cost
+# only wasted confirm-join work, never correctness.
+BLOOM_M = 1 << 20
+BLOOM_K = 3
+
+
+@register(
+    "join_bloom_pruned_semi",
+    """
+SELECT l.l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+WHERE l.l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY 1
+""",
+)
+def join_bloom_pruned_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with a distributed Bloom-filter pre-prune: revenue of
+    lineitems belonging to URGENT orders. The output is the EXACT
+    semi-join (the oracle is the plain IN-subquery); the bloom stage is
+    a runtime optimization that discards ~non-matching probe rows
+    before any key shuffle — the DataFrame-level analogue of Spark's
+    AQE runtime bloom pushdown, built here from first principles so the
+    bound is explicit and testable.
+
+    Plan: (1) build side (urgent order keys) maps each key to BLOOM_K
+    xxhash64 bit positions; the DISTINCT position set is ≤ BLOOM_M rows
+    (module constant — bounded regardless of SF, see note above);
+    (2) the probe side runs BLOOM_K broadcast LEFT SEMI joins, one per
+    hash — a row survives only if ALL its positions are set, exactly a
+    bloom membership test, with no explode and no shuffle of the probe;
+    (3) survivors (matches + ≈2.5% false positives) are confirmed with
+    the exact semi-join on the key — the only shuffle of probe rows,
+    now carrying ~selectivity× the original volume.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    build = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("bk"))
+    )
+
+    def positions(key: F.Column) -> list[F.Column]:
+        return [
+            F.pmod(F.xxhash64(F.lit(i), key), F.lit(BLOOM_M)).alias(f"pos{i}")
+            for i in range(BLOOM_K)
+        ]
+
+    probe = t["lineitem"].select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_extendedprice",
+        "l_discount",
+        *positions(F.col("l_orderkey")),
+    )
+    for i in range(BLOOM_K):
+        # distinct position set for hash i: ≤ min(|build|, BLOOM_M) rows
+        bits = build.select(
+            F.pmod(F.xxhash64(F.lit(i), F.col("bk")), F.lit(BLOOM_M)).alias(
+                f"pos{i}"
+            )
+        ).distinct()
+        probe = probe.join(F.broadcast(bits), f"pos{i}", "left_semi")
+    confirmed = probe.join(
+        build, probe["l_orderkey"] == build["bk"], "left_semi"
+    )
+    return confirmed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

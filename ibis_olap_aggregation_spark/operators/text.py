@@ -1124,3 +1124,90 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "term_a", "term_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture temperature weights (multilingual sampling)
+# ---------------------------------------------------------------------------
+
+# Temperature exponent for language-balanced sampling: weight_i ∝ p_i^α
+# (α=1 → proportional/no rebalance, α=0 → uniform). 0.3 is the
+# multilingual-LM convention (mBERT/XLM-R exponentiated sampling).
+MIX_ALPHA = 0.3
+
+
+@register(
+    "text_mixture_temperature_weights",
+    f"""
+WITH lt AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM((n_chars + 3) // 4) AS BIGINT) AS tok
+  FROM documents GROUP BY 1
+),
+p AS (
+  SELECT lang, n_docs, tok,
+         CAST(tok AS DOUBLE) / CAST(SUM(tok) OVER () AS DOUBLE) AS p
+  FROM lt
+),
+q AS (
+  SELECT lang, n_docs, tok, p,
+         CAST(ROUND(POWER(p, {MIX_ALPHA}) * 1e15, 0) AS BIGINT) AS qw
+  FROM p
+)
+SELECT lang, n_docs, tok AS n_tokens,
+       ROUND(p, 6) AS p_raw,
+       ROUND(CAST(qw AS DOUBLE) / CAST(SUM(qw) OVER () AS DOUBLE), 6)
+         AS weight,
+       ROUND(CAST(qw AS DOUBLE) / CAST(SUM(qw) OVER () AS DOUBLE) / p, 6)
+         AS epochs
+FROM q
+""",
+)
+def text_mixture_temperature_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled language mixture for a training run: per
+    language, raw token share p, resampled weight p^α / Σ p^α
+    (α=MIX_ALPHA), and the implied epochs over that language's data
+    when the token budget equals the corpus size (weight/p — >1 means
+    the low-resource language is up-sampled/repeated).
+
+    Scale shape: ONE map-side-combined groupBy on lang off the parquet
+    footer columns (text never read); everything after operates on the
+    ≤|langs| aggregate rows, so the global (unpartitioned) windows are
+    bounded-enum by construction — never a data-sized single partition.
+    Determinism: the p^α values are quantized to 1e-15 units and the
+    normalizer is the exact integer window sum (order-free), with one
+    double division + round at the end per output column.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.floor((F.col("n_chars") + 3) / 4))
+        .cast("bigint")
+        .alias("tok"),
+    )
+    wall = Window.partitionBy()
+    p = lt.select(
+        "lang",
+        "n_docs",
+        "tok",
+        (
+            F.col("tok").cast("double")
+            / F.sum("tok").over(wall).cast("double")
+        ).alias("p"),
+    )
+    q = p.withColumn(
+        "qw",
+        F.round(F.pow(F.col("p"), F.lit(MIX_ALPHA)) * 1e15, 0).cast("bigint"),
+    )
+    w = F.col("qw").cast("double") / F.sum("qw").over(wall).cast("double")
+    return q.select(
+        "lang",
+        "n_docs",
+        F.col("tok").alias("n_tokens"),
+        F.round("p", 6).alias("p_raw"),
+        F.round(w, 6).alias("weight"),
+        F.round(w / F.col("p"), 6).alias("epochs"),
+    )

@@ -83,6 +83,12 @@ def register(name: str, oracle: str | None = None):
             finally:
                 _QUERY_DEPTH.value = _depth() - 1
 
+        if name in QUERIES:
+            # a silent overwrite leaves the SECOND registration's oracle
+            # paired with... whichever function won the import race, and
+            # every local gate then green-lights the wrong pair (the
+            # events/temporal attribution collision, round 12)
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
@@ -1064,13 +1070,26 @@ _ADDED_ROUND12: frozenset[str] = frozenset(
     }
 )
 
+# Queries ADDED in round 12's second batch (training-pipeline sequence
+# packing, link prediction, bloom-pruned semi-join, attribution,
+# mixture weights): same deal — last in line for prefix slots.
+_ADDED_ROUND12B: frozenset[str] = frozenset(
+    {
+        "pipeline_pack_sequences",
+        "graph_adamic_adar",
+        "join_bloom_pruned_semi",
+        "events_attribution_lookback",
+        "text_mixture_temperature_weights",
+    }
+)
+
 
 def _reorder_for_driver_coverage() -> None:
     flagship = "hierarchy_grocery_rollup"
     checked = _driver_verified_names()
     later = (_ADDED_ROUND2 | _ADDED_ROUND4 | _ADDED_ROUND5 | _ADDED_ROUND6
              | _ADDED_ROUND6B | _ADDED_ROUND7 | _ADDED_ROUND8 | _ADDED_ROUND9
-             | _ADDED_ROUND11 | _ADDED_ROUND12)
+             | _ADDED_ROUND11 | _ADDED_ROUND12 | _ADDED_ROUND12B)
     # never-driver-checked queries, oldest families first: the ones that
     # have been WAITING (not in a later-additions set) outrank the
     # newest additions for the guaranteed prefix slots
@@ -1119,6 +1138,10 @@ def _reorder_for_driver_coverage() -> None:
         n
         for n in QUERIES
         if n != flagship and n not in checked and n in _ADDED_ROUND12
+    ] + [
+        n
+        for n in QUERIES
+        if n != flagship and n not in checked and n in _ADDED_ROUND12B
     ]
     # verified queries fill the remaining prefix slots STALEST-FIRST
     # (longest since a green driver row), so re-verification rotates

@@ -697,3 +697,62 @@ def test_kaplan_meier_plan_pushes_type_filters_and_prunes(spark, sf_small):
     # day agg exists (window input is day-grain, calendar-bounded)
     plan = pi.physical_plan(df)
     assert "Window" in plan and "day" in plan, plan
+
+
+def test_pack_sequences_prunes_text_and_shuffles_on_shard_only(spark, sf_small):
+    """pipeline_pack_sequences: the docstring's scale claims, pinned —
+    the documents scan reads ONLY (doc_id, n_chars) (text never leaves
+    the footer), and the single shuffle is the shard-partitioned window
+    (+ the final pack aggregation on the same grain)."""
+    df = q.QUERIES["pipeline_pack_sequences"](spark, sf_small)
+    assert pi.scan_columns(df) == [["doc_id", "n_chars"]], pi.scan_columns(df)
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert pi.count_exchanges(df) <= 2, pi.physical_plan(df)
+
+
+def test_mixture_weights_prune_to_footer_columns(spark, sf_small):
+    """text_mixture_temperature_weights: text is never read (lang +
+    n_chars only), and the unpartitioned windows sit above the lang
+    aggregate (bounded-enum rows), not the document stream — asserted
+    by the HashAggregate appearing below the Window in the plan."""
+    df = q.QUERIES["text_mixture_temperature_weights"](spark, sf_small)
+    for cols in pi.scan_columns(df):
+        assert set(cols) <= {"lang", "n_chars", "doc_id"}, cols
+        assert "text" not in cols
+    plan = pi.physical_plan(df)
+    win = plan.find("Window")
+    agg = plan.rfind("HashAggregate")
+    assert win != -1 and agg > win, plan
+
+
+def test_bloom_semi_probe_side_never_shuffles_before_prune(spark, sf_small):
+    """join_bloom_pruned_semi: the three bloom stages are BROADCAST
+    left-semi joins (the probe stream is never exchanged for them) and
+    the lineitem scan is pruned to the five columns used."""
+    df = q.QUERIES["join_bloom_pruned_semi"](spark, sf_small)
+    plan = pi._strip_non_executing(pi.physical_plan(df, executed=True))
+    import re as _re
+
+    semis = _re.findall(r"BroadcastHashJoin .*LeftSemi", plan)
+    from ibis_olap_aggregation_spark.operators.relational import BLOOM_K
+
+    assert len(semis) >= BLOOM_K, plan
+    for cols in pi.scan_columns(df):
+        if "l_orderkey" in cols:
+            assert set(cols) == {
+                "l_orderkey",
+                "l_returnflag",
+                "l_extendedprice",
+                "l_discount",
+            }, cols
+
+
+def test_adamic_adar_wedge_join_is_equi_no_cartesian(spark, sf_small):
+    """graph_adamic_adar: the wedge self-join is an equi-join on the
+    center key (the a < c ordering rides as a post-join filter), so the
+    plan contains no cartesian/broadcast-nested-loop stage."""
+    df = q.QUERIES["graph_adamic_adar"](spark, sf_small)
+    plan = pi._strip_non_executing(pi.physical_plan(df, executed=True))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -1,0 +1,203 @@
+"""Round-12 second-batch independent oracles (plain python/pandas third
+derivations, the test_round9_properties / shared-misreading-sweep
+pattern): the DuckDB differential gate cannot see a reading BOTH engines
+share, so every new operator also gets a from-scratch re-derivation.
+
+Covers: pipeline_pack_sequences (cumsum packing in pandas),
+graph_adamic_adar (wedge scores from explicit adjacency dicts),
+events_attribution_lookback (per-user sequential scan),
+text_mixture_temperature_weights (numpy), and the bloom-pruned
+semi-join's exactness under a FORCED-tiny filter (maximum false
+positives — the confirm join must still make the output exact).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from ibis_olap_aggregation_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    key = df.astype(str).agg("|".join, axis=1)
+    return df.loc[key.sort_values().index].reset_index(drop=True)
+
+
+def _assert_frames_equal(sdf: pd.DataFrame, ref: pd.DataFrame) -> None:
+    s, r = _norm(sdf), _norm(ref)
+    assert len(s) == len(r), (len(s), len(r))
+    assert list(s.columns) == list(r.columns)
+    assert s.astype(str).equals(r.astype(str)), (
+        s.head(10).to_string(),
+        r.head(10).to_string(),
+    )
+
+
+def test_pack_sequences_matches_pandas_cumsum(spark):
+    from ibis_olap_aggregation_spark.operators.pipeline import (
+        PACK_CTX,
+        PACK_SHARDS,
+    )
+
+    d = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "n_chars"]]
+    d["shard"] = d["doc_id"] % PACK_SHARDS
+    d["n_tok"] = (d["n_chars"] + 3) // 4
+    d = d.sort_values(["shard", "doc_id"])
+    d["cum"] = d.groupby("shard")["n_tok"].cumsum()
+    d["pack_id"] = (d["cum"] - d["n_tok"]) // PACK_CTX
+    d["straddle"] = ((d["cum"] - 1) // PACK_CTX > d["pack_id"]).astype(int)
+    ref = (
+        d.groupby(["shard", "pack_id"])
+        .agg(
+            n_docs=("doc_id", "size"),
+            sum_tokens=("n_tok", "sum"),
+            n_straddlers=("straddle", "sum"),
+        )
+        .reset_index()
+    )
+    ref["fill_ratio"] = (ref["sum_tokens"] / PACK_CTX).round(6)
+    sdf = QUERIES["pipeline_pack_sequences"](spark, SF).toPandas()
+    _assert_frames_equal(sdf, ref.astype({"shard": "int64", "pack_id": "int64"}))
+
+
+def test_adamic_adar_matches_python_wedges(spark):
+    from ibis_olap_aggregation_spark.operators.graph import (
+        AA_CENTER_DEGREE_CAP,
+    )
+
+    li = (
+        pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+        .drop_duplicates()
+    )
+    pairs = li.merge(li, on="l_orderkey")
+    pairs = pairs[pairs["l_partkey_x"] < pairs["l_partkey_y"]]
+    und = set(zip(pairs["l_partkey_x"], pairs["l_partkey_y"]))
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scores: dict[tuple[int, int], int] = {}
+    for center, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2 or d > AA_CENTER_DEGREE_CAP:
+            continue
+        u = round(1e12 / math.log(d))
+        sn = sorted(nbrs)
+        for i, a in enumerate(sn):
+            for c in sn[i + 1 :]:
+                scores[(a, c)] = scores.get((a, c), 0) + u
+    cand = [
+        (a, c, s) for (a, c), s in scores.items() if (a, c) not in und
+    ]
+    cand.sort(key=lambda t: (-t[2], t[0], t[1]))
+    ref = pd.DataFrame(
+        [(a, c, round(s / 1e12, 6)) for a, c, s in cand[:20]],
+        columns=["part_a", "part_b", "aa_score"],
+    )
+    sdf = QUERIES["graph_adamic_adar"](spark, SF).toPandas()
+    _assert_frames_equal(sdf, ref)
+
+
+def test_bloom_prune_exact_under_forced_false_positives(spark, monkeypatch):
+    """BLOOM_M=8 makes nearly every probe row a bloom survivor — the
+    confirm join alone must deliver exactness. Compare against the
+    no-bloom semi-join computed in pandas."""
+    import ibis_olap_aggregation_spark.operators.relational as rel
+
+    monkeypatch.setattr(rel, "BLOOM_M", 8)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    urgent = set(
+        orders.loc[orders["o_orderpriority"] == "1-URGENT", "o_orderkey"]
+    )
+    hit = li[li["l_orderkey"].isin(urgent)].copy()
+    hit["rev"] = (
+        hit["l_extendedprice"].round(2).map(lambda v: round(v, 2))
+        * (1 - hit["l_discount"]).round(2)
+    )
+    # exact decimal twin: quantize to cents like the decimal(18,2) casts
+    cents = (
+        (hit["l_extendedprice"] * 100).round().astype("int64")
+        * (100 - (hit["l_discount"] * 100).round().astype("int64"))
+    )
+    ref = (
+        hit.assign(rev_c=cents)
+        .groupby("l_returnflag")
+        .agg(n_items=("l_orderkey", "size"), rev_c=("rev_c", "sum"))
+        .reset_index()
+    )
+    ref["revenue"] = ref["rev_c"] / 1e4
+    ref = ref.drop(columns=["rev_c"])
+    sdf = QUERIES["join_bloom_pruned_semi"](spark, SF).toPandas()
+    _assert_frames_equal(sdf, ref)
+
+
+def test_attribution_matches_sequential_scan(spark):
+    from ibis_olap_aggregation_spark.operators.events import (
+        ATTR_TOUCH_TYPES,
+        ATTR_WINDOW_DAYS,
+    )
+
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    horizon = pd.Timedelta(days=ATTR_WINDOW_DAYS)
+    rows = []
+    for _, g in ev.groupby("user_id", sort=False):
+        lt, lts = None, None
+        for r in g.itertuples():
+            if r.event_type in ATTR_TOUCH_TYPES:
+                lt, lts = r.event_type, r.ts
+            elif r.event_type == "purchase":
+                if lt is not None and lts >= r.ts - horizon:
+                    lat = (r.ts - lts) // pd.Timedelta(microseconds=1)
+                    rows.append((lt, r.value, lat))
+                else:
+                    rows.append(("direct", r.value, 0))
+    f = pd.DataFrame(rows, columns=["credited_type", "value", "lat"])
+    cents = (f["value"] * 100).round().astype("int64")
+    ref = (
+        f.assign(cents=cents)
+        .groupby("credited_type")
+        .agg(
+            n_purchases=("value", "size"),
+            cents=("cents", "sum"),
+            lat=("lat", "sum"),
+        )
+        .reset_index()
+    )
+    ref["attributed_value"] = ref["cents"] / 100.0
+    ref["avg_latency_sec"] = (
+        ref["lat"] / ref["n_purchases"] / 1e6
+    ).round(6)
+    ref = ref.drop(columns=["cents", "lat"])
+    sdf = QUERIES["events_attribution_lookback"](spark, SF).toPandas()
+    _assert_frames_equal(sdf, ref)
+
+
+def test_mixture_weights_match_numpy(spark):
+    from ibis_olap_aggregation_spark.operators.text import MIX_ALPHA
+
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    d["tok"] = (d["n_chars"] + 3) // 4
+    lt = d.groupby("lang").agg(
+        n_docs=("doc_id", "size"), n_tokens=("tok", "sum")
+    )
+    p = lt["n_tokens"].to_numpy(dtype="float64") / float(
+        lt["n_tokens"].sum()
+    )
+    q = np.round(np.power(p, MIX_ALPHA) * 1e15).astype("int64")
+    w = q.astype("float64") / float(q.sum())
+    ref = lt.reset_index().assign(
+        p_raw=np.round(p, 6),
+        weight=np.round(w, 6),
+        epochs=np.round(w / p, 6),
+    )
+    sdf = QUERIES["text_mixture_temperature_weights"](spark, SF).toPandas()
+    _assert_frames_equal(sdf, ref)

@@ -138,6 +138,9 @@ RULES: list[tuple[str, str, str, str]] = [
     (r"dedup\.py$", r"F\.broadcast\(s[ab]\)", "witness-only",
      "_ngram_jaccard_allpairs: doc-sized, but the function is the small-sf "
      "test oracle for the prefix-filtered production twin (never registered)"),
+    (r"relational\.py$", r"F\.broadcast\(bits\)", "fixed-k",
+     "bloom bit-position set: DISTINCT positions hard-capped at "
+     "BLOOM_M = 2^20 rows (module constant) regardless of build-side SF"),
     # --- documented caller contract
     (r"streaming/engine\.py$", r"F\.broadcast\(dim\)", "caller-bound",
      "enrich_with_static: caller contract (docstring) — dim must be "

@@ -810,14 +810,24 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle. Module constant so tests can force the cut.
 AA_CENTER_DEGREE_CAP = 4096
 
+# Affinity floor (the _CC_MIN_W / copurchase-cosine precedent): pairs
+# that co-occur in a single order are noise edges, and for LINK
+# PREDICTION they are fatal at scale — the w>=1 co-purchase graph is
+# near-complete (sf0.1: avg degree 120 over 20k parts -> 148M wedges,
+# ~100M distinct 2-hop pairs; measured 168s), while the w>=2 signal
+# graph is 7k edges / 1.4k wedges at the same SF. Predicting links from
+# repeated co-occurrence is also the semantically defensible contract.
+AA_MIN_EDGE_WEIGHT = 2
+
 _AA_SQL = f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-und AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+und0 AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
   FROM li a
   JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
 ),
+und AS (SELECT pa, pb FROM und0 WHERE w >= {AA_MIN_EDGE_WEIGHT}),
 edges AS (
   SELECT pa AS src, pb AS dst FROM und
   UNION ALL
@@ -855,14 +865,17 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     — low-degree shared neighbors are stronger evidence of a missing
     link than hubs — and return the top-20 predicted links.
 
-    Scale shape: the wedge enumeration self-joins the center-keyed edge
-    list on src (ONE shuffle on the high-cardinality center key) with
-    the a < c ordering emitting each pair once; the degree attach
-    routes through session.dim_side (node-sized, SF-linear — checked
-    broadcast). Skew: hub centers are excluded past
-    AA_CENTER_DEGREE_CAP (see constant note — the standard cut, since
-    1/ln(d) makes hub evidence negligible anyway), bounding per-center
-    fan-out at cap². Determinism: contributions quantized to 1e-12
+    Scale shape: the graph is the REPEATED co-purchase graph
+    (w >= AA_MIN_EDGE_WEIGHT — see constant note: the w>=1 graph is
+    near-complete and its 2-hop closure is quadratic in parts; the
+    signal graph's wedge volume is ~1e-5 of it at sf0.1). The wedge
+    enumeration self-joins the center-keyed edge list on src (ONE
+    shuffle on the high-cardinality center key) with the a < c ordering
+    emitting each pair once; the degree attach routes through
+    session.dim_side (node-sized, SF-linear — checked broadcast). Skew:
+    hub centers are excluded past AA_CENTER_DEGREE_CAP (defense in
+    depth behind the weight floor, since 1/ln(d) makes hub evidence
+    negligible anyway), bounding per-center fan-out at cap². Determinism: contributions quantized to 1e-12
     units -> exact decimal sum (repo wide-sum convention; the final
     ranking orders on the EXACT integer sum, never a rounded double);
     ln() parity is the empirically-pinned SURVEY §7.5.2 contract.
@@ -870,7 +883,9 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibis_olap_aggregation_spark.session import dim_side
 
     und = query_cache(
-        copurchase_pairs(order_items(spark, sf_dir)).select("pa", "pb")
+        copurchase_pairs(order_items(spark, sf_dir))
+        .filter(F.col("w") >= AA_MIN_EDGE_WEIGHT)
+        .select("pa", "pb")
     )
     edges = und.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")

@@ -1231,7 +1231,7 @@ PACK_SHARDS = 16
 WITH tok AS (
   SELECT doc_id,
          doc_id % {PACK_SHARDS} AS shard,
-         (n_chars + 3) // 4 AS n_tok
+         GREATEST(1, (n_chars + 3) // 4) AS n_tok
   FROM documents
 ),
 packed AS (
@@ -1273,7 +1273,13 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         (F.col("doc_id") % PACK_SHARDS).alias("shard"),
-        F.floor((F.col("n_chars") + 3) / 4).cast("bigint").alias("n_tok"),
+        # floor at 1 token (a zero-length doc still costs an EOS slot).
+        # Also a determinism guard: n_tok = 0 could park `cum - 1` at -1,
+        # where Spark's floor-division (-1) and DuckDB's truncating //
+        # (0) disagree — with n_tok >= 1 every cum/offset is >= 0
+        F.greatest(
+            F.lit(1), F.floor((F.col("n_chars") + 3) / 4).cast("bigint")
+        ).alias("n_tok"),
     )
     w = (
         Window.partitionBy("shard")

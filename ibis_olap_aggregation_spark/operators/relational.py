@@ -1775,8 +1775,12 @@ def join_bloom_pruned_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact semi-join on the key — the only shuffle of probe rows,
     now carrying ~selectivity× the original volume.
     """
+    from ibis_olap_aggregation_spark.session import query_cache
+
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
-    build = (
+    # query-scoped cache: the build keys feed BLOOM_K bit-set builds plus
+    # the confirm join — without it the filtered orders scan runs 4x
+    build = query_cache(
         t["orders"]
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("bk"))

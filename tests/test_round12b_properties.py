@@ -47,7 +47,7 @@ def test_pack_sequences_matches_pandas_cumsum(spark):
 
     d = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "n_chars"]]
     d["shard"] = d["doc_id"] % PACK_SHARDS
-    d["n_tok"] = (d["n_chars"] + 3) // 4
+    d["n_tok"] = ((d["n_chars"] + 3) // 4).clip(lower=1)
     d = d.sort_values(["shard", "doc_id"])
     d["cum"] = d.groupby("shard")["n_tok"].cumsum()
     d["pack_id"] = (d["cum"] - d["n_tok"]) // PACK_CTX
@@ -69,6 +69,7 @@ def test_pack_sequences_matches_pandas_cumsum(spark):
 def test_adamic_adar_matches_python_wedges(spark):
     from ibis_olap_aggregation_spark.operators.graph import (
         AA_CENTER_DEGREE_CAP,
+        AA_MIN_EDGE_WEIGHT,
     )
 
     li = (
@@ -77,7 +78,11 @@ def test_adamic_adar_matches_python_wedges(spark):
     )
     pairs = li.merge(li, on="l_orderkey")
     pairs = pairs[pairs["l_partkey_x"] < pairs["l_partkey_y"]]
-    und = set(zip(pairs["l_partkey_x"], pairs["l_partkey_y"]))
+    wcount = (
+        pairs.groupby(["l_partkey_x", "l_partkey_y"]).size().reset_index(name="w")
+    )
+    wcount = wcount[wcount["w"] >= AA_MIN_EDGE_WEIGHT]
+    und = set(zip(wcount["l_partkey_x"], wcount["l_partkey_y"]))
     adj: dict[int, set[int]] = {}
     for a, b in und:
         adj.setdefault(a, set()).add(b)

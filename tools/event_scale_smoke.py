@@ -59,6 +59,9 @@ TIMED = [
     # the replica axis — more users, same horizon width per partition)
     "events_survival_kaplan_meier",
     "streaming_interval_join_eviction",
+    # round-12 second batch: lookback attribution is one user-partitioned
+    # window — must track the session-window line on the replica axis
+    "events_attribution_lookback",
 ]
 
 

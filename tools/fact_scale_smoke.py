@@ -39,6 +39,9 @@ TIMED = [
     "tpch_q3_shipping_priority",
     "tpch_q9_product_type_profit",
     "tpch_q21_waiting_orders",
+    # round-12 second batch: the bloom prune's broadcast side is
+    # position-capped, so cost must grow ~linearly in probe volume
+    "join_bloom_pruned_semi",
 ]
 
 

@@ -61,6 +61,7 @@ TIMED = [
     "graph_connected_components",
     "graph_copurchase_cosine",
     "graph_kcore_peel",
+    "graph_adamic_adar",
 ]
 
 

@@ -68,6 +68,10 @@ def main() -> None:
         "text_tfidf_top_terms",
         "text_pretoken_count",
         "multimodal_frame_sample",
+        # round-12 second batch: both are footer-column map/agg shapes —
+        # must stay linear (packing) / flat (mixture) on the corpus axis
+        "pipeline_pack_sequences",
+        "text_mixture_temperature_weights",
     ):
         t0 = time.perf_counter()
         df = QUERIES[name](spark, work)

@@ -845,7 +845,9 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     examples result, how many documents straddle an example boundary
     (candidates for attention-mask resets / document-boundary tokens),
     and how full the final example is — the report that decides pack
-    length and whether boundary-aware packing is worth it.
+    length and whether boundary-aware packing is worth it. Companion:
+    pipeline_pack_sequences (below) emits the per-window pack MANIFEST
+    on a shard-parallel layout.
 
     One source-partitioned cumulative-sum window (running token offset)
     + one groupBy: two shuffles on source, both map-side combinable
@@ -1259,7 +1261,12 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard, and each doc is assigned to the PACK_CTX-token window its
     FIRST token lands in; the plan reports per-window doc count, token
     mass, boundary-straddler count, and fill ratio (can exceed 1 where
-    a straddler spills into the next window).
+    a straddler spills into the next window). Companion to
+    sample_pack_sequences (above): that op is the per-SOURCE sizing
+    report (how many examples a source yields, is boundary-aware packing
+    worth it); this one emits the per-WINDOW pack manifest itself, and
+    its unit of parallelism is the hash shard, not the (skew-prone,
+    low-cardinality) source key.
 
     Scale shape: token estimate ((n_chars+3)/4, the BPE-ish chars/4
     rule) is MAP-ONLY off the parquet footer columns (text is never

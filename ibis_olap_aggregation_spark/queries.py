@@ -1080,6 +1080,7 @@ _ADDED_ROUND12B: frozenset[str] = frozenset(
         "join_bloom_pruned_semi",
         "events_attribution_lookback",
         "text_mixture_temperature_weights",
+        "streaming_running_totals_twin",
     }
 )
 

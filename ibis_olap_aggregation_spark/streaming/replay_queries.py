@@ -54,6 +54,7 @@ from ibis_olap_aggregation_spark.streaming.engine import (
     run_to_memory,
     run_upsert_sink,
     stream_events,
+    user_running_totals,
 )
 
 _N_REPLAY_FILES = 8
@@ -89,7 +90,13 @@ def _replay_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-def _drain(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
+def _drain(
+    spark: SparkSession,
+    df: DataFrame,
+    prefix: str,
+    *,
+    output_mode: str = "append",
+) -> DataFrame:
     """Checkpointed AvailableNow drain into a uniquely-named memory
     sink. The sink's temp view and the checkpoint dir are registered
     for query-scoped release (ADVICE r11 item 2): without it a long
@@ -104,7 +111,9 @@ def _drain(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
 
     name = f"{prefix}_{next(_IDS)}"
     ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
-    _DRAIN_PROGRESS.value = run_to_memory(df, name, checkpoint_dir=ckpt)
+    _DRAIN_PROGRESS.value = run_to_memory(
+        df, name, checkpoint_dir=ckpt, output_mode=output_mode
+    )
 
     def _release(view=name, path=ckpt):
         # rmtree FIRST (ignore_errors — cannot raise): if the session is
@@ -414,6 +423,63 @@ def streaming_upsert_latest_state_twin(
         )
     )
     return table.read().select(*cols).orderBy("user_id", "event_type")
+
+
+@register(
+    "streaming_running_totals_twin",
+    """
+WITH u AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+)
+SELECT n_events,
+       COUNT(*) AS n_users,
+       CAST(SUM(cents) AS DOUBLE) / 100 AS total_value
+FROM u GROUP BY 1 ORDER BY 1
+""",
+)
+def streaming_running_totals_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState, driven end-to-end through the driver
+    gate: 8-micro-batch rate-limited replay -> the custom per-user
+    stateful accumulator (engine.user_running_totals: event count +
+    exact integer-cents value total, Arrow-batched, state-store
+    persisted) -> checkpointed drain -> per-user FINAL state -> user
+    distribution by event count. Closes the last never-driver-checked
+    streaming surface: dedup/replay/interval-join/upsert twins cover
+    the built-in stateful operators; this one covers the custom-state
+    API the silence-alert and running-total operators are built on.
+
+    Order-independence (the twin contract every replay twin keeps):
+    the state transition is COMMUTATIVE (count increments + integer
+    cents sums, rounded per element before accumulating), so the final
+    per-user state is replay-order invariant; update-mode emits one
+    progress row per (user, touched micro-batch), and the final state
+    is selected with max() per user — both columns are monotone
+    nondecreasing across a user's updates, no ordering assumption.
+    State is one fixed-width row per user (the production bound:
+    key-sized, like the CDC upsert twin's), never event-sized.
+    """
+    ev = stream_events(
+        spark, _replay_dir(spark, sf_dir), max_files_per_trigger=1
+    )
+    rt = user_running_totals(ev)
+    # update output mode: the memory sink keeps every per-batch update
+    # row (it does NOT overwrite by key) — the max() selection below is
+    # what resolves a user's final state
+    sunk = _drain(spark, rt, "running_totals", output_mode="update")
+    final = sunk.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value_cents").alias("cents"),
+    )
+    return (
+        final.groupBy("n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            (F.sum("cents").cast("double") / 100).alias("total_value"),
+        )
+        .orderBy("n_events")
+    )
 
 
 # Re-run the driver-coverage reorder AFTER this module's @register calls

@@ -124,6 +124,12 @@ def test_results_invariant_to_shuffle_partitioning(spark, sf_small):
         # day-grain cumulative windows must not see partition count
         "sim_ndcg_eval",
         "events_survival_kaplan_meier",
+        # round-12 second batch: the pack manifest's shard windows and
+        # the attribution carry-forward must not see partition count;
+        # the mixture normalizer is an integer window sum (order-free)
+        "pipeline_pack_sequences",
+        "events_attribution_lookback",
+        "text_mixture_temperature_weights",
     ]
     conf = "spark.sql.shuffle.partitions"
     orig = spark.conf.get(conf)
@@ -157,6 +163,10 @@ def test_results_invariant_to_aqe_toggle(spark, sf_small):
         # runtime join re-selection unchanged
         "sim_range_search",
         "sim_rrf_fusion",
+        # round-12 second batch: the bloom prune's broadcast-semi chain
+        # and the wedge equi-join must survive AQE join re-selection
+        "join_bloom_pruned_semi",
+        "graph_adamic_adar",
     ]
     conf = "spark.sql.adaptive.enabled"
     orig = spark.conf.get(conf)

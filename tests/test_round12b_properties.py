@@ -206,3 +206,36 @@ def test_mixture_weights_match_numpy(spark):
     )
     sdf = QUERIES["text_mixture_temperature_weights"](spark, SF).toPandas()
     _assert_frames_equal(sdf, ref)
+
+
+def test_running_totals_twin_state_is_user_sized(spark):
+    """The custom-state twin's production bound: after the full 8-batch
+    drain the state store holds exactly one fixed-width row per user
+    ever seen — key-sized, never event-sized. Also re-derives the final
+    output from pandas (count + per-element-rounded cents)."""
+    import pandas as pd
+
+    from ibis_olap_aggregation_spark.streaming.replay_queries import (
+        last_drain_progress,
+    )
+
+    sdf = QUERIES["streaming_running_totals_twin"](spark, SF).toPandas()
+    prog = last_drain_progress()
+    assert prog, "drain produced no progress reports"
+    state_rows = max(
+        op["numRowsTotal"] for p in prog for op in p.get("stateOperators", [])
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    n_users = ev["user_id"].nunique()
+    assert state_rows == n_users, (state_rows, n_users)
+    u = ev.assign(cents=(ev["value"] * 100).round().astype("int64")).groupby(
+        "user_id"
+    ).agg(n_events=("value", "size"), cents=("cents", "sum"))
+    ref = (
+        u.groupby("n_events")
+        .agg(n_users=("cents", "size"), cents=("cents", "sum"))
+        .reset_index()
+    )
+    ref["total_value"] = ref["cents"] / 100.0
+    ref = ref.drop(columns=["cents"])
+    _assert_frames_equal(sdf, ref)

@@ -60,8 +60,11 @@ TIMED = [
     "events_survival_kaplan_meier",
     "streaming_interval_join_eviction",
     # round-12 second batch: lookback attribution is one user-partitioned
-    # window — must track the session-window line on the replica axis
+    # window — must track the session-window line on the replica axis;
+    # the custom-state twin's state is user-sized, so its drain must
+    # grow ~linearly in events while state grows only with users
     "events_attribution_lookback",
+    "streaming_running_totals_twin",
 ]
 
 

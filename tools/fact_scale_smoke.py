@@ -95,8 +95,13 @@ def main() -> None:
                   "supplier", "part"):
             load_table(spark, d, t).count()
 
+    timed = TIMED
+    only = os.environ.get("SPARK_GRAFT_SMOKE_ONLY")
+    if only:
+        timed = [n for n in TIMED if n in only.split(",")]
+
     print(f"{'query':38s} {'base_s':>8s} {'amp_s':>8s} {'ratio':>6s}  (amp={AMP}x)")
-    for name in TIMED:
+    for name in timed:
         fn = QUERIES[name]
         base_t = _time(fn, spark, SRC)
         amp_t = _time(fn, spark, work)

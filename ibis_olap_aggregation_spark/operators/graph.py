@@ -86,6 +86,16 @@ def copurchase_pairs(items: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
 
+def signal_pairs(items: DataFrame, min_w: int) -> DataFrame:
+    """Weight-floored ("signal") co-purchase pairs: copurchase_pairs
+    with single-co-occurrence noise edges dropped. ONE definition for
+    every consumer of the floored graph (connected components and
+    k-core at _CC_MIN_W, Adamic-Adar at AA_MIN_EDGE_WEIGHT, cosine at
+    its own w >= 3) so the floor predicate cannot drift between them —
+    the same single-copy rationale as copurchase_pairs itself."""
+    return copurchase_pairs(items).filter(F.col("w") >= min_w)
+
+
 # one iteration of the oracle chain: contributions quantized to 1e-15
 # units -> exact bigint sum per dst -> damped update. Every node has
 # in-edges (the edge list is symmetrized), so the aggregate covers the
@@ -513,8 +523,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibis_olap_aggregation_spark.operators.dedup import connected_components
 
     und = query_cache(
-        copurchase_pairs(order_items(spark, sf_dir))
-        .filter(F.col("w") >= _CC_MIN_W)
+        signal_pairs(order_items(spark, sf_dir), _CC_MIN_W)
         .select("pa", "pb")
     )
     labels = connected_components(und, "pa", "pb")
@@ -574,7 +583,7 @@ def graph_copurchase_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     and attaches as a sort-merge join above it. Both regimes are plan-
     and output-pinned (test_plans.py::
     test_copurchase_cosine_support_regime_switch)."""
-    und = copurchase_pairs(order_items(spark, sf_dir)).filter(F.col("w") >= 3)
+    und = signal_pairs(order_items(spark, sf_dir), 3)
     supp = query_cache(
         order_items(spark, sf_dir).groupBy("l_partkey").agg(
             F.count(F.lit(1)).alias("n")
@@ -751,9 +760,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each round is localCheckpointed so per-round cost stays flat
     (the star-components lesson: an unpersisted parent otherwise grows
     the lineage with the round number)."""
-    und = copurchase_pairs(order_items(spark, sf_dir)).filter(
-        F.col("w") >= _CC_MIN_W
-    )
+    und = signal_pairs(order_items(spark, sf_dir), _CC_MIN_W)
     edges = und.select("pa", "pb").localCheckpoint(eager=True)
     prev_counts = None
     counts = None
@@ -883,9 +890,9 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibis_olap_aggregation_spark.session import dim_side
 
     und = query_cache(
-        copurchase_pairs(order_items(spark, sf_dir))
-        .filter(F.col("w") >= AA_MIN_EDGE_WEIGHT)
-        .select("pa", "pb")
+        signal_pairs(order_items(spark, sf_dir), AA_MIN_EDGE_WEIGHT).select(
+            "pa", "pb"
+        )
     )
     edges = und.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")

@@ -1159,8 +1159,8 @@ SELECT lang, n_docs, tok AS n_tokens,
        ROUND(p, 6) AS p_raw,
        ROUND(CAST(qw AS DOUBLE) / CAST(SUM(qw) OVER () AS DOUBLE), 6)
          AS weight,
-       ROUND(CAST(qw AS DOUBLE) / CAST(SUM(qw) OVER () AS DOUBLE) / p, 6)
-         AS epochs
+       ROUND(CAST(qw AS DOUBLE) / CAST(SUM(qw) OVER () AS DOUBLE)
+             / NULLIF(p, 0), 6) AS epochs
 FROM q
 """,
 )
@@ -1209,5 +1209,8 @@ def text_mixture_temperature_weights(
         F.col("tok").alias("n_tokens"),
         F.round("p", 6).alias("p_raw"),
         F.round(w, 6).alias("weight"),
-        F.round(w / F.col("p"), 6).alias("epochs"),
+        # NULLIF twin: an all-empty-docs language has p = 0 -> epochs is
+        # NULL on both engines (Spark 0/0 is NULL, DuckDB's is NaN — the
+        # guard keeps the engines aligned instead of leaning on either)
+        F.round(w / F.nullif(F.col("p"), F.lit(0.0)), 6).alias("epochs"),
     )

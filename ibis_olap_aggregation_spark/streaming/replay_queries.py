@@ -459,6 +459,13 @@ def streaming_running_totals_twin(spark: SparkSession, sf_dir: str) -> DataFrame
     nondecreasing across a user's updates, no ordering assumption.
     State is one fixed-width row per user (the production bound:
     key-sized, like the CDC upsert twin's), never event-sized.
+
+    Rounding contract: the accumulator rounds value*100 per element with
+    numpy (half-to-even) and the oracle with DuckDB ROUND (half-away) —
+    they agree because events.value is exactly 2-decimal (verified: max
+    distance from the cent grid ~4e-12 at every SF), so the half-cent
+    boundary is unreachable. A 3-decimal fixture would need a shared
+    rounding mode first.
     """
     ev = stream_events(
         spark, _replay_dir(spark, sf_dir), max_files_per_trigger=1
@@ -468,9 +475,13 @@ def streaming_running_totals_twin(spark: SparkSession, sf_dir: str) -> DataFrame
     # row (it does NOT overwrite by key) — the max() selection below is
     # what resolves a user's final state
     sunk = _drain(spark, rt, "running_totals", output_mode="update")
+    # final state = the update row with the LARGEST n_events (strictly
+    # increasing per touched batch) — max_by, not max(cents): cents is
+    # only monotone while values are nonnegative, and the selection
+    # must not lean on that data property (code-review r12b)
     final = sunk.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max("total_value_cents").alias("cents"),
+        F.max_by("total_value_cents", "n_events").alias("cents"),
     )
     return (
         final.groupBy("n_events")

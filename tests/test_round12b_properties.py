@@ -122,10 +122,6 @@ def test_bloom_prune_exact_under_forced_false_positives(spark, monkeypatch):
         orders.loc[orders["o_orderpriority"] == "1-URGENT", "o_orderkey"]
     )
     hit = li[li["l_orderkey"].isin(urgent)].copy()
-    hit["rev"] = (
-        hit["l_extendedprice"].round(2).map(lambda v: round(v, 2))
-        * (1 - hit["l_discount"]).round(2)
-    )
     # exact decimal twin: quantize to cents like the decimal(18,2) casts
     cents = (
         (hit["l_extendedprice"] * 100).round().astype("int64")

@@ -98,7 +98,13 @@ def main() -> None:
     timed = TIMED
     only = os.environ.get("SPARK_GRAFT_SMOKE_ONLY")
     if only:
-        timed = [n for n in TIMED if n in only.split(",")]
+        requested = only.split(",")
+        unknown = [n for n in requested if n not in TIMED]
+        if unknown:
+            # fail loudly: a typo would otherwise "succeed" measuring
+            # nothing (code-review r12b)
+            raise SystemExit(f"SPARK_GRAFT_SMOKE_ONLY names not in TIMED: {unknown}")
+        timed = [n for n in TIMED if n in requested]
 
     print(f"{'query':38s} {'base_s':>8s} {'amp_s':>8s} {'ratio':>6s}  (amp={AMP}x)")
     for name in timed:

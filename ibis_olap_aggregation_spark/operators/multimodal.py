@@ -85,18 +85,33 @@ def decode_media(payload: bytes, media_type: str, *, fake: bool = False) -> byte
     1. ``fake=True``: deterministic pseudo-decode (payload repeated 4x)
        — the mode tests and oracles use, available everywhere.
     2. A real codec found at runtime: images decode through Pillow into
-       raw RGB bytes (``Image.open(...).convert("RGB").tobytes()``).
-       The probe is per-call, so executors that DO have the library
-       use it with no code change. A payload the codec cannot parse
-       raises ValueError (wrapping the codec's own error) — note the
-       repo's SYNTHETIC payloads (unhex(md5(text)), 16 bytes) are not
-       valid images and land here by design when decoded for real.
-    3. Otherwise NotImplementedError naming the missing codec — audio/
-       video (ffmpeg/soundfile) have no seam wired yet and always land
-       here when not faked.
+       raw RGB bytes (``Image.open(...).convert("RGB").tobytes()``);
+       audio decodes through the stdlib ``wave`` module into raw PCM
+       frames (always available — the audio path is REAL in every
+       environment). The probe is per-call, so executors that DO have
+       a library use it with no code change. A payload the codec cannot
+       parse raises ValueError (wrapping the codec's own error) — note
+       the repo's SYNTHETIC payloads (unhex(md5(text)), 16 bytes) are
+       not valid images/WAVs and land here by design when decoded for
+       real.
+    3. Otherwise NotImplementedError naming the missing codec — video
+       (ffmpeg) has no seam wired and always lands here when not faked,
+       as does image without Pillow.
     """
     if fake:
         return bytes(payload) * 4
+    if media_type == "audio":
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(bytes(payload))) as w:
+                return w.readframes(w.getnframes())
+        except Exception as exc:  # wave raises wave.Error / EOFError
+            raise ValueError(
+                f"payload ({len(payload)} bytes) is not a decodable WAV "
+                "— synthetic md5 payloads need fake=True"
+            ) from exc
     if media_type == "image":
         image_mod = _image_codec()
         if image_mod is not None:
@@ -112,7 +127,8 @@ def decode_media(payload: bytes, media_type: str, *, fake: bool = False) -> byte
                 ) from exc
     raise NotImplementedError(
         f"no {media_type} codec available in this environment "
-        "(images need Pillow; audio/video decode is not wired); "
+        "(images need Pillow; video decode is not wired; audio always "
+        "decodes via the stdlib wave module); "
         "pass fake=True for the deterministic test decode"
     )
 

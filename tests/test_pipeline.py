@@ -179,8 +179,12 @@ def test_decode_media_seam_all_modes(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL", None)  # force ImportError
     with _pytest.raises(NotImplementedError, match="Pillow"):
         decode_media(payload, "image")
-    with _pytest.raises(NotImplementedError, match="audio"):
+    # audio's codec is the stdlib wave module (always present): a
+    # non-WAV payload is a ValueError, the with-codec contract
+    with _pytest.raises(ValueError, match="WAV"):
         decode_media(payload, "audio")
+    with _pytest.raises(NotImplementedError, match="video"):
+        decode_media(payload, "video")
 
     # 3. runtime probe finds a codec: decode routes through it. The
     # stub implements exactly the Image.open->convert->tobytes surface
@@ -209,9 +213,28 @@ def test_decode_media_seam_all_modes(monkeypatch):
     )
     monkeypatch.setitem(sys.modules, "PIL", stub_pil)
     assert decode_media(payload, "image") == b"rgb:" + payload
-    # audio still has no seam even with an image codec present
+    # video still has no seam even with an image codec present
     with _pytest.raises(NotImplementedError):
-        decode_media(payload, "audio")
+        decode_media(payload, "video")
+
+
+def test_decode_media_real_wav_roundtrip():
+    """The audio seam is REAL everywhere (stdlib wave): an in-memory
+    8-frame mono 16-bit PCM WAV must decode to exactly its frame bytes
+    through decode_media — no fake mode, no optional dependency."""
+    import io
+    import wave
+
+    from ibis_olap_aggregation_spark.operators.multimodal import decode_media
+
+    frames = bytes(range(16))  # 8 frames x 2 bytes, deterministic
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(frames)
+    assert decode_media(buf.getvalue(), "audio") == frames
 
 
 def test_decode_media_real_pillow_roundtrip():

@@ -678,10 +678,13 @@ def affinity_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibis_olap_aggregation_spark.operators.graph import (
         copurchase_pairs,
         order_items,
+        order_items_raw,
     )
 
     items = order_items(spark, sf_dir)
-    pairs = copurchase_pairs(items).select(
+    # the pair build dedups in its own collect_set — feed it the raw
+    # projection and keep the distinct only for the support counts below
+    pairs = copurchase_pairs(order_items_raw(spark, sf_dir)).select(
         F.col("pa").alias("part_a"),
         F.col("pb").alias("part_b"),
         F.col("w").alias("n_both"),

@@ -68,23 +68,49 @@ def order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_items_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, l_partkey) projection WITHOUT the distinct: the
+    basket pair builders dedup inside their collect_set anyway, so the
+    distinct's exchange is pure cost on that path (one full shuffle of
+    the item stream). Consumers that need the distinct pair set itself
+    (per-part order-support counts, per-customer ownership) keep
+    order_items."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+
+
 def copurchase_pairs(items: DataFrame) -> DataFrame:
     """Weighted ordered co-purchase pairs (pa < pb, w = co-order
-    count): the ONE self-join every graph/basket operator shares — the
-    shuffle key is the order key and pair fan-out is bounded by order
-    size (O(k^2) per order, k small). Kept as the single copy so the
-    ordering predicate (the triangle skew cut) cannot drift between
-    consumers (pagerank/triangles here, affinity lift in analytic.py)."""
-    a, b = items.alias("a"), items.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("w"))
+    count): the ONE basket pair build every graph/basket operator
+    shares. Kept as the single copy so the ordering predicate (the
+    triangle skew cut) cannot drift between consumers (pagerank/
+    triangles here, affinity lift in analytic.py).
+
+    Shape: groupBy(order) -> sorted basket array -> map-side pair
+    explode -> groupBy(pair). TWO shuffles total (order key, then pair
+    key) — the previous self-join form paid three (the distinct, the
+    join re-shuffle, the pair aggregation) for identical output
+    (collect_set dedups the (order, part) pairs the old distinct did;
+    sort_array fixes pa < pb). Pair fan-out stays bounded by basket
+    size (O(k²) per order, k small) and happens map-side between the
+    two exchanges."""
+    baskets = items.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                " y -> struct(x as pa, y as pb))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
+
 
 def signal_pairs(items: DataFrame, min_w: int) -> DataFrame:
     """Weight-floored ("signal") co-purchase pairs: copurchase_pairs
@@ -158,7 +184,7 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle unrolls the identical 3 iterations as CTEs, so the
     differential check verifies the full iterative dataflow, not one
     step. See module docstring for the determinism and scale story."""
-    und = copurchase_pairs(order_items(spark, sf_dir))
+    und = copurchase_pairs(order_items_raw(spark, sf_dir))
     edges = und.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
     ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))
@@ -293,7 +319,7 @@ def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared pair build (already pair-distinct via its groupBy); the
     # weight is irrelevant to triangle existence
     und = query_cache(
-        copurchase_pairs(order_items(spark, sf_dir)).select(
+        copurchase_pairs(order_items_raw(spark, sf_dir)).select(
             F.col("pa").alias("a"), F.col("pb").alias("b")
         )
     )
@@ -417,7 +443,7 @@ def graph_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3 a per-customer window, never a global sort. Integer scores
     (exact sums of co-order counts) keep the ranking bit-stable across
     engines."""
-    und = copurchase_pairs(order_items(spark, sf_dir))
+    und = copurchase_pairs(order_items_raw(spark, sf_dir))
     edges = und.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
     ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))
@@ -523,7 +549,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibis_olap_aggregation_spark.operators.dedup import connected_components
 
     und = query_cache(
-        signal_pairs(order_items(spark, sf_dir), _CC_MIN_W)
+        signal_pairs(order_items_raw(spark, sf_dir), _CC_MIN_W)
         .select("pa", "pb")
     )
     labels = connected_components(und, "pa", "pb")
@@ -583,7 +609,7 @@ def graph_copurchase_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     and attaches as a sort-merge join above it. Both regimes are plan-
     and output-pinned (test_plans.py::
     test_copurchase_cosine_support_regime_switch)."""
-    und = signal_pairs(order_items(spark, sf_dir), 3)
+    und = signal_pairs(order_items_raw(spark, sf_dir), 3)
     supp = query_cache(
         order_items(spark, sf_dir).groupBy("l_partkey").agg(
             F.count(F.lit(1)).alias("n")
@@ -661,7 +687,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree table and one aggregate: edge-list-bounded, never
     quadratic."""
     und = query_cache(
-        copurchase_pairs(order_items(spark, sf_dir)).select(
+        copurchase_pairs(order_items_raw(spark, sf_dir)).select(
             F.col("pa").alias("a"), F.col("pb").alias("b")
         )
     )
@@ -760,7 +786,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each round is localCheckpointed so per-round cost stays flat
     (the star-components lesson: an unpersisted parent otherwise grows
     the lineage with the round number)."""
-    und = signal_pairs(order_items(spark, sf_dir), _CC_MIN_W)
+    und = signal_pairs(order_items_raw(spark, sf_dir), _CC_MIN_W)
     edges = und.select("pa", "pb").localCheckpoint(eager=True)
     prev_counts = None
     counts = None
@@ -890,7 +916,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibis_olap_aggregation_spark.session import dim_side
 
     und = query_cache(
-        signal_pairs(order_items(spark, sf_dir), AA_MIN_EDGE_WEIGHT).select(
+        signal_pairs(order_items_raw(spark, sf_dir), AA_MIN_EDGE_WEIGHT).select(
             "pa", "pb"
         )
     )

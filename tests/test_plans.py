@@ -756,3 +756,29 @@ def test_adamic_adar_wedge_join_is_equi_no_cartesian(spark, sf_small):
     plan = pi._strip_non_executing(pi.physical_plan(df, executed=True))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_copurchase_pair_build_is_two_exchanges(spark, sf_small):
+    """copurchase_pairs: the basket-array pair build shuffles exactly
+    twice (order key for the basket aggregation, pair key for the
+    weights) — the self-join form it replaced paid a third exchange for
+    the distinct plus a join re-shuffle. The pair explode itself must
+    sit map-side between the two (no join operator at all)."""
+    from ibis_olap_aggregation_spark.operators.graph import (
+        copurchase_pairs,
+        order_items_raw,
+    )
+
+    # force a multi-partition input: the sf0.001 scan is one partition,
+    # which satisfies every clustered distribution and elides ALL
+    # exchanges — the pin needs the production shape
+    items = order_items_raw(spark, sf_small).repartition(8, "l_partkey")
+    df = copurchase_pairs(items)
+    # 3 = the forced repartition + basket exchange + pair exchange;
+    # executed=True: sparkPlan is pre-EnsureRequirements and shows no
+    # inserted exchanges at all
+    assert pi.count_exchanges(df, executed=True) == 3, pi.physical_plan(
+        df, executed=True
+    )
+    plan = pi.physical_plan(df, executed=True)
+    assert "Join" not in plan, plan

@@ -235,3 +235,94 @@ def test_running_totals_twin_state_is_user_sized(spark):
     ref["total_value"] = ref["cents"] / 100.0
     ref = ref.drop(columns=["cents"])
     _assert_frames_equal(sdf, ref)
+
+
+def test_attribution_tie_on_ts_breaks_by_event_id(spark):
+    """Two touches at the SAME timestamp: the (ts, event_id) ordering
+    must credit the higher event_id — hand-built fixture, hand-computed
+    expectation, checked on BOTH the Spark op and the DuckDB oracle
+    (the tie is the one case the real fixture never exercises)."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    pdf = pd.DataFrame(
+        [
+            # user 1: click and view at the SAME ts (event_id 1 < 2),
+            # then a purchase - credit goes to the view (later event_id)
+            (1, "2024-01-01 10:00:00", 1, "click", 0.0, "{}"),
+            (2, "2024-01-01 10:00:00", 1, "view", 0.0, "{}"),
+            (3, "2024-01-01 11:00:00", 1, "purchase", 10.0, "{}"),
+            # user 2: touch 8 days before purchase -> outside the 7-day
+            # lookback -> 'direct'
+            (4, "2024-01-01 00:00:00", 2, "click", 0.0, "{}"),
+            (5, "2024-01-09 00:00:01", 2, "purchase", 5.0, "{}"),
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    work = tempfile.mkdtemp(prefix="attr_tie_")
+    pdf.to_parquet(os.path.join(work, "events.parquet"))
+    sdf = (
+        entry_mod.queries()["events_attribution_lookback"](spark, work)
+        .toPandas()
+        .set_index("credited_type")
+    )
+    assert sdf.loc["view", "n_purchases"] == 1  # the tie-break
+    assert sdf.loc["direct", "n_purchases"] == 1  # the horizon
+    assert "click" not in sdf.index
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{work}/events.parquet'")
+    odf = (
+        con.execute(entry_mod.oracle_sql()["events_attribution_lookback"])
+        .fetchdf()
+        .set_index("credited_type")
+    )
+    assert odf.loc["view", "n_purchases"] == 1
+    assert odf.loc["direct", "n_purchases"] == 1
+
+
+def test_pack_sequences_tiny_docs_floor_and_straddle(spark):
+    """Synthetic corpus pinning the two pack edges no real fixture hits:
+    a 0-char doc still costs 1 token (the floor), and a doc bigger than
+    the window straddles multiple boundaries but is assigned to its
+    FIRST token's window."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    from ibis_olap_aggregation_spark.operators.pipeline import PACK_CTX
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 16, 32],  # all shard 0, packed in this order
+            "text": ["", "", ""],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            # 0 chars (-> 1 token via the floor), one full window, a
+            # 2.5-window giant
+            "n_chars": [0, PACK_CTX * 4, PACK_CTX * 10],
+        }
+    )
+    work = tempfile.mkdtemp(prefix="pack_edge_")
+    docs.to_parquet(os.path.join(work, "documents.parquet"))
+    out = (
+        entry_mod.queries()["pipeline_pack_sequences"](spark, work)
+        .toPandas()
+        .sort_values("pack_id")
+        .reset_index(drop=True)
+    )
+    assert (out["shard"] == 0).all()
+    assert out.loc[0, "pack_id"] == 0
+    assert out.loc[0, "n_docs"] == 2  # the 1-token doc + the full window
+    assert out.loc[0, "sum_tokens"] == 1 + PACK_CTX
+    assert out.loc[0, "n_straddlers"] == 1
+    assert out.loc[1, "pack_id"] == 1
+    assert out.loc[1, "n_docs"] == 1  # the giant, assigned by its start
+    assert out.loc[1, "n_straddlers"] == 1

@@ -501,7 +501,13 @@ def test_triangle_clustering_join_regime_switch(spark, sf_small, monkeypatch):
 
     df_b = q.QUERIES["graph_triangle_clustering"](spark, sf_small)
     plan_b = pi.physical_plan(df_b)
-    assert "BroadcastExchange" in plan_b, plan_b
+    # BroadcastHashJoin, not BroadcastExchange: join SELECTION is in
+    # sparkPlan; the exchange operator is only inserted by
+    # EnsureRequirements (executedPlan). The old assertion passed by
+    # accident — the pre-rewrite pair build's cached InMemoryRelation
+    # printed an executed build plan (display-only) that happened to
+    # contain the exchange string.
+    assert "BroadcastHashJoin" in plan_b, plan_b
     rows_b = [tuple(r) for r in df_b.collect()]
     release_query_caches()
 

@@ -170,6 +170,17 @@ def main() -> None:
         F.sum("n_kept").alias("kept"), F.sum("n_total").alias("total")
     ).collect()[0]
 
+    # 8. tokenizer-facing stages (round-12 additions): language mixture
+    # weights for the training sampler, and the context-window packing
+    # plan for the surviving corpus
+    mix = QUERIES["text_mixture_temperature_weights"](spark, SF_DIR)
+    upsampled = mix.filter(F.col("epochs") > 1).count()
+    packs = QUERIES["pipeline_pack_sequences"](spark, SF_DIR)
+    pack_row = packs.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n_straddlers").alias("straddlers"),
+    ).collect()[0]
+
     print(f"corpus:            {n0} docs")
     print(f"quality >= {QUALITY_MIN}:   {n1} docs  (-{n0 - n1})")
     print(f"repetition gate:   {n1b} docs  (-{n1 - n1b})")
@@ -184,6 +195,9 @@ def main() -> None:
     print(f"span-dup residue in survivors: {span_row.n_docs_hit} docs touched, "
           f"avg dup-token fraction {span_row.avg_dup_frac}")
     print(f"worst rule-gate source: {worst.source} (pass rate {worst.pass_rate})")
+    print(f"mixture: {upsampled} languages up-sampled (epochs > 1) at alpha=0.3")
+    print(f"packing plan: {pack_row.n_windows} context windows, "
+          f"{pack_row.straddlers} boundary straddlers")
     assert stats[0][1] + stats[1][1] == n3
 
 

@@ -326,3 +326,69 @@ def test_pack_sequences_tiny_docs_floor_and_straddle(spark):
     assert out.loc[1, "pack_id"] == 1
     assert out.loc[1, "n_docs"] == 1  # the giant, assigned by its start
     assert out.loc[1, "n_straddlers"] == 1
+
+
+def test_running_totals_twin_is_replay_order_invariant(spark, tmp_path):
+    """The twin's stated contract, exercised rather than asserted:
+    replay the same events with file mtimes REVERSED (the file source
+    drains oldest-mtime first, so the stream arrives in reverse
+    event-time order) and the final output must be identical — the
+    state transition is commutative and the final-state selection is a
+    monotone max_by, so no ordering assumption may leak in."""
+    import os
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ibis_olap_aggregation_spark.session import load_table
+    from ibis_olap_aggregation_spark.streaming.engine import (
+        run_to_memory,
+        stream_events,
+        user_running_totals,
+    )
+
+    # time-range-partitioned copy with REVERSED mtimes
+    out = str(tmp_path / "replay_rev")
+    (
+        load_table(spark, SF, "events")
+        .repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    base = os.stat(out).st_mtime
+    for i, f in enumerate(reversed(parts)):
+        p = os.path.join(out, f)
+        os.utime(p, (base + i + 1, base + i + 1))
+
+    ev = stream_events(spark, out, max_files_per_trigger=1)
+    rt = user_running_totals(ev)
+    ckpt = str(tmp_path / "ckpt")
+    run_to_memory(rt, "rev_totals", checkpoint_dir=ckpt, output_mode="update")
+    sunk = spark.table("rev_totals")
+    final = (
+        sunk.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value_cents", "n_events").alias("cents"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ev_pd = pd.read_parquet(f"{SF}/events.parquet")
+    ref = (
+        ev_pd.assign(
+            cents=(ev_pd["value"] * 100).round().astype("int64")
+        )
+        .groupby("user_id", as_index=False)
+        .agg(n_events=("value", "size"), cents=("cents", "sum"))
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    spark.catalog.dropTempView("rev_totals")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert final["n_events"].tolist() == ref["n_events"].tolist()
+    assert final["cents"].tolist() == ref["cents"].tolist()

@@ -392,3 +392,66 @@ def test_running_totals_twin_is_replay_order_invariant(spark, tmp_path):
     shutil.rmtree(ckpt, ignore_errors=True)
     assert final["n_events"].tolist() == ref["n_events"].tolist()
     assert final["cents"].tolist() == ref["cents"].tolist()
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "name",
+    [
+        "streaming_file_replay_rate_limited",
+        "streaming_dedup_within_watermark_twin",
+        "streaming_interval_join_twin",
+        "streaming_upsert_latest_state_twin",
+        "streaming_running_totals_twin",
+    ],
+)
+def test_streaming_twins_survive_reversed_replay(
+    spark, monkeypatch, tmp_path_factory, name
+):
+    """Every replay twin documents replay-order independence as its
+    contract (span-covering watermarks / commutative state / conflict-
+    re-merging upserts). Exercise it: monkeypatch _replay_dir to a copy
+    whose file mtimes are REVERSED (the file source drains oldest-mtime
+    first, so micro-batches arrive in reverse event-time order) and the
+    twin must still match its DuckDB oracle exactly.
+
+    streaming_interval_join_eviction is deliberately NOT here: its
+    bounded lateness horizon makes late arrivals genuinely
+    order-sensitive — that is the operator's semantics, not a bug.
+    """
+    import os
+
+    import ibis_olap_aggregation_spark.streaming.replay_queries as rq
+    from ibis_olap_aggregation_spark.session import load_table
+    from tests.test_entry_oracle import normalize, run_oracle
+
+    import __spark_entry__ as entry_mod
+
+    base_dir = tmp_path_factory.getbasetemp() / "replay_reversed_shared"
+    out = str(base_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, SF, "events")
+            .repartitionByRange(8, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+        base = os.stat(out).st_mtime
+        for i, f in enumerate(reversed(parts)):
+            p = os.path.join(out, f)
+            os.utime(p, (base + i + 1, base + i + 1))
+    monkeypatch.setattr(rq, "_replay_dir", lambda s, sf: out)
+
+    sdf = entry_mod.queries()[name](spark, SF).toPandas()
+    odf = run_oracle(entry_mod.oracle_sql()[name], SF)
+    s, o = normalize(sdf), normalize(odf)
+    assert len(s) == len(o), (len(s), len(o))
+    assert list(s.columns) == list(o.columns)
+    assert s.astype(str).equals(o.astype(str)), (
+        s.head(8).to_string(),
+        o.head(8).to_string(),
+    )

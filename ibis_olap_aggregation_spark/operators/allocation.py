@@ -159,7 +159,10 @@ def hierarchy_weighted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         facts.join(
-            dim_side(paths), facts["leaf"] == paths["descendant"]
+            # derived (iterative closure): cache on memo-miss so the
+            # bounded probe populates what the join reads (ADVICE r11 #4)
+            dim_side(paths, cache_if_probing=True),
+            facts["leaf"] == paths["descendant"],
         )
         .groupBy(F.col("ancestor").alias("node_id"))
         .agg(

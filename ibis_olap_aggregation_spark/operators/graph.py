@@ -925,7 +925,9 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ctr = (
-        edges.join(dim_side(deg), "src")
+        # derived aggregate: cache on memo-miss so the probe's execution
+        # feeds the wedge join instead of running twice (ADVICE r11 #4)
+        edges.join(dim_side(deg, cache_if_probing=True), "src")
         .filter((F.col("d") >= 2) & (F.col("d") <= AA_CENTER_DEGREE_CAP))
         .select(
             "src",

@@ -1480,7 +1480,13 @@ def hierarchy_level_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("descendant_node_id").alias("node_id"),
         F.col("descendant_level_number").alias("level_number"),
     )
-    j = nodes.join(dim_side(ch), nodes["node_id"] == ch["pid"], "left")
+    # ch is a derived aggregate: memo-miss probe + join would execute
+    # it twice without the probe-populated cache (ADVICE r11 #4)
+    j = nodes.join(
+        dim_side(ch, cache_if_probing=True),
+        nodes["node_id"] == ch["pid"],
+        "left",
+    )
     interior = F.count(F.when(F.col("pid").isNotNull(), 1))
     return j.groupBy("level_number").agg(
         F.count(F.lit(1)).alias("n_nodes"),

@@ -159,7 +159,9 @@ def clear_dim_side_memo() -> None:
     _DIM_SIDE_MEMO.clear()
 
 
-def dim_side(df: DataFrame, cap: int | None = None) -> DataFrame:
+def dim_side(
+    df: DataFrame, cap: int | None = None, *, cache_if_probing: bool = False
+) -> DataFrame:
     """Broadcast-or-merge resolver for SF-LINEAR dim-derived join sides.
 
     Probes the row count with a bounded ``limit(cap).count()`` (one
@@ -175,11 +177,32 @@ def dim_side(df: DataFrame, cap: int | None = None) -> DataFrame:
     PARITY.md (tools/broadcast_audit.py keeps it honest). Mirrors
     ``rollup._resolve_broadcast`` (closure cap) and graph's
     node/edge-cap regime switches.
-    """
+
+    ``cache_if_probing`` (ADVICE r11 #4): for a DERIVED side (a plan
+    with shuffles under it — an aggregate, an iterative closure), a
+    memo-MISS probe executes that plan once for the bounded count and
+    the join executes it again — two separate ACTIONS, which AQE
+    stage reuse cannot span. Passing True routes the side through
+    ``query_cache`` ONLY on a memo miss, so the probe populates the
+    cache the join then reads (measured at sf0.1, one-shot sessions:
+    graph_adamic_adar 4.47s -> 3.39s, hierarchy_weighted_rollup
+    1.80s -> 1.66s). On a memo HIT the side is returned uncached —
+    there is no probe to amortize, and an unconditionally cached side
+    measured ~0.5s SLOWER per warm invocation (cache write + read
+    loses to a straight recompute). Leave False for scan-filter
+    sides: their probes are limit-bounded scans (early-terminating,
+    cheap at any SF), and caching a raw scan just duplicates parquet
+    pages into executor memory. Self-joins WITHIN one action (q2's
+    costs/mn) need neither: AQE reuses the materialized shuffle stage
+    (interleaved A/B at sf0.1: caching was 0.2s slower)."""
     from pyspark.sql import functions as F
 
     if cap is None:
         cap = DIM_BROADCAST_ROW_CAP
+    if cache_if_probing:
+        memo, key = _dim_side_memo_entry(df, cap)
+        if memo is None or key not in memo:
+            df = query_cache(df)
     if probe_small(df, cap):
         return F.broadcast(df)
     return df.hint("merge")

@@ -141,3 +141,36 @@ def test_maintenance_ops_identical_across_probe_regimes(
     monkeypatch.setattr(sess, "DIM_BROADCAST_ROW_CAP", 1)
     assert _canon(dim.remove_subtree_from_closure(some_nation)) == removed_b
     assert _canon(dim.move_subtree_in_closure(nations[0], nations[1])) == moved_b
+
+
+def test_cache_if_probing_caches_only_on_memo_miss(spark, sf_small):
+    """ADVICE r11 #4: a derived side routed with cache_if_probing=True
+    is query-cached exactly when the probe will actually execute (memo
+    miss) — the probe's execution then feeds the join. On a memo hit
+    there is no probe to amortize and the side must come back uncached
+    (an unconditional cache measured slower on warm invocations)."""
+    from ibis_olap_aggregation_spark.session import release_query_caches
+
+    sess.clear_dim_side_memo()
+    release_query_caches()
+    t = load_tables(spark, sf_small, ("nation",))
+    derived = t["nation"].groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+    p0 = sess.DIM_SIDE_PROBE_STATS["probes"]
+    side = sess.dim_side(derived, cache_if_probing=True)
+    assert sess.DIM_SIDE_PROBE_STATS["probes"] == p0 + 1
+    assert derived.storageLevel.useMemory  # miss -> cached
+    release_query_caches()
+    assert not derived.storageLevel.useMemory  # registry released it
+
+    # same logical plan again: memo hit -> probe skipped, NOT re-cached
+    derived2 = t["nation"].groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    h0 = sess.DIM_SIDE_PROBE_STATS["hits"]
+    sess.dim_side(derived2, cache_if_probing=True)
+    assert sess.DIM_SIDE_PROBE_STATS["hits"] == h0 + 1
+    assert sess.DIM_SIDE_PROBE_STATS["probes"] == p0 + 1
+    assert not derived2.storageLevel.useMemory

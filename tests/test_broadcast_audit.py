@@ -33,8 +33,8 @@ def test_every_broadcast_site_classified():
     audit = _load()
     unclassified = []
     n = 0
-    for rel, lineno, line in audit.sites():
-        c = audit.classify(rel, line)
+    for rel, lineno, line, path in audit.sites():
+        c = audit.classify(rel, line, path, lineno)
         if c is None:
             continue
         n += 1
@@ -56,7 +56,7 @@ def test_no_unconditional_sf_linear_table_broadcasts():
     probe. (nation/region are constant-size and exempt.)"""
     audit = _load()
     bad = []
-    for rel, lineno, line in audit.sites():
+    for rel, lineno, line, _path in audit.sites():
         for pat in (
             'F.broadcast(t["supplier"]', 'F.broadcast(t["part"]',
             'F.broadcast(t["customer"]', 'F.broadcast(t["orders"]',
@@ -66,3 +66,56 @@ def test_no_unconditional_sf_linear_table_broadcasts():
             if pat in line:
                 bad.append(f"{rel}:{lineno}: {line}")
     assert not bad, "unconditional broadcast of an SF-linear base table:\n" + "\n".join(bad)
+
+
+def _fake_pkg(tmp_path, body: str) -> str:
+    """A synthetic package tree whose similarity.py contains ``body``."""
+    pkg = tmp_path / "fakepkg"
+    pkg.mkdir()
+    (pkg / "similarity.py").write_text(body)
+    return str(pkg)
+
+
+def test_unbounded_q_broadcast_fails_audit(tmp_path):
+    """VERDICT r12 'what's wrong' #1: the fixed-k rule must certify by
+    the operand's ASSIGNMENT lineage, not its variable name — an
+    unbounded side named q (the exact name the rule matches) must fail
+    the audit because no bound evidence is reachable from its
+    definition."""
+    audit = _load()
+    pkg = _fake_pkg(
+        tmp_path,
+        "def f(e, x):\n"
+        "    q = e.select('vec_id')\n"  # no bound anywhere
+        "    return x.join(F.broadcast(q), 'k')\n",
+    )
+    assert audit.main(pkg) == 1
+
+
+def test_bounded_q_broadcast_passes_audit(tmp_path):
+    """Positive twin: the same site with an explicit N_QUERIES bound in
+    the operand's lineage is certified fixed-k."""
+    audit = _load()
+    pkg = _fake_pkg(
+        tmp_path,
+        "def f(e, x):\n"
+        "    q = e.filter(F.col('vec_id') < N_QUERIES).select('vec_id')\n"
+        "    return x.join(F.broadcast(q), 'k')\n",
+    )
+    assert audit.main(pkg) == 0
+
+
+def test_closure_captured_bound_is_visible(tmp_path):
+    """A broadcast inside a nested function whose operand is assigned
+    (with its bound) in the ENCLOSING scope — the mrl-truncation shape
+    — must pass: closures read enclosing assignments."""
+    audit = _load()
+    pkg = _fake_pkg(
+        tmp_path,
+        "def f(e, x):\n"
+        "    q = e.filter(F.col('vec_id') < N_QUERIES)\n"
+        "    def topk(d):\n"
+        "        return x.join(F.broadcast(q), 'k')\n"
+        "    return topk(4)\n",
+    )
+    assert audit.main(pkg) == 0

@@ -33,6 +33,7 @@ _resolve_broadcast) or drop the hint for AQE — see PARITY.md round 11.
 
 from __future__ import annotations
 
+import ast
 import os
 import re
 import sys
@@ -40,8 +41,36 @@ import sys
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 PKG = os.path.join(ROOT, "ibis_olap_aggregation_spark")
 
-# Ordered (file_regex, line_regex, class, bound) — first match wins.
-RULES: list[tuple[str, str, str, str]] = [
+# Bound EVIDENCE a fixed-k operand's assignment lineage must carry
+# (VERDICT r12 item: certify by the operand's definition, never by its
+# variable NAME — a name rule would certify any future F.broadcast(q)
+# whose plan lost its bound). Each alternative is an explicit smallness
+# witness in source form:
+#   - a comparison filter against the module constants (vec_id <
+#     N_QUERIES, rk <= NPROBE)
+#   - .limit(k)
+#   - a single-row aggregate (df.agg(F.min/max/...) with no groupBy)
+#   - the codebook grain groupBy("m", "cj") (M_SUBSPACES x 2^PQ_BITS)
+#   - the bounded helpers _ivf_centroids / centroid_arrays / topk(k)
+#   - the diagonal filter i == j (one row per embedding dimension)
+FIXEDK_EVIDENCE = re.compile(
+    r"<\s*N_QUERIES"
+    r"|<=\s*NPROBE"
+    r"|\.limit\(\s*\d"
+    r"|\b\w+\.agg\(F\.(?:min|max|count|sum)\b"
+    r'|groupBy\(\s*"m",\s*"cj"\s*\)'
+    r"|_ivf_centroids\("
+    r"|centroid_arrays\("
+    r"|\btopk\(\s*\d"
+    r'|F\.col\("i"\)\s*==\s*F\.col\("j"\)'
+)
+
+# Ordered (file_regex, line_regex, class, bound[, verify_operand]) —
+# first match wins. verify_operand=True rules additionally require
+# FIXEDK_EVIDENCE in the broadcast operand's assignment lineage
+# (fixedk_operand_bounded); a matching site WITHOUT that evidence is
+# reported UNCLASSIFIED and fails the audit.
+RULES: list[tuple] = [
     # --- probe/regime resolvers: the only F.broadcast that may carry an
     # SF-linear side, because a bounded row-count probe guards it
     (r"session\.py$", r"return F\.broadcast\(df\)", "resolver",
@@ -83,19 +112,25 @@ RULES: list[tuple[str, str, str, str]] = [
     (r"pipeline\.py$", r"F\.broadcast\(tot\)|F\.broadcast\(z\)|F\.broadcast\(ess\)",
      "single-row", "1 row (global total / normalizer / ESS)"),
     (r"sketch_eval\.py$", r"F\.broadcast\(thresh\)", "single-row", "1 row (tolerance)"),
-    # --- fixed-k tables (module-constant row counts)
-    # exact names, not q\w* — each listed side is EXPLICITLY bounded at
-    # its site (vec_id < N_QUERIES filter or min-key equi-join) before
-    # the hint; a new q-named broadcast must be classified on its own
+    # --- fixed-k tables (module-constant row counts). verify_operand:
+    # the match alone never certifies — the operand's assignment
+    # lineage must carry FIXEDK_EVIDENCE (an explicit bound filter /
+    # limit / single-row agg / codebook grain), so renaming an
+    # unbounded side to `q` cannot pass the audit
+    (r"similarity\.py$", r'ex\.join\(F\.broadcast\(cent\), "dim"\)',
+     "caller-bound",
+     "_ivf_score_rank helper: cent is a PARAMETER (no in-function "
+     "lineage) documented as _ivf_centroids output — K labels x "
+     "EMB_DIM rows; retained decimal-exact witness, never registered"),
     (r"similarity\.py$",
      r"F\.broadcast\((?:q|qs|qe|qmin)\)|F\.broadcast\(eq\)|F\.broadcast\(probes\)",
-     "fixed-k", "N_QUERIES (=10) x NPROBE rows (module constants)"),
+     "fixed-k", "N_QUERIES (=10) x NPROBE rows (module constants)", True),
     (r"similarity\.py$", r"F\.broadcast\(cent\w*\)|F\.broadcast\(cb2?\)|F\.broadcast\(lut\)|F\.broadcast\(adc_top\)",
-     "fixed-k", "K centroids / M x 2^b codebook / k x M LUT / top-k (module constants)"),
+     "fixed-k", "K centroids / M x 2^b codebook / k x M LUT / top-k (module constants)", True),
     (r"similarity\.py$", r"F\.broadcast\(va\)|F\.broadcast\(vb\)", "fixed-k",
-     "one row per embedding dimension (EMB_DIM, fixed)"),
+     "one row per embedding dimension (EMB_DIM, fixed)", True),
     (r"similarity\.py$", r"F\.broadcast\(gt\)", "fixed-k",
-     "N_QUERIES x _MRL_K = 100 ground-truth rows (module constants)"),
+     "N_QUERIES x _MRL_K = 100 ground-truth rows (module constants)", True),
     (r"timeseries\.py$", r"F\.broadcast\(lags\)", "fixed-k", "MAX_LAG literal lag offsets"),
     (r"text\.py$", r"F\.broadcast\(vocab\.select|F\.broadcast\(va\)|F\.broadcast\(vb\)",
      "fixed-k", "PMI vocab capped at top-50 (module constant)"),
@@ -148,9 +183,75 @@ RULES: list[tuple[str, str, str, str]] = [
 ]
 
 
-def sites() -> list[tuple[str, int, str]]:
+def _enclosing_functions(tree: ast.Module, lineno: int) -> list[ast.AST]:
+    """All function bodies containing ``lineno``, innermost first — a
+    nested closure reads names assigned in any enclosing scope."""
+    chain = [
+        node
+        for node in ast.walk(tree)
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+        and node.lineno <= lineno <= (node.end_lineno or node.lineno)
+    ]
+    return sorted(chain, key=lambda n: -n.lineno)
+
+
+def fixedk_operand_bounded(path: str, lineno: int, line: str) -> bool:
+    """Plan-lineage evidence check for a fixed-k broadcast site: every
+    plain-name operand of ``F.broadcast(name)`` on the line must have an
+    assignment (latest before the site, in the enclosing function) whose
+    source — or that of its simple-name dependencies, transitively to
+    depth 3 — matches FIXEDK_EVIDENCE. An operand with no reachable
+    bounded definition (a parameter, a module global, an unbounded
+    select) FAILS: the audit cannot certify what it cannot see."""
+    names = re.findall(r"F\.broadcast\((\w+)\)", line)
+    if not names:
+        return False  # expression operand: nothing to trace, refuse
+    src = open(path).read()
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return False
+    chain = _enclosing_functions(tree, lineno)
+    if not chain:
+        return False
+    assigns: dict[str, list[tuple[int, ast.expr]]] = {}
+    for fn in chain:
+        for node in ast.walk(fn):
+            if isinstance(node, ast.Assign):
+                for tgt in node.targets:
+                    if isinstance(tgt, ast.Name):
+                        assigns.setdefault(tgt.id, []).append(
+                            (node.lineno, node.value)
+                        )
+    for lst in assigns.values():
+        lst.sort(key=lambda t: t[0])
+
+    def latest(name: str, before: int) -> ast.expr | None:
+        cands = [v for ln, v in assigns.get(name, []) if ln <= before]
+        return cands[-1] if cands else None
+
+    def bounded(name: str, before: int, depth: int) -> bool:
+        value = latest(name, before)
+        if value is None:
+            return False
+        seg = ast.get_source_segment(src, value) or ""
+        if FIXEDK_EVIDENCE.search(seg):
+            return True
+        if depth <= 0:
+            return False
+        deps = {
+            n.id
+            for n in ast.walk(value)
+            if isinstance(n, ast.Name) and n.id != name and n.id in assigns
+        }
+        return any(bounded(d, value.lineno, depth - 1) for d in deps)
+
+    return all(bounded(n, lineno, 3) for n in names)
+
+
+def sites(pkg: str | None = None) -> list[tuple[str, int, str, str]]:
     out = []
-    for dirpath, _dirs, files in os.walk(PKG):
+    for dirpath, _dirs, files in os.walk(pkg or PKG):
         for fn in sorted(files):
             if not fn.endswith(".py"):
                 continue
@@ -166,13 +267,24 @@ def sites() -> list[tuple[str, int, str]]:
                     if "F.broadcast(" in line or re.search(
                         r"\.hint\(\s*['\"]broadcast['\"]", line
                     ):
-                        out.append((rel, i, line.strip()))
+                        out.append((rel, i, line.strip(), path))
     return out
 
 
-def classify(rel: str, line: str) -> tuple[str, str] | None:
-    for file_re, line_re, klass, bound in RULES:
+def classify(
+    rel: str, line: str, path: str | None = None, lineno: int = 0
+) -> tuple[str, str] | None:
+    for rule in RULES:
+        file_re, line_re, klass, bound = rule[:4]
+        verify_operand = len(rule) > 4 and rule[4]
         if re.search(file_re, rel) and re.search(line_re, line):
+            if verify_operand and path is not None:
+                if not fixedk_operand_bounded(path, lineno, line):
+                    return (
+                        "UNCLASSIFIED",
+                        "name rule matched but operand lineage carries "
+                        "no bound evidence",
+                    )
             return klass, bound
     # docstring/comment mentions inside session.py helper text
     if "``F.broadcast" in line or line.startswith('"'):
@@ -180,11 +292,11 @@ def classify(rel: str, line: str) -> tuple[str, str] | None:
     return ("UNCLASSIFIED", "")
 
 
-def main() -> int:
+def main(pkg: str | None = None) -> int:
     rows = []
     unclassified = []
-    for rel, lineno, line in sites():
-        c = classify(rel, line)
+    for rel, lineno, line, path in sites(pkg):
+        c = classify(rel, line, path, lineno)
         if c is None:
             continue
         klass, bound = c

@@ -1205,8 +1205,12 @@ def events_attribution_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "value",
         # events.ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP. The
-        # cast applies the session zone to BOTH operands, so the
-        # difference is shift-invariant
+        # difference of the two casts is correct because session.py
+        # PINS spark.sql.session.timeZone to UTC (a fixed-offset zone):
+        # both operands shift by the same constant. Under a DST zone
+        # the two casts could pick different offsets when lts and ts
+        # straddle a transition — do not relax the UTC pin without
+        # moving this latency to an NTZ-native timestampdiff
         F.when(
             attributed,
             F.unix_micros(F.col("ts").cast("timestamp"))

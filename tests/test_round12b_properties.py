@@ -61,9 +61,27 @@ def test_pack_sequences_matches_pandas_cumsum(spark):
         )
         .reset_index()
     )
-    ref["fill_ratio"] = (ref["sum_tokens"] / PACK_CTX).round(6)
     sdf = QUERIES["pipeline_pack_sequences"](spark, SF).toPandas()
-    _assert_frames_equal(sdf, ref.astype({"shard": "int64", "pack_id": "int64"}))
+    # fill_ratio is NOT independently re-rounded in pandas: .round(6)
+    # rounds half-to-even while Spark F.round is half-up, and
+    # sum_tokens/2048 lands on an exact 1e-6 halfway tie whenever
+    # sum_tokens % 32 == 16 (ADVICE r12 #1). Instead derive it from the
+    # engine's own already-compared sum_tokens with an explicit half-up
+    # rule, so the only asserted fact is the rounding contract itself.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    expected_fill = sdf["sum_tokens"].map(
+        lambda t: float(
+            (Decimal(int(t)) / Decimal(PACK_CTX)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+    )
+    assert (sdf["fill_ratio"] == expected_fill).all()
+    _assert_frames_equal(
+        sdf.drop(columns=["fill_ratio"]),
+        ref.astype({"shard": "int64", "pack_id": "int64"}),
+    )
 
 
 def test_adamic_adar_matches_python_wedges(spark):

@@ -25,6 +25,15 @@ as "basis" in the output; min-of-2 rounds r1-r5 are delta-reported but
 never gate-compared, medians sit systematically above mins).
 SPARK_GRAFT_BENCH_INJECT="name:secs,..." injects an artificial
 slowdown into named queries so the gate itself is testable end-to-end.
+
+Cross-round comparability: each run measures a BOX FACTOR (isolated
+warm reps of three pinned probe queries vs their original-box anchor
+medians) and records it in the history line; the gate compares
+box-NORMALIZED values (time / box_factor) on both sides, so a slower
+driver machine doesn't read as a code regression and a faster one
+can't launder a real slowdown into the clean pool (VERDICT r12 item
+7 — the r12 box ran 1.27-1.40x slower than r11's and every raw-total
+comparison that round needed manual normalization).
 """
 
 from __future__ import annotations
@@ -179,6 +188,43 @@ def materialize(df) -> None:
     caches pinned in the CacheManager for the session lifetime."""
     df.write.format("noop").mode("overwrite").save()
     release_query_caches()
+
+
+# Box-speed calibration (VERDICT r12 item 7): raw seconds are not
+# comparable across rounds because the driver's machine changes speed
+# between sessions (the r12 box measured 1.27-1.40x slower than the
+# r11 box on code-identical queries). Each bench run therefore
+# measures a BOX FACTOR — isolated warm reps of three pinned,
+# long-stable probe queries, divided by their anchor medians — and
+# records it in the history line, so the regression gate can compare
+# box-normalized values instead of depending on session memory of
+# which box was slow. Anchors are the per-query medians over the 19
+# clean median3 sf0.1 records that predate the first slow-box session
+# (BENCH_HISTORY lines 2-21, boxes of 2026-08-10..15); the probe
+# queries were chosen for code stability (untouched since round 2)
+# and for spanning scan-agg / text-UDF-free / shuffle-heavy shapes.
+BOX_PROBES = {
+    "tpch_q6_forecast_revenue": 0.240,
+    "text_quality_score": 0.284,
+    "dedup_minhash_lsh_candidates": 2.364,
+}
+
+
+def measure_box_factor(spark) -> float:
+    """Median ratio of isolated warm probe medians to their anchors.
+    Runs back-to-back right after warmup (nothing else in flight), 5
+    reps each, injection never applied — the calibration must measure
+    the BOX, not the workload under test."""
+    ratios = []
+    for name, anchor in BOX_PROBES.items():
+        fn = q.QUERIES.get(name)
+        if fn is None:
+            continue
+        med, _ = time_query(
+            name, lambda: materialize(fn(spark, SF_DIR)), reps=5, inject={}
+        )
+        ratios.append(med / anchor)
+    return round(statistics.median(ratios), 3) if ratios else 1.0
 
 
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
@@ -342,8 +388,12 @@ def _prev_bench() -> tuple[dict[str, float], str | None]:
         if clean_same_basis:
             samples: dict[str, list[float]] = {}
             for r in clean_same_basis:
+                # box-normalize each record by ITS recorded factor
+                # (legacy records predate the field: they were taken on
+                # the anchor boxes, factor 1.0 by construction)
+                bf = r.get("box_factor") or 1.0
                 for k, v in r["queries"].items():
-                    samples.setdefault(k, []).append(v)
+                    samples.setdefault(k, []).append(v / bf)
             return (
                 {k: round(statistics.median(v), 3) for k, v in samples.items()},
                 BENCH_BASIS,
@@ -409,6 +459,7 @@ def main() -> None:
         load_table(spark, SF_DIR, t).count()
 
     inject = _inject_map()
+    box_factor = measure_box_factor(spark)
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name, fn in DIM_BUILDS:
@@ -426,8 +477,13 @@ def main() -> None:
         spreads[name] = spread
 
     prev, prev_basis = _prev_bench()
+    # the clean-pool baseline is box-NORMALIZED (each record divided by
+    # its recorded box_factor); compare this run's timings on the same
+    # basis so a slow box doesn't read as a code regression and a fast
+    # box doesn't launder one (VERDICT r12 item 7)
+    normalized = {k: round(v / box_factor, 3) for k, v in timings.items()}
     deltas = {
-        k: round(v - prev[k], 3) for k, v in timings.items() if k in prev
+        k: round(v - prev[k], 3) for k, v in normalized.items() if k in prev
     }
     # gate only against a same-basis previous round (medians sit
     # systematically above the min-of-2 numbers of rounds r1-r5), and
@@ -435,7 +491,7 @@ def main() -> None:
     # single-shot on both sides, so the median-vs-jitter premise the
     # gate rests on does not hold for them (they stay delta-reported)
     build_names = {name for name, _ in DIM_BUILDS}
-    gated = {k: v for k, v in timings.items() if k not in build_names}
+    gated = {k: v for k, v in normalized.items() if k not in build_names}
     flagged = (
         regression_gate(gated, prev) if prev_basis == BENCH_BASIS else {}
     )
@@ -455,7 +511,8 @@ def main() -> None:
         med, _ = time_query(
             name, lambda: materialize(fn(spark, SF_DIR)), reps=5, inject=inject
         )
-        return med
+        # same normalized basis as the gate that flagged it
+        return round(med / box_factor, 3)
 
     regressions, noise_cleared = isolate_flagged(flagged, prev, _rerun_isolated)
     out = {
@@ -467,8 +524,11 @@ def main() -> None:
         "basis": BENCH_BASIS,
         "reps": REPS,
         "sf": _sf_tag(),
+        "box_factor": box_factor,
     }
     if deltas:
+        # box-normalized deltas (this run / box_factor vs the
+        # normalized clean-pool median)
         out["deltas_vs_prev"] = deltas
     out["regressions"] = regressions
     if noise_cleared:
@@ -489,6 +549,7 @@ def main() -> None:
                         "basis": BENCH_BASIS,
                         "sf": out["sf"],
                         "total": out["value"],
+                        "box_factor": box_factor,
                         # flagged runs are recorded but excluded from
                         # future baselines (_prev_bench ratchet guard);
                         # REBASE=1 records clean (accepted slowdown)
@@ -517,6 +578,7 @@ def main() -> None:
         "n": len(timings),
         "sf": out["sf"],
         "basis": BENCH_BASIS,
+        "box_factor": box_factor,
         "worst_deltas": worst,
         "regressions": regressions,
     }))

@@ -226,3 +226,29 @@ def test_rebase_hatch_cleans_history_record_only(monkeypatch):
     assert bench._recorded_regressions(flagged) == (flagged, {})
     monkeypatch.setenv("SPARK_GRAFT_BENCH_REBASE", "1")
     assert bench._recorded_regressions(flagged) == ({}, flagged)
+
+
+def test_prev_bench_box_normalizes_clean_pool(tmp_path, monkeypatch):
+    """VERDICT r12 item 7: a record taken on a 1.4x-slow box carries
+    box_factor=1.4 and its raw timings are divided back to the anchor
+    basis before entering the baseline median — so mixed-box clean
+    pools agree, and a same-speed run gating against them neither
+    false-flags nor hides drift."""
+    import json
+
+    hist = [
+        {"queries": {"q1": 1.0}, "basis": "median3", "sf": 0.1},
+        # same code, 1.4x-slow box: raw 1.4s == normalized 1.0s
+        {"queries": {"q1": 1.4}, "basis": "median3", "sf": 0.1,
+         "box_factor": 1.4},
+        {"queries": {"q1": 1.0}, "basis": "median3", "sf": 0.1,
+         "box_factor": 1.0},
+    ]
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in hist) + "\n"
+    )
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    queries, basis = bench._prev_bench()
+    assert basis == bench.BENCH_BASIS
+    assert queries == {"q1": 1.0}

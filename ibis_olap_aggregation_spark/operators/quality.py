@@ -1167,6 +1167,82 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "privacy_generalization_ladder",
+    """
+WITH w AS (SELECT UNNEST([100, 1000, 10000]) AS width),
+cls AS (
+  SELECT w.width, c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / w.width) AS BIGINT) AS band,
+         COUNT(*) AS k
+  FROM customer, w
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(width AS INT) AS band_width,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_classes,
+       CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+         AS n_records_at_risk,
+       ROUND(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) * 1.0 / SUM(k), 6)
+         AS risk_rate
+FROM cls
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization tuning curve for k-anonymity (the step AFTER the
+    audit): for each candidate coarsening of the sensitive-attribute
+    band (balance band width 100 / 1000 / 10000), how many
+    quasi-identifier equivalence classes exist, how many stay below
+    k = 5, and what fraction of RECORDS would need suppression at that
+    width. Where [privacy_k_anonymity_audit] reports risk at ONE
+    granularity, this sweeps the ladder an anonymization reviewer
+    actually tunes: pick the narrowest width whose risk_rate clears the
+    release threshold.
+
+    Scale shape: one customer scan exploded x |ladder| (3), then two
+    map-side-combined aggregates — first at (width, QI-class) grain,
+    then at width grain (3 output rows). Nothing joins, nothing
+    broadcasts, cost is |ladder| x fact scan exactly like a
+    grouping-sets cube slice. Determinism: floor() on the same double
+    input agrees across engines (both round toward -inf, including the
+    negative acctbals); counts are exact integers; risk_rate is one
+    double division of two integers."""
+    c = load_table(spark, sf_dir, "customer")
+    widths = F.array(*[F.lit(w) for w in (100, 1000, 10000)])
+    cls = (
+        c.select(
+            F.explode(widths).alias("width"),
+            "c_nationkey",
+            "c_mktsegment",
+            "c_acctbal",
+        )
+        .groupBy(
+            "width",
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.col("width"))
+            .cast("bigint")
+            .alias("band"),
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    small = F.col("k") < 5
+    at_risk = F.sum(F.when(small, F.col("k")).otherwise(0))
+    return (
+        cls.groupBy(F.col("width").cast("int").alias("band_width"))
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(small, 1).otherwise(0)).alias("n_small_classes"),
+            at_risk.alias("n_records_at_risk"),
+            F.round(at_risk * 1.0 / F.sum("k"), 6).alias("risk_rate"),
+        )
+        .orderBy("band_width")
+    )
+
+
+@register(
     "quality_runs_test",
     """
 WITH daily AS (

@@ -1084,13 +1084,25 @@ _ADDED_ROUND12B: frozenset[str] = frozenset(
     }
 )
 
+# Queries ADDED in round 13 (generalization ladder, real-WAV spectral
+# features, per-cohort funnel conversion): same deal — last in line
+# for prefix slots.
+_ADDED_ROUND13: frozenset[str] = frozenset(
+    {
+        "privacy_generalization_ladder",
+        "multimodal_audio_features_spectral",
+        "events_funnel_conversion_rate",
+    }
+)
+
 
 def _reorder_for_driver_coverage() -> None:
     flagship = "hierarchy_grocery_rollup"
     checked = _driver_verified_names()
     later = (_ADDED_ROUND2 | _ADDED_ROUND4 | _ADDED_ROUND5 | _ADDED_ROUND6
              | _ADDED_ROUND6B | _ADDED_ROUND7 | _ADDED_ROUND8 | _ADDED_ROUND9
-             | _ADDED_ROUND11 | _ADDED_ROUND12 | _ADDED_ROUND12B)
+             | _ADDED_ROUND11 | _ADDED_ROUND12 | _ADDED_ROUND12B
+             | _ADDED_ROUND13)
     # never-driver-checked queries, oldest families first: the ones that
     # have been WAITING (not in a later-additions set) outrank the
     # newest additions for the guaranteed prefix slots
@@ -1143,6 +1155,10 @@ def _reorder_for_driver_coverage() -> None:
         n
         for n in QUERIES
         if n != flagship and n not in checked and n in _ADDED_ROUND12B
+    ] + [
+        n
+        for n in QUERIES
+        if n != flagship and n not in checked and n in _ADDED_ROUND13
     ]
     # verified queries fill the remaining prefix slots STALEST-FIRST
     # (longest since a green driver row), so re-verification rotates

@@ -183,6 +183,10 @@ HEADLINE = [
     "multimodal_audio_features_spectral",
     "events_funnel_conversion_rate",
     "privacy_generalization_ladder",
+    # round-13 second batch: the UDF->relational islands composition
+    # and the triple-NTILE user cube
+    "multimodal_audio_vad_segments",
+    "events_rfm_segments",
 ]
 
 

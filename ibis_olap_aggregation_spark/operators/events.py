@@ -1351,3 +1351,97 @@ def events_attribution_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_wide(F.col("lat")).cast("double") / F.count(F.lit(1)) / 1e6, 6
         ).alias("avg_latency_sec"),
     )
+
+
+@register(
+    "events_rfm_segments",
+    """
+WITH hz AS (SELECT MAX(ts) AS max_ts FROM events),
+u AS (
+  SELECT user_id,
+         date_diff('day', CAST(MAX(ts) AS DATE),
+                   CAST((SELECT max_ts FROM hz) AS DATE)) AS recency_days,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS frequency,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(value AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END)
+              AS DOUBLE) AS monetary
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency, user_id) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary, user_id) AS m_score
+  FROM u
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_users,
+       CAST(SUM(frequency) AS BIGINT) AS total_purchases,
+       ROUND(SUM(monetary), 2) AS total_monetary
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the classic CRM cube): per user, days since
+    last activity (vs the global horizon), purchase count, and
+    decimal-exact purchase value, each quintile-scored with NTILE(5)
+    and rolled up to segment grain (r,f,m) with user counts and
+    segment totals. Higher score = better on every axis (recency
+    orders DESC so the most-recent users land in quintile 5).
+
+    Determinism: every NTILE ordering carries a user_id tiebreak, so
+    the quintile boundary assignment is a total order both engines
+    agree on; monetary is summed in decimal before the final
+    2-dp display round. Scale shape: one user-grain aggregate of the
+    event stream, a single-row horizon broadcast, and three ranking
+    windows over the USER-grain table. The global NTILE windows are
+    single-partition over users — at a user cardinality where that
+    hurts, the two-pass range-partition ranker (operators/ranking.py)
+    is the drop-in, same as the other global-rank queries; segment
+    output is at most 125 rows."""
+    ev = _events(spark, sf_dir)
+    hz = ev.agg(F.max("ts").alias("max_ts"))
+    u = (
+        ev.crossJoin(F.broadcast(hz))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max_by(F.col("max_ts").cast("date"), F.lit(1)),
+                F.max(F.col("ts").cast("date")),
+            ).alias("recency_days"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "frequency"
+            ),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    w_r = Window.orderBy(F.desc("recency_days"), "user_id")
+    w_f = Window.orderBy("frequency", "user_id")
+    w_m = Window.orderBy("monetary", "user_id")
+    scored = u.select(
+        "user_id",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("frequency").alias("total_purchases"),
+            F.round(F.sum("monetary"), 2).alias("total_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

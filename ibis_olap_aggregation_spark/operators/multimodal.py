@@ -714,3 +714,124 @@ def multimodal_audio_features_spectral(
     (binary column, batch iterator, schema, window math) is identical."""
     docs = load_table(spark, sf_dir, "documents")
     return audio_spectral_features(synth_wav_media(docs)).orderBy("doc_id")
+
+
+# Voiced-window threshold for the VAD segmentation: the expected
+# per-window energy of the uniform synthetic PCM is
+# 16 * E[v^2] ~ 16 * (65536^2 / 12) ~ 5.7e9 — a fixed constant keeps
+# both engines' thresholding trivially identical (a data-derived
+# threshold would work but adds nothing to the pattern under test).
+VAD_ENERGY_THRESHOLD = 5_700_000_000
+
+WINDOW_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win", IntegerType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def _window_energy_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Decode each WAV (real stdlib seam) and emit one row per analysis
+    window — the long-format twin of ``_spectral_batches``."""
+    import numpy as np
+
+    for pdf in batches:
+        doc_ids, wins, energies = [], [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["wav"]):
+            pcm = decode_media(bytes(blob), "audio")
+            v = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+            e = (v * v).reshape(-1, AUDIO_WINDOW).sum(axis=1)
+            doc_ids.extend([int(doc_id)] * len(e))
+            wins.extend(range(len(e)))
+            energies.extend(int(x) for x in e)
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "win": wins, "energy": energies}
+        ).astype({"doc_id": "int64", "win": "int32", "energy": "int64"})
+
+
+def window_energies(docs_with_wav: DataFrame) -> DataFrame:
+    """(doc_id, win, energy) — one row per analysis window."""
+    return docs_with_wav.mapInPandas(
+        _window_energy_batches, schema=WINDOW_ENERGY_SCHEMA
+    )
+
+
+@register(
+    "multimodal_audio_vad_segments",
+    f"""
+WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+s AS (
+  SELECT a.doc_id, g.i,
+         CAST((a.doc_id * 7919 + g.i * 104729) % 65536 - 32768 AS BIGINT) AS v
+  FROM a, UNNEST(generate_series(0, {AUDIO_FRAMES - 1})) AS g(i)
+),
+we AS (
+  SELECT doc_id, i // {AUDIO_WINDOW} AS win,
+         CAST(SUM(v * v) AS BIGINT) AS energy
+  FROM s GROUP BY 1, 2
+),
+voiced AS (
+  SELECT doc_id, win,
+         win - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY win)
+           AS grp
+  FROM we WHERE energy > {VAD_ENERGY_THRESHOLD}
+),
+seg AS (
+  SELECT doc_id, COUNT(*) AS seg_len, MIN(win) AS seg_start
+  FROM voiced GROUP BY doc_id, grp
+)
+SELECT a.doc_id,
+       CAST(COALESCE(COUNT(seg.seg_len), 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(SUM(seg.seg_len), 0) AS BIGINT) AS voiced_windows,
+       CAST(COALESCE(MAX(seg.seg_len), 0) AS BIGINT) AS longest_segment,
+       CAST(MIN(seg.seg_start) AS INTEGER) AS first_voiced_window
+FROM a LEFT JOIN seg ON seg.doc_id = a.doc_id
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def multimodal_audio_vad_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Voice-activity segmentation over the real WAV decode path: the
+    Arrow stage emits per-window energies (long format), and the
+    SEGMENTATION is pure DataFrame relational algebra — the
+    gaps-and-islands idiom (win - row_number() over voiced windows
+    groups consecutive runs) — demonstrating the UDF->relational
+    composition a production pipeline uses: Python only where codecs
+    force it, Catalyst for everything after. Per doc: segment count,
+    voiced-window total, longest run, first voiced window (NULL when
+    the doc has no voiced window, same on both engines).
+
+    Scale shape: the UDF stage is map-only; the islands window and the
+    per-doc aggregate both partition by doc_id, so the whole post-UDF
+    pipeline is ONE shuffle at doc grain. Fixed integer threshold —
+    no cross-engine float comparison anywhere."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    audio = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    we = window_energies(synth_wav_media(docs))
+    w = Window.partitionBy("doc_id").orderBy("win")
+    voiced = we.filter(F.col("energy") > VAD_ENERGY_THRESHOLD).withColumn(
+        "grp", F.col("win") - F.row_number().over(w)
+    )
+    seg = voiced.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("seg_len"),
+        F.min("win").alias("seg_start"),
+    )
+    return (
+        audio.join(seg, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.count("seg_len"), F.lit(0)).alias("n_segments"),
+            F.coalesce(F.sum("seg_len"), F.lit(0)).alias("voiced_windows"),
+            F.coalesce(F.max("seg_len"), F.lit(0)).alias("longest_segment"),
+            F.min("seg_start").cast("int").alias("first_voiced_window"),
+        )
+        .orderBy("doc_id")
+    )

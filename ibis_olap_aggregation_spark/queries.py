@@ -1092,6 +1092,8 @@ _ADDED_ROUND13: frozenset[str] = frozenset(
         "privacy_generalization_ladder",
         "multimodal_audio_features_spectral",
         "events_funnel_conversion_rate",
+        "multimodal_audio_vad_segments",
+        "events_rfm_segments",
     }
 )
 

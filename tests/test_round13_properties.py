@@ -9,7 +9,11 @@ the stdlib wave module directly, features re-derived in numpy),
 privacy_generalization_ladder (pandas re-derivation + the
 risk-monotonicity invariant the nested-band ladder guarantees), and
 events_funnel_conversion_rate (per-user sequential scan + the funnel
-ordering invariant n_purchased <= n_clicked <= n_viewed <= n_users).
+ordering invariant n_purchased <= n_clicked <= n_viewed <= n_users),
+multimodal_audio_vad_segments (pure-python run-length islands + the
+segments<=voiced invariant), and events_rfm_segments (a from-scratch
+NTILE implementation over the tie-broken total order + the quintile
+balance invariant).
 """
 
 from __future__ import annotations
@@ -193,3 +197,133 @@ def test_funnel_conversion_matches_sequential_scan(spark):
     assert (sdf["n_purchased"] <= sdf["n_clicked"]).all()
     assert (sdf["n_clicked"] <= sdf["n_viewed"]).all()
     assert (sdf["n_viewed"] <= sdf["n_users"]).all()
+
+
+def test_vad_segments_match_python_islands(spark):
+    from ibis_olap_aggregation_spark.operators.multimodal import (
+        AUDIO_FRAMES,
+        AUDIO_WINDOW,
+        VAD_ENERGY_THRESHOLD,
+    )
+
+    sdf = (
+        QUERIES["multimodal_audio_vad_segments"](spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    doc_ids = sorted(
+        int(d)
+        for d in pd.read_parquet(f"{SF}/documents.parquet")["doc_id"]
+        if d % 3 == 1
+    )
+    rows = []
+    for d in doc_ids:
+        v = _pcm(d, AUDIO_FRAMES)
+        e = (v * v).reshape(-1, AUDIO_WINDOW).sum(axis=1)
+        voiced = e > VAD_ENERGY_THRESHOLD
+        segs = []
+        run = 0
+        first = None
+        for i, on in enumerate(voiced):
+            if on:
+                if run == 0 and first is None:
+                    first = i
+                run += 1
+            elif run:
+                segs.append(run)
+                run = 0
+        if run:
+            segs.append(run)
+        # first voiced window = index of the first True, not first run
+        first = int(np.argmax(voiced)) if voiced.any() else None
+        rows.append(
+            {
+                "doc_id": d,
+                "n_segments": len(segs),
+                "voiced_windows": int(voiced.sum()),
+                "longest_segment": max(segs) if segs else 0,
+                "first_voiced_window": first,
+            }
+        )
+    ref = pd.DataFrame(rows).astype(
+        {"doc_id": "int64", "n_segments": "int64",
+         "voiced_windows": "int64", "longest_segment": "int64"}
+    )
+    ref["first_voiced_window"] = ref["first_voiced_window"].astype("Int32")
+    sdf["first_voiced_window"] = sdf["first_voiced_window"].astype("Int32")
+    _assert_frames_equal(sdf, ref)
+    # islands invariant: segments never exceed voiced windows, and a doc
+    # with any voiced window has a first index inside the window range
+    assert (sdf["n_segments"] <= sdf["voiced_windows"]).all()
+    has = sdf["voiced_windows"] > 0
+    assert sdf.loc[has, "first_voiced_window"].between(0, 3).all()
+    assert sdf.loc[~has, "first_voiced_window"].isna().all()
+
+
+def _ntile(order: pd.DataFrame, by: list, asc: list, n: int) -> pd.Series:
+    """SQL NTILE(n) over a TOTAL order: first (len % n) buckets get the
+    extra row — matches both engines given the user_id tiebreak."""
+    idx = order.sort_values(by, ascending=asc).index
+    total = len(idx)
+    base, extra = divmod(total, n)
+    out = pd.Series(0, index=idx, dtype="int64")
+    pos = 0
+    for b in range(1, n + 1):
+        size = base + (1 if b <= extra else 0)
+        out.iloc[:] = out.iloc[:]  # keep dtype
+        out.loc[idx[pos:pos + size]] = b
+        pos += size
+    return out
+
+
+def test_rfm_segments_match_pandas(spark):
+    sdf = (
+        QUERIES["events_rfm_segments"](spark, SF)
+        .toPandas()
+        .sort_values(["r_score", "f_score", "m_score"])
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")[
+        ["user_id", "ts", "event_type", "value"]
+    ]
+    max_day = ev["ts"].max().normalize()
+    pur = ev["event_type"] == "purchase"
+    # decimal-exact monetary: round each value to cents first (the
+    # engine casts to decimal(18,2)), sum in integer cents
+    cents = (ev["value"] * 100).round().astype("int64").where(pur, 0)
+    u = (
+        ev.assign(cents=cents, is_p=pur)
+        .groupby("user_id")
+        .agg(
+            last_ts=("ts", "max"),
+            frequency=("is_p", "sum"),
+            cents=("cents", "sum"),
+        )
+        .reset_index()
+    )
+    u["recency_days"] = (max_day - u["last_ts"].dt.normalize()).dt.days
+    u["monetary"] = u["cents"] / 100.0
+    u["r_score"] = _ntile(u, ["recency_days", "user_id"], [False, True], 5)
+    u["f_score"] = _ntile(u, ["frequency", "user_id"], [True, True], 5)
+    u["m_score"] = _ntile(u, ["monetary", "user_id"], [True, True], 5)
+    ref = (
+        u.groupby(["r_score", "f_score", "m_score"])
+        .agg(
+            n_users=("user_id", "size"),
+            total_purchases=("frequency", "sum"),
+            total_cents=("cents", "sum"),
+        )
+        .reset_index()
+    )
+    ref["total_monetary"] = (ref.pop("total_cents") / 100.0).round(2)
+    ref = ref.astype(
+        {"r_score": "int32", "f_score": "int32", "m_score": "int32",
+         "n_users": "int64", "total_purchases": "int64"}
+    )
+    _assert_frames_equal(sdf, ref)
+    # quintile invariant: each axis's user total splits into 5 buckets
+    for axis in ("r_score", "f_score", "m_score"):
+        per = sdf.groupby(axis)["n_users"].sum()
+        assert set(per.index) <= {1, 2, 3, 4, 5}
+        assert per.max() - per.min() <= 1

@@ -1094,6 +1094,7 @@ _ADDED_ROUND13: frozenset[str] = frozenset(
         "events_funnel_conversion_rate",
         "multimodal_audio_vad_segments",
         "events_rfm_segments",
+        "streaming_session_window_twin",
     }
 )
 

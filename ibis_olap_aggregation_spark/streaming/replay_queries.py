@@ -53,6 +53,7 @@ from ibis_olap_aggregation_spark.streaming.engine import (
     interval_join_streams,
     run_to_memory,
     run_upsert_sink,
+    session_counts,
     stream_events,
     user_running_totals,
 )
@@ -490,6 +491,83 @@ def streaming_running_totals_twin(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.sum("cents").cast("double") / 100).alias("total_value"),
         )
         .orderBy("n_events")
+    )
+
+
+@register(
+    "streaming_session_window_twin",
+    """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+per AS (
+  SELECT user_id, sid, COUNT(*) AS n, MIN(ts) AS s_start,
+         MAX(ts) + INTERVAL '30 minutes' AS s_end
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(MAX(n) AS BIGINT) AS longest_session_events,
+       strftime(MIN(s_start), '%Y-%m-%d %H:%M:%S') AS first_session_start,
+       strftime(MAX(s_end), '%Y-%m-%d %H:%M:%S') AS last_session_end
+FROM per GROUP BY 1 ORDER BY 1
+""",
+)
+def streaming_session_window_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Native stateful SESSIONIZATION driven end-to-end through the
+    streaming engine (the seventh twin — session windows are THE
+    canonical stateful streaming operator): 8-micro-batch rate-limited
+    file replay -> F.session_window(gap=30min) per user, sessions
+    MERGING across micro-batches in the state store -> complete-mode
+    drain -> per-user rollup (session count, event total, longest
+    session, first start / last end). The oracle is the batch
+    gaps-and-islands sessionization — exactly what cross-batch session
+    merging must reproduce. The 3650-day watermark horizon covers any
+    fixture span, so no event is ever late-dropped and the streamed
+    state equals the batch sessions for ANY replay order (complete
+    mode emits final state, not watermark-closed windows) — this twin
+    belongs in the reversed-replay-order test with the other
+    order-independent ones.
+
+    Scale shape: state is keyed on (user_id, session) and sized by
+    OPEN sessions, not history; production uses a horizon matched to
+    its lateness SLA (sessions then emit in append mode as the
+    watermark passes them) — operator and plumbing identical, only
+    the horizon and output mode are harness choices, same contract as
+    the dedup twin's documented horizon note."""
+    ev = stream_events(
+        spark, _replay_dir(spark, sf_dir), max_files_per_trigger=1
+    )
+    sess = session_counts(ev, watermark="3650 days")
+    sunk = _drain(spark, sess, "session_wm", output_mode="complete")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        sunk.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("event_count").cast("bigint").alias("n_events"),
+            F.max("event_count").cast("bigint").alias("longest_session_events"),
+            F.date_format(F.min("session_start"), fmt).alias(
+                "first_session_start"
+            ),
+            F.date_format(F.max("session_end"), fmt).alias("last_session_end"),
+        )
+        .orderBy("user_id")
     )
 
 

@@ -940,56 +940,66 @@ def events_funnel_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame
     here (every user's first event lands in the first two days), so
     the campaign key is the honest grouping.
 
-    Scale shape: every stage aggregates or joins on user_id, so after
-    the first repartition the whole chain stays co-partitioned — one
-    real shuffle of the event stream, a user-grain window for the
-    first-event pick, and a cohort-sized final aggregate. No self-join
-    explosion; the per-type filters push to the scan on a
-    date-partitioned 100 TB twin. Determinism: counts are exact
-    integers; ratios are single double divisions of those integers
-    (identical IEEE on both engines)."""
+    Scale shape: ONE scan of the event stream and ONE shuffle on
+    user_id. The sequential step dependency (first view -> first click
+    after it -> first purchase after that) is three chained
+    whole-partition windows over the SAME partitioning — conditional
+    MINs, no orderBy frames — so Catalyst plans a single exchange +
+    sort reused across all three window operators (the first cut was
+    the textbook 4-aggregate/3-join form: 7 fact scans and 8
+    exchanges, measured in the executed plan). The cohort key rides
+    the same windows as a lexicographic struct-MIN over
+    (ts, event_id, k), the total order that makes "first event"
+    deterministic. Then one user-grain dedup and a cohort-sized final
+    aggregate. Determinism: counts are exact integers; ratios are
+    single double divisions of those integers (identical IEEE on both
+    engines)."""
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    f = (
-        ev.select(
-            "user_id",
-            F.regexp_extract("props", r"\d+", 0).cast("int").alias("cohort_k"),
-            F.row_number().over(w).alias("rn"),
+    wu = Window.partitionBy("user_id")
+    is_view = F.col("event_type") == "view"
+    is_click = F.col("event_type") == "click"
+    is_purchase = F.col("event_type") == "purchase"
+    step1 = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(
+            F.struct(
+                "ts",
+                "event_id",
+                F.regexp_extract("props", r"\d+", 0).cast("int").alias("k"),
+            )
         )
-        .filter(F.col("rn") == 1)
-        .select("user_id", "cohort_k")
+        .over(wu)
+        .getField("k")
+        .alias("cohort_k"),
+        F.min(F.when(is_view, F.col("ts"))).over(wu).alias("v_ts"),
     )
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("v_ts"))
+    step2 = step1.withColumn(
+        "c_ts",
+        F.min(
+            F.when(is_click & (F.col("ts") > F.col("v_ts")), F.col("ts"))
+        ).over(wu),
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("v_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
+    step3 = step2.withColumn(
+        "p_ts",
+        F.min(
+            F.when(is_purchase & (F.col("ts") > F.col("c_ts")), F.col("ts"))
+        ).over(wu),
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    joined = (
-        f.join(v, "user_id", "left")
-        .join(c, "user_id", "left")
-        .join(p, "user_id", "left")
+    users = step3.groupBy("user_id").agg(
+        F.max("cohort_k").alias("cohort_k"),
+        F.max("v_ts").alias("v_ts"),
+        F.max("c_ts").alias("c_ts"),
+        F.max("p_ts").alias("p_ts"),
     )
     n_viewed = F.count("v_ts")
     n_clicked = F.count("c_ts")
     n_purchased = F.count("p_ts")
     return (
-        joined.groupBy("cohort_k")
+        users.groupBy("cohort_k")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
             n_viewed.alias("n_viewed"),

@@ -1406,12 +1406,14 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quintile boundary assignment is a total order both engines
     agree on; monetary is summed in decimal before the final
     2-dp display round. Scale shape: one user-grain aggregate of the
-    event stream, a single-row horizon broadcast, and three ranking
-    windows over the USER-grain table. The global NTILE windows are
-    single-partition over users — at a user cardinality where that
-    hurts, the two-pass range-partition ranker (operators/ranking.py)
-    is the drop-in, same as the other global-rank queries; segment
-    output is at most 125 rows."""
+    event stream (cached: four consumers), a single-row horizon
+    broadcast, then each axis's quintile is derived ARITHMETICALLY
+    from a global row number produced by the two-pass range-partition
+    ranker (operators/ranking.py) — NTILE(k) assigns the first
+    n mod k buckets one extra row, which is a closed-form function of
+    (rank, n) — so no single-partition window ever sees the user
+    table (a plain NTILE window would sort all users in one task at
+    1e9-user scale). Segment output is at most 125 rows."""
     ev = _events(spark, sf_dir)
     hz = ev.agg(F.max("ts").alias("max_ts"))
     u = (
@@ -1435,16 +1437,45 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    w_r = Window.orderBy(F.desc("recency_days"), "user_id")
-    w_f = Window.orderBy("frequency", "user_id")
-    w_m = Window.orderBy("monetary", "user_id")
-    scored = u.select(
+    from ibis_olap_aggregation_spark.operators.ranking import (
+        global_row_number,
+    )
+    from ibis_olap_aggregation_spark.session import query_cache
+
+    # the user table feeds the count + three rankings: cache it so the
+    # aggregate computes once (the ranker localCheckpoints its own
+    # RANKED outputs but re-reads its input per call)
+    u = query_cache(u.withColumn("_neg_r", -F.col("recency_days")))
+    n = u.count()
+
+    def ntile5(rank_col: str) -> F.Column:
+        # closed-form NTILE(5) from a 1-based global rank: the first
+        # n mod 5 buckets hold ceil(n/5) rows, the rest floor(n/5) —
+        # both engines' NTILE definition (the oracle pins it)
+        q, r = divmod(n, 5)
+        head = r * (q + 1)
+        rn = F.col(rank_col)
+        in_head = rn <= F.lit(head)
+        return (
+            F.when(in_head, F.ceil(rn / F.lit(q + 1)))
+            .otherwise(F.lit(r) + F.ceil((rn - F.lit(head)) / F.lit(max(q, 1))))
+            .cast("int")
+        )
+
+    ranked = global_row_number(u, ["_neg_r", "user_id"], "_rn_r", row_count=n)
+    ranked = global_row_number(
+        ranked, ["frequency", "user_id"], "_rn_f", row_count=n
+    )
+    ranked = global_row_number(
+        ranked, ["monetary", "user_id"], "_rn_m", row_count=n
+    )
+    scored = ranked.select(
         "user_id",
         "frequency",
         "monetary",
-        F.ntile(5).over(w_r).alias("r_score"),
-        F.ntile(5).over(w_f).alias("f_score"),
-        F.ntile(5).over(w_m).alias("m_score"),
+        ntile5("_rn_r").alias("r_score"),
+        ntile5("_rn_f").alias("f_score"),
+        ntile5("_rn_m").alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")

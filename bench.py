@@ -26,9 +26,9 @@ never gate-compared, medians sit systematically above mins).
 SPARK_GRAFT_BENCH_INJECT="name:secs,..." injects an artificial
 slowdown into named queries so the gate itself is testable end-to-end.
 
-Cross-round comparability: each run measures a BOX FACTOR (isolated
-warm reps of three pinned probe queries vs their original-box anchor
-medians) and records it in the history line; the gate compares
+Cross-round comparability: each run derives a BOX FACTOR (the three
+pinned probe queries' own headline medians vs their original-box
+anchor medians) and records it in the history line; the gate compares
 box-NORMALIZED values (time / box_factor) on both sides, so a slower
 driver machine doesn't read as a code regression and a faster one
 can't launder a real slowdown into the clean pool (VERDICT r12 item
@@ -205,8 +205,8 @@ def materialize(df) -> None:
 # comparable across rounds because the driver's machine changes speed
 # between sessions (the r12 box measured 1.27-1.40x slower than the
 # r11 box on code-identical queries). Each bench run therefore
-# measures a BOX FACTOR — isolated warm reps of three pinned,
-# long-stable probe queries, divided by their anchor medians — and
+# derives a BOX FACTOR — the three pinned, long-stable probe queries'
+# own headline medians divided by their anchor medians — and
 # records it in the history line, so the regression gate can compare
 # box-normalized values instead of depending on session memory of
 # which box was slow. Anchors are the per-query medians over the 19
@@ -221,20 +221,21 @@ BOX_PROBES = {
 }
 
 
-def measure_box_factor(spark) -> float:
-    """Median ratio of isolated warm probe medians to their anchors.
-    Runs back-to-back right after warmup (nothing else in flight), 5
-    reps each, injection never applied — the calibration must measure
-    the BOX, not the workload under test."""
-    ratios = []
-    for name, anchor in BOX_PROBES.items():
-        fn = q.QUERIES.get(name)
-        if fn is None:
-            continue
-        med, _ = time_query(
-            name, lambda: materialize(fn(spark, SF_DIR)), reps=5, inject={}
-        )
-        ratios.append(med / anchor)
+def box_factor_from(timings: dict[str, float], inject: dict) -> float:
+    """Median ratio of the probe queries' HEADLINE medians to their
+    anchors. Derived from the main timing pass — mid-run, fully warm —
+    NOT from a dedicated probe pass at session start: the first
+    executions of a fresh session carry one-time JIT/codegen/Python-
+    worker costs the table-count warmup does not touch (a start-of-run
+    probe pass measured factor 3.785 on a ~1.4x box and would have
+    poisoned every future normalized baseline). A probe with an
+    injected slowdown is excluded — injection tests the gate, and must
+    not bend the calibration that gate divides by."""
+    ratios = [
+        timings[n] / anchor
+        for n, anchor in BOX_PROBES.items()
+        if n in timings and n not in inject
+    ]
     return round(statistics.median(ratios), 3) if ratios else 1.0
 
 
@@ -470,7 +471,6 @@ def main() -> None:
         load_table(spark, SF_DIR, t).count()
 
     inject = _inject_map()
-    box_factor = measure_box_factor(spark)
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name, fn in DIM_BUILDS:
@@ -487,6 +487,7 @@ def main() -> None:
         timings[name] = med
         spreads[name] = spread
 
+    box_factor = box_factor_from(timings, inject)
     prev, prev_basis = _prev_bench()
     # the clean-pool baseline is box-NORMALIZED (each record divided by
     # its recorded box_factor); compare this run's timings on the same

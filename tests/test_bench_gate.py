@@ -252,3 +252,18 @@ def test_prev_bench_box_normalizes_clean_pool(tmp_path, monkeypatch):
     queries, basis = bench._prev_bench()
     assert basis == bench.BENCH_BASIS
     assert queries == {"q1": 1.0}
+
+
+def test_box_factor_from_headline_medians():
+    """The factor comes from the probes' own warm headline medians —
+    never a cold start-of-run pass (measured 3.785 on a ~1.4x box) —
+    and an injected probe is excluded so gate-testing injections can't
+    bend the calibration."""
+    timings = {n: a * 1.4 for n, a in bench.BOX_PROBES.items()}
+    assert bench.box_factor_from(timings, {}) == 1.4
+    # injected probe excluded: factor comes from the other two
+    first = next(iter(bench.BOX_PROBES))
+    timings[first] = 99.0
+    assert bench.box_factor_from(timings, {first: 5.0}) == 1.4
+    # no usable probes -> neutral factor
+    assert bench.box_factor_from({}, {}) == 1.0

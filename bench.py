@@ -239,6 +239,27 @@ def box_factor_from(timings: dict[str, float], inject: dict) -> float:
     return round(statistics.median(ratios), 3) if ratios else 1.0
 
 
+def box_unstable(timings: dict[str, float], inject: dict) -> bool:
+    """True when the run's own probe evidence says the BOX was not a
+    consistent speed during the pass — the record then must not enter
+    the clean baseline pool, whatever the gate said. Two signals, both
+    observed for real on 2026-08-16: probe ratios disagreeing by >1.5x
+    (contention hit part of the run), or a median factor >3 (no real
+    box in this project's history has been slower than ~1.5x; beyond 3
+    the 'box' is a noisy neighbor, and per-query values under varying
+    contention are garbage for baselining even after normalization —
+    the worst query that run measured 26x its clean level while the
+    probes said 4.5x)."""
+    ratios = [
+        timings[n] / anchor
+        for n, anchor in BOX_PROBES.items()
+        if n in timings and n not in inject
+    ]
+    if not ratios:
+        return False
+    return max(ratios) / min(ratios) > 1.5 or statistics.median(ratios) > 3.0
+
+
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 # basis encodes the ACTUAL rep count: a quick SPARK_GRAFT_BENCH_REPS=1
 # run stamps "median1", which never matches a default round's "median3",
@@ -395,7 +416,9 @@ def _prev_bench() -> tuple[dict[str, float], str | None]:
         clean_same_basis = [
             r
             for r in matching
-            if r.get("basis") == BENCH_BASIS and not r.get("regressions")
+            if r.get("basis") == BENCH_BASIS
+            and not r.get("regressions")
+            and not r.get("unstable_box")
         ][-5:]
         if clean_same_basis:
             samples: dict[str, list[float]] = {}
@@ -488,6 +511,7 @@ def main() -> None:
         spreads[name] = spread
 
     box_factor = box_factor_from(timings, inject)
+    unstable = box_unstable(timings, inject)
     prev, prev_basis = _prev_bench()
     # the clean-pool baseline is box-NORMALIZED (each record divided by
     # its recorded box_factor); compare this run's timings on the same
@@ -537,6 +561,7 @@ def main() -> None:
         "reps": REPS,
         "sf": _sf_tag(),
         "box_factor": box_factor,
+        "unstable_box": unstable,
     }
     if deltas:
         # box-normalized deltas (this run / box_factor vs the
@@ -562,6 +587,9 @@ def main() -> None:
                         "sf": out["sf"],
                         "total": out["value"],
                         "box_factor": box_factor,
+                        # self-marked: excluded from the clean pool by
+                        # _prev_bench regardless of gate outcome
+                        "unstable_box": unstable,
                         # flagged runs are recorded but excluded from
                         # future baselines (_prev_bench ratchet guard);
                         # REBASE=1 records clean (accepted slowdown)

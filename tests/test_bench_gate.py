@@ -267,3 +267,35 @@ def test_box_factor_from_headline_medians():
     assert bench.box_factor_from(timings, {first: 5.0}) == 1.4
     # no usable probes -> neutral factor
     assert bench.box_factor_from({}, {}) == 1.0
+
+
+def test_unstable_box_detection_and_pool_exclusion(tmp_path, monkeypatch):
+    """A run whose own probes disagree >1.5x (contention hit part of
+    the pass) or show a >3x factor self-marks unstable_box, and
+    _prev_bench excludes such records from the clean pool even though
+    their gate said clean (observed: a transient 4.5x neighbor made
+    per-query values garbage while isolation re-measures at run end
+    noise-cleared every flag)."""
+    import json
+
+    a = dict(bench.BOX_PROBES)
+    names = list(a)
+    stable = {n: v * 1.4 for n, v in a.items()}
+    assert not bench.box_unstable(stable, {})
+    lopsided = dict(stable); lopsided[names[0]] = a[names[0]] * 2.5
+    assert bench.box_unstable(lopsided, {})
+    crushed = {n: v * 4.5 for n, v in a.items()}
+    assert bench.box_unstable(crushed, {})
+
+    hist = [
+        {"queries": {"q1": 1.0}, "basis": "median3", "sf": 0.1},
+        {"queries": {"q1": 50.0}, "basis": "median3", "sf": 0.1,
+         "box_factor": 4.5, "unstable_box": True},
+    ]
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in hist) + "\n"
+    )
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    queries, basis = bench._prev_bench()
+    assert queries == {"q1": 1.0}  # unstable record never baselines

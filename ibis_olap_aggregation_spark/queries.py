@@ -1095,6 +1095,7 @@ _ADDED_ROUND13: frozenset[str] = frozenset(
         "multimodal_audio_vad_segments",
         "events_rfm_segments",
         "streaming_session_window_twin",
+        "streaming_tumbling_window_twin",
     }
 )
 

@@ -55,6 +55,7 @@ from ibis_olap_aggregation_spark.streaming.engine import (
     run_upsert_sink,
     session_counts,
     stream_events,
+    tumbling_counts,
     user_running_totals,
 )
 
@@ -569,6 +570,48 @@ def streaming_session_window_twin(
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "streaming_tumbling_window_twin",
+    """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       COUNT(*) AS event_count,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def streaming_tumbling_window_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked event-time tumbling aggregation driven end-to-end
+    through the streaming engine (the eighth twin): 8-micro-batch
+    rate-limited replay -> withWatermark + 1-hour F.window groupBy
+    (incremental state per open window) -> complete-mode drain. The
+    oracle is the plain batch hourly aggregate — what incremental
+    window-state maintenance across micro-batches must reproduce.
+    Complete-mode final state is arrival-order-free under the
+    span-covering horizon, so this twin joins the reversed-replay
+    test. Production trades the harness horizon for an SLA watermark
+    + append mode (windows then emit as the watermark passes their
+    end) — operator and plumbing identical."""
+    ev = stream_events(
+        spark, _replay_dir(spark, sf_dir), max_files_per_trigger=1
+    )
+    agg = tumbling_counts(ev, window="1 hour", watermark="3650 days")
+    sunk = _drain(spark, agg, "tumbling_wm", output_mode="complete")
+    return sunk.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "event_count",
+        "sum_value",
+    ).orderBy("window_start", "event_type")
 
 
 # Re-run the driver-coverage reorder AFTER this module's @register calls

@@ -423,10 +423,11 @@ import pytest as _pytest
         "streaming_interval_join_twin",
         "streaming_upsert_latest_state_twin",
         "streaming_running_totals_twin",
-        # round 13: complete-mode session windows — sessions merge in
-        # state regardless of arrival order under the span-covering
+        # round 13: complete-mode session/tumbling windows — state
+        # merges regardless of arrival order under the span-covering
         # horizon, so the final state is order-free
         "streaming_session_window_twin",
+        "streaming_tumbling_window_twin",
     ],
 )
 def test_streaming_twins_survive_reversed_replay(

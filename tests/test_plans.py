@@ -788,3 +788,49 @@ def test_copurchase_pair_build_is_two_exchanges(spark, sf_small):
     )
     plan = pi.physical_plan(df, executed=True)
     assert "Join" not in plan, plan
+
+
+def test_funnel_conversion_is_one_fact_scan(spark, sf_small):
+    """events_funnel_conversion_rate: the docstring's 1-scan claim,
+    pinned — the textbook 4-aggregate/3-join decomposition read the
+    event table SEVEN times; the chained conditional-MIN window form
+    must keep exactly one scan, with all three windows partitioned on
+    user_id (never an empty/global partition spec)."""
+    df = q.QUERIES["events_funnel_conversion_rate"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in spec, plan
+
+
+def test_vad_segments_python_stages_are_map_only(spark, sf_small):
+    """multimodal_audio_vad_segments: both Arrow stages (WAV pack,
+    window energies) run BEFORE any exchange — payload bytes never
+    shuffle — and the islands window partitions by doc_id."""
+    df = q.QUERIES["multimodal_audio_vad_segments"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert plan.count("MapInPandas") == 2, plan
+    # plan strings print top-down (sink first): everything after the
+    # LAST (deepest) python stage is its input subtree — no Exchange
+    # may appear below it (tiny sf plans elide exchanges entirely, so
+    # assert on the subtree, not on exchange positions)
+    below_python = plan[plan.rfind("MapInPandas"):]
+    assert "Exchange" not in below_python, plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "doc_id" in spec, plan
+
+
+def test_rfm_user_aggregate_feeds_ranker_via_cache(spark, sf_small):
+    """events_rfm_segments: the quintiles must come from the two-pass
+    ranker's closed-form path, never a global NTILE window — pinned by
+    the absence of the ntile window function in the plan."""
+    df = q.QUERIES["events_rfm_segments"](spark, sf_small)
+    from ibis_olap_aggregation_spark.session import release_query_caches
+
+    plan = pi.physical_plan(df)
+    release_query_caches()
+    assert "ntile" not in plan, plan

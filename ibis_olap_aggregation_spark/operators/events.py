@@ -1456,10 +1456,12 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         head = r * (q + 1)
         rn = F.col(rank_col)
         in_head = rn <= F.lit(head)
+        # bigint to match DuckDB's NTILE return type (the local
+        # mirror's dtype gate caught the int32 drift)
         return (
             F.when(in_head, F.ceil(rn / F.lit(q + 1)))
             .otherwise(F.lit(r) + F.ceil((rn - F.lit(head)) / F.lit(max(q, 1))))
-            .cast("int")
+            .cast("bigint")
         )
 
     ranked = global_row_number(u, ["_neg_r", "user_id"], "_rn_r", row_count=n)

@@ -318,7 +318,7 @@ def test_rfm_segments_match_pandas(spark):
     )
     ref["total_monetary"] = (ref.pop("total_cents") / 100.0).round(2)
     ref = ref.astype(
-        {"r_score": "int32", "f_score": "int32", "m_score": "int32",
+        {"r_score": "int64", "f_score": "int64", "m_score": "int64",
          "n_users": "int64", "total_purchases": "int64"}
     )
     _assert_frames_equal(sdf, ref)

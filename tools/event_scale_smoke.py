@@ -65,6 +65,13 @@ TIMED = [
     # grow ~linearly in events while state grows only with users
     "events_attribution_lookback",
     "streaming_running_totals_twin",
+    # round 13: the one-scan chained-window funnel (user-partitioned —
+    # linear on the replica axis) and the RFM cube, whose quintiles
+    # come from the two-pass ranker: past 50k users the replica axis
+    # drives it onto the REAL range-partitioned path (the tiny-input
+    # single-window shortcut no longer applies)
+    "events_funnel_conversion_rate",
+    "events_rfm_segments",
 ]
 
 

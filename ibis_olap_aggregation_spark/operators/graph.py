@@ -956,3 +956,99 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s").cast("double") / 1e12, 6).alias("aa_score"),
         )
     )
+
+
+_JACCARD_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und0 AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+und AS (SELECT pa, pb FROM und0 WHERE w >= {AA_MIN_EDGE_WEIGHT}),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM und
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM und
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+ctr AS (
+  SELECT e.src, e.dst FROM edges e JOIN deg ON deg.src = e.src
+  WHERE deg.d <= {AA_CENTER_DEGREE_CAP}
+),
+common AS (
+  SELECT x.dst AS a, y.dst AS c, COUNT(*) AS n_common
+  FROM ctr x JOIN ctr y ON x.src = y.src AND x.dst < y.dst
+  GROUP BY 1, 2
+)
+SELECT common.a AS part_a, common.c AS part_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(da.d + dc.d - n_common AS BIGINT) AS union_size,
+       ROUND(CAST(n_common AS DOUBLE) / (da.d + dc.d - n_common), 6)
+         AS jaccard,
+       6 * n_common >= da.d + dc.d AS strong_link
+FROM common
+JOIN deg da ON da.src = common.a
+JOIN deg dc ON dc.src = common.c
+ORDER BY 1, 2
+"""
+
+
+@register("graph_jaccard_neighbors", _JACCARD_SQL)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity over the repeated-co-purchase
+    signal graph: for every pair (a, c) sharing at least one non-hub
+    common neighbor, |N(a) ∩ N(c)| / |N(a) ∪ N(c)| — the set-overlap
+    complement to [graph_adamic_adar]'s weighted link prediction
+    (same wedge machinery, unweighted intersection, full-degree
+    union). Hub centers past AA_CENTER_DEGREE_CAP are excluded from
+    the INTERSECTION count exactly as in adamic (a hub co-neighbor
+    carries no similarity signal and its fan-out is the quadratic
+    term); degrees in the union stay uncapped. strong_link flags
+    J >= 1/3 via the exact integer cross-multiplication
+    6*common >= da+dc — the float never decides membership.
+
+    Scale shape: identical to adamic — one shuffle on the center key,
+    per-center fan-out bounded at cap², degree attach through the
+    probed dim_side, output ordered by the integer pair key (no float
+    ranking)."""
+    from ibis_olap_aggregation_spark.session import dim_side
+
+    und = query_cache(
+        signal_pairs(order_items_raw(spark, sf_dir), AA_MIN_EDGE_WEIGHT).select(
+            "pa", "pb"
+        )
+    )
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = query_cache(edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")))
+    ctr = edges.join(dim_side(deg, cache_if_probing=True), "src").filter(
+        F.col("d") <= AA_CENTER_DEGREE_CAP
+    )
+    x = ctr.select("src", F.col("dst").alias("a"))
+    y = ctr.select(F.col("src").alias("src_y"), F.col("dst").alias("c"))
+    common = (
+        x.join(y, (F.col("src") == F.col("src_y")) & (F.col("a") < F.col("c")))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("src").alias("c"), F.col("d").alias("dc"))
+    u = F.col("da") + F.col("dc") - F.col("n_common")
+    return (
+        common.join(dim_side(da, cache_if_probing=True), "a")
+        .join(dim_side(dc, cache_if_probing=True), "c")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("c").alias("part_b"),
+            "n_common",
+            u.alias("union_size"),
+            F.round(F.col("n_common") / u, 6).alias("jaccard"),
+            (6 * F.col("n_common") >= F.col("da") + F.col("dc")).alias(
+                "strong_link"
+            ),
+        )
+        .orderBy("part_a", "part_b")
+    )

@@ -1096,6 +1096,7 @@ _ADDED_ROUND13: frozenset[str] = frozenset(
         "events_rfm_segments",
         "streaming_session_window_twin",
         "streaming_tumbling_window_twin",
+        "graph_jaccard_neighbors",
     }
 )
 

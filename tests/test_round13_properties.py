@@ -327,3 +327,59 @@ def test_rfm_segments_match_pandas(spark):
         per = sdf.groupby(axis)["n_users"].sum()
         assert set(per.index) <= {1, 2, 3, 4, 5}
         assert per.max() - per.min() <= 1
+
+
+def test_jaccard_neighbors_match_python_sets(spark):
+    """From-scratch re-derivation with explicit python set algebra over
+    the same signal graph (weight floor + hub cap), plus the exact
+    integer strong_link contract: the flag must equal the
+    cross-multiplied comparison, never a rounded-float one."""
+    from ibis_olap_aggregation_spark.operators.graph import (
+        AA_CENTER_DEGREE_CAP,
+        AA_MIN_EDGE_WEIGHT,
+    )
+
+    sdf = (
+        QUERIES["graph_jaccard_neighbors"](spark, SF)
+        .toPandas()
+        .sort_values(["part_a", "part_b"])
+        .reset_index(drop=True)
+    )
+    li = (
+        pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+        .drop_duplicates()
+    )
+    pairs = li.merge(li, on="l_orderkey")
+    pairs = pairs[pairs["l_partkey_x"] < pairs["l_partkey_y"]]
+    w = pairs.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    und = [k for k, v in w.items() if v >= AA_MIN_EDGE_WEIGHT]
+    adj: dict[int, set] = {}
+    for a, b in und:
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    rows = []
+    nonhub = {n for n, ns in adj.items() if len(ns) <= AA_CENTER_DEGREE_CAP}
+    seen = set()
+    for center in nonhub:
+        ns = sorted(adj[center])
+        for i, a in enumerate(ns):
+            for c in ns[i + 1:]:
+                seen.add((a, c))
+    for a, c in sorted(seen):
+        common = len({b for b in adj[a] & adj[c] if b in nonhub})
+        union = len(adj[a]) + len(adj[c]) - common
+        rows.append(
+            {"part_a": a, "part_b": c, "n_common": common,
+             "union_size": union,
+             "jaccard": round(common / union, 6),
+             "strong_link": 6 * common >= len(adj[a]) + len(adj[c])}
+        )
+    ref = pd.DataFrame(rows).astype(
+        {"part_a": "int64", "part_b": "int64", "n_common": "int64",
+         "union_size": "int64"}
+    )
+    _assert_frames_equal(sdf, ref)
+    # set-algebra invariants
+    assert (sdf["n_common"] >= 1).all()
+    assert (sdf["n_common"] <= sdf["union_size"]).all()
+    assert (sdf["jaccard"] <= 1.0).all()

@@ -183,10 +183,11 @@ HEADLINE = [
     "multimodal_audio_features_spectral",
     "events_funnel_conversion_rate",
     "privacy_generalization_ladder",
-    # round-13 second batch: the UDF->relational islands composition
-    # and the triple-NTILE user cube
+    # round-13 second batch: the UDF->relational islands composition,
+    # the triple-quintile user cube, and the set-overlap wedge join
     "multimodal_audio_vad_segments",
     "events_rfm_segments",
+    "graph_jaccard_neighbors",
 ]
 
 

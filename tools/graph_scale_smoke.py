@@ -62,6 +62,9 @@ TIMED = [
     "graph_copurchase_cosine",
     "graph_kcore_peel",
     "graph_adamic_adar",
+    # round 13: the unweighted set-overlap twin of adamic — same wedge
+    # machinery, so it must track the adamic line on the order axis
+    "graph_jaccard_neighbors",
 ]
 
 

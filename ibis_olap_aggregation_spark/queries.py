@@ -1097,6 +1097,7 @@ _ADDED_ROUND13: frozenset[str] = frozenset(
         "streaming_session_window_twin",
         "streaming_tumbling_window_twin",
         "graph_jaccard_neighbors",
+        "streaming_sliding_window_twin",
     }
 )
 

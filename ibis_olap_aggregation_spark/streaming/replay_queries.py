@@ -54,6 +54,7 @@ from ibis_olap_aggregation_spark.streaming.engine import (
     run_to_memory,
     run_upsert_sink,
     session_counts,
+    sliding_counts,
     stream_events,
     tumbling_counts,
     user_running_totals,
@@ -612,6 +613,49 @@ def streaming_tumbling_window_twin(
         "event_count",
         "sum_value",
     ).orderBy("window_start", "event_type")
+
+
+@register(
+    "streaming_sliding_window_twin",
+    """
+WITH exploded AS (
+  SELECT e.ts,
+         time_bucket(INTERVAL '30 minutes', e.ts) - k.k * INTERVAL '30 minutes'
+           AS window_start
+  FROM events e
+  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS event_count
+FROM exploded
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def streaming_sliding_window_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding event-time windows (1-hour width, 30-minute slide — each
+    event maintained in TWO overlapping windows' state) driven through
+    the streaming engine: 8-micro-batch replay -> watermarked sliding
+    aggregation -> complete-mode drain. Oracle: the batch
+    explode-into-two-buckets formulation. Complete-mode final state is
+    arrival-order-free under the span-covering horizon (reversed-replay
+    tested); production trades horizon for an SLA watermark + append
+    mode, identical operator."""
+    ev = stream_events(
+        spark, _replay_dir(spark, sf_dir), max_files_per_trigger=1
+    )
+    agg = sliding_counts(
+        ev, window="1 hour", slide="30 minutes", watermark="3650 days"
+    )
+    sunk = _drain(spark, agg, "sliding_wm", output_mode="complete")
+    return sunk.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_count",
+    ).orderBy("window_start")
 
 
 # Re-run the driver-coverage reorder AFTER this module's @register calls

@@ -428,6 +428,7 @@ import pytest as _pytest
         # horizon, so the final state is order-free
         "streaming_session_window_twin",
         "streaming_tumbling_window_twin",
+        "streaming_sliding_window_twin",
     ],
 )
 def test_streaming_twins_survive_reversed_replay(

@@ -868,3 +868,109 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+_COVERAGE_SQL = f"""
+WITH iv AS (
+  SELECT DISTINCT l_suppkey AS supp,
+         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s
+  FROM lineitem
+),
+m AS (
+  SELECT supp, s,
+         CASE WHEN lag(s) OVER (PARTITION BY supp ORDER BY s) IS NULL
+              OR s - lag(s) OVER (PARTITION BY supp ORDER BY s)
+                   > {_SHIP_DAYS}
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+),
+isl AS (
+  SELECT supp, s,
+         SUM(brk) OVER (PARTITION BY supp ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS isl_id
+  FROM m
+),
+per AS (
+  SELECT supp, isl_id, MAX(s) + {_SHIP_DAYS} - MIN(s) AS covered
+  FROM isl GROUP BY 1, 2
+),
+sp AS (
+  SELECT supp, MAX(s) + {_SHIP_DAYS} - MIN(s) AS span FROM iv GROUP BY 1
+)
+SELECT per.supp AS l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(per.covered) AS BIGINT) AS covered_days,
+       CAST(MAX(sp.span) AS BIGINT) AS span_days,
+       ROUND(CAST(SUM(per.covered) AS DOUBLE) / MAX(sp.span), 6)
+         AS coverage_ratio
+FROM per JOIN sp ON sp.supp = per.supp
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("interval_coverage_fraction", _COVERAGE_SQL)
+def interval_coverage_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier activity coverage: each shipment opens a
+    {_SHIP_DAYS}-day busy interval; merge the overlapping/adjoining
+    intervals into islands (gaps-and-islands over the sorted starts —
+    with equal-length intervals an island breaks exactly when the gap
+    between consecutive starts exceeds the width) and report how much
+    of the supplier's observed span [first start, last start + width)
+    the merged intervals cover. The utilization/uptime profile an SLA
+    or capacity review reads; completes the interval family next to
+    pairwise overlap, max concurrency and daily backlog.
+
+    All arithmetic is integer epoch-days until the final ratio (one
+    double division of two integers). Scale shape: one distinct over
+    (supplier, day), then every window and aggregate partitions on the
+    supplier key — a single shuffle of the distinct-day set, output at
+    supplier grain."""
+    iv = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("supp"),
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("s"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("supp").orderBy("s")
+    brk = F.when(
+        F.lag("s").over(w).isNull()
+        | ((F.col("s") - F.lag("s").over(w)) > _SHIP_DAYS),
+        1,
+    ).otherwise(0)
+    isl = iv.withColumn("brk", brk).withColumn(
+        "isl_id",
+        F.sum("brk").over(
+            Window.partitionBy("supp").orderBy("s").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    per = isl.groupBy("supp", "isl_id").agg(
+        (F.max("s") + _SHIP_DAYS - F.min("s")).alias("covered")
+    )
+    sp = iv.groupBy("supp").agg(
+        (F.max("s") + _SHIP_DAYS - F.min("s")).alias("span")
+    )
+    return (
+        per.groupBy("supp")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("covered").alias("covered_days"),
+        )
+        .join(sp, "supp")
+        .select(
+            F.col("supp").alias("l_suppkey"),
+            "n_islands",
+            "covered_days",
+            F.col("span").alias("span_days"),
+            F.round(F.col("covered_days") / F.col("span"), 6).alias(
+                "coverage_ratio"
+            ),
+        )
+        .orderBy("l_suppkey")
+    )

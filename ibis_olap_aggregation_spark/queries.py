@@ -1098,6 +1098,7 @@ _ADDED_ROUND13: frozenset[str] = frozenset(
         "streaming_tumbling_window_twin",
         "graph_jaccard_neighbors",
         "streaming_sliding_window_twin",
+        "interval_coverage_fraction",
     }
 )
 

@@ -383,3 +383,49 @@ def test_jaccard_neighbors_match_python_sets(spark):
     assert (sdf["n_common"] >= 1).all()
     assert (sdf["n_common"] <= sdf["union_size"]).all()
     assert (sdf["jaccard"] <= 1.0).all()
+
+
+def test_interval_coverage_matches_python_merge(spark):
+    """From-scratch python interval merge (the textbook sweep) over the
+    same 7-day shipment intervals, plus the containment invariants the
+    SQL cannot state: covered <= span always, and coverage_ratio == 1
+    exactly when the islands count is 1 and covered == span."""
+    from ibis_olap_aggregation_spark.operators.temporal import _SHIP_DAYS
+
+    sdf = (
+        QUERIES["interval_coverage_fraction"](spark, SF)
+        .toPandas()
+        .sort_values("l_suppkey")
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_suppkey", "l_shipdate"]
+    ]
+    li["s"] = (
+        li["l_shipdate"].dt.normalize() - pd.Timestamp("1970-01-01")
+    ).dt.days
+    rows = []
+    for supp, g in li.groupby("l_suppkey", sort=True):
+        starts = sorted(set(int(x) for x in g["s"]))
+        merged = []
+        for s in starts:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], s + _SHIP_DAYS)
+            else:
+                merged.append([s, s + _SHIP_DAYS])
+        covered = sum(e - b for b, e in merged)
+        span = starts[-1] + _SHIP_DAYS - starts[0]
+        rows.append(
+            {"l_suppkey": int(supp), "n_islands": len(merged),
+             "covered_days": covered, "span_days": span,
+             "coverage_ratio": round(covered / span, 6)}
+        )
+    ref = pd.DataFrame(rows).astype(
+        {"l_suppkey": "int64", "n_islands": "int64",
+         "covered_days": "int64", "span_days": "int64"}
+    )
+    _assert_frames_equal(sdf, ref)
+    assert (sdf["covered_days"] <= sdf["span_days"]).all()
+    full = sdf["coverage_ratio"] == 1.0
+    assert (full == ((sdf["n_islands"] == 1)
+                     & (sdf["covered_days"] == sdf["span_days"]))).all()

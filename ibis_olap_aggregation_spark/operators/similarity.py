@@ -1375,6 +1375,54 @@ def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cov_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle pairwise-complete covariance moments (i <= j,
+    cov double) of the embedding dimensions — the quantized-sum
+    second-moment shared by [emb_covariance_top_pairs] and
+    [emb_pca_power_iteration]. See the covariance query's docstring
+    for the determinism (1e12/1e6 quantization) and scale notes."""
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(parts, "vec_id")
+    )
+    pairs = e.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(v)), a ->"
+                " transform(sequence(a, size(v)), b ->"
+                " named_struct('i', a, 'j', b,"
+                "  'q', cast(round(element_at(v, a) * element_at(v, b) * 1e12)"
+                "       as decimal(38,0)),"
+                "  'xa', cast(round(element_at(v, a) * 1e6) as bigint),"
+                "  'xb', cast(round(element_at(v, b) * 1e6) as bigint)))))"
+            )
+        ).alias("s")
+    ).select("s.i", "s.j", "s.q", "s.xa", "s.xb")
+    # pairwise-complete moments: n and the single-dim sums ride the
+    # SAME per-pair aggregate (restricted to vectors carrying both
+    # dims), so ragged-length embeddings get a coherent covariance and
+    # fixed-length corpora get bit-identical values to the per-dim
+    # formulation — with one fewer shuffle (no separate singles agg).
+    px = pairs.groupBy("i", "j").agg(
+        F.sum("q").alias("sq"),
+        F.sum("xa").alias("sxa"),
+        F.sum("xb").alias("sxb"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return px.select(
+        "i",
+        "j",
+        "n",
+        (
+            F.col("sq").cast("double") / F.lit(1e12) / F.col("n")
+            - (F.col("sxa").cast("double") / F.lit(1e6) / F.col("n"))
+            * (F.col("sxb").cast("double") / F.lit(1e6) / F.col("n"))
+        ).alias("cov"),
+    )
+
+
 @register(
     "emb_covariance_top_pairs",
     """
@@ -1448,46 +1496,7 @@ def emb_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims^2-sized. The input is repartitioned on vec_id first: a single
     parquet file is ONE input partition, and a 2080x explode in one
     task is the round-7 single-task cliff."""
-    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .repartition(parts, "vec_id")
-    )
-    pairs = e.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(1, size(v)), a ->"
-                " transform(sequence(a, size(v)), b ->"
-                " named_struct('i', a, 'j', b,"
-                "  'q', cast(round(element_at(v, a) * element_at(v, b) * 1e12)"
-                "       as decimal(38,0)),"
-                "  'xa', cast(round(element_at(v, a) * 1e6) as bigint),"
-                "  'xb', cast(round(element_at(v, b) * 1e6) as bigint)))))"
-            )
-        ).alias("s")
-    ).select("s.i", "s.j", "s.q", "s.xa", "s.xb")
-    # pairwise-complete moments: n and the single-dim sums ride the
-    # SAME per-pair aggregate (restricted to vectors carrying both
-    # dims), so ragged-length embeddings get a coherent covariance and
-    # fixed-length corpora get bit-identical values to the per-dim
-    # formulation — with one fewer shuffle (no separate singles agg).
-    px = pairs.groupBy("i", "j").agg(
-        F.sum("q").alias("sq"),
-        F.sum("xa").alias("sxa"),
-        F.sum("xb").alias("sxb"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    mom = px.select(
-        "i",
-        "j",
-        "n",
-        (
-            F.col("sq").cast("double") / F.lit(1e12) / F.col("n")
-            - (F.col("sxa").cast("double") / F.lit(1e6) / F.col("n"))
-            * (F.col("sxb").cast("double") / F.lit(1e6) / F.col("n"))
-        ).alias("cov"),
-    )
+    mom = _cov_moments(spark, sf_dir)
     var = mom.filter(F.col("i") == F.col("j")).select(
         F.col("i").alias("vi"), F.col("cov").alias("v")
     )
@@ -1864,3 +1873,156 @@ FROM ranked WHERE rk <= {TOP_K}
 
 
 _register_rrf_fusion()
+
+
+_PCA_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+idx AS (
+  SELECT unnest(generate_series(1, (SELECT MAX(len(v)) FROM e))) AS i
+),
+px AS (
+  SELECT ia.i AS i, ib.i AS j,
+         SUM(CAST(ROUND(v[ia.i] * v[ib.i] * 1e12) AS HUGEINT)) AS sq,
+         SUM(CAST(ROUND(v[ia.i] * 1e6) AS BIGINT)) AS sxa,
+         SUM(CAST(ROUND(v[ib.i] * 1e6) AS BIGINT)) AS sxb,
+         COUNT(*) AS n
+  FROM e CROSS JOIN idx ia CROSS JOIN idx ib
+  WHERE ib.i >= ia.i AND ia.i <= len(v) AND ib.i <= len(v)
+  GROUP BY 1, 2
+),
+mom AS (
+  SELECT i, j,
+         CAST(sq AS DOUBLE) / 1e12 / n
+           - (CAST(sxa AS DOUBLE) / 1e6 / n)
+             * (CAST(sxb AS DOUBLE) / 1e6 / n) AS cov
+  FROM px
+),
+cv AS (
+  SELECT i, j, cov FROM mom
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM mom WHERE i <> j
+),
+dims AS (SELECT DISTINCT i AS j FROM cv),
+x0 AS (
+  SELECT j, ROUND(1.0 / sqrt((SELECT COUNT(*) FROM dims)), 9) AS xj
+  FROM dims
+),
+y1 AS (
+  SELECT c.i,
+         CAST(SUM(CAST(ROUND(c.cov * x.xj * 1e12) AS HUGEINT)) AS DOUBLE)
+           / 1e12 AS y
+  FROM cv c JOIN x0 x ON x.j = c.j GROUP BY 1
+),
+n1 AS (
+  SELECT sqrt(CAST(SUM(CAST(ROUND(y * y * 1e12) AS HUGEINT)) AS DOUBLE)
+              / 1e12) AS nrm
+  FROM y1
+),
+x1 AS (SELECT i AS j, ROUND(y / (SELECT nrm FROM n1), 9) AS xj FROM y1),
+y2 AS (
+  SELECT c.i,
+         CAST(SUM(CAST(ROUND(c.cov * x.xj * 1e12) AS HUGEINT)) AS DOUBLE)
+           / 1e12 AS y
+  FROM cv c JOIN x1 x ON x.j = c.j GROUP BY 1
+),
+n2 AS (
+  SELECT sqrt(CAST(SUM(CAST(ROUND(y * y * 1e12) AS HUGEINT)) AS DOUBLE)
+              / 1e12) AS nrm
+  FROM y2
+)
+-- the final loading is rounded ONCE from the raw quotient: an
+-- intermediate 9-decimal rounding would park values exactly on 1e-6
+-- halves, where Spark's shortest-repr double rounding and DuckDB's
+-- binary-value rounding disagree (observed: dim 15 at sf0.001)
+SELECT CAST(i AS INTEGER) AS dim,
+       ROUND(y / (SELECT nrm FROM n2), 6) AS loading,
+       ROUND((SELECT nrm FROM n2), 6) AS eigenvalue_est
+FROM y2
+ORDER BY 1
+"""
+
+
+@register("emb_pca_power_iteration", _PCA_SQL)
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component by TWO unrolled power-iteration
+    steps over the dimension covariance matrix: x_{k+1} =
+    normalize(C x_k) from the uniform unit start, reporting each
+    dimension's loading and the Rayleigh/norm eigenvalue estimate
+    ||C x_1||. The whitening/PCA decision input next to
+    [emb_covariance_top_pairs]'s pairwise diagnostic — and the repo's
+    exemplar of an ITERATIVE linear-algebra dataflow kept
+    engine-invariant: the covariance is the shared quantized-sum
+    moment (`_cov_moments`), every matrix-vector product quantizes
+    per-term to 1e-12 units and sums exactly (order-free on both
+    engines), each iterate is re-rounded to 9 decimals before the
+    next step, and the norm squares are quantized the same way — so
+    the float tree is fixed and the DuckDB oracle reproduces every
+    bit.
+
+    Scale shape: C is dims²-sized (4096 rows at 64 dims) — the ONLY
+    corpus-sized work is the one moment pass; each iteration is a
+    broadcast join of the 64-row iterate against C plus a 64-row
+    aggregate. More iterations = more tiny stages, never another
+    corpus scan (at 100 TB you materialize C once and iterate to
+    convergence for pennies)."""
+    import math
+
+    mom = _cov_moments(spark, sf_dir).select("i", "j", "cov")
+    cv = query_cache(
+        mom.unionAll(
+            mom.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+            )
+        )
+    )
+    dims = cv.select(F.col("i").alias("j")).distinct()
+    d = dims.count()
+    x0 = dims.select(
+        "j", F.round(F.lit(1.0 / math.sqrt(d)), 9).alias("xj")
+    )
+
+    def _matvec(x: DataFrame) -> DataFrame:
+        return (
+            cv.join(x, "j")
+            .groupBy("i")
+            .agg(
+                (
+                    F.sum(
+                        F.expr("cast(round(cov * xj * 1e12) as decimal(38,0))")
+                    ).cast("double")
+                    / F.lit(1e12)
+                ).alias("y")
+            )
+        )
+
+    def _norm(y: DataFrame) -> DataFrame:
+        return y.agg(
+            F.sqrt(
+                F.sum(
+                    F.expr("cast(round(y * y * 1e12) as decimal(38,0))")
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("nrm")
+        )
+
+    y1 = _matvec(F.broadcast(x0))
+    nrm1 = _norm(y1)
+    x1 = y1.crossJoin(F.broadcast(nrm1)).select(
+        F.col("i").alias("j"), F.round(F.col("y") / F.col("nrm"), 9).alias("xj")
+    )
+    y2 = _matvec(F.broadcast(x1))
+    nrm2 = _norm(y2)
+    # single rounding from the raw quotient (see oracle comment): a
+    # 9-then-6 double-round constructs exact 1e-6 half-ties where the
+    # two engines' double-rounding rules diverge
+    return (
+        y2.crossJoin(F.broadcast(nrm2))
+        .select(
+            F.col("i").cast("int").alias("dim"),
+            F.round(F.col("y") / F.col("nrm"), 6).alias("loading"),
+            F.round("nrm", 6).alias("eigenvalue_est"),
+        )
+        .orderBy("dim")
+    )

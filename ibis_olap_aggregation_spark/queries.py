@@ -1099,6 +1099,7 @@ _ADDED_ROUND13: frozenset[str] = frozenset(
         "graph_jaccard_neighbors",
         "streaming_sliding_window_twin",
         "interval_coverage_fraction",
+        "emb_pca_power_iteration",
     }
 )
 

@@ -429,3 +429,37 @@ def test_interval_coverage_matches_python_merge(spark):
     full = sdf["coverage_ratio"] == 1.0
     assert (full == ((sdf["n_islands"] == 1)
                      & (sdf["covered_days"] == sdf["span_days"]))).all()
+
+
+def test_pca_power_iteration_matches_numpy(spark):
+    """numpy third derivation: the same two power-iteration steps in
+    float64 over the numpy covariance — the engine's per-term 1e-12
+    quantization must stay within 1e-5 of it — plus the algebraic
+    invariants (unit loading vector, positive dominant eigenvalue,
+    eigenvalue <= trace)."""
+    sdf = (
+        QUERIES["emb_pca_power_iteration"](spark, SF)
+        .toPandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")["embedding"]
+    M = np.array([np.asarray(v, dtype=np.float64) for v in emb])
+    C = np.cov(M, rowvar=False, bias=True)
+    d = C.shape[0]
+    assert len(sdf) == d
+    x = np.full(d, round(1.0 / np.sqrt(d), 9))
+    for _ in range(2):
+        y = C @ x
+        nrm = float(np.sqrt((y * y).sum()))
+        x = np.round(y / nrm, 9)
+    ref_loading = np.round(y / nrm, 6)
+    got = sdf["loading"].to_numpy()
+    assert np.max(np.abs(got - ref_loading)) <= 1e-5, (
+        got[:8], ref_loading[:8]
+    )
+    ev = float(sdf["eigenvalue_est"].iloc[0])
+    assert (sdf["eigenvalue_est"] == ev).all()
+    assert abs(ev - nrm) <= 1e-4
+    assert 0 < ev <= np.trace(C) + 1e-9
+    assert abs(float((got * got).sum()) - 1.0) <= 1e-4

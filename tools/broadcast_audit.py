@@ -51,7 +51,9 @@ PKG = os.path.join(ROOT, "ibis_olap_aggregation_spark")
 #   - .limit(k)
 #   - a single-row aggregate (df.agg(F.min/max/...) with no groupBy)
 #   - the codebook grain groupBy("m", "cj") (M_SUBSPACES x 2^PQ_BITS)
-#   - the bounded helpers _ivf_centroids / centroid_arrays / topk(k)
+#   - the bounded helpers _ivf_centroids / centroid_arrays / topk(k),
+#     and the dimension-grain helpers _cov_moments (dims^2 rows) /
+#     _matvec (one row per dimension)
 #   - the diagonal filter i == j (one row per embedding dimension)
 FIXEDK_EVIDENCE = re.compile(
     r"<\s*N_QUERIES"
@@ -61,6 +63,8 @@ FIXEDK_EVIDENCE = re.compile(
     r'|groupBy\(\s*"m",\s*"cj"\s*\)'
     r"|_ivf_centroids\("
     r"|centroid_arrays\("
+    r"|_cov_moments\("
+    r"|_matvec\("
     r"|\btopk\(\s*\d"
     r'|F\.col\("i"\)\s*==\s*F\.col\("j"\)'
 )
@@ -131,6 +135,11 @@ RULES: list[tuple] = [
      "one row per embedding dimension (EMB_DIM, fixed)", True),
     (r"similarity\.py$", r"F\.broadcast\(gt\)", "fixed-k",
      "N_QUERIES x _MRL_K = 100 ground-truth rows (module constants)", True),
+    (r"similarity\.py$", r"F\.broadcast\(x\d\)", "fixed-k",
+     "one row per embedding dimension (power-iteration iterate; matvec "
+     "output grain)", True),
+    (r"similarity\.py$", r"F\.broadcast\(nrm\d\)", "single-row",
+     "1 row (iterate norm scalar)"),
     (r"timeseries\.py$", r"F\.broadcast\(lags\)", "fixed-k", "MAX_LAG literal lag offsets"),
     (r"text\.py$", r"F\.broadcast\(vocab\.select|F\.broadcast\(va\)|F\.broadcast\(vb\)",
      "fixed-k", "PMI vocab capped at top-50 (module constant)"),

@@ -887,7 +887,10 @@ def events_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH f AS (
   SELECT user_id, k AS cohort_k FROM (
     SELECT user_id,
-           CAST(regexp_extract(props, '\d+') AS INTEGER) AS k,
+           -- TRY_CAST mirrors Spark's null-on-failure cast: a digit-less
+           -- props row yields a NULL cohort on both engines, while a plain
+           -- CAST('') would abort DuckDB (ADVICE r13)
+           TRY_CAST(regexp_extract(props, '\d+') AS INTEGER) AS k,
            ROW_NUMBER() OVER (PARTITION BY user_id
                               ORDER BY ts, event_id) AS rn
     FROM events

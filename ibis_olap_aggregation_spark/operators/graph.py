@@ -987,7 +987,7 @@ SELECT common.a AS part_a, common.c AS part_b,
        CAST(da.d + dc.d - n_common AS BIGINT) AS union_size,
        ROUND(CAST(n_common AS DOUBLE) / (da.d + dc.d - n_common), 6)
          AS jaccard,
-       6 * n_common >= da.d + dc.d AS strong_link
+       4 * n_common >= da.d + dc.d AS strong_link
 FROM common
 JOIN deg da ON da.src = common.a
 JOIN deg dc ON dc.src = common.c
@@ -1007,7 +1007,8 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries no similarity signal and its fan-out is the quadratic
     term); degrees in the union stay uncapped. strong_link flags
     J >= 1/3 via the exact integer cross-multiplication
-    6*common >= da+dc — the float never decides membership.
+    4*common >= da+dc (J = n/(da+dc-n) >= 1/3 iff 4n >= da+dc) — the
+    float never decides membership.
 
     Scale shape: identical to adamic — one shuffle on the center key,
     per-center fan-out bounded at cap², degree attach through the
@@ -1046,7 +1047,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common",
             u.alias("union_size"),
             F.round(F.col("n_common") / u, 6).alias("jaccard"),
-            (6 * F.col("n_common") >= F.col("da") + F.col("dc")).alias(
+            (4 * F.col("n_common") >= F.col("da") + F.col("dc")).alias(
                 "strong_link"
             ),
         )

@@ -119,3 +119,49 @@ def test_closure_captured_bound_is_visible(tmp_path):
         "    return topk(4)\n",
     )
     assert audit.main(pkg) == 0
+
+
+def test_prior_line_grouped_agg_fails_audit(tmp_path):
+    """ADVICE r13: the single-row-aggregate witness must not certify
+    ``grouped.agg(F.sum(...))`` when the groupBy sits on a PRIOR
+    assignment line — that aggregate is SF-linear (one row per group),
+    not 1 row. The AST lineage check must follow the receiver name to
+    its groupBy definition and refuse."""
+    audit = _load()
+    pkg = _fake_pkg(
+        tmp_path,
+        "def f(e, x):\n"
+        "    grouped = e.groupBy('k')\n"
+        "    q = grouped.agg(F.sum('v').alias('s'))\n"
+        "    return x.join(F.broadcast(q), 'k')\n",
+    )
+    assert audit.main(pkg) == 1
+
+
+def test_global_agg_via_helper_lineage_passes_audit(tmp_path):
+    """Positive twin of the prior-line-grouped case: a TRUE single-row
+    global aggregate whose receiver resolves through an assignment
+    chain with no grouping call anywhere must certify."""
+    audit = _load()
+    pkg = _fake_pkg(
+        tmp_path,
+        "def f(spark, sf_dir, x):\n"
+        "    e = query_cache(load(spark, sf_dir))\n"
+        "    q = e.agg(F.min('vec_id').alias('qid'))\n"
+        "    return x.join(F.broadcast(q), 'k')\n",
+    )
+    assert audit.main(pkg) == 0
+
+
+def test_bare_parameter_agg_receiver_refuses(tmp_path):
+    """An ``.agg`` whose receiver is a bare function PARAMETER has no
+    visible lineage — the audit cannot certify what it cannot see, so
+    the site must fail rather than assume the parameter is ungrouped."""
+    audit = _load()
+    pkg = _fake_pkg(
+        tmp_path,
+        "def f(e, x):\n"
+        "    q = e.agg(F.min('vec_id').alias('qid'))\n"
+        "    return x.join(F.broadcast(q), 'k')\n",
+    )
+    assert audit.main(pkg) == 1

@@ -372,7 +372,7 @@ def test_jaccard_neighbors_match_python_sets(spark):
             {"part_a": a, "part_b": c, "n_common": common,
              "union_size": union,
              "jaccard": round(common / union, 6),
-             "strong_link": 6 * common >= len(adj[a]) + len(adj[c])}
+             "strong_link": 4 * common >= len(adj[a]) + len(adj[c])}
         )
     ref = pd.DataFrame(rows).astype(
         {"part_a": "int64", "part_b": "int64", "n_common": "int64",

@@ -49,7 +49,10 @@ PKG = os.path.join(ROOT, "ibis_olap_aggregation_spark")
 #   - a comparison filter against the module constants (vec_id <
 #     N_QUERIES, rk <= NPROBE)
 #   - .limit(k)
-#   - a single-row aggregate (df.agg(F.min/max/...) with no groupBy)
+#   - a single-row aggregate: df.agg(F.min/max/...) whose RECEIVER is
+#     certified group-free by AST lineage (_single_row_agg below) — a
+#     regex witness here would also match grouped.agg(F.sum(...)) when
+#     the groupBy sat on a prior assignment line (ADVICE r13)
 #   - the codebook grain groupBy("m", "cj") (M_SUBSPACES x 2^PQ_BITS)
 #   - the bounded helpers _ivf_centroids / centroid_arrays / topk(k),
 #     and the dimension-grain helpers _cov_moments (dims^2 rows) /
@@ -59,7 +62,6 @@ FIXEDK_EVIDENCE = re.compile(
     r"<\s*N_QUERIES"
     r"|<=\s*NPROBE"
     r"|\.limit\(\s*\d"
-    r"|\b\w+\.agg\(F\.(?:min|max|count|sum)\b"
     r'|groupBy\(\s*"m",\s*"cj"\s*\)'
     r"|_ivf_centroids\("
     r"|centroid_arrays\("
@@ -239,12 +241,73 @@ def fixedk_operand_bounded(path: str, lineno: int, line: str) -> bool:
         cands = [v for ln, v in assigns.get(name, []) if ln <= before]
         return cands[-1] if cands else None
 
+    _GROUPING = {"groupBy", "groupby", "rollup", "cube"}
+    _AGG_FNS = {"min", "max", "count", "sum"}
+
+    def receiver_groupfree(expr: ast.expr, before: int, depth: int) -> bool:
+        """True iff ``expr`` — followed transitively through the latest
+        simple-name assignments — contains NO grouping call, so an
+        ``.agg`` on it is the 1-row global aggregate, never per-group.
+        Every name that HAS a visible assignment is recursed into (a
+        prior-line ``grouped = df.groupBy(k)`` is always caught); a
+        BARE receiver name with no visible assignment (parameter,
+        module global) REFUSES — the audit cannot certify what it
+        cannot see. Unresolvable names nested inside an already-
+        resolved expression are call arguments/builders, not the
+        dataframe the ``.agg`` dispatches on, and are accepted."""
+        for n in ast.walk(expr):
+            if (
+                isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Attribute)
+                and n.func.attr in _GROUPING
+            ):
+                return False
+        if isinstance(expr, ast.Name) and latest(expr.id, before) is None:
+            return False
+        for n in ast.walk(expr):
+            if isinstance(n, ast.Name):
+                value = latest(n.id, before)
+                if value is None:
+                    continue
+                if depth <= 0:
+                    return False
+                if not receiver_groupfree(value, value.lineno, depth - 1):
+                    return False
+        return True
+
+    def single_row_agg(value: ast.expr, depth: int) -> bool:
+        """AST witness for the single-row-aggregate bound (ADVICE r13):
+        the assignment value must contain ``recv.agg(F.min/max/count/
+        sum(...))`` where ``recv``'s full assignment lineage is
+        group-free — so ``grouped = df.groupBy(k)`` on a prior line can
+        never smuggle an SF-linear grouped aggregate past the audit."""
+        for node in ast.walk(value):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "agg"
+                and any(
+                    isinstance(sub, ast.Call)
+                    and isinstance(sub.func, ast.Attribute)
+                    and isinstance(sub.func.value, ast.Name)
+                    and sub.func.value.id == "F"
+                    and sub.func.attr in _AGG_FNS
+                    for a in node.args
+                    for sub in ast.walk(a)
+                )
+                and receiver_groupfree(node.func.value, node.lineno, depth)
+            ):
+                return True
+        return False
+
     def bounded(name: str, before: int, depth: int) -> bool:
         value = latest(name, before)
         if value is None:
             return False
         seg = ast.get_source_segment(src, value) or ""
         if FIXEDK_EVIDENCE.search(seg):
+            return True
+        if single_row_agg(value, depth):
             return True
         if depth <= 0:
             return False

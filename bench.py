@@ -240,6 +240,65 @@ def box_factor_from(timings: dict[str, float], inject: dict) -> float:
     return round(statistics.median(ratios), 3) if ratios else 1.0
 
 
+# Engine-free machine-floor probe (ADVICE r13): box normalization is
+# self-referential — the three BOX_PROBES run ENGINE code, so an
+# engine-wide regression (a session config change, a global plan
+# pessimization) that slows them uniformly inflates box_factor and is
+# divided out of every gated delta; box_unstable only fires on >1.5x
+# probe disagreement or factor >3, leaving a uniform <=3x masked
+# window. This probe is plain pyspark against the same parquet (no
+# repo code in the timed region), so it measures the MACHINE: when
+# the engine probes' factor exceeds the floor factor by more than
+# FLOOR_DIVERGENCE_MAX, the slowdown lives in the engine, not the
+# box — the record is flagged box_vs_floor_divergence, the flag is
+# printed, and the record is excluded from the clean baseline pool.
+# Every record also carries the probes' RAW medians (probe_raw) and
+# floor_raw, unnormalized, so a shared-infra slowdown stays visible
+# in the history regardless of any normalization.
+#
+# ANCHOR REFRESH RULE (VERDICT r13 item 8): BOX_PROBES anchors and
+# FLOOR_ANCHOR may only be re-derived from MULTI-RECORD medians
+# (>= 3 clean history records for the probe anchors; >= 9 warm reps
+# in a dedicated calibration session for the floor), never from a
+# single run, and only via an explicit constant bump here —
+# tests/test_bench_gate.py pins the exact values so silent drift
+# fails the suite.
+FLOOR_ANCHOR = 0.659  # sec at sf0.1 — derived 2026-08-16 (r14): floor
+# median 1.066 s over 9 warm reps divided by the engine box_factor
+# 1.618 measured in the same calibration session on a quiet box.
+FLOOR_DIVERGENCE_MAX = 1.4  # box_factor/floor_factor beyond this is an
+# engine-side uniform slowdown, not a slower machine (both factors
+# carry ~±10% median noise; 1.4 leaves margin against false flags)
+
+
+def floor_probe_median(spark) -> float:
+    """Median warm seconds of the engine-free probe: raw spark.read
+    group-by aggregates over lineitem + orders (multi-stage — scan,
+    partial agg, exchange, final agg — the same machine resources the
+    engine probes exercise, none of the engine's code)."""
+
+    def run() -> None:
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).selectExpr(
+            "l_returnflag", "l_linestatus",
+            "l_quantity * (1 - l_discount) AS disc",
+            "l_extendedprice", "l_tax",
+        ).groupBy("l_returnflag", "l_linestatus").agg(
+            {"disc": "sum", "l_extendedprice": "avg", "l_tax": "max",
+             "*": "count"}
+        ).collect()
+        spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).groupBy(
+            "o_orderpriority"
+        ).agg({"o_totalprice": "sum", "*": "count"}).collect()
+
+    run()  # plan/codegen warm; file pages are warm from main()'s counts
+    ts = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    return round(statistics.median(ts), 3)
+
+
 def box_unstable(timings: dict[str, float], inject: dict) -> bool:
     """True when the run's own probe evidence says the BOX was not a
     consistent speed during the pass — the record then must not enter
@@ -420,6 +479,7 @@ def _prev_bench() -> tuple[dict[str, float], str | None]:
             if r.get("basis") == BENCH_BASIS
             and not r.get("regressions")
             and not r.get("unstable_box")
+            and not r.get("box_vs_floor_divergence")
         ][-5:]
         if clean_same_basis:
             samples: dict[str, list[float]] = {}
@@ -513,6 +573,20 @@ def main() -> None:
 
     box_factor = box_factor_from(timings, inject)
     unstable = box_unstable(timings, inject)
+    # machine-floor probe: engine-free, so box_factor >> floor_factor
+    # means the ENGINE slowed uniformly (the self-referential-
+    # normalization blind spot, ADVICE r13). Anchor is sf0.1-specific;
+    # other SF dirs record floor_raw only and never flag.
+    probe_raw = {
+        n: timings[n] for n in BOX_PROBES if n in timings and n not in inject
+    }
+    floor_raw = floor_probe_median(spark)
+    floor_factor = (
+        round(floor_raw / FLOOR_ANCHOR, 3) if _sf_tag() == 0.1 else None
+    )
+    divergence = bool(
+        floor_factor and box_factor / floor_factor > FLOOR_DIVERGENCE_MAX
+    )
     prev, prev_basis = _prev_bench()
     # the clean-pool baseline is box-NORMALIZED (each record divided by
     # its recorded box_factor); compare this run's timings on the same
@@ -563,7 +637,20 @@ def main() -> None:
         "sf": _sf_tag(),
         "box_factor": box_factor,
         "unstable_box": unstable,
+        # unnormalized probe evidence: a shared-infra slowdown stays
+        # visible here even when normalization flattens every delta
+        "probe_raw": probe_raw,
+        "floor_raw": floor_raw,
+        "floor_factor": floor_factor,
+        "box_vs_floor_divergence": divergence,
     }
+    if divergence:
+        print(
+            f"WARNING: engine probes {box_factor}x vs machine floor "
+            f"{floor_factor}x — uniform engine-side slowdown suspected; "
+            "record excluded from the clean baseline pool",
+            file=sys.stderr,
+        )
     if deltas:
         # box-normalized deltas (this run / box_factor vs the
         # normalized clean-pool median)
@@ -591,6 +678,14 @@ def main() -> None:
                         # self-marked: excluded from the clean pool by
                         # _prev_bench regardless of gate outcome
                         "unstable_box": unstable,
+                        # unnormalized probe evidence + engine-vs-
+                        # machine divergence flag (ADVICE r13): the
+                        # divergence flag also excludes the record
+                        # from the clean pool
+                        "probe_raw": probe_raw,
+                        "floor_raw": floor_raw,
+                        "floor_factor": floor_factor,
+                        "box_vs_floor_divergence": divergence,
                         # flagged runs are recorded but excluded from
                         # future baselines (_prev_bench ratchet guard);
                         # REBASE=1 records clean (accepted slowdown)

@@ -299,3 +299,48 @@ def test_unstable_box_detection_and_pool_exclusion(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
     queries, basis = bench._prev_bench()
     assert queries == {"q1": 1.0}  # unstable record never baselines
+
+
+def test_probe_anchors_are_pinned_constants():
+    """ANCHOR REFRESH RULE (VERDICT r13 item 8): BOX_PROBES anchors and
+    FLOOR_ANCHOR may only change via an explicit constant bump here —
+    re-derived from multi-record medians, never a single run. Silent
+    drift (editing bench.py without editing this pin) fails the suite."""
+    assert bench.BOX_PROBES == {
+        "tpch_q6_forecast_revenue": 0.240,
+        "text_quality_score": 0.284,
+        "dedup_minhash_lsh_candidates": 2.364,
+    }
+    assert bench.FLOOR_ANCHOR == 0.659
+    assert bench.FLOOR_DIVERGENCE_MAX == 1.4
+
+
+def test_floor_divergence_excludes_record_from_clean_pool(tmp_path, monkeypatch):
+    """ADVICE r13: a record whose engine probes slowed uniformly MORE
+    than the machine floor (box_vs_floor_divergence) must never enter
+    the clean baseline pool — normalization would divide the uniform
+    engine slowdown out of every gated delta."""
+    import json
+
+    hist = [
+        {"queries": {"q1": 1.0}, "basis": "median3", "sf": 0.1},
+        # engine-wide slowdown: probes 2x but machine floor ~1x. The
+        # record self-marks divergence; its normalized q1 (2.0/2.0=1.0)
+        # would look clean — exclusion is what keeps the gate honest.
+        {
+            "queries": {"q1": 2.0},
+            "basis": "median3",
+            "sf": 0.1,
+            "box_factor": 2.0,
+            "floor_factor": 1.05,
+            "box_vs_floor_divergence": True,
+        },
+    ]
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in hist) + "\n"
+    )
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    queries, basis = bench._prev_bench()
+    assert basis == bench.BENCH_BASIS
+    assert queries == {"q1": 1.0}

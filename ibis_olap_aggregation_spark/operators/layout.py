@@ -469,3 +469,237 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("target_file"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-vs-zorder-vs-linear file skipping
+# ---------------------------------------------------------------------------
+
+# 5 bits/dim for the three-way comparison: a 32x32 cell grid is the
+# right granularity for 64 files (each file spans ~16 cells along the
+# curve, so min/max rectangles still differ between curves), and the
+# unrolled Hilbert fold stays at 5 layers in both engines.
+HILBERT_BITS_PER_DIM = 5
+
+
+def _hilbert_step_exprs(s: int, n1: int) -> tuple[str, str, str]:
+    """One unrolled step of the classic Hilbert xy->d fold (state
+    columns x, y, d), as engine-neutral SQL text — the same generator
+    feeds Spark selectExpr layers and DuckDB CTE layers, so both
+    engines run the identical integer CASE logic (the `_morton_terms`
+    precedent). Quadrant increment is (3*rx) XOR ry spelled as a CASE
+    on the (rx, ry) pair — no engine-specific XOR spelling; the
+    rotation flips against the FULL grid bound ``n1`` (the textbook
+    rot(n,...) uses n-1, not s-1)."""
+    rx = f"((x & {s}) <> 0)"
+    ry = f"((y & {s}) <> 0)"
+    nx = f"CASE WHEN {ry} THEN x WHEN {rx} THEN {n1} - y ELSE y END"
+    ny = f"CASE WHEN {ry} THEN y WHEN {rx} THEN {n1} - x ELSE x END"
+    nd = (
+        f"d + CASE WHEN {rx} AND {ry} THEN {2 * s * s} "
+        f"WHEN {rx} THEN {3 * s * s} "
+        f"WHEN {ry} THEN {s * s} ELSE 0 END"
+    )
+    return nx, ny, nd
+
+
+def _hilbert_cte_chain(bits: int) -> str:
+    """DuckDB CTE layers hb1..hb{bits} folding (x, y, d) from hb0."""
+    n1 = (1 << bits) - 1
+    parts = []
+    prev = "hb0"
+    for step, i in enumerate(reversed(range(bits)), start=1):
+        nx, ny, nd = _hilbert_step_exprs(1 << i, n1)
+        parts.append(
+            f"hb{step} AS (SELECT pk, sk, {nx} AS x, {ny} AS y, {nd} AS d"
+            f" FROM {prev})"
+        )
+        prev = f"hb{step}"
+    return ",\n".join(parts)
+
+
+def hilbert_key_layers(df: DataFrame, bits: int) -> DataFrame:
+    """Spark twin of the CTE chain: fold the (x, y, d) state through
+    ``bits`` selectExpr layers; expects columns pk, sk, x, y and adds
+    the running d (the Hilbert index). Pure map-side expressions — no
+    shuffle, exactly like zorder_key."""
+    n1 = (1 << bits) - 1
+    out = df.selectExpr("pk", "sk", "x", "y", "CAST(0 AS BIGINT) AS d")
+    for i in reversed(range(bits)):
+        nx, ny, nd = _hilbert_step_exprs(1 << i, n1)
+        out = out.selectExpr(
+            "pk", "sk", f"{nx} AS x", f"{ny} AS y", f"{nd} AS d"
+        )
+    return out
+
+
+_HB = HILBERT_BITS_PER_DIM
+
+
+@register(
+    "layout_hilbert_vs_zorder_skipping",
+    f"""
+WITH li AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+nn AS (SELECT COUNT(*) AS c, MAX(pk) AS maxp, MAX(sk) AS maxs FROM li),
+hb0 AS (
+  SELECT pk, sk,
+         (pk * {1 << _HB}) // ((SELECT maxp FROM nn) + 1) AS x,
+         (sk * {1 << _HB}) // ((SELECT maxs FROM nn) + 1) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM li
+),
+{_hilbert_cte_chain(_HB)},
+hf AS (
+  SELECT pk, sk,
+         ((row_number() OVER (ORDER BY d, pk, sk) - 1) * {_N_FILES})
+            // (SELECT c FROM nn) AS file_id
+  FROM hb{_HB}
+),
+zf AS (
+  SELECT pk, sk,
+         ((row_number() OVER (ORDER BY ({_morton_terms(['x', 'y'], _HB, 'duck')}), pk, sk) - 1)
+            * {_N_FILES}) // (SELECT c FROM nn) AS file_id
+  FROM hb0
+),
+lf AS (
+  SELECT pk, sk,
+         ((row_number() OVER (ORDER BY pk, sk) - 1) * {_N_FILES})
+            // (SELECT c FROM nn) AS file_id
+  FROM li
+),
+stats AS (
+  SELECT 'hilbert' AS layout, file_id, MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+         MIN(sk) AS min_sk, MAX(sk) AS max_sk FROM hf GROUP BY 1, 2
+  UNION ALL
+  SELECT 'zorder', file_id, MIN(pk), MAX(pk), MIN(sk), MAX(sk) FROM zf GROUP BY 1, 2
+  UNION ALL
+  SELECT 'linear', file_id, MIN(pk), MAX(pk), MIN(sk), MAX(sk) FROM lf GROUP BY 1, 2
+),
+probes AS (
+  SELECT i,
+         ((i * 3) % {_PROBE_DENOM}) * ((SELECT maxp FROM nn) // {_PROBE_DENOM} + 1) AS p_lo,
+         ((i * 3) % {_PROBE_DENOM}) * ((SELECT maxp FROM nn) // {_PROBE_DENOM} + 1)
+           + ((SELECT maxp FROM nn) // {_PROBE_DENOM}) AS p_hi,
+         ((i * 5) % {_PROBE_DENOM}) * ((SELECT maxs FROM nn) // {_PROBE_DENOM} + 1) AS s_lo,
+         ((i * 5) % {_PROBE_DENOM}) * ((SELECT maxs FROM nn) // {_PROBE_DENOM} + 1)
+           + ((SELECT maxs FROM nn) // {_PROBE_DENOM}) AS s_hi
+  FROM generate_series(0, {_N_PROBES - 1}) t(i)
+),
+hits AS (
+  SELECT s.layout, p.i,
+         COUNT(*) FILTER (WHERE s.min_pk <= p.p_hi AND s.max_pk >= p.p_lo
+                            AND s.min_sk <= p.s_hi AND s.max_sk >= p.s_lo) AS files_hit
+  FROM stats s CROSS JOIN probes p
+  GROUP BY 1, 2
+)
+SELECT layout,
+       (SELECT COUNT(DISTINCT file_id) FROM stats s2 WHERE s2.layout = hits.layout) AS n_files,
+       (SELECT c FROM nn) AS n_rows,
+       CAST(SUM(files_hit) AS BIGINT) AS sum_files_hit,
+       CAST(SUM(files_hit) AS DOUBLE) / {_N_PROBES} AS avg_files_hit
+FROM hits
+GROUP BY 1
+""",
+)
+def layout_hilbert_vs_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way file-skipping comparison: Hilbert curve vs Morton
+    z-order vs linear sort, same data, same simulated 64-file layout
+    and the same 32 rectangular probes as [layout_zorder_file_skipping]
+    (both space-filling curves at {HILBERT_BITS_PER_DIM} bits/dim so
+    the comparison is apples-to-apples). The Hilbert curve has no bit-
+    level discontinuities — consecutive d values are always grid-
+    adjacent cells, where Morton order jumps across the key space at
+    power-of-two boundaries — so Hilbert files cover tighter min/max
+    rectangles and prune better; this query MEASURES that claim
+    instead of asserting it.
+
+    The Hilbert index is computed by the textbook xy2d fold unrolled
+    to {HILBERT_BITS_PER_DIM} SQL layers from ONE shared generator
+    (`_hilbert_step_exprs`) — Spark chains selectExpr projections,
+    DuckDB chains CTEs, both running identical integer CASE logic, so
+    the curve itself is cross-engine-verified rather than embedded as
+    a lookup constant. Locality/bijectivity of the fold is pinned
+    from scratch in tests/test_round14_properties.py.
+
+    Scale shape: both curve keys are pure map-side integer expressions
+    (like zorder_key); file assignment uses the range-partitioned
+    global ranker — three rankings, no single-partition windows; the
+    probe grid is a 32-row literal broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    )
+    li = query_cache(li)
+    n = li.count()
+    row = li.agg(F.max("pk").alias("mp"), F.max("sk").alias("ms")).first()
+    maxp, maxs = int(row["mp"]), int(row["ms"])
+
+    def file_stats(df: DataFrame, order_cols: list[str], layout: str) -> DataFrame:
+        ranked = global_row_number(df, order_cols, "rk", row_count=n)
+        files = ranked.withColumn(
+            "file_id",
+            F.expr(f"CAST(((CAST(rk AS BIGINT) - 1) * {_N_FILES}) DIV {n} AS BIGINT)"),
+        )
+        return files.groupBy("file_id").agg(
+            F.min("pk").alias("min_pk"),
+            F.max("pk").alias("max_pk"),
+            F.min("sk").alias("min_sk"),
+            F.max("sk").alias("max_sk"),
+        ).withColumn("layout", F.lit(layout))
+
+    grid = li.selectExpr(
+        "pk",
+        "sk",
+        f"(pk * {1 << _HB}) DIV {maxp + 1} AS x",
+        f"(sk * {1 << _HB}) DIV {maxs + 1} AS y",
+    )
+    hkeyed = hilbert_key_layers(grid, _HB).withColumnRenamed("d", "hkey")
+    zkeyed = grid.withColumn(
+        "zkey", F.expr(_morton_terms(["x", "y"], _HB, "spark"))
+    )
+    stats = query_cache(
+        file_stats(hkeyed, ["hkey", "pk", "sk"], "hilbert")
+        .unionByName(file_stats(zkeyed, ["zkey", "pk", "sk"], "zorder"))
+        .unionByName(file_stats(li, ["pk", "sk"], "linear"))
+    )
+
+    pw, sw = maxp // _PROBE_DENOM, maxs // _PROBE_DENOM
+    probes = spark.range(_N_PROBES).select(
+        F.col("id").alias("i"),
+        (((F.col("id") * 3) % _PROBE_DENOM) * (pw + 1)).alias("p_lo"),
+        (((F.col("id") * 3) % _PROBE_DENOM) * (pw + 1) + pw).alias("p_hi"),
+        (((F.col("id") * 5) % _PROBE_DENOM) * (sw + 1)).alias("s_lo"),
+        (((F.col("id") * 5) % _PROBE_DENOM) * (sw + 1) + sw).alias("s_hi"),
+    )
+    hits = (
+        stats.join(F.broadcast(probes))
+        .groupBy("layout", "i")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("min_pk") <= F.col("p_hi"))
+                    & (F.col("max_pk") >= F.col("p_lo"))
+                    & (F.col("min_sk") <= F.col("s_hi"))
+                    & (F.col("max_sk") >= F.col("s_lo")),
+                    1,
+                ).otherwise(0)
+            ).alias("files_hit")
+        )
+    )
+    n_files = stats.groupBy("layout").agg(
+        F.countDistinct("file_id").alias("n_files")
+    )
+    return (
+        hits.groupBy("layout")
+        .agg(
+            F.sum("files_hit").alias("sum_files_hit"),
+            (F.sum("files_hit").cast("double") / _N_PROBES).alias("avg_files_hit"),
+        )
+        .join(n_files, "layout")
+        .select(
+            "layout",
+            "n_files",
+            F.lit(n).cast("bigint").alias("n_rows"),
+            "sum_files_hit",
+            "avg_files_hit",
+        )
+    )

@@ -1310,3 +1310,146 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_tok") / float(PACK_CTX), 6).alias("fill_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum mixture schedule (stage-weighted language mixing)
+# ---------------------------------------------------------------------------
+
+# Training-curriculum stages: each stage gets a share of the total token
+# budget and its own sampling temperature (alpha=1 -> proportional to
+# corpus share, alpha->0 -> flatter / low-resource up-sampled). The
+# warmup stage trains on the natural distribution, the anneal stage
+# flattens hardest — the standard multi-stage data schedule.
+CURRICULUM_STAGES = [
+    (1, "warmup", 1.0, 0.20),
+    (2, "core", 0.5, 0.60),
+    (3, "anneal", 0.2, 0.20),
+]
+
+_STAGES_VALUES = ", ".join(
+    f"({sid}, '{name}', {alpha}, {frac})"
+    for sid, name, alpha, frac in CURRICULUM_STAGES
+)
+
+
+@register(
+    "pipeline_curriculum_mixture_schedule",
+    f"""
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS canon
+  FROM documents
+),
+lt AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM((n_chars + 3) // 4) AS BIGINT) AS tok
+  FROM h WHERE doc_id = canon
+  GROUP BY 1
+),
+p AS (
+  SELECT lang, n_docs, tok,
+         CAST(tok AS DOUBLE) / CAST(SUM(tok) OVER () AS DOUBLE) AS p,
+         SUM(tok) OVER () AS total_tok
+  FROM lt
+),
+q AS (
+  SELECT s.stage_id, s.stage, p.lang, p.n_docs, p.tok, p.p, p.total_tok,
+         s.budget_frac,
+         CAST(ROUND(POWER(p.p, s.alpha) * 1e15, 0) AS BIGINT) AS qw
+  FROM p CROSS JOIN
+       (SELECT * FROM (VALUES {_STAGES_VALUES})
+          AS t(stage_id, stage, alpha, budget_frac)) s
+),
+n AS (
+  SELECT *,
+         CAST(SUM(qw) OVER (PARTITION BY stage_id) AS DOUBLE) AS sum_qw,
+         ROUND(budget_frac * CAST(total_tok AS DOUBLE), 0) AS budget_tok
+  FROM q
+)
+SELECT stage_id, stage, lang,
+       n_docs AS n_surviving_docs,
+       tok AS n_tokens,
+       ROUND(p, 6) AS p_raw,
+       ROUND(CAST(qw AS DOUBLE) / sum_qw, 6) AS weight,
+       CAST(ROUND(CAST(qw AS DOUBLE) / sum_qw * budget_tok, 0) AS BIGINT)
+         AS alloc_tokens,
+       ROUND(CAST(qw AS DOUBLE) / sum_qw * budget_tok
+             / CAST(tok AS DOUBLE), 6) AS epochs
+FROM n
+""",
+)
+def pipeline_curriculum_mixture_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stage-weighted curriculum mixture over DEDUP-SURVIVING documents:
+    composes the exact-content survivor election (the
+    [dedup_survivor_stats] window idiom — duplicates never inflate a
+    language's share) with per-stage temperature sampling (the
+    [text_mixture_temperature_weights] quantized p^alpha machinery).
+    For each of the CURRICULUM_STAGES (warmup/core/anneal with their
+    own alpha and token-budget share), emits each language's resampled
+    weight, its absolute token allocation out of the stage budget, and
+    the implied epochs over that language's surviving tokens (>1 =
+    up-sampled/repeated — the anneal stage repeats low-resource
+    languages hardest).
+
+    Scale shape: one window MIN over the content hash (survivor
+    election, the only corpus-sized shuffle), one map-side-combined
+    groupBy on lang, then everything operates on |langs| x 3 stage rows
+    — the cross join is against a 3-row literal and the per-stage
+    windows are bounded-enum by construction. Determinism: p^alpha is
+    quantized to 1e-15 integer units, per-stage normalizers are exact
+    integer window sums, and each float output is a fixed chain of
+    IEEE ops identical in both engines (ln/pow parity pinned, SURVEY
+    §7.5.2)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text"))))
+    surv = (
+        d.withColumn("canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("canon"))
+    )
+    lt = surv.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.floor((F.col("n_chars") + 3) / 4)).cast("bigint").alias("tok"),
+    )
+    wall = Window.partitionBy()
+    p = lt.select(
+        "lang",
+        "n_docs",
+        "tok",
+        (F.col("tok").cast("double") / F.sum("tok").over(wall).cast("double")).alias("p"),
+        F.sum("tok").over(wall).alias("total_tok"),
+    )
+    stages = F.broadcast(
+        spark.createDataFrame(
+            CURRICULUM_STAGES,
+            "stage_id int, stage string, alpha double, budget_frac double",
+        )
+    )
+    q = p.crossJoin(stages).withColumn(
+        "qw",
+        F.round(F.pow(F.col("p"), F.col("alpha")) * 1e15, 0).cast("bigint"),
+    )
+    wstage = Window.partitionBy("stage_id")
+    n = q.withColumn(
+        "sum_qw", F.sum("qw").over(wstage).cast("double")
+    ).withColumn(
+        "budget_tok",
+        F.round(F.col("budget_frac") * F.col("total_tok").cast("double"), 0),
+    )
+    wt = F.col("qw").cast("double") / F.col("sum_qw")
+    return n.select(
+        "stage_id",
+        "stage",
+        "lang",
+        F.col("n_docs").alias("n_surviving_docs"),
+        F.col("tok").alias("n_tokens"),
+        F.round("p", 6).alias("p_raw"),
+        F.round(wt, 6).alias("weight"),
+        F.round(wt * F.col("budget_tok"), 0).cast("bigint").alias("alloc_tokens"),
+        F.round(wt * F.col("budget_tok") / F.col("tok").cast("double"), 6).alias(
+            "epochs"
+        ),
+    )

@@ -263,6 +263,72 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic "late delivery" slice for the merge operator below:
+# event_id is the fixtures' unique PK, so the modulus picks a stable
+# ~5% of rows on both engines with no randomness surface.
+_LATE_MOD, _LATE_REM = 20, 7
+
+
+@register(
+    "scd2_late_arriving_update_merge",
+    f"""
+WITH {_SCD2_DIM_SQL},
+late_users AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_id % {_LATE_MOD} = {_LATE_REM}
+)
+SELECT s.user_id, s.version, s.tier, s.valid_from_us, s.valid_to_us,
+       s.n_events, lu.user_id IS NOT NULL AS rebuilt
+FROM scd2 s LEFT JOIN late_users lu ON lu.user_id = s.user_id
+""",
+)
+def scd2_late_arriving_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving CDC merge into an SCD2 dimension — the family's
+    hardest real case: a batch of events DELIVERED late (here the
+    deterministic event_id % 20 == 7 slice, ~5% of rows) was
+    missing from the initial dimension build, and their timestamps
+    interleave ANYWHERE in history — splitting versions, merging
+    adjacent runs, shifting valid_from/valid_to of neighbors. A
+    forward-only upsert cannot fix that; the correct maintenance is a
+    scoped rebuild.
+
+    Engine shape (the 100 TB pattern): identify AFFECTED users (the
+    late batch's distinct user_ids — batch-sized, probed via dim_side),
+    keep every untouched user's rows from the EXISTING dimension
+    verbatim (left_anti), and re-run the SCD2 construction only over
+    the affected users' corrected full history (left_semi on the fact
+    stream). In production the base dimension is a STORED table, so
+    the incremental cost is the anti-join plus a rebuild scoped to the
+    affected users' history — never a full-dimension rebuild; here the
+    base dim is reconstructed from the pre-late event slice only
+    because the registry query must be self-contained (both the anti-
+    and semi-join still ride the user_id key, and the scoped rebuild's
+    window shuffle touches only affected users' partitions).
+
+    Correctness contract (the oracle): the merged output must equal the
+    dimension REBUILT FROM THE FULL CORRECTED HISTORY, row for row —
+    version numbering, interval bounds, and event counts — plus a
+    ``rebuilt`` flag marking which users took the incremental path.
+    The oracle computes exactly that: the corrected-history SCD2 with
+    the affected-user flag joined on (no incremental machinery), so a
+    hash match proves merge == rebuild. Interval tiling/contiguity
+    invariants are pinned in tests/test_round14_properties.py.
+    """
+    from ibis_olap_aggregation_spark.session import dim_side
+
+    ev = load_table(spark, sf_dir, "events")
+    is_late = (F.col("event_id") % _LATE_MOD) == F.lit(_LATE_REM)
+    base_dim = scd2_dim_from(ev.filter(~is_late))
+    affected = ev.filter(is_late).select("user_id").distinct()
+    side = dim_side(affected, cache_if_probing=True)
+    untouched = base_dim.join(side, "user_id", "left_anti").withColumn(
+        "rebuilt", F.lit(False)
+    )
+    corrected = ev.join(side, "user_id", "left_semi")
+    merged = scd2_dim_from(corrected).withColumn("rebuilt", F.lit(True))
+    return untouched.unionByName(merged)
+
+
 @register(
     "events_markov_transitions",
     """

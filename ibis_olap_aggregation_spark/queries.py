@@ -1103,6 +1103,18 @@ _ADDED_ROUND13: frozenset[str] = frozenset(
     }
 )
 
+# Queries ADDED in round 14 (late-arriving SCD2 merge, curriculum
+# mixture schedule, hilbert-vs-zorder skipping, checkpoint-recovery
+# streaming twin): same deal — last in line for prefix slots.
+_ADDED_ROUND14: frozenset[str] = frozenset(
+    {
+        "scd2_late_arriving_update_merge",
+        "pipeline_curriculum_mixture_schedule",
+        "layout_hilbert_vs_zorder_skipping",
+        "streaming_checkpoint_recovery_twin",
+    }
+)
+
 
 def _reorder_for_driver_coverage() -> None:
     flagship = "hierarchy_grocery_rollup"
@@ -1110,7 +1122,7 @@ def _reorder_for_driver_coverage() -> None:
     later = (_ADDED_ROUND2 | _ADDED_ROUND4 | _ADDED_ROUND5 | _ADDED_ROUND6
              | _ADDED_ROUND6B | _ADDED_ROUND7 | _ADDED_ROUND8 | _ADDED_ROUND9
              | _ADDED_ROUND11 | _ADDED_ROUND12 | _ADDED_ROUND12B
-             | _ADDED_ROUND13)
+             | _ADDED_ROUND13 | _ADDED_ROUND14)
     # never-driver-checked queries, oldest families first: the ones that
     # have been WAITING (not in a later-additions set) outrank the
     # newest additions for the guaranteed prefix slots
@@ -1167,6 +1179,10 @@ def _reorder_for_driver_coverage() -> None:
         n
         for n in QUERIES
         if n != flagship and n not in checked and n in _ADDED_ROUND13
+    ] + [
+        n
+        for n in QUERIES
+        if n != flagship and n not in checked and n in _ADDED_ROUND14
     ]
     # verified queries fill the remaining prefix slots STALEST-FIRST
     # (longest since a green driver row), so re-verification rotates

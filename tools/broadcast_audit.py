@@ -117,6 +117,8 @@ RULES: list[tuple] = [
      "single-row", "1 row (global threshold/dof/point/total)"),
     (r"pipeline\.py$", r"F\.broadcast\(tot\)|F\.broadcast\(z\)|F\.broadcast\(ess\)",
      "single-row", "1 row (global total / normalizer / ESS)"),
+    (r"pipeline\.py$", r"stages = F\.broadcast\(", "constant",
+     "CURRICULUM_STAGES literal = 3 rows (module constant)"),
     (r"sketch_eval\.py$", r"F\.broadcast\(thresh\)", "single-row", "1 row (tolerance)"),
     # --- fixed-k tables (module-constant row counts). verify_operand:
     # the match alone never certifies — the operand's assignment

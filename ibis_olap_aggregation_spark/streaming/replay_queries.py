@@ -658,6 +658,125 @@ def streaming_sliding_window_twin(
     ).orderBy("window_start")
 
 
+# Recovery-evidence stash for the checkpoint-recovery twin: the property
+# test needs the two phases' per-batch input-row counts to prove the
+# restart RECOVERED (files 1-4 never re-read) instead of re-ingesting.
+# Thread-local like _DRAIN_PROGRESS, same rationale.
+_RECOVERY_EVIDENCE = _threading.local()
+
+
+def last_recovery_evidence() -> dict:
+    """Evidence dict of the calling thread's most recent
+    streaming_checkpoint_recovery_twin run."""
+    return getattr(_RECOVERY_EVIDENCE, "value", {})
+
+
+@register(
+    "streaming_checkpoint_recovery_twin",
+    """
+SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       COUNT(*) AS event_count,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def streaming_checkpoint_recovery_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint RECOVERY mid-replay — the streaming claim a 100 TB
+    operator actually needs proven (VERDICT r13 item 7): the pipeline
+    is interrupted after micro-batch 4 of 8 and restarted FROM THE
+    CHECKPOINT ALONE, and the final output must still equal the batch
+    oracle exactly once — no lost files, no double-counted files.
+
+    Phase 1 lands only the first 4 replay files in a fresh landing
+    directory and drains them through a watermarked 1-day tumbling
+    aggregation (4 checkpointed micro-batches, complete mode), then
+    the query object is discarded — from the engine's perspective this
+    is the crash point: nothing survives but the checkpoint's offset
+    log and state store (the memory-sink rows are NOT reused; complete
+    mode rewrites the sink from state on every trigger, so the
+    restart's output comes from RECOVERED state, and the property
+    test's harder variant kills a continuously-triggering query
+    without waiting for idle). Phase 2 lands files 5-8, rebuilds the
+    whole pipeline from scratch (new source, new plan), points it at
+    the SAME checkpoint + sink name, and drains AvailableNow.
+
+    Exactly-once evidence (asserted in tests via
+    last_recovery_evidence): phase 2's summed numInputRows equals the
+    row count of files 5-8 alone — the recovered offset log prevents
+    re-reading files 1-4 — while the oracle hash match proves their
+    CONTENT is nonetheless fully present in the final state. State
+    recovery, not sink replay, is what carries phase 1's contribution
+    across the restart.
+
+    Scale shape: identical operator/plumbing to the tumbling twin; the
+    landing-directory staging IS the production restart drill (a
+    backlogged landing dir, a crashed job, a redeploy from
+    checkpoint)."""
+    import shutil
+
+    from ibis_olap_aggregation_spark.session import register_query_cleanup
+
+    replay = _replay_dir(spark, sf_dir)
+    parts = sorted(f for f in os.listdir(replay) if f.startswith("part-"))
+    land = tempfile.mkdtemp(prefix="spark_graft_recovery_land_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_recovery_ckpt_")
+    name = f"ckpt_recovery_{next(_IDS)}"
+
+    def _land(names: list[str], mtime_base: float) -> None:
+        for i, f in enumerate(names):
+            dst = os.path.join(land, f)
+            shutil.copy(os.path.join(replay, f), dst)
+            os.utime(dst, (mtime_base + i + 1, mtime_base + i + 1))
+
+    def _run_phase() -> list[dict]:
+        ev = stream_events(spark, land, max_files_per_trigger=1)
+        agg = tumbling_counts(ev, window="1 day", watermark="3650 days")
+        return run_to_memory(
+            agg, name, checkpoint_dir=ckpt, output_mode="complete"
+        )
+
+    base = os.stat(land).st_mtime
+    _land(parts[:4], base)
+    p1 = _run_phase()
+    # ---- crash point: only the checkpoint survives from here ----
+    _land(parts[4:], base + 100)
+    p2 = _run_phase()
+
+    _RECOVERY_EVIDENCE.value = {
+        "phase1_batches": len(p1),
+        "phase2_batches": len(p2),
+        "phase1_rows": sum(pr.get("numInputRows", 0) for pr in p1),
+        "phase2_rows": sum(pr.get("numInputRows", 0) for pr in p2),
+        "replay_dir": replay,
+        "tail_files": [os.path.join(replay, f) for f in parts[4:]],
+    }
+
+    def _release(view=name, paths=(land, ckpt)):
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
+        spark.catalog.dropTempView(view)
+
+    register_query_cleanup(_release)
+    return (
+        spark.table(name)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "event_count",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 # Re-run the driver-coverage reorder AFTER this module's @register calls
 # (ADVICE r11 item 3): when this module is imported FIRST, the circular
 # import binds a partially-initialized replay_queries into queries.py,

@@ -896,3 +896,123 @@ def test_interval_join_eviction_matches_batch_and_state_flattens(spark, sf_small
     peak = max(o["numRowsTotal"] for o in ops)
     assert peak < 2 * n_events * 0.6, (peak, 2 * n_events)
     release_query_caches()
+
+
+# ---------------------------------------------------------------------------
+# checkpoint recovery (round 14)
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_recovery_twin_resumes_not_reingests(spark, sf_small):
+    """Exactly-once evidence for streaming_checkpoint_recovery_twin:
+    phase 2 (the restart from checkpoint) must have read ONLY files
+    5-8 — its summed numInputRows equals those files' row count, and
+    phase 1's 4 batches carried the rest. The oracle hash match (the
+    mirror test) proves the CONTENT of files 1-4 still reached the
+    final output — i.e. it traveled through the recovered state store,
+    not a re-read."""
+    from ibis_olap_aggregation_spark.queries import QUERIES
+    from ibis_olap_aggregation_spark.streaming.replay_queries import (
+        last_recovery_evidence,
+    )
+
+    out = QUERIES["streaming_checkpoint_recovery_twin"](spark, sf_small)
+    total_out = out.agg(F.sum("event_count")).first()[0]
+    ev = last_recovery_evidence()
+    assert ev["phase1_batches"] == 4
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tail_rows = spark.read.parquet(*ev["tail_files"]).count()
+    all_rows = load_table(spark, sf_small, "events").count()
+    assert ev["phase2_rows"] == tail_rows
+    assert ev["phase1_rows"] == all_rows - tail_rows
+    # nothing lost, nothing duplicated end-to-end
+    assert total_out == all_rows
+
+
+def test_ungraceful_midflight_kill_recovers_exactly_once(
+    spark, sf_small, workdir
+):
+    """The harder variant: a CONTINUOUSLY-TRIGGERING query over the full
+    8-file backlog is stopped without waiting for idle as soon as at
+    least one micro-batch has committed — a genuine mid-replay
+    interruption at a nondeterministic point — then a rebuilt pipeline
+    restarts from the same checkpoint with AvailableNow. The final
+    complete-mode state must equal the batch aggregate exactly,
+    whatever the kill point, and the two phases' input rows must sum
+    to the table (no re-read of committed files)."""
+    import time
+
+    from ibis_olap_aggregation_spark.streaming.replay_queries import (
+        _replay_dir,
+    )
+
+    replay = _replay_dir(spark, sf_small)
+    ckpt = os.path.join(workdir, "ckpt")
+    name = f"kill_recover_{uuid.uuid4().hex[:8]}"
+
+    def pipeline():
+        ev = se.stream_events(spark, replay, max_files_per_trigger=1)
+        return se.tumbling_counts(ev, window="1 day", watermark="3650 days")
+
+    q = (
+        pipeline()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p.numInputRows > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.05)
+    q.stop()  # mid-flight: no graceful drain, no waiting for idle
+    q.awaitTermination()
+    phase1_rows = sum(p.numInputRows for p in q.recentProgress)
+
+    q2 = (
+        pipeline()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    phase2_rows = sum(p.numInputRows for p in q2.recentProgress)
+
+    got = (
+        spark.table(name)
+        .select("window_start", "event_type", "event_count", "sum_value")
+        .orderBy("window_start", "event_type")
+        .toPandas()
+    )
+    batch = (
+        load_table(spark, sf_small, "events")
+        .groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 day")["start"].alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+        .toPandas()
+    )
+    assert got.equals(batch), (got.head(), batch.head())
+    total = load_table(spark, sf_small, "events").count()
+    # committed offsets are never re-read; an uncommitted in-flight
+    # batch at the kill point is REPLAYED by phase 2 (its rows were
+    # never committed), so the sum can only exceed the table by rows
+    # the sink never counted as committed — assert no LOSS and no
+    # committed-batch duplication
+    assert phase1_rows + phase2_rows >= total
+    spark.catalog.dropTempView(name)

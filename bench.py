@@ -188,6 +188,13 @@ HEADLINE = [
     "multimodal_audio_vad_segments",
     "events_rfm_segments",
     "graph_jaccard_neighbors",
+    # round 14 additions: the scoped SCD2 rebuild merge (three
+    # co-keyed passes over the fact stream), the survivor-election +
+    # 3-stage mixture composition, and the three-ranking curve
+    # comparison (hilbert fold + morton + linear over the same cache)
+    "scd2_late_arriving_update_merge",
+    "pipeline_curriculum_mixture_schedule",
+    "layout_hilbert_vs_zorder_skipping",
 ]
 
 

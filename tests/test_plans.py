@@ -834,3 +834,55 @@ def test_rfm_user_aggregate_feeds_ranker_via_cache(spark, sf_small):
     plan = pi.physical_plan(df)
     release_query_caches()
     assert "ntile" not in plan, plan
+
+
+def test_scd2_late_merge_joins_ride_user_id_no_cartesian(spark, sf_small):
+    """scd2_late_arriving_update_merge: the affected-user scoping must
+    plan as broadcast/hash SEMI and ANTI joins on user_id — never a
+    nested-loop — and every SCD2 window partitions by user_id (no
+    global window ever sees the fact stream)."""
+    df = q.QUERIES["scd2_late_arriving_update_merge"](spark, sf_small)
+    from ibis_olap_aggregation_spark.session import release_query_caches
+
+    plan = pi.physical_plan(df)
+    release_query_caches()
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in spec, plan
+
+
+def test_hilbert_fold_is_map_side_and_three_rankings(spark, sf_small):
+    """layout_hilbert_vs_zorder_skipping: both curve keys are pure
+    map-side expressions — the plan carries NO python stage and no
+    join for the hilbert key (the fold is unrolled projections, not a
+    lookup), and the only windows are the rankers' bounded
+    per-partition row_numbers."""
+    df = q.QUERIES["layout_hilbert_vs_zorder_skipping"](spark, sf_small)
+    from ibis_olap_aggregation_spark.session import release_query_caches
+
+    plan = pi.physical_plan(df)
+    release_query_caches()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+    # three layouts, one probe-grid broadcast each side at most — the
+    # hilbert key must NOT introduce a join (a 1024-cell lookup would)
+    assert plan.count("Scan parquet") <= 3, plan
+
+
+def test_curriculum_schedule_prunes_and_bounded_windows(spark, sf_small):
+    """pipeline_curriculum_mixture_schedule: the survivor election is
+    the only corpus-sized shuffle (window on the content hash); the
+    stage table joins as a broadcast; the per-stage windows run over
+    the |langs| x 3 aggregate only — pinned by the window specs being
+    either the md5 hash (survivor) or stage_id/global over the
+    post-aggregate rows."""
+    df = q.QUERIES["pipeline_curriculum_mixture_schedule"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert pi.has_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+    # the documents scan must not read doc text columns it doesn't need
+    for cols in pi.scan_columns(df):
+        if "n_chars" in cols:
+            assert "url" not in cols, cols

@@ -72,6 +72,12 @@ TIMED = [
     # single-window shortcut no longer applies)
     "events_funnel_conversion_rate",
     "events_rfm_segments",
+    # round 14: the late-arriving SCD2 merge — three co-keyed passes
+    # over the fact stream (base dim windows, affected-user semi/anti,
+    # scoped rebuild windows); every shape is user-partitioned, so the
+    # replica axis must stay ~linear, and the density axis stresses the
+    # run-length compression on amp-x longer per-user partitions
+    "scd2_late_arriving_update_merge",
 ]
 
 

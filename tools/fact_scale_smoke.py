@@ -42,6 +42,10 @@ TIMED = [
     # round-12 second batch: the bloom prune's broadcast side is
     # position-capped, so cost must grow ~linearly in probe volume
     "join_bloom_pruned_semi",
+    # round 14: the three-ranking curve comparison — two map-side curve
+    # keys + three range-partitioned global rankings over the same
+    # cached scan; must track the ranker's ~linear growth
+    "layout_hilbert_vs_zorder_skipping",
 ]
 
 

@@ -72,6 +72,10 @@ def main() -> None:
         # must stay linear (packing) / flat (mixture) on the corpus axis
         "pipeline_pack_sequences",
         "text_mixture_temperature_weights",
+        # round 14: survivor election (one content-hash window over the
+        # corpus) + the 3-stage mixture — must track the exact-dedup
+        # line (same corpus-sized shuffle), everything after is |langs|x3
+        "pipeline_curriculum_mixture_schedule",
     ):
         t0 = time.perf_counter()
         df = QUERIES[name](spark, work)

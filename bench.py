@@ -263,19 +263,28 @@ def box_factor_from(timings: dict[str, float], inject: dict) -> float:
 # floor_raw, unnormalized, so a shared-infra slowdown stays visible
 # in the history regardless of any normalization.
 #
-# ANCHOR REFRESH RULE (VERDICT r13 item 8): BOX_PROBES anchors and
-# FLOOR_ANCHOR may only be re-derived from MULTI-RECORD medians
-# (>= 3 clean history records for the probe anchors; >= 9 warm reps
-# in a dedicated calibration session for the floor), never from a
-# single run, and only via an explicit constant bump here —
-# tests/test_bench_gate.py pins the exact values so silent drift
-# fails the suite.
-FLOOR_ANCHOR = 0.659  # sec at sf0.1 — derived 2026-08-16 (r14): floor
-# median 1.066 s over 9 warm reps divided by the engine box_factor
-# 1.618 measured in the same calibration session on a quiet box.
-FLOOR_DIVERGENCE_MAX = 1.4  # box_factor/floor_factor beyond this is an
-# engine-side uniform slowdown, not a slower machine (both factors
-# carry ~±10% median noise; 1.4 leaves margin against false flags)
+# The comparison is SELF-RELATIVE, never against an absolute floor
+# anchor: a standalone-session calibration measured the floor probe at
+# 1.07 s where the in-bench context (fully JIT/codegen-warmed JVM
+# after ~76 materialized queries) measures 0.42 s on the same quiet
+# box — an absolute anchor cannot transfer across contexts, and its
+# first real run false-flagged (r14). Instead, this run's ENGINE
+# slowdown vs the clean pool (box_factor / clean box_factor median)
+# is compared against this run's MACHINE slowdown vs the same pool
+# (floor_raw / clean floor_raw median) — both numerators and both
+# denominators are measured at the identical point of a full bench
+# run, so the context cancels. No flag until the pool has a floor_raw
+# history (records predating the field never block).
+#
+# ANCHOR REFRESH RULE (VERDICT r13 item 8): BOX_PROBES anchors may
+# only be re-derived from MULTI-RECORD medians (>= 3 clean history
+# records), never from a single run, and only via an explicit
+# constant bump here — tests/test_bench_gate.py pins the exact values
+# so silent drift fails the suite. The floor comparison needs no
+# anchor by construction (above).
+FLOOR_DIVERGENCE_MAX = 1.4  # engine-slowdown/machine-slowdown beyond
+# this is an engine-side uniform regression, not a slower machine
+# (both ratios carry ~±10% median noise; 1.4 leaves margin)
 
 
 def floor_probe_median(spark) -> float:
@@ -552,6 +561,43 @@ def _prev_bench() -> tuple[dict[str, float], str | None]:
     return (best[1], best[2]) if best else ({}, None)
 
 
+def _clean_floor_box_medians() -> tuple[float | None, float | None]:
+    """(median floor_raw, median box_factor) over the clean same-sf
+    same-basis history records that CARRY a floor_raw — the baseline
+    pool for the self-relative engine-vs-machine divergence check.
+    (None, None) until such records exist, which disarms the check
+    (records predating the floor field never block a bench)."""
+    tag = _sf_tag()
+    floors: list[float] = []
+    boxes: list[float] = []
+    try:
+        with open(_history_path()) as f:
+            for ln in f:
+                try:
+                    rec = json.loads(ln)
+                except Exception:  # noqa: BLE001
+                    continue
+                if (
+                    rec.get("sf") == tag
+                    and rec.get("basis") == BENCH_BASIS
+                    and not rec.get("regressions")
+                    and not rec.get("unstable_box")
+                    and not rec.get("box_vs_floor_divergence")
+                    and rec.get("floor_raw")
+                    and rec.get("box_factor")
+                ):
+                    floors.append(rec["floor_raw"])
+                    boxes.append(rec["box_factor"])
+    except OSError:
+        pass
+    if not floors:
+        return None, None
+    return (
+        round(statistics.median(floors[-5:]), 3),
+        round(statistics.median(boxes[-5:]), 3),
+    )
+
+
 def main() -> None:
     spark = get_spark("bench")
     # warmup: touch the JVM + parquet reader + every input table once, so
@@ -588,11 +634,14 @@ def main() -> None:
         n: timings[n] for n in BOX_PROBES if n in timings and n not in inject
     }
     floor_raw = floor_probe_median(spark)
+    clean_floor, clean_box = _clean_floor_box_medians()
     floor_factor = (
-        round(floor_raw / FLOOR_ANCHOR, 3) if _sf_tag() == 0.1 else None
+        round(floor_raw / clean_floor, 3) if clean_floor else None
     )
     divergence = bool(
-        floor_factor and box_factor / floor_factor > FLOOR_DIVERGENCE_MAX
+        floor_factor
+        and clean_box
+        and (box_factor / clean_box) / floor_factor > FLOOR_DIVERGENCE_MAX
     )
     prev, prev_basis = _prev_bench()
     # the clean-pool baseline is box-NORMALIZED (each record divided by
@@ -653,7 +702,8 @@ def main() -> None:
     }
     if divergence:
         print(
-            f"WARNING: engine probes {box_factor}x vs machine floor "
+            f"WARNING: engine probes slowed {round(box_factor / clean_box, 3)}x "
+            f"vs the clean pool while the machine floor slowed only "
             f"{floor_factor}x — uniform engine-side slowdown suspected; "
             "record excluded from the clean baseline pool",
             file=sys.stderr,

@@ -311,7 +311,6 @@ def test_probe_anchors_are_pinned_constants():
         "text_quality_score": 0.284,
         "dedup_minhash_lsh_candidates": 2.364,
     }
-    assert bench.FLOOR_ANCHOR == 0.659
     assert bench.FLOOR_DIVERGENCE_MAX == 1.4
 
 
@@ -344,3 +343,47 @@ def test_floor_divergence_excludes_record_from_clean_pool(tmp_path, monkeypatch)
     queries, basis = bench._prev_bench()
     assert basis == bench.BENCH_BASIS
     assert queries == {"q1": 1.0}
+
+
+def test_floor_divergence_is_self_relative(tmp_path, monkeypatch):
+    """The engine-vs-machine check carries NO absolute floor anchor
+    (its first real run proved standalone calibration does not
+    transfer into the in-bench JIT-warmed context): both this run's
+    engine slowdown and machine slowdown are measured against the SAME
+    clean-pool medians, and the check stays disarmed until the pool
+    has floor_raw history."""
+    import json
+
+    # no floor history -> disarmed
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        json.dumps({"queries": {"q1": 1.0}, "basis": "median3", "sf": 0.1})
+        + "\n"
+    )
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    assert bench._clean_floor_box_medians() == (None, None)
+
+    # with history: medians over clean records that carry the fields
+    hist = [
+        {"queries": {"q1": 1.0}, "basis": "median3", "sf": 0.1,
+         "floor_raw": 0.40, "box_factor": 1.4},
+        {"queries": {"q1": 1.0}, "basis": "median3", "sf": 0.1,
+         "floor_raw": 0.44, "box_factor": 1.5},
+        # flagged record: excluded from the floor pool too
+        {"queries": {"q1": 9.0}, "basis": "median3", "sf": 0.1,
+         "floor_raw": 9.0, "box_factor": 9.0,
+         "regressions": {"q1": 8.0}},
+    ]
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in hist) + "\n"
+    )
+    clean_floor, clean_box = bench._clean_floor_box_medians()
+    assert clean_floor == 0.42 and clean_box == 1.45
+    # engine slowed 2x vs pool, machine flat -> divergence fires
+    box_factor, floor_raw = 2.9, 0.42
+    floor_factor = round(floor_raw / clean_floor, 3)
+    assert (box_factor / clean_box) / floor_factor > bench.FLOOR_DIVERGENCE_MAX
+    # both slowed 2x together (a genuinely slower box) -> no flag
+    box_factor, floor_raw = 2.9, 0.84
+    floor_factor = round(floor_raw / clean_floor, 3)
+    assert (box_factor / clean_box) / floor_factor <= bench.FLOOR_DIVERGENCE_MAX

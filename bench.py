@@ -195,6 +195,11 @@ HEADLINE = [
     "scd2_late_arriving_update_merge",
     "pipeline_curriculum_mixture_schedule",
     "layout_hilbert_vs_zorder_skipping",
+    # round 14b: the privacy-triad EMD audit (one fact scan into a
+    # cached QI-band aggregate) and the cross-engine-exact portable
+    # HLL (one distinct exchange, constant-size register joins)
+    "privacy_t_closeness_audit",
+    "sketch_hll_portable_registers",
 ]
 
 

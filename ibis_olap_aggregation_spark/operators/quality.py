@@ -1243,6 +1243,126 @@ def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "privacy_t_closeness_audit",
+    """
+WITH cb AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+         COUNT(*) AS kj
+  FROM customer GROUP BY 1, 2, 3
+),
+cls AS (SELECT nat, seg, SUM(kj) AS big_k FROM cb GROUP BY 1, 2),
+gb AS (SELECT band, SUM(kj) AS gj FROM cb GROUP BY 1),
+tot AS (SELECT SUM(gj) AS big_g, COUNT(*) AS m FROM gb),
+grid AS (
+  SELECT c.nat, c.seg, c.big_k, b.band, b.gj, t.big_g, t.m,
+         COALESCE(x.kj, 0) AS kj
+  FROM cls c CROSS JOIN gb b CROSS JOIN tot t
+  LEFT JOIN cb x ON x.nat = c.nat AND x.seg = c.seg AND x.band = b.band
+),
+cum AS (
+  SELECT nat, seg, big_k, big_g, m,
+         SUM(kj * big_g - gj * big_k)
+           OVER (PARTITION BY nat, seg ORDER BY band
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnum
+  FROM grid
+)
+SELECT CAST(nat AS BIGINT) AS c_nationkey, seg AS c_mktsegment,
+       CAST(big_k AS BIGINT) AS k_anonymity,
+       ROUND(SUM(ABS(cnum)) * 1.0
+             / (big_k * big_g * GREATEST(m - 1, 1)), 6) AS t_closeness,
+       (SUM(ABS(cnum)) * 1.0
+        / (big_k * big_g * GREATEST(m - 1, 1))) > 0.2 AS violates_t
+FROM cum
+GROUP BY nat, seg, big_k, big_g, m
+ORDER BY 1, 2
+""",
+)
+def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li/Li/Venkatasubramanian, ICDE'07) — the third
+    rung of the privacy ladder after [privacy_k_anonymity_audit] (k) and
+    l-diversity (l): a k-anonymous, l-diverse class can STILL leak via
+    skew (the skewness attack — a class whose sensitive distribution
+    differs sharply from the table's). Per quasi-identifier class
+    (nation, segment), the distance between the class's
+    balance-band distribution and the GLOBAL band distribution, as the
+    ordered-attribute Earth Mover's Distance of the paper:
+    EMD = sum_i |cum_i(p - q)| / (m - 1) over the m ordered bands.
+    Classes with EMD > 0.2 are flagged.
+
+    Determinism: the cumulative differences are computed on EXACT
+    integer numerators (kj*G - gj*K over common denominator K*G), so
+    the windowed cumsum and the absolute-value sum are exact BIGINTs in
+    both engines; the only floating op is one final division. (At
+    extreme row counts K*G can overflow int64 — the 100 TB deployment
+    swaps the numerator to the double path, where the ordered window
+    cumsum is still sequentially deterministic; at any test SF the
+    integers are exact and small.)
+
+    Scale shape: ONE fact scan into a map-side-combined (QI, band)
+    aggregate (cached — everything downstream derives from it); the
+    class list (|nations| x |segments|, constant-bounded 25 x 5), the
+    band distribution (constant-bounded by the balance domain, ~11
+    rows), and the 1-row total are all post-aggregation constants, so
+    the dense class x band grid is a broadcast cross of tiny sides —
+    no second fact scan, no shuffle after the first aggregate."""
+    from ibis_olap_aggregation_spark.session import query_cache
+
+    c = load_table(spark, sf_dir, "customer")
+    cb = query_cache(
+        c.groupBy(
+            F.col("c_nationkey").cast("bigint").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+        ).agg(F.count(F.lit(1)).alias("kj"))
+    )
+    cls = cb.groupBy("nat", "seg").agg(F.sum("kj").alias("big_k"))
+    gb = cb.groupBy("band").agg(F.sum("kj").alias("gj"))
+    tot = gb.agg(
+        F.sum("gj").alias("big_g"), F.count(F.lit(1)).alias("m")
+    )
+    grid = (
+        cls.join(F.broadcast(gb))
+        .join(F.broadcast(tot))
+        .join(
+            F.broadcast(cb.select("nat", "seg", "band", "kj")),
+            ["nat", "seg", "band"],
+            "left",
+        )
+        .withColumn("kj", F.coalesce(F.col("kj"), F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("nat", "seg")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn(
+        "cnum",
+        F.sum(
+            F.col("kj") * F.col("big_g") - F.col("gj") * F.col("big_k")
+        ).over(w),
+    )
+    denom = (
+        F.col("big_k")
+        * F.col("big_g")
+        * F.greatest(F.col("m") - 1, F.lit(1))
+    )
+    emd = F.sum(F.abs(F.col("cnum"))) * 1.0 / F.first(denom)
+    return (
+        cum.groupBy(
+            F.col("nat").alias("c_nationkey"),
+            F.col("seg").alias("c_mktsegment"),
+        )
+        .agg(
+            F.first("big_k").alias("k_anonymity"),
+            F.round(emd, 6).alias("t_closeness"),
+            (emd > 0.2).alias("violates_t"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+@register(
     "quality_runs_test",
     """
 WITH daily AS (

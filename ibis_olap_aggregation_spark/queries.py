@@ -1112,6 +1112,8 @@ _ADDED_ROUND14: frozenset[str] = frozenset(
         "pipeline_curriculum_mixture_schedule",
         "layout_hilbert_vs_zorder_skipping",
         "streaming_checkpoint_recovery_twin",
+        "privacy_t_closeness_audit",
+        "sketch_hll_portable_registers",
     }
 )
 

@@ -906,3 +906,55 @@ def test_curriculum_schedule_prunes_and_bounded_windows(spark, sf_small):
     for cols in pi.scan_columns(df):
         if "n_chars" in cols:
             assert "url" not in cols, cols
+
+
+def test_t_closeness_single_scan_cached_grid(spark, sf_small):
+    """privacy_t_closeness_audit: ONE customer scan — the (QI, band)
+    aggregate is cached and every downstream side (class list, band
+    distribution, total, grid fill) derives from it; the grid crosses
+    are broadcasts, the only window partitions by the QI class, and
+    nothing touches python."""
+    df = q.QUERIES["privacy_t_closeness_audit"](spark, sf_small)
+    from ibis_olap_aggregation_spark.session import release_query_caches
+
+    plan = pi.physical_plan(df)
+    release_query_caches()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+    # every parquet scan in the tree is the cached (QI, band) build's
+    # customer scan, pruned to the three columns it needs (the cache's
+    # build plan is TEXTUALLY repeated under each InMemoryTableScan, so
+    # scan-counting is meaningless — pin reuse + pruning instead)
+    assert "InMemoryTableScan" in plan, plan
+    import re
+
+    for m in re.findall(r"FileScan parquet.*?ReadSchema: (\S+)", plan):
+        assert "c_acctbal" in m and "c_name" not in m, m
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "nat" in spec and "seg" in spec, plan
+
+
+def test_hll_single_exchange_no_python(spark, sf_small):
+    """sketch_hll_portable_registers: the distinct on (grp, key) is the
+    only fact-sized exchange; the hash/bucket/rank math is whole-stage
+    expression work (no python stage), the spine/register/estimate
+    joins are constant-size broadcasts, and the orders scan is read
+    once through the cache."""
+    df = q.QUERIES["sketch_hll_portable_registers"](spark, sf_small)
+    from ibis_olap_aggregation_spark.session import release_query_caches
+
+    plan = pi.physical_plan(df)
+    release_query_caches()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+    # the cached distinct feeds register + exact branches (cache build
+    # text repeats under each InMemoryTableScan — pin reuse + pruning,
+    # not scan counts); the orders scan reads exactly the two columns
+    assert "InMemoryTableScan" in plan, plan
+    import re
+
+    for m in re.findall(r"FileScan parquet.*?ReadSchema: (\S+)", plan):
+        assert "o_custkey" in m and "o_totalprice" not in m, m
+    assert "BroadcastHashJoin" in plan, plan
+    # the only fact-grain exchange is the distinct's (grp, key) hash
+    # partitioning — no exchange on bucket/register columns
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "key" in ex or "grp" in ex, ex

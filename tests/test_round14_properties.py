@@ -285,3 +285,211 @@ def test_curriculum_schedule_matches_numpy(spark):
         .tolist()
     )
     assert ws == sorted(ws), ws
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll_portable_registers
+# ---------------------------------------------------------------------------
+
+_P = 2147483647
+_A = 1103515245
+_B = 12345
+_M = 256
+
+
+def _mix(k: int) -> int:
+    """The portable hash, re-derived in arbitrary-precision python ints
+    (no numpy int64 — an accidental overflow DIFFERENCE from the SQL
+    path is exactly what this guards)."""
+    x = (_A * (k % _P) + _B) % _P
+    x = (x * x) % _P
+    x ^= x >> 15
+    x = (_A * x + _B) % _P
+    x = (x * x) % _P
+    x ^= x >> 13
+    return x
+
+
+def _python_hll(keys) -> tuple[list[int], float, int]:
+    regs = [0] * _M
+    for k in keys:
+        v = _mix(int(k))
+        b = v % _M
+        w = v // _M
+        rho = 24 - w.bit_length()
+        regs[b] = max(regs[b], rho)
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    s = sum(2.0 ** -r for r in regs)
+    raw = alpha * _M * _M / s
+    v_zero = regs.count(0)
+    est = (
+        _M * float(np.log(_M / v_zero))
+        if raw <= 2.5 * _M and v_zero > 0
+        else raw
+    )
+    return regs, est, v_zero
+
+
+def test_hll_matches_python_rederivation(spark):
+    out = (
+        QUERIES["sketch_hll_portable_registers"](spark, SF)
+        .toPandas()
+        .set_index("grp")
+    )
+    orders = pd.read_parquet(f"{SF}/orders.parquet")[
+        ["o_orderpriority", "o_custkey"]
+    ].drop_duplicates()
+    all_regs = None
+    merged_from_groups = [0] * _M
+    for grp, g in orders.groupby("o_orderpriority"):
+        regs, est, v_zero = _python_hll(g["o_custkey"])
+        merged_from_groups = [
+            max(a, b) for a, b in zip(merged_from_groups, regs)
+        ]
+        row = out.loc[grp]
+        assert row["exact_distinct"] == g["o_custkey"].nunique()
+        assert row["n_zero_registers"] == v_zero
+        assert abs(row["hll_estimate"] - est) < 1e-4, (grp, est, row)
+    regs_all, est_all, v_all = _python_hll(
+        orders["o_custkey"].drop_duplicates()
+    )
+    row = out.loc["ALL"]
+    assert row["exact_distinct"] == orders["o_custkey"].nunique()
+    assert row["n_zero_registers"] == v_all
+    assert abs(row["hll_estimate"] - est_all) < 1e-4
+    # MERGEABILITY: the union sketch is the elementwise max of the
+    # group sketches — the property that makes HLL partials storable
+    assert merged_from_groups == regs_all
+
+
+def test_hll_merge_is_associative_and_order_free():
+    """Splitting any key set arbitrarily and max-merging the partial
+    registers reproduces the whole-set registers — the distributed
+    combine the 100 TB path relies on."""
+    rng = np.random.default_rng(7)
+    keys = rng.integers(1, 10**9, size=4000)
+    whole, _, _ = _python_hll(keys)
+    for n_parts in (2, 3, 7):
+        parts = np.array_split(rng.permutation(keys), n_parts)
+        merged = [0] * _M
+        for p in parts:
+            r, _, _ = _python_hll(p)
+            merged = [max(a, b) for a, b in zip(merged, r)]
+        assert merged == whole, n_parts
+
+
+def test_hll_mixed_hash_estimate_quality_on_contiguous_keys():
+    """The adversarial input for the hash: CONTIGUOUS keys (the lattice
+    that biased a bare affine LCG +35%). The mixed hash must estimate
+    within 3 sigma across two orders of magnitude."""
+    for n in (500, 5000, 50000):
+        _, est, _ = _python_hll(range(1, n + 1))
+        assert abs(est - n) / n <= 0.195, (n, est)
+
+
+def test_hll_both_estimator_branches_covered(spark):
+    """At sf0.001 the per-group rows sit in the linear-counting regime;
+    at sf0.01 the ALL row crosses into the raw harmonic-mean regime —
+    so the driver gate exercises BOTH branches of the estimator."""
+    small = (
+        QUERIES["sketch_hll_portable_registers"](spark, SF)
+        .toPandas()
+        .set_index("grp")
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    # linear-counting at sf0.001: estimate == 256*ln(256/V) for groups
+    for grp in small.index:
+        if grp == "ALL":
+            continue
+        v = small.loc[grp, "n_zero_registers"]
+        assert v > 0
+        lc = _M * float(np.log(_M / v))
+        assert abs(small.loc[grp, "hll_estimate"] - lc) < 1e-4
+    big = (
+        QUERIES["sketch_hll_portable_registers"](
+            spark, "/root/testdata/sf0.01"
+        )
+        .toPandas()
+        .set_index("grp")
+    )
+    # raw branch at sf0.01 ALL: estimate != the linear-counting value
+    v = big.loc["ALL", "n_zero_registers"]
+    if v > 0:
+        lc = _M * float(np.log(_M / v))
+        assert abs(big.loc["ALL", "hll_estimate"] - lc) > 1.0
+
+
+# ---------------------------------------------------------------------------
+# privacy_t_closeness_audit
+# ---------------------------------------------------------------------------
+
+
+def _python_t_closeness(cust: pd.DataFrame) -> pd.DataFrame:
+    cust = cust.assign(
+        band=np.floor(cust["c_acctbal"] / 1000).astype("int64")
+    )
+    bands = np.sort(cust["band"].unique())
+    m = len(bands)
+    g_total = len(cust)
+    g_dist = cust.groupby("band").size().reindex(bands, fill_value=0)
+    rows = []
+    for (nat, seg), cl in cust.groupby(["c_nationkey", "c_mktsegment"]):
+        k = len(cl)
+        c_dist = cl.groupby("band").size().reindex(bands, fill_value=0)
+        # exact-integer cumulative numerators over denominator K*G
+        num = (c_dist.values * g_total - g_dist.values * k).cumsum()
+        emd = float(np.abs(num).sum()) / (k * g_total * max(m - 1, 1))
+        rows.append(
+            {
+                "c_nationkey": nat,
+                "c_mktsegment": seg,
+                "k_anonymity": k,
+                "t_closeness": round(emd, 6),
+                "violates_t": emd > 0.2,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def test_t_closeness_matches_numpy(spark):
+    out = QUERIES["privacy_t_closeness_audit"](spark, SF).toPandas()
+    cust = pd.read_parquet(f"{SF}/customer.parquet")[
+        ["c_nationkey", "c_mktsegment", "c_acctbal"]
+    ]
+    ref = _python_t_closeness(cust)
+    _assert_frames_equal(out, ref)
+
+
+def test_t_closeness_bounds_and_degenerate_cases():
+    """EMD over the normalized ordered distance is bounded [0, 1]; a
+    class distributed exactly like the global table scores 0; a class
+    concentrated at one extreme band of a two-band table scores the
+    max distance its share allows."""
+    rng = np.random.default_rng(11)
+    cust = pd.DataFrame(
+        {
+            "c_nationkey": rng.integers(0, 5, 500),
+            "c_mktsegment": rng.choice(["A", "B"], 500),
+            "c_acctbal": rng.uniform(-999, 9999, 500).round(2),
+        }
+    )
+    ref = _python_t_closeness(cust)
+    assert (ref["t_closeness"] >= 0).all()
+    assert (ref["t_closeness"] <= 1).all()
+    # self-distance is zero: one class == whole table
+    solo = cust.assign(c_nationkey=0, c_mktsegment="A")
+    ref0 = _python_t_closeness(solo)
+    assert (ref0["t_closeness"] == 0).all()
+    # two bands, class entirely in the far band, global 50/50:
+    # cum|p-q| at band 0 is 0.5, m-1 = 1 -> EMD exactly 0.5
+    two = pd.DataFrame(
+        {
+            "c_nationkey": [0] * 50 + [1] * 50,
+            "c_mktsegment": ["A"] * 100,
+            "c_acctbal": [500.0] * 50 + [1500.0] * 50,
+        }
+    )
+    ref2 = _python_t_closeness(two).set_index("c_nationkey")
+    assert ref2.loc[0, "t_closeness"] == 0.5
+    assert ref2.loc[1, "t_closeness"] == 0.5
+    assert bool(ref2.loc[0, "violates_t"])

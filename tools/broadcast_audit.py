@@ -154,6 +154,15 @@ RULES: list[tuple] = [
      "one row per event_type (x quantile probs) — low-cardinality enum"),
     (r"quality\.py$", r"F\.broadcast\(med\)|F\.broadcast\(mad\)|F\.broadcast\(u\)",
      "bounded-enum", "one row per event_type — low-cardinality enum"),
+    (r"quality\.py$", r"cls\.join\(F\.broadcast\(gb\)\)", "bounded-enum",
+     "one row per balance band — domain/width ≤ ~11 bands"),
+    (r"quality\.py$", r'F\.broadcast\(cb\.select\("nat", "seg", "band", "kj"\)\)',
+     "bounded-enum",
+     "(nation x segment x band) aggregate ≤ 25 x 5 x ~11 rows"),
+    (r"sketch_eval\.py$", r"F\.broadcast\(regs\)", "bounded-enum",
+     "HLL registers: (|priorities|+1) x 256 rows — enum x fixed m"),
+    (r"sketch_eval\.py$", r"F\.broadcast\(ex\)", "bounded-enum",
+     "one exact-count row per priority + ALL — low-cardinality enum"),
     (r"analytic\.py$", r"F\.broadcast\(bounds\)", "bounded-enum",
      "one row per l_returnflag — 3 values"),
     (r"text\.py$", r"F\.broadcast\(totals\)", "bounded-enum",

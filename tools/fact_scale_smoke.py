@@ -46,6 +46,11 @@ TIMED = [
     # keys + three range-partitioned global rankings over the same
     # cached scan; must track the ranker's ~linear growth
     "layout_hilbert_vs_zorder_skipping",
+    # round 14b: one fact scan into a distinct exchange whose OUTPUT is
+    # bound by the fixed customer population + constant-size register
+    # joins — the scan grows 10x, the shuffle output does not, so the
+    # ratio must sit well under the fact growth
+    "sketch_hll_portable_registers",
 ]
 
 

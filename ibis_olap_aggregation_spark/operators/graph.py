@@ -694,24 +694,47 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends = und.select(F.col("a").alias("pk")).unionAll(
         und.select(F.col("b").alias("pk"))
     )
-    deg = ends.groupBy("pk").agg(F.count(F.lit(1)).alias("d"))
-    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    # deg is NODE-sized (one row per distinct part) — the same shape as
+    # the cosine op's support table, and like it worth a probed
+    # broadcast: a plain join here shuffled the 2x-edge sym list TWICE
+    # against a table ~100x smaller. Above the cap the node table is
+    # itself huge and the sort-merge join is right.
+    deg = query_cache(
+        ends.groupBy("pk").agg(F.count(F.lit(1)).alias("d"))
     )
-    da = deg.select(F.col("pk").alias("u"), F.col("d").alias("du"))
-    db = deg.select(F.col("pk").alias("v"), F.col("d").alias("dv"))
-    joined = sym.join(da, "u").join(db, "v")
-    # sa = sum over edge-ends of deg(u) = sum of deg^2 — second-order
-    # magnitude like saa/sab, so all three route through the wide sum
+    small_nodes = deg.limit(PAGERANK_BROADCAST_NODE_CAP).count() < (
+        PAGERANK_BROADCAST_NODE_CAP
+    )
+
+    def _node_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_nodes else df.hint("merge")
+
+    # The symmetrized sums fold back onto the UNDIRECTED edge list
+    # (sym is und + its flip, and every statistic is flip-symmetric):
+    # n = 2E, sa = Σ(da+db), saa = Σ(da²+db²), sab = 2·Σ(da·db) — so
+    # the edge list is scanned ONCE at half the rows, with no sym
+    # union. Each identity is exact-integer; the double casts commute
+    # with the ×2 (a power-of-two scale), so the emitted r is
+    # bit-identical to the oracle's full-sym formulation.
+    # sa/saa/sab are deg²-to-deg³ scale — all route through wide sums.
+    da = deg.select(F.col("pk").alias("a"), F.col("d").alias("da_d"))
+    db = deg.select(F.col("pk").alias("b"), F.col("d").alias("db_d"))
+    joined = und.join(_node_side(da), "a").join(_node_side(db), "b")
     st = joined.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        sum_wide(F.col("du")).cast("double").alias("sa"),
-        sum_wide_product(F.col("du"), F.col("du"), check_in=joined)
+        (F.count(F.lit(1)) * 2).cast("double").alias("n"),
+        sum_wide(F.col("da_d") + F.col("db_d")).cast("double").alias("sa"),
+        (
+            sum_wide_product(F.col("da_d"), F.col("da_d"), check_in=joined)
+            + sum_wide_product(F.col("db_d"), F.col("db_d"), check_in=joined)
+        )
         .cast("double")
         .alias("saa"),
-        sum_wide_product(F.col("du"), F.col("dv"), check_in=joined)
-        .cast("double")
-        .alias("sab"),
+        (
+            sum_wide_product(
+                F.col("da_d"), F.col("db_d"), check_in=joined
+            ).cast("double")
+            * 2
+        ).alias("sab"),
     )
     n, sa = F.col("n"), F.col("sa")
     r = (n * F.col("sab") - sa * sa) / (n * F.col("saa") - sa * sa)

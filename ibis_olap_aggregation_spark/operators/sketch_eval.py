@@ -439,7 +439,11 @@ def sketch_hll_portable_registers(
     cross-engine here, associativity pinned in properties). The
     per-group rows land in the linear-counting regime (est <= 2.5m
     with empty buckets) and the ALL row in the raw-harmonic-mean
-    regime, so BOTH estimator branches are driver-gated.
+    regime, so BOTH estimator branches are driver-gated. (The
+    within_3sigma bound uses the raw-regime rsd 1.04/sqrt(m) = 0.065
+    everywhere; linear counting's own error is strictly TIGHTER at
+    the occupancies where the branch engages, so the shared bound is
+    conservative there, never permissive.)
 
     Determinism notes: all hash/bucket/register arithmetic is exact
     int64 (the key is reduced mod p BEFORE the multiply, so a*key

@@ -603,6 +603,34 @@ def _clean_floor_box_medians() -> tuple[float | None, float | None]:
     )
 
 
+# the minimum engine-probe slowdown vs the pool before the divergence
+# check may even consider an engine-side cause — below it there is no
+# slowdown to explain, whatever the machine floor did
+FLOOR_DIVERGENCE_MIN_ENGINE_RATIO = 1.15
+
+
+def floor_divergence(
+    box_factor: float,
+    clean_box: float | None,
+    floor_factor: float | None,
+) -> bool:
+    """True iff this run's ENGINE slowdown exceeds what the machine
+    floor explains. Both legs must point the same way: the engine
+    probes actually slower than the pool (ratio > the noise floor)
+    AND slower than the machine-floor ratio accounts for. Without the
+    first leg a QUIETER-than-pool machine (floor_factor 0.7, engine
+    ratio 1.0) would clear the 1.4x divergence bar on floor speedup
+    alone and exclude a perfectly clean record while printing a false
+    'engine slowed' warning (code-review r14)."""
+    if not (floor_factor and clean_box):
+        return False
+    engine_ratio = box_factor / clean_box
+    return (
+        engine_ratio > FLOOR_DIVERGENCE_MIN_ENGINE_RATIO
+        and engine_ratio / floor_factor > FLOOR_DIVERGENCE_MAX
+    )
+
+
 def main() -> None:
     spark = get_spark("bench")
     # warmup: touch the JVM + parquet reader + every input table once, so
@@ -633,8 +661,11 @@ def main() -> None:
     unstable = box_unstable(timings, inject)
     # machine-floor probe: engine-free, so box_factor >> floor_factor
     # means the ENGINE slowed uniformly (the self-referential-
-    # normalization blind spot, ADVICE r13). Anchor is sf0.1-specific;
-    # other SF dirs record floor_raw only and never flag.
+    # normalization blind spot, ADVICE r13). Self-relative: the
+    # baselines are the pool's own floor/box medians at the CURRENT SF
+    # tag, so the check arms at any SF once its history carries
+    # floor_raw records (code-review r14: an earlier comment wrongly
+    # claimed only sf0.1 could flag).
     probe_raw = {
         n: timings[n] for n in BOX_PROBES if n in timings and n not in inject
     }
@@ -643,11 +674,7 @@ def main() -> None:
     floor_factor = (
         round(floor_raw / clean_floor, 3) if clean_floor else None
     )
-    divergence = bool(
-        floor_factor
-        and clean_box
-        and (box_factor / clean_box) / floor_factor > FLOOR_DIVERGENCE_MAX
-    )
+    divergence = floor_divergence(box_factor, clean_box, floor_factor)
     prev, prev_basis = _prev_bench()
     # the clean-pool baseline is box-NORMALIZED (each record divided by
     # its recorded box_factor); compare this run's timings on the same

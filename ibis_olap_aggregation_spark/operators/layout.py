@@ -111,6 +111,109 @@ _N_PROBES = 32
 _PROBE_DENOM = 8  # probe rectangles are (1/8 x 1/8) of the key space
 
 
+def _skipping_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int, int, int]:
+    """Shared input scaffolding for the file-skipping measurements: the
+    cached (pk, sk) projection plus its exact count and key maxima (two
+    driver actions, the same values the oracles derive in SQL). ONE
+    copy serves both skipping ops so the probe/file geometry cannot
+    drift between them (code-review r14)."""
+    li = query_cache(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+    )
+    n = li.count()
+    row = li.agg(F.max("pk").alias("mp"), F.max("sk").alias("ms")).first()
+    return li, n, int(row["mp"]), int(row["ms"])
+
+
+def _skipping_measurement(
+    spark: SparkSession,
+    n: int,
+    maxp: int,
+    maxs: int,
+    keyed_layouts: list[tuple[DataFrame, list[str], str]],
+) -> DataFrame:
+    """The file-skipping harness both layout ops share: assign each
+    layout's rows to {_N_FILES} equal-row files via the range-
+    partitioned global ranker, compute per-file min/max stats (what
+    parquet footers store), fire the {_N_PROBES} deterministic probe
+    rectangles, and count overlapping files per (layout, probe) with
+    the min/max test a stats-pruning reader runs. ``keyed_layouts`` is
+    [(frame, order_cols, layout_name)]; everything downstream —
+    file_id formula, probe geometry, overlap predicate, output shape —
+    lives HERE once, so a one-sided edit can no longer make the two
+    skipping ops measure different things."""
+
+    def file_stats(df: DataFrame, order_cols: list[str], layout: str) -> DataFrame:
+        ranked = global_row_number(df, order_cols, "rk", row_count=n)
+        files = ranked.withColumn(
+            "file_id",
+            F.expr(f"CAST(((CAST(rk AS BIGINT) - 1) * {_N_FILES}) DIV {n} AS BIGINT)"),
+        )
+        return files.groupBy("file_id").agg(
+            F.min("pk").alias("min_pk"),
+            F.max("pk").alias("max_pk"),
+            F.min("sk").alias("min_sk"),
+            F.max("sk").alias("max_sk"),
+        ).withColumn("layout", F.lit(layout))
+
+    # |layouts| x 64 stat rows feed BOTH the probe-overlap branch and
+    # the n_files count: cache so each global ranking runs once, not
+    # twice (tracked, query-scoped — see session.query_cache)
+    per_layout = [file_stats(df, cols, name) for df, cols, name in keyed_layouts]
+    stats = per_layout[0]
+    for s in per_layout[1:]:
+        stats = stats.unionByName(s)
+    stats = query_cache(stats)
+
+    pw, sw = maxp // _PROBE_DENOM, maxs // _PROBE_DENOM
+    probes = spark.range(_N_PROBES).select(
+        F.col("id").alias("i"),
+        (((F.col("id") * 3) % _PROBE_DENOM) * (pw + 1)).alias("p_lo"),
+        (((F.col("id") * 3) % _PROBE_DENOM) * (pw + 1) + pw).alias("p_hi"),
+        (((F.col("id") * 5) % _PROBE_DENOM) * (sw + 1)).alias("s_lo"),
+        (((F.col("id") * 5) % _PROBE_DENOM) * (sw + 1) + sw).alias("s_hi"),
+    )
+    # file-stat rows x 32 probes: broadcast the probe grid, count
+    # overlaps per (layout, probe) with the same FILTER the oracle uses
+    hits = (
+        stats.join(F.broadcast(probes))
+        .groupBy("layout", "i")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("min_pk") <= F.col("p_hi"))
+                    & (F.col("max_pk") >= F.col("p_lo"))
+                    & (F.col("min_sk") <= F.col("s_hi"))
+                    & (F.col("max_sk") >= F.col("s_lo")),
+                    1,
+                ).otherwise(0)
+            ).alias("files_hit")
+        )
+    )
+    n_files = stats.groupBy("layout").agg(
+        F.countDistinct("file_id").alias("n_files")
+    )
+    return (
+        hits.groupBy("layout")
+        .agg(
+            F.sum("files_hit").alias("sum_files_hit"),
+            (F.sum("files_hit").cast("double") / _N_PROBES).alias("avg_files_hit"),
+        )
+        .join(n_files, "layout")
+        .select(
+            "layout",
+            "n_files",
+            F.lit(n).cast("bigint").alias("n_rows"),
+            "sum_files_hit",
+            "avg_files_hit",
+        )
+    )
+
+
 @register(
     "layout_zorder_file_skipping",
     f"""
@@ -185,80 +288,19 @@ def layout_zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window). Ties in the z-key are broken by (pk, sk)
     identically in both engines, so file stats are bit-deterministic.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    )
-    li = query_cache(li)  # feeds both layouts' rankings (session.query_cache)
-    n = li.count()
-    row = li.agg(F.max("pk").alias("mp"), F.max("sk").alias("ms")).first()
-    maxp, maxs = int(row["mp"]), int(row["ms"])
-
-    def file_stats(df: DataFrame, order_cols: list[str], layout: str) -> DataFrame:
-        ranked = global_row_number(df, order_cols, "rk", row_count=n)
-        files = ranked.withColumn(
-            "file_id",
-            F.expr(f"CAST(((CAST(rk AS BIGINT) - 1) * {_N_FILES}) DIV {n} AS BIGINT)"),
-        )
-        return files.groupBy("file_id").agg(
-            F.min("pk").alias("min_pk"),
-            F.max("pk").alias("max_pk"),
-            F.min("sk").alias("min_sk"),
-            F.max("sk").alias("max_sk"),
-        ).withColumn("layout", F.lit(layout))
-
+    li, n, maxp, maxs = _skipping_inputs(spark, sf_dir)
     zkeyed = li.withColumn(
         "zkey", zorder_key(["pk", "sk"], {"pk": maxp, "sk": maxs})
     )
-    # 2 x 64 stat rows feed BOTH the probe-overlap branch and the
-    # n_files count: cache so the two global rankings run once, not
-    # twice (tracked, query-scoped — see session.query_cache)
-    stats = query_cache(
-        file_stats(zkeyed, ["zkey", "pk", "sk"], "zorder")
-        .unionByName(file_stats(li, ["pk", "sk"], "linear"))
-    )
-
-    pw, sw = maxp // _PROBE_DENOM, maxs // _PROBE_DENOM
-    probes = spark.range(_N_PROBES).select(
-        F.col("id").alias("i"),
-        (((F.col("id") * 3) % _PROBE_DENOM) * (pw + 1)).alias("p_lo"),
-        (((F.col("id") * 3) % _PROBE_DENOM) * (pw + 1) + pw).alias("p_hi"),
-        (((F.col("id") * 5) % _PROBE_DENOM) * (sw + 1)).alias("s_lo"),
-        (((F.col("id") * 5) % _PROBE_DENOM) * (sw + 1) + sw).alias("s_hi"),
-    )
-    # 128 file-stat rows x 32 probes: broadcast the probe grid, count
-    # overlaps per (layout, probe) with the same FILTER the oracle uses
-    hits = (
-        stats.join(F.broadcast(probes))
-        .groupBy("layout", "i")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("min_pk") <= F.col("p_hi"))
-                    & (F.col("max_pk") >= F.col("p_lo"))
-                    & (F.col("min_sk") <= F.col("s_hi"))
-                    & (F.col("max_sk") >= F.col("s_lo")),
-                    1,
-                ).otherwise(0)
-            ).alias("files_hit")
-        )
-    )
-    n_files = stats.groupBy("layout").agg(
-        F.countDistinct("file_id").alias("n_files")
-    )
-    return (
-        hits.groupBy("layout")
-        .agg(
-            F.sum("files_hit").alias("sum_files_hit"),
-            (F.sum("files_hit").cast("double") / _N_PROBES).alias("avg_files_hit"),
-        )
-        .join(n_files, "layout")
-        .select(
-            "layout",
-            "n_files",
-            F.lit(n).cast("bigint").alias("n_rows"),
-            "sum_files_hit",
-            "avg_files_hit",
-        )
+    return _skipping_measurement(
+        spark,
+        n,
+        maxp,
+        maxs,
+        [
+            (zkeyed, ["zkey", "pk", "sk"], "zorder"),
+            (li, ["pk", "sk"], "linear"),
+        ],
     )
 
 
@@ -625,27 +667,7 @@ def layout_hilbert_vs_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataF
     (like zorder_key); file assignment uses the range-partitioned
     global ranker — three rankings, no single-partition windows; the
     probe grid is a 32-row literal broadcast."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    )
-    li = query_cache(li)
-    n = li.count()
-    row = li.agg(F.max("pk").alias("mp"), F.max("sk").alias("ms")).first()
-    maxp, maxs = int(row["mp"]), int(row["ms"])
-
-    def file_stats(df: DataFrame, order_cols: list[str], layout: str) -> DataFrame:
-        ranked = global_row_number(df, order_cols, "rk", row_count=n)
-        files = ranked.withColumn(
-            "file_id",
-            F.expr(f"CAST(((CAST(rk AS BIGINT) - 1) * {_N_FILES}) DIV {n} AS BIGINT)"),
-        )
-        return files.groupBy("file_id").agg(
-            F.min("pk").alias("min_pk"),
-            F.max("pk").alias("max_pk"),
-            F.min("sk").alias("min_sk"),
-            F.max("sk").alias("max_sk"),
-        ).withColumn("layout", F.lit(layout))
-
+    li, n, maxp, maxs = _skipping_inputs(spark, sf_dir)
     grid = li.selectExpr(
         "pk",
         "sk",
@@ -656,50 +678,14 @@ def layout_hilbert_vs_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataF
     zkeyed = grid.withColumn(
         "zkey", F.expr(_morton_terms(["x", "y"], _HB, "spark"))
     )
-    stats = query_cache(
-        file_stats(hkeyed, ["hkey", "pk", "sk"], "hilbert")
-        .unionByName(file_stats(zkeyed, ["zkey", "pk", "sk"], "zorder"))
-        .unionByName(file_stats(li, ["pk", "sk"], "linear"))
-    )
-
-    pw, sw = maxp // _PROBE_DENOM, maxs // _PROBE_DENOM
-    probes = spark.range(_N_PROBES).select(
-        F.col("id").alias("i"),
-        (((F.col("id") * 3) % _PROBE_DENOM) * (pw + 1)).alias("p_lo"),
-        (((F.col("id") * 3) % _PROBE_DENOM) * (pw + 1) + pw).alias("p_hi"),
-        (((F.col("id") * 5) % _PROBE_DENOM) * (sw + 1)).alias("s_lo"),
-        (((F.col("id") * 5) % _PROBE_DENOM) * (sw + 1) + sw).alias("s_hi"),
-    )
-    hits = (
-        stats.join(F.broadcast(probes))
-        .groupBy("layout", "i")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("min_pk") <= F.col("p_hi"))
-                    & (F.col("max_pk") >= F.col("p_lo"))
-                    & (F.col("min_sk") <= F.col("s_hi"))
-                    & (F.col("max_sk") >= F.col("s_lo")),
-                    1,
-                ).otherwise(0)
-            ).alias("files_hit")
-        )
-    )
-    n_files = stats.groupBy("layout").agg(
-        F.countDistinct("file_id").alias("n_files")
-    )
-    return (
-        hits.groupBy("layout")
-        .agg(
-            F.sum("files_hit").alias("sum_files_hit"),
-            (F.sum("files_hit").cast("double") / _N_PROBES).alias("avg_files_hit"),
-        )
-        .join(n_files, "layout")
-        .select(
-            "layout",
-            "n_files",
-            F.lit(n).cast("bigint").alias("n_rows"),
-            "sum_files_hit",
-            "avg_files_hit",
-        )
+    return _skipping_measurement(
+        spark,
+        n,
+        maxp,
+        maxs,
+        [
+            (hkeyed, ["hkey", "pk", "sk"], "hilbert"),
+            (zkeyed, ["zkey", "pk", "sk"], "zorder"),
+            (li, ["pk", "sk"], "linear"),
+        ],
     )

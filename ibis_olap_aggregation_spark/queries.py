@@ -1118,13 +1118,24 @@ _ADDED_ROUND14: frozenset[str] = frozenset(
 )
 
 
+
+# ordered: earlier rounds get earlier prefix slots among the
+# never-checked. A new round needs exactly TWO edits — its frozenset
+# above and one entry here (code-review r14: the previous per-round
+# comprehension chain needed a third, easy-to-forget edit that would
+# silently demote a round's queries into the wrong priority bucket).
+_ROUND_SETS: tuple[frozenset[str], ...] = (
+    _ADDED_ROUND2, _ADDED_ROUND4, _ADDED_ROUND5, _ADDED_ROUND6,
+    _ADDED_ROUND6B, _ADDED_ROUND7, _ADDED_ROUND8, _ADDED_ROUND9,
+    _ADDED_ROUND11, _ADDED_ROUND12, _ADDED_ROUND12B, _ADDED_ROUND13,
+    _ADDED_ROUND14,
+)
+
+
 def _reorder_for_driver_coverage() -> None:
     flagship = "hierarchy_grocery_rollup"
     checked = _driver_verified_names()
-    later = (_ADDED_ROUND2 | _ADDED_ROUND4 | _ADDED_ROUND5 | _ADDED_ROUND6
-             | _ADDED_ROUND6B | _ADDED_ROUND7 | _ADDED_ROUND8 | _ADDED_ROUND9
-             | _ADDED_ROUND11 | _ADDED_ROUND12 | _ADDED_ROUND12B
-             | _ADDED_ROUND13 | _ADDED_ROUND14)
+    later = frozenset().union(*_ROUND_SETS)
     # never-driver-checked queries, oldest families first: the ones that
     # have been WAITING (not in a later-additions set) outrank the
     # newest additions for the guaranteed prefix slots
@@ -1135,56 +1146,9 @@ def _reorder_for_driver_coverage() -> None:
     ]
     new = [
         n
+        for rs in _ROUND_SETS
         for n in QUERIES
-        if n != flagship and n not in checked and n in _ADDED_ROUND2
-    ] + [
-        n
-        for n in QUERIES
-        if n != flagship and n not in checked and n in _ADDED_ROUND4
-    ] + [
-        n
-        for n in QUERIES
-        if n != flagship and n not in checked and n in _ADDED_ROUND5
-    ] + [
-        n
-        for n in QUERIES
-        if n != flagship and n not in checked and n in _ADDED_ROUND6
-    ] + [
-        n
-        for n in QUERIES
-        if n != flagship and n not in checked and n in _ADDED_ROUND6B
-    ] + [
-        n
-        for n in QUERIES
-        if n != flagship and n not in checked and n in _ADDED_ROUND7
-    ] + [
-        n
-        for n in QUERIES
-        if n != flagship and n not in checked and n in _ADDED_ROUND8
-    ] + [
-        n
-        for n in QUERIES
-        if n != flagship and n not in checked and n in _ADDED_ROUND9
-    ] + [
-        n
-        for n in QUERIES
-        if n != flagship and n not in checked and n in _ADDED_ROUND11
-    ] + [
-        n
-        for n in QUERIES
-        if n != flagship and n not in checked and n in _ADDED_ROUND12
-    ] + [
-        n
-        for n in QUERIES
-        if n != flagship and n not in checked and n in _ADDED_ROUND12B
-    ] + [
-        n
-        for n in QUERIES
-        if n != flagship and n not in checked and n in _ADDED_ROUND13
-    ] + [
-        n
-        for n in QUERIES
-        if n != flagship and n not in checked and n in _ADDED_ROUND14
+        if n != flagship and n not in checked and n in rs
     ]
     # verified queries fill the remaining prefix slots STALEST-FIRST
     # (longest since a green driver row), so re-verification rotates

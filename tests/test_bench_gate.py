@@ -380,10 +380,16 @@ def test_floor_divergence_is_self_relative(tmp_path, monkeypatch):
     clean_floor, clean_box = bench._clean_floor_box_medians()
     assert clean_floor == 0.42 and clean_box == 1.45
     # engine slowed 2x vs pool, machine flat -> divergence fires
-    box_factor, floor_raw = 2.9, 0.42
-    floor_factor = round(floor_raw / clean_floor, 3)
-    assert (box_factor / clean_box) / floor_factor > bench.FLOOR_DIVERGENCE_MAX
+    assert bench.floor_divergence(2.9, clean_box, round(0.42 / clean_floor, 3))
     # both slowed 2x together (a genuinely slower box) -> no flag
-    box_factor, floor_raw = 2.9, 0.84
-    floor_factor = round(floor_raw / clean_floor, 3)
-    assert (box_factor / clean_box) / floor_factor <= bench.FLOOR_DIVERGENCE_MAX
+    assert not bench.floor_divergence(
+        2.9, clean_box, round(0.84 / clean_floor, 3)
+    )
+    # engine FLAT vs pool on a quieter-than-pool machine (floor sped up
+    # 30%): no engine slowdown exists, so the flag must NOT fire on the
+    # floor-speedup leg alone (code-review r14 false-fire)
+    assert not bench.floor_divergence(
+        clean_box, clean_box, round(0.29 / clean_floor, 3)
+    )
+    # disarmed with no pool
+    assert not bench.floor_divergence(2.9, None, None)

@@ -146,11 +146,57 @@ def test_global_agg_via_helper_lineage_passes_audit(tmp_path):
     pkg = _fake_pkg(
         tmp_path,
         "def f(spark, sf_dir, x):\n"
-        "    e = query_cache(load(spark, sf_dir))\n"
+        "    e = query_cache(load_table(spark, sf_dir, 't'))\n"
         "    q = e.agg(F.min('vec_id').alias('qid'))\n"
         "    return x.join(F.broadcast(q), 'k')\n",
     )
     assert audit.main(pkg) == 0
+
+
+def test_helper_call_receiver_with_grouping_body_refuses(tmp_path):
+    """Code-review r14 exploit #1: ``_groups(e).agg(F.sum(...))`` where
+    the same-module helper returns ``e.groupBy(k)`` is an SF-linear
+    grouped aggregate — the root resolution must scan the helper body
+    and refuse."""
+    audit = _load()
+    pkg = _fake_pkg(
+        tmp_path,
+        "def _groups(e):\n"
+        "    return e.groupBy('k')\n"
+        "def f(e, x):\n"
+        "    q = _groups(e).agg(F.sum('v').alias('s'))\n"
+        "    return x.join(F.broadcast(q), 'k')\n",
+    )
+    assert audit.main(pkg) == 1
+
+
+def test_attribute_root_receiver_refuses(tmp_path):
+    """Code-review r14 exploit #2: ``obj.grouped.agg(F.sum(...))`` has
+    an attribute root the audit cannot resolve — refuse, never assume
+    single-row."""
+    audit = _load()
+    pkg = _fake_pkg(
+        tmp_path,
+        "def f(obj, x):\n"
+        "    q = obj.grouped.agg(F.sum('v').alias('s'))\n"
+        "    return x.join(F.broadcast(q), 'k')\n",
+    )
+    assert audit.main(pkg) == 1
+
+
+def test_imported_helper_call_root_refuses(tmp_path):
+    """A frame-returning call to an IMPORTED (unresolvable) helper as
+    the receiver root must refuse — only the canonical loaders and
+    query_cache are name-certified, and a same-module def is body-
+    scanned; everything else is invisible to the audit."""
+    audit = _load()
+    pkg = _fake_pkg(
+        tmp_path,
+        "def f(spark, x):\n"
+        "    q = mystery_frame(spark).agg(F.sum('v').alias('s'))\n"
+        "    return x.join(F.broadcast(q), 'k')\n",
+    )
+    assert audit.main(pkg) == 1
 
 
 def test_bare_parameter_agg_receiver_refuses(tmp_path):

@@ -255,17 +255,78 @@ def fixedk_operand_bounded(path: str, lineno: int, line: str) -> bool:
     _GROUPING = {"groupBy", "groupby", "rollup", "cube"}
     _AGG_FNS = {"min", "max", "count", "sum"}
 
+    def _receiver_root(expr: ast.expr) -> ast.expr:
+        """The base object a method-chain receiver dispatches on:
+        ``df.filter(x).select(y)`` -> ``df``; ``obj.grouped`` ->
+        ``obj``; a bare name or a free-function call is its own
+        root."""
+        cur = expr
+        while True:
+            if isinstance(cur, ast.Call) and isinstance(
+                cur.func, ast.Attribute
+            ):
+                cur = cur.func.value
+            elif isinstance(cur, ast.Attribute):
+                cur = cur.value
+            else:
+                return cur
+
+    # Frame-returning callables a receiver root may resolve through:
+    # query_cache is grouping-transparent (certify its argument);
+    # load_table/load_tables are the canonical session loaders — pure
+    # scans, never grouped. These are STABLE API names, not variable
+    # names, so the name-rule ban (VERDICT r12) does not apply.
+    _PASSTHROUGH_FNS = {"query_cache"}
+    _SOURCE_FNS = {"load_table", "load_tables"}
+
+    def _module_fn(name: str) -> ast.FunctionDef | None:
+        for node in tree.body:
+            if isinstance(node, ast.FunctionDef) and node.name == name:
+                return node
+        return None
+
+    def _body_has_grouping(fn: ast.FunctionDef, depth: int) -> bool:
+        """True if the helper's body (or, one level down, a same-module
+        helper it calls) contains any grouping call."""
+        for n in ast.walk(fn):
+            if (
+                isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Attribute)
+                and n.func.attr in _GROUPING
+            ):
+                return True
+            if (
+                isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Name)
+                and depth > 0
+            ):
+                sub = _module_fn(n.func.id)
+                if sub is not None and sub is not fn and _body_has_grouping(
+                    sub, depth - 1
+                ):
+                    return True
+        return False
+
     def receiver_groupfree(expr: ast.expr, before: int, depth: int) -> bool:
         """True iff ``expr`` — followed transitively through the latest
         simple-name assignments — contains NO grouping call, so an
         ``.agg`` on it is the 1-row global aggregate, never per-group.
         Every name that HAS a visible assignment is recursed into (a
-        prior-line ``grouped = df.groupBy(k)`` is always caught); a
-        BARE receiver name with no visible assignment (parameter,
-        module global) REFUSES — the audit cannot certify what it
-        cannot see. Unresolvable names nested inside an already-
-        resolved expression are call arguments/builders, not the
-        dataframe the ``.agg`` dispatches on, and are accepted."""
+        prior-line ``grouped = df.groupBy(k)`` is always caught), and
+        the receiver's ROOT — the object the ``.agg`` method chain
+        ultimately dispatches on — must RESOLVE to something certified
+        group-free: a name with a visible group-free assignment, a
+        ``query_cache(...)`` whose argument certifies, a canonical
+        loader call, or a SAME-MODULE helper whose body (one callee
+        level deep) contains no grouping call. Anything else REFUSES —
+        a bare parameter/global name, an imported helper, an attribute
+        root (``obj.grouped``) — the audit cannot certify what it
+        cannot resolve (code-review r14: the previous
+        accept-on-unresolvable default certified exactly the SF-linear
+        grouped aggregates — ``_groups(e).agg(...)`` — that ADVICE r13
+        told this check to catch)."""
+        if depth <= 0:
+            return False
         for n in ast.walk(expr):
             if (
                 isinstance(n, ast.Call)
@@ -273,15 +334,32 @@ def fixedk_operand_bounded(path: str, lineno: int, line: str) -> bool:
                 and n.func.attr in _GROUPING
             ):
                 return False
-        if isinstance(expr, ast.Name) and latest(expr.id, before) is None:
-            return False
+        root = _receiver_root(expr)
+        if isinstance(root, ast.Name):
+            root_value = latest(root.id, before)
+            if root_value is None:
+                return False  # parameter or module global: unresolvable
+            if not receiver_groupfree(root_value, root_value.lineno, depth - 1):
+                return False
+        elif isinstance(root, ast.Call) and isinstance(root.func, ast.Name):
+            fname = root.func.id
+            if fname in _PASSTHROUGH_FNS and root.args:
+                # grouping-transparent wrapper: the hop is free
+                if not receiver_groupfree(root.args[0], before, depth):
+                    return False
+            elif fname in _SOURCE_FNS:
+                pass
+            else:
+                fn = _module_fn(fname)
+                if fn is None or _body_has_grouping(fn, depth - 1):
+                    return False
+        else:
+            return False  # attribute / subscript / literal root
         for n in ast.walk(expr):
             if isinstance(n, ast.Name):
                 value = latest(n.id, before)
                 if value is None:
                     continue
-                if depth <= 0:
-                    return False
                 if not receiver_groupfree(value, value.lineno, depth - 1):
                     return False
         return True
@@ -329,7 +407,7 @@ def fixedk_operand_bounded(path: str, lineno: int, line: str) -> bool:
         }
         return any(bounded(d, value.lineno, depth - 1) for d in deps)
 
-    return all(bounded(n, lineno, 3) for n in names)
+    return all(bounded(n, lineno, 4) for n in names)
 
 
 def sites(pkg: str | None = None) -> list[tuple[str, int, str, str]]:

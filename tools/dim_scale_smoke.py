@@ -117,11 +117,8 @@ def main() -> None:
             .drop("k")
         )
         wide_full.write.parquet(os.path.join(work, "customer.parquet"))
-        for need in ("region", "nation"):
-            shutil.copy(
-                os.path.join(SRC, f"{need}.parquet"),
-                os.path.join(work, f"{need}.parquet"),
-            )
+        # the audit loads ONLY the customer table — nothing else needs
+        # to exist in the work dir
         for tag, d in (("base", SRC), (f"x{AMP}", work)):
             best = None
             for _ in range(2):

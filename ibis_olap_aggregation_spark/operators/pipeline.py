@@ -1453,3 +1453,91 @@ def pipeline_curriculum_mixture_schedule(
             "epochs"
         ),
     )
+
+
+# -- round 14c: epoch/shard planning ----------------------------------------
+
+_N_SHARDS = 8
+_EPOCHS = (0, 1, 2)
+_SHARD_SPARK = (
+    _SPARK_MD5INT.format(
+        x="concat(cast(doc_id as string), ':', cast(epoch as string))"
+    )
+    + f" % {_N_SHARDS}"
+)
+_SHARD_DUCK = (
+    _DUCK_MD5INT.format(x="doc_id::VARCHAR || ':' || epoch::VARCHAR")
+    + f" % {_N_SHARDS}"
+)
+
+
+@register(
+    "pipeline_epoch_shard_plan",
+    f"""
+WITH e AS (SELECT UNNEST([{", ".join(map(str, _EPOCHS))}]) AS epoch),
+a AS (
+  SELECT e.epoch, {_SHARD_DUCK} AS shard, n_chars
+  FROM documents CROSS JOIN e
+),
+g AS (
+  SELECT epoch, shard, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+  FROM a GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n_chars) AS total_chars FROM documents)
+SELECT CAST(epoch AS INT) AS epoch,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum_chars AS BIGINT) AS sum_chars,
+       CAST(ROUND(sum_chars * 1e6 / total_chars) AS BIGINT) AS share_ppm,
+       ABS(sum_chars * {_N_SHARDS} - total_chars) * 4 <= total_chars
+         AS within_25pct
+FROM g CROSS JOIN tot
+ORDER BY 1, 2
+""",
+)
+def pipeline_epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training-shard plan: every document is assigned to
+    one of 8 shards PER EPOCH by the md5 of (doc_id, epoch) — a fresh
+    deterministic permutation each epoch (the standard reshuffle-
+    between-epochs a dataloader wants) with zero stored state: any
+    worker on any engine recomputes its own shard membership from the
+    id alone, the property that matters when the plan must be
+    re-derivable on a 1000-executor cluster without shipping an
+    assignment table. Per (epoch, shard): document count, char mass,
+    share of the corpus in ppm, and an exact-integer balance verdict
+    (|shard mass - ideal| within 25% of ideal, checked as
+    |S*n_shards - total| * 4 <= total — no float epsilon).
+
+    Scale shape: map-only explode (x|epochs|) into ONE map-side-
+    combined aggregate at (epoch, shard) grain — 24 output rows; the
+    corpus total is a 1-row aggregate broadcast-crossed in. The only
+    float op is the ppm division, on operands both engines share
+    bit-identically."""
+    d = _docs(spark, sf_dir)
+    epochs = F.array(*[F.lit(e) for e in _EPOCHS])
+    a = d.select(
+        "doc_id", "n_chars", F.explode(epochs).alias("epoch")
+    ).withColumn("shard", F.expr(_SHARD_SPARK))
+    g = a.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    tot = d.agg(F.sum("n_chars").alias("total_chars"))
+    sc = F.col("sum_chars")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("epoch").cast("int").alias("epoch"),
+            F.col("shard").cast("bigint").alias("shard"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            sc.cast("bigint").alias("sum_chars"),
+            F.round(sc * F.lit(1e6) / F.col("total_chars"))
+            .cast("bigint")
+            .alias("share_ppm"),
+            (
+                F.abs(sc * _N_SHARDS - F.col("total_chars")) * 4
+                <= F.col("total_chars")
+            ).alias("within_25pct"),
+        )
+        .orderBy("epoch", "shard")
+    )

@@ -1510,3 +1510,100 @@ def quality_peak_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "privacy_entropy_l_diversity",
+    """
+WITH cb AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+         COUNT(*) AS kj
+  FROM customer GROUP BY 1, 2, 3
+),
+q AS (
+  SELECT nat, seg, kj,
+         CAST(ROUND(kj * LN(kj) * 1e9) AS BIGINT) AS eterm_q
+  FROM cb
+),
+cls AS (
+  SELECT nat, seg,
+         SUM(kj) AS k,
+         COUNT(*) AS distinct_l,
+         MAX(kj) AS r1,
+         SUM(eterm_q) AS s_q
+  FROM q GROUP BY 1, 2
+)
+SELECT CAST(nat AS BIGINT) AS c_nationkey, seg AS c_mktsegment,
+       CAST(k AS BIGINT) AS k_anonymity,
+       CAST(distinct_l AS BIGINT) AS distinct_l,
+       ROUND(EXP(LN(k) - (s_q / 1e9) / k), 4) AS entropy_l,
+       ROUND(EXP(LN(k) - (s_q / 1e9) / k), 4) >= 2.0 AS meets_entropy_2,
+       r1 * 1 < 2 * (k - r1) AS recursive_2_2_ok
+FROM cls
+ORDER BY 1, 2
+""",
+)
+def privacy_entropy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy and recursive (c,l)-diversity (Machanavajjhala et al.,
+    "l-Diversity", ICDE'06 §4) — the two STRONGER variants of the
+    distinct-l audit in [privacy_k_anonymity_audit]: distinct-l counts
+    sensitive values but a class that is 99% one balance band still
+    leaks (the probabilistic homogeneity attack). Per quasi-identifier
+    class (nation, segment): entropy l-diversity (the effective number
+    of sensitive values, exp(H) of the class's band distribution — the
+    paper requires exp(H) >= l) and recursive (c,l)-diversity with
+    c = l = 2 (the most frequent band must be out-voted: r1 < c * (k -
+    r1) for l = 2, so no band holds a c-majority).
+
+    Determinism: band counts kj are exact integers; the one cross-row
+    float sum (sum of kj*ln(kj), whose addition order Spark's partial
+    aggregation does not fix) is 1e-9-quantized to BIGINT per term
+    before summing — the quality_benford_digit_test idiom — so both
+    engines add identical integers in any order. exp/ln appear once
+    per CLASS on identical operands, and the meets flag compares the
+    4dp-ROUNDED entropy (ulp-level libm divergence cannot flip it off
+    a rounded boundary). The recursive verdict is pure integer
+    arithmetic.
+
+    Scale shape: one customer scan into a map-side-combined (QI, band)
+    aggregate, then a second tiny aggregate at QI grain — the same
+    two-level shape as the k-anonymity audit; output is equivalence-
+    class-sized (|nations| x |segments|). No joins, no broadcasts."""
+    c = load_table(spark, sf_dir, "customer")
+    cb = c.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+    ).agg(F.count(F.lit(1)).alias("kj"))
+    kj = F.col("kj")
+    q = cb.select(
+        "nat",
+        "seg",
+        "kj",
+        F.round(kj * F.log(kj) * F.lit(1e9)).cast("bigint").alias("eterm_q"),
+    )
+    cls = q.groupBy("nat", "seg").agg(
+        F.sum("kj").alias("k"),
+        F.count(F.lit(1)).alias("distinct_l"),
+        F.max("kj").alias("r1"),
+        F.sum("eterm_q").alias("s_q"),
+    )
+    ent = F.round(
+        F.exp(
+            F.log(F.col("k").cast("double"))
+            - (F.col("s_q") / F.lit(1e9)) / F.col("k")
+        ),
+        4,
+    )
+    return cls.select(
+        F.col("nat").alias("c_nationkey"),
+        F.col("seg").alias("c_mktsegment"),
+        F.col("k").cast("bigint").alias("k_anonymity"),
+        F.col("distinct_l").cast("bigint").alias("distinct_l"),
+        ent.alias("entropy_l"),
+        (ent >= 2.0).alias("meets_entropy_2"),
+        (F.col("r1") * 1 < 2 * (F.col("k") - F.col("r1"))).alias(
+            "recursive_2_2_ok"
+        ),
+    ).orderBy("c_nationkey", "c_mktsegment")

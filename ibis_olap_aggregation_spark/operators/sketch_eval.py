@@ -539,3 +539,146 @@ def sketch_hll_portable_registers(
         )
         .orderBy("grp")
     )
+
+
+# -- round 14c: portable count-min sketch ------------------------------------
+
+# d=4 independent hash rows x w=512 counters. Per-row affine constants
+# (distinct odd multipliers; each a_i * (P-1) < 2^63, so the products
+# are exact int64 in both engines), then the HLL module's square +
+# xor-shift nonlinearity to break the affine lattice.
+_CMS_W = 512
+_CMS_ROWS = ((0, 1103515245, 12345), (1, 1588635695, 54321),
+             (2, 1117695901, 98765), (3, 1727346581, 24680))
+_CMS_TOPK = 10
+_CMS_PARAMS_SQL = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_ROWS)
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    f"""
+WITH f AS (SELECT l_partkey AS key FROM lineitem),
+params AS (SELECT * FROM (VALUES {_CMS_PARAMS_SQL}) p(i, a, b)),
+h0 AS (
+  SELECT p.i, f.key, (p.a * (f.key % {_HLL_P}) + p.b) % {_HLL_P} AS x
+  FROM f CROSS JOIN params p
+),
+h1 AS (
+  SELECT i, key,
+         xor((x * x) % {_HLL_P}, ((x * x) % {_HLL_P}) >> 15) % {_CMS_W}
+           AS bucket
+  FROM h0
+),
+counters AS (SELECT i, bucket, COUNT(*) AS c FROM h1 GROUP BY 1, 2),
+exact AS (SELECT key, COUNT(*) AS exact_count FROM f GROUP BY 1),
+top AS (
+  SELECT key, exact_count FROM exact
+  ORDER BY exact_count DESC, key LIMIT {_CMS_TOPK}
+),
+t0 AS (
+  SELECT t.key, t.exact_count, p.i,
+         (p.a * (t.key % {_HLL_P}) + p.b) % {_HLL_P} AS x
+  FROM top t CROSS JOIN params p
+),
+t1 AS (
+  SELECT key, exact_count, i,
+         xor((x * x) % {_HLL_P}, ((x * x) % {_HLL_P}) >> 15) % {_CMS_W}
+           AS bucket
+  FROM t0
+),
+est AS (
+  SELECT t.key, t.exact_count, MIN(c.c) AS cms_estimate
+  FROM t1 t JOIN counters c ON c.i = t.i AND c.bucket = t.bucket
+  GROUP BY 1, 2
+),
+tot AS (SELECT COUNT(*) AS n FROM f)
+SELECT CAST(row_number() OVER (ORDER BY exact_count DESC, key) AS BIGINT)
+         AS rank,
+       CAST(key AS BIGINT) AS l_partkey,
+       CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - exact_count AS BIGINT) AS overcount,
+       cms_estimate >= exact_count AS never_underestimates,
+       (cms_estimate - exact_count) * {_CMS_W} <= 3 * n AS within_eps_bound
+FROM est CROSS JOIN tot
+ORDER BY 1
+""",
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch count-min sketch (Cormode & Muthukrishnan 2005)
+    whose COUNTERS are cross-engine exact, the frequency-domain sibling
+    of [sketch_hll_portable_registers]: d=4 portable hash rows (per-row
+    affine constants -> modular squaring -> xor-shift, all exact int64
+    in both engines) x w=512 counters over part-key frequency in
+    lineitem, then the point-query estimate (elementwise MIN across
+    rows) for the exact top-10 heavy hitters. Emits the two properties
+    that define CMS: never_underestimates (structural — every counter
+    sums a superset of the key's rows; a TRUE invariant both engines
+    must agree on) and the Markov error bound overcount <= 3N/w,
+    checked in EXACT integers (overcount * w <= 3 * N — no float
+    epsilon anywhere in the query).
+
+    Scale shape: counters are ONE map-side-combined aggregate over the
+    x4-exploded fact scan into <= d*w = 2048 rows — the fixed-size
+    partial a 100 TB frequency store keeps and merges by elementwise
+    ADD (linearity; pinned in tests). The exact top-10 uses
+    orderBy+limit (TakeOrderedAndProject — per-partition heaps + a
+    10-row driver merge, never a global sort), and the estimate join
+    broadcasts 40 (key, row) probes against the 2048-row counter
+    table. The rank window runs on the 10-row result — constant-size,
+    not a data-scale single-partition sort."""
+    f = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("key")
+    )
+    params = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b")
+            )
+            for i, a, b in _CMS_ROWS
+        ]
+    )
+
+    def _bucket(df):
+        x = (F.col("a") * (F.col("key") % _HLL_P) + F.col("b")) % _HLL_P
+        sq = (x * x) % _HLL_P
+        return df.withColumn(
+            "bucket", sq.bitwiseXOR(F.shiftright(sq, 15)) % _CMS_W
+        )
+
+    hashed = _bucket(
+        f.select("key", F.explode(params).alias("p")).select(
+            "key", F.col("p.i").alias("i"), F.col("p.a").alias("a"),
+            F.col("p.b").alias("b"),
+        )
+    )
+    counters = hashed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = f.groupBy("key").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.col("exact_count").desc(), "key").limit(_CMS_TOPK)
+    probes = _bucket(
+        top.select("key", "exact_count", F.explode(params).alias("p")).select(
+            "key", "exact_count", F.col("p.i").alias("i"),
+            F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+        )
+    )
+    probe_tbl = probes.select("key", "exact_count", "i", "bucket")
+    est = (
+        F.broadcast(probe_tbl)
+        .join(counters, ["i", "bucket"])
+        .groupBy("key", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    n_total = f.count()
+    w = Window.orderBy(F.col("exact_count").desc(), "key")
+    over = F.col("cms_estimate") - F.col("exact_count")
+    return est.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col("key").cast("bigint").alias("l_partkey"),
+        F.col("exact_count").cast("bigint").alias("exact_count"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        over.cast("bigint").alias("overcount"),
+        (F.col("cms_estimate") >= F.col("exact_count")).alias(
+            "never_underestimates"
+        ),
+        (over * _CMS_W <= 3 * F.lit(n_total)).alias("within_eps_bound"),
+    ).orderBy("rank")

@@ -1040,3 +1040,117 @@ def interval_coverage_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+# -- round 14c: as-of join (the trades-to-quotes primitive) ------------------
+
+# Backward tolerance for the as-of match: a purchase older than this is
+# "stale context" and the click reports no match. 30 days in µs.
+_ASOF_TOL_US = 30 * 86_400 * 1_000_000
+
+
+@register(
+    "join_asof_backward",
+    f"""
+WITH probe AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+),
+build AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT p.event_id AS click_event_id,
+         p.user_id AS user_id,
+         p.ts_us AS click_ts_us,
+         b.event_id AS purchase_event_id,
+         b.value AS purchase_value,
+         p.ts_us - b.ts_us AS gap_us
+  FROM probe p
+  LEFT JOIN build b
+    ON b.user_id = p.user_id AND b.ts_us <= p.ts_us
+  QUALIFY row_number() OVER (
+    PARTITION BY p.event_id
+    ORDER BY b.ts_us DESC, b.event_id DESC
+  ) = 1
+)
+SELECT click_event_id, user_id, click_ts_us,
+       CASE WHEN gap_us <= {_ASOF_TOL_US} THEN purchase_event_id END
+         AS purchase_event_id,
+       CASE WHEN gap_us <= {_ASOF_TOL_US} THEN purchase_value END
+         AS purchase_value,
+       CASE WHEN gap_us <= {_ASOF_TOL_US} THEN gap_us END AS gap_us
+FROM cand
+ORDER BY click_event_id
+""",
+)
+def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join — the trades-to-quotes primitive the
+    reference's equi-join surface (ref main.py:36 is its only join
+    shape) cannot express: each click is matched to the LATEST purchase
+    by the same user at-or-before the click, within a 30-day tolerance.
+    Ties at the same timestamp resolve to the larger event_id (the
+    fixtures' unique PK), so the match is total-ordered and
+    deterministic on both engines.
+
+    Engine shape — NO JOIN AT ALL: both sides union into one stream
+    tagged build=0 / probe=1, ONE shuffle on user_id, and a single
+    running ``last(ignorenulls)`` window ordered by (ts, side,
+    event_id) carries the latest build row forward into each probe row.
+    This is the scalable as-of: cost is one exchange + one sort of
+    |build|+|probe|, with zero row amplification — the all-pairs
+    candidate set the oracle's LEFT JOIN materializes (bounded only by
+    purchases-per-user) never exists here. The 30-day tolerance is a
+    post-filter on the single carried candidate, which is EXACTLY
+    equivalent to filtering before the match: any build row older than
+    the carried latest one is older still.
+
+    Determinism: timestamps compare as epoch-µs BIGINTs (the module's
+    parquet-truncation convention); purchase_value passes through
+    untouched; gap_us is integer subtraction."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    build = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        ts_us.alias("ts_us"),
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("b_event_id"),
+        F.col("value").alias("b_value"),
+        F.lit(None).cast("bigint").alias("p_event_id"),
+    )
+    probe = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        ts_us.alias("ts_us"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("b_event_id"),
+        F.lit(None).cast("double").alias("b_value"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    # (ts, side, event_id) ordering puts build rows BEFORE probe rows at
+    # equal ts (as-of includes equality) and the largest build event_id
+    # last among same-ts builds (tie winner under last()).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side", F.coalesce("b_event_id", "p_event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        build.unionByName(probe)
+        .withColumn("m_event_id", F.last("b_event_id", ignorenulls=True).over(w))
+        .withColumn("m_value", F.last("b_value", ignorenulls=True).over(w))
+        .withColumn("m_ts_us", F.last(
+            F.when(F.col("side") == 0, F.col("ts_us")), ignorenulls=True
+        ).over(w))
+        .filter(F.col("side") == 1)
+    )
+    gap = F.col("ts_us") - F.col("m_ts_us")
+    ok = gap <= _ASOF_TOL_US
+    return carried.select(
+        F.col("p_event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+        F.when(ok, F.col("m_event_id")).alias("purchase_event_id"),
+        F.when(ok, F.col("m_value")).alias("purchase_value"),
+        F.when(ok, gap).cast("bigint").alias("gap_us"),
+    ).orderBy("click_event_id")

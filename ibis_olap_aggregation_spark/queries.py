@@ -1117,6 +1117,17 @@ _ADDED_ROUND14: frozenset[str] = frozenset(
     }
 )
 
+# Queries ADDED late in round 14 (as-of join, entropy l-diversity,
+# portable count-min, epoch shard plan): same deal.
+_ADDED_ROUND14C: frozenset[str] = frozenset(
+    {
+        "join_asof_backward",
+        "privacy_entropy_l_diversity",
+        "sketch_cms_heavy_hitters",
+        "pipeline_epoch_shard_plan",
+    }
+)
+
 
 
 # ordered: earlier rounds get earlier prefix slots among the
@@ -1128,7 +1139,7 @@ _ROUND_SETS: tuple[frozenset[str], ...] = (
     _ADDED_ROUND2, _ADDED_ROUND4, _ADDED_ROUND5, _ADDED_ROUND6,
     _ADDED_ROUND6B, _ADDED_ROUND7, _ADDED_ROUND8, _ADDED_ROUND9,
     _ADDED_ROUND11, _ADDED_ROUND12, _ADDED_ROUND12B, _ADDED_ROUND13,
-    _ADDED_ROUND14,
+    _ADDED_ROUND14, _ADDED_ROUND14C,
 )
 
 

@@ -1,0 +1,216 @@
+"""Round-14c independent oracles (plain python/pandas third
+derivations, the test_round9_properties pattern): the DuckDB
+differential gate cannot see a reading BOTH engines share, so every new
+operator also gets a from-scratch re-derivation, plus the structural
+invariants the SQL cannot state.
+
+Covers: join_asof_backward (brute-force per-probe scan over the raw
+events — no window functions, no joins — plus the exactly-one-row-per-
+probe and match-dominance invariants), sketch_cms_heavy_hitters (the
+hash, counters, and min-estimate re-derived in pure python, plus the
+CMS linearity/merge property the query can't observe),
+privacy_entropy_l_diversity (numpy entropy re-derivation plus the
+exp(H) <= distinct-l Jensen bound), and pipeline_epoch_shard_plan
+(hashlib md5 re-derivation plus the between-epoch reshuffle property).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+from ibis_olap_aggregation_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+_P = 2147483647
+_CMS_W = 512
+_CMS_ROWS = ((0, 1103515245, 12345), (1, 1588635695, 54321),
+             (2, 1117695901, 98765), (3, 1727346581, 24680))
+_TOL_US = 30 * 86_400 * 1_000_000
+
+
+def _events() -> pd.DataFrame:
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    return ev
+
+
+# ---------------------------------------------------------------------------
+# join_asof_backward
+# ---------------------------------------------------------------------------
+
+
+def _python_asof(ev: pd.DataFrame) -> pd.DataFrame:
+    """Brute force: for each click, linearly scan ALL purchases of the
+    same user at-or-before it and keep the (ts, event_id)-max one."""
+    clicks = ev[ev.event_type == "click"]
+    purch = ev[ev.event_type == "purchase"]
+    rows = []
+    for _, c in clicks.iterrows():
+        cand = purch[(purch.user_id == c.user_id) & (purch.ts_us <= c.ts_us)]
+        row = {
+            "click_event_id": c.event_id,
+            "user_id": c.user_id,
+            "click_ts_us": c.ts_us,
+            "purchase_event_id": None,
+            "purchase_value": None,
+            "gap_us": None,
+        }
+        if len(cand):
+            best = cand.sort_values(["ts_us", "event_id"]).iloc[-1]
+            gap = int(c.ts_us - best.ts_us)
+            if gap <= _TOL_US:
+                row.update(
+                    purchase_event_id=int(best.event_id),
+                    purchase_value=best.value,
+                    gap_us=gap,
+                )
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def test_asof_matches_bruteforce_and_invariants(spark):
+    got = QUERIES["join_asof_backward"](spark, SF).toPandas()
+    ref = _python_asof(_events())
+    assert len(got) == len(ref)
+    # exactly one output row per click, keyed by the probe PK
+    assert got.click_event_id.is_unique
+    g = got.sort_values("click_event_id").reset_index(drop=True)
+    r = ref.sort_values("click_event_id").reset_index(drop=True)
+    for col in ("click_event_id", "user_id", "click_ts_us"):
+        assert (g[col].to_numpy() == r[col].to_numpy()).all(), col
+    for col in ("purchase_event_id", "gap_us", "purchase_value"):
+        assert g[col].astype("float64").equals(r[col].astype("float64")), col
+    matched = g[g.purchase_event_id.notna()]
+    assert (matched.gap_us >= 0).all()
+    assert (matched.gap_us <= _TOL_US).all()
+    # some clicks match and (tolerance real) the fixture keeps both kinds
+    assert 0 < len(matched) <= len(g)
+
+
+# ---------------------------------------------------------------------------
+# sketch_cms_heavy_hitters
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(key: int, a: int, b: int) -> int:
+    x = (a * (key % _P) + b) % _P
+    sq = (x * x) % _P
+    return (sq ^ (sq >> 15)) % _CMS_W
+
+
+def _python_cms(keys: np.ndarray) -> dict[tuple[int, int], int]:
+    counters: dict[tuple[int, int], int] = {}
+    for k in keys:
+        for i, a, b in _CMS_ROWS:
+            c = (i, _cms_bucket(int(k), a, b))
+            counters[c] = counters.get(c, 0) + 1
+    return counters
+
+
+def test_cms_matches_python_rederivation(spark):
+    got = QUERIES["sketch_cms_heavy_hitters"](spark, SF).toPandas()
+    keys = pd.read_parquet(f"{SF}/lineitem.parquet")["l_partkey"].to_numpy()
+    counters = _python_cms(keys)
+    exact = pd.Series(keys, name="l_partkey").value_counts()
+    top = (
+        exact.rename("n")
+        .reset_index()
+        .sort_values(["n", "l_partkey"], ascending=[False, True])
+        .head(10)
+    )
+    assert list(got.l_partkey) == list(top.l_partkey)
+    assert list(got.exact_count) == list(top.n)
+    for _, row in got.iterrows():
+        est = min(
+            counters[(i, _cms_bucket(int(row.l_partkey), a, b))]
+            for i, a, b in _CMS_ROWS
+        )
+        assert est == row.cms_estimate, row.l_partkey
+        assert est >= row.exact_count  # structural overestimate
+    assert got.never_underestimates.all()
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+
+
+def test_cms_counters_are_linear():
+    """Merge = elementwise ADD: the property that makes CMS partials a
+    thing a 100 TB frequency store keeps (split the stream anywhere,
+    add the counter tables, get the whole-stream sketch)."""
+    keys = pd.read_parquet(f"{SF}/lineitem.parquet")["l_partkey"].to_numpy()
+    whole = _python_cms(keys)
+    a, b = _python_cms(keys[: len(keys) // 2]), _python_cms(keys[len(keys) // 2 :])
+    merged: dict[tuple[int, int], int] = dict(a)
+    for c, n in b.items():
+        merged[c] = merged.get(c, 0) + n
+    assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# privacy_entropy_l_diversity
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_l_matches_numpy(spark):
+    got = QUERIES["privacy_entropy_l_diversity"](spark, SF).toPandas()
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    c["band"] = np.floor(c.c_acctbal / 1000).astype("int64")
+    for _, row in got.iterrows():
+        cls = c[
+            (c.c_nationkey == row.c_nationkey)
+            & (c.c_mktsegment == row.c_mktsegment)
+        ]
+        counts = cls.band.value_counts().to_numpy()
+        k = counts.sum()
+        assert k == row.k_anonymity
+        assert len(counts) == row.distinct_l
+        # quantized-term entropy, exactly the engine's arithmetic
+        s_q = sum(round(int(kj) * math.log(kj) * 1e9) for kj in counts)
+        ent = round(math.exp(math.log(k) - (s_q / 1e9) / k), 4)
+        assert abs(ent - row.entropy_l) < 5e-5, (row.c_nationkey, row.c_mktsegment)
+        assert row.meets_entropy_2 == (row.entropy_l >= 2.0)
+        r1 = counts.max()
+        assert row.recursive_2_2_ok == (r1 < 2 * (k - r1))
+        # Jensen: effective number of values never exceeds the count
+        assert row.entropy_l <= row.distinct_l + 1e-9
+        assert row.entropy_l >= 1.0 - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# pipeline_epoch_shard_plan
+# ---------------------------------------------------------------------------
+
+
+def _shard(doc_id: int, epoch: int) -> int:
+    h = hashlib.md5(f"{doc_id}:{epoch}".encode()).hexdigest()
+    return int(h[:15], 16) % 8
+
+
+def test_shard_plan_matches_hashlib(spark):
+    got = QUERIES["pipeline_epoch_shard_plan"](spark, SF).toPandas()
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    total = int(d.n_chars.sum())
+    for epoch in (0, 1, 2):
+        sh = d.doc_id.map(lambda i, e=epoch: _shard(int(i), e))
+        grp = d.assign(shard=sh).groupby("shard").agg(
+            n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum")
+        )
+        sub = got[got.epoch == epoch].set_index("shard")
+        assert grp.n_docs.to_dict() == sub.n_docs.to_dict()
+        assert {k: int(v) for k, v in grp.sum_chars.to_dict().items()} == {
+            k: int(v) for k, v in sub.sum_chars.to_dict().items()
+        }
+        # every document lands in exactly one shard per epoch
+        assert int(sub.n_docs.sum()) == len(d)
+        assert int(sub.sum_chars.sum()) == total
+        for _, row in sub.iterrows():
+            assert row.within_25pct == (
+                abs(int(row.sum_chars) * 8 - total) * 4 <= total
+            )
+    # the reshuffle property: epochs permute docs DIFFERENTLY
+    s0 = d.doc_id.map(lambda i: _shard(int(i), 0))
+    s1 = d.doc_id.map(lambda i: _shard(int(i), 1))
+    assert (s0 != s1).any()

@@ -68,6 +68,7 @@ FIXEDK_EVIDENCE = re.compile(
     r"|_cov_moments\("
     r"|_matvec\("
     r"|\btopk\(\s*\d"
+    r"|\.limit\(\s*_CMS_TOPK\b"
     r'|F\.col\("i"\)\s*==\s*F\.col\("j"\)'
 )
 
@@ -120,6 +121,9 @@ RULES: list[tuple] = [
     (r"pipeline\.py$", r"stages = F\.broadcast\(", "constant",
      "CURRICULUM_STAGES literal = 3 rows (module constant)"),
     (r"sketch_eval\.py$", r"F\.broadcast\(thresh\)", "single-row", "1 row (tolerance)"),
+    (r"sketch_eval\.py$", r"F\.broadcast\(probe_tbl\)", "fixed-k",
+     "CMS heavy-hitter probes: _CMS_TOPK x d = 40 rows "
+     "(limit(_CMS_TOPK) lineage x 4 hash rows)", True),
     # --- fixed-k tables (module-constant row counts). verify_operand:
     # the match alone never certifies — the operand's assignment
     # lineage must carry FIXEDK_EVIDENCE (an explicit bound filter /

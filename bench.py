@@ -200,6 +200,11 @@ HEADLINE = [
     # HLL (one distinct exchange, constant-size register joins)
     "privacy_t_closeness_audit",
     "sketch_hll_portable_registers",
+    # round 14c: the join-free as-of (one user_id window over the union
+    # of both sides) and the portable count-min (x4-exploded fact scan
+    # into 2048 counters + TakeOrdered top-10 + broadcast probe join)
+    "join_asof_backward",
+    "sketch_cms_heavy_hitters",
 ]
 
 

@@ -78,6 +78,11 @@ TIMED = [
     # replica axis must stay ~linear, and the density axis stresses the
     # run-length compression on amp-x longer per-user partitions
     "scd2_late_arriving_update_merge",
+    # round 14c: the join-free as-of — ONE user_id exchange + one sort
+    # over the union of both sides, zero row amplification; the replica
+    # axis must stay ~linear and the density axis stresses the per-user
+    # sort on amp-x longer partitions
+    "join_asof_backward",
 ]
 
 

@@ -51,6 +51,10 @@ TIMED = [
     # joins — the scan grows 10x, the shuffle output does not, so the
     # ratio must sit well under the fact growth
     "sketch_hll_portable_registers",
+    # round 14c: x4-exploded fact scan into a CONSTANT-size counter
+    # table (2048 rows) + TakeOrdered top-10 — scan-bound, so the
+    # ratio must track the fact growth with no superlinear term
+    "sketch_cms_heavy_hitters",
 ]
 
 

@@ -958,3 +958,46 @@ def test_hll_single_exchange_no_python(spark, sf_small):
     # partitioning — no exchange on bucket/register columns
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "key" in ex or "grp" in ex, ex
+
+
+def test_asof_backward_is_join_free_single_user_exchange(spark, sf_small):
+    """join_asof_backward: the as-of is a union + ONE user_id window —
+    NO join operator of any kind may appear (the all-pairs candidate
+    set the oracle materializes must never exist engine-side), no
+    python stage, and the only exchanges are the user_id hash
+    partitioning plus the output sort's range partitioning."""
+    df = q.QUERIES["join_asof_backward"](spark, sf_small)
+    plan = pi.physical_plan(df, executed=True)
+    for op in ("Join", "CartesianProduct", "MapInPandas", "BatchEvalPython"):
+        assert op not in plan, (op, plan)
+    import re
+
+    hashed = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert hashed and all("user_id" in ex for ex in hashed), plan
+    # exactly two EXECUTING shuffles: the user_id window partitioning
+    # and the output sort's range partitioning (the executed-plan text
+    # repeats exchanges in its Initial Plan section — count via the
+    # stripped helper, not findall)
+    assert pi.count_exchanges(df, executed=True) <= 2, plan
+    # the events scan is pruned to the four columns the as-of needs
+    for m in re.findall(r"FileScan parquet.*?ReadSchema: (\S+)", plan):
+        assert "user_id" in m and "props" not in m, m
+
+
+def test_cms_takeordered_and_broadcast_probe(spark, sf_small):
+    """sketch_cms_heavy_hitters: the exact top-10 is TakeOrdered
+    (per-partition heaps + a 10-row driver merge — never a global
+    sort-exchange of the key space), the probe join is a BROADCAST
+    hash join of the 40-row probe table against the 2048-row counter
+    table, and the hash/bucket math is whole-stage expression work."""
+    df = q.QUERIES["sketch_cms_heavy_hitters"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert "TakeOrdered" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+    # the lineitem scan reads exactly the key column
+    import re
+
+    for m in re.findall(r"FileScan parquet.*?ReadSchema: (\S+)", plan):
+        assert "l_partkey" in m and "l_extendedprice" not in m, m

@@ -1094,6 +1094,15 @@ def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixtures' unique PK), so the match is total-ordered and
     deterministic on both engines.
 
+    Relation to the events-family as-ofs (events_asof_prev_error /
+    events_asof_tolerance, which pioneered the union+window shape
+    here): this is the JOIN-surface form — it carries the matched BUILD
+    ROW'S PAYLOAD (purchase event_id + value, not just a timestamp
+    delta), pins the same-timestamp tie order by PK, and its DuckDB
+    oracle is an INDEPENDENT all-pairs LEFT JOIN + QUALIFY formulation
+    rather than a mirror of the window construction — so the driver
+    gate cross-checks the algorithm itself, not a shared reading.
+
     Engine shape — NO JOIN AT ALL: both sides union into one stream
     tagged build=0 / probe=1, ONE shuffle on user_id, and a single
     running ``last(ignorenulls)`` window ordered by (ts, side,

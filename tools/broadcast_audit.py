@@ -121,6 +121,8 @@ RULES: list[tuple] = [
     (r"pipeline\.py$", r"stages = F\.broadcast\(", "constant",
      "CURRICULUM_STAGES literal = 3 rows (module constant)"),
     (r"sketch_eval\.py$", r"F\.broadcast\(thresh\)", "single-row", "1 row (tolerance)"),
+    (r"sketch_eval\.py$", r"crossJoin\(F\.broadcast\(tot\)\)", "single-row",
+     "1 row (stream total summed off the 2048-row cached counter table)"),
     (r"sketch_eval\.py$", r"F\.broadcast\(probe_tbl\)", "fixed-k",
      "CMS heavy-hitter probes: _CMS_TOPK x d = 40 rows "
      "(limit(_CMS_TOPK) lineage x 4 hash rows)", True),

@@ -1144,13 +1144,28 @@ def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_us", "side", F.coalesce("b_event_id", "p_event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE carried struct, not parallel per-column windows: three
+    # independent last(ignorenulls) calls would desynchronize on a
+    # build row whose VALUE is NULL (the event_id window picks it, the
+    # value window skips past it to an older row — a frankenrow the
+    # oracle's intact-row LEFT JOIN can never emit). The struct is
+    # non-null exactly for build rows, NULL fields and all, so every
+    # probe row carries one intact build row or nothing (code-review
+    # r14c).
+    b_row = F.when(
+        F.col("side") == 0,
+        F.struct(
+            F.col("ts_us").alias("ts_us"),
+            F.col("b_event_id").alias("event_id"),
+            F.col("b_value").alias("value"),
+        ),
+    )
     carried = (
         build.unionByName(probe)
-        .withColumn("m_event_id", F.last("b_event_id", ignorenulls=True).over(w))
-        .withColumn("m_value", F.last("b_value", ignorenulls=True).over(w))
-        .withColumn("m_ts_us", F.last(
-            F.when(F.col("side") == 0, F.col("ts_us")), ignorenulls=True
-        ).over(w))
+        .withColumn("m", F.last(b_row, ignorenulls=True).over(w))
+        .withColumn("m_event_id", F.col("m.event_id"))
+        .withColumn("m_value", F.col("m.value"))
+        .withColumn("m_ts_us", F.col("m.ts_us"))
         .filter(F.col("side") == 1)
     )
     gap = F.col("ts_us") - F.col("m_ts_us")

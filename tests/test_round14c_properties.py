@@ -88,8 +88,10 @@ def test_asof_matches_bruteforce_and_invariants(spark):
     matched = g[g.purchase_event_id.notna()]
     assert (matched.gap_us >= 0).all()
     assert (matched.gap_us <= _TOL_US).all()
-    # some clicks match and (tolerance real) the fixture keeps both kinds
-    assert 0 < len(matched) <= len(g)
+    # some clicks match AND some don't — the strict upper bound pins
+    # that the 30-day tolerance path actually rejects stale matches on
+    # this fixture (code-review r14c: <= was a tautology)
+    assert 0 < len(matched) < len(g)
 
 
 # ---------------------------------------------------------------------------
@@ -214,3 +216,34 @@ def test_shard_plan_matches_hashlib(spark):
     s0 = d.doc_id.map(lambda i: _shard(int(i), 0))
     s1 = d.doc_id.map(lambda i: _shard(int(i), 1))
     assert (s0 != s1).any()
+
+
+def test_asof_carries_intact_build_row_with_null_value(spark, tmp_path):
+    """The frankenrow pin (code-review r14c): a purchase whose VALUE is
+    NULL must be carried INTACT — event_id AND its NULL value together —
+    not have the value back-filled from an older purchase. The shipped
+    fixtures contain no NULL purchase values, so this builds its own
+    events table: P1(value 5.0) then P2(value NULL) then a click."""
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-20"]
+            ).astype("datetime64[us]"),
+            "user_id": [7, 7, 7, 7],
+            "event_type": ["purchase", "purchase", "click", "click"],
+            "value": [5.0, None, None, None],
+            "props": ["", "", "", ""],
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+    got = (
+        QUERIES["join_asof_backward"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("click_event_id")
+    )
+    # both clicks match P2 (latest), and P2's NULL value rides along —
+    # never P1's 5.0 paired with P2's id
+    for cid in (3, 4):
+        assert got.loc[cid, "purchase_event_id"] == 2
+        assert pd.isna(got.loc[cid, "purchase_value"])

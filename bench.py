@@ -205,6 +205,10 @@ HEADLINE = [
     # into 2048 counters + TakeOrdered top-10 + broadcast probe join)
     "join_asof_backward",
     "sketch_cms_heavy_hitters",
+    # round 14c continued: the portable HDR quantile sketch (one fact
+    # scan into a ~400-code register aggregate + the percentile_disc
+    # exact branch)
+    "sketch_hdr_quantiles",
 ]
 
 

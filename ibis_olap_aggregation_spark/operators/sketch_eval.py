@@ -699,3 +699,241 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# -- round 14c: portable HDR-histogram quantile sketch -----------------------
+
+# log2 bucket + 4 linear sub-bucket bits: relative bucket width <= 1/16.
+# code(v) = v for v < 16, else (floor(log2 v) - 4) * 16 + (v >> (log2v-4))
+# — monotone in v, contiguous across exponent boundaries, pure integer
+# shifts in both engines (floor(log2) is length(bin(v)) - 1, the HLL
+# module's bit-length identity).
+_HDR_QS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+_HDR_Q_SQL = ", ".join(f"('{l}', {n}, {d})" for l, n, d in _HDR_QS)
+
+
+@register(
+    "sketch_hdr_quantiles",
+    f"""
+WITH f AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+coded AS (
+  SELECT grp,
+         CASE WHEN v < 16 THEN v
+              ELSE (length(bin(v)) - 1 - 4) * 16
+                   + (v >> (length(bin(v)) - 1 - 4))
+         END AS code
+  FROM f
+),
+regs_g AS (SELECT grp, code, COUNT(*) AS c FROM coded GROUP BY 1, 2),
+regs AS (
+  SELECT grp, code, c FROM regs_g
+  UNION ALL
+  SELECT 'ALL' AS grp, code, SUM(c) AS c FROM regs_g GROUP BY 2
+),
+cum AS (
+  SELECT grp, code, c,
+         SUM(c) OVER (PARTITION BY grp ORDER BY code
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_c,
+         SUM(c) OVER (PARTITION BY grp) AS n
+  FROM regs
+),
+qs AS (SELECT * FROM (VALUES {_HDR_Q_SQL}) q(label, qn, qd)),
+hit AS (
+  SELECT c.grp, q.label,
+         MIN(c.code) AS est_code,
+         MIN(c.n) AS n_rows,
+         MIN((c.n * q.qn + q.qd - 1) // q.qd) AS target_rank
+  FROM cum c CROSS JOIN qs q
+  WHERE c.cum_c >= (c.n * q.qn + q.qd - 1) // q.qd
+  GROUP BY 1, 2
+),
+dec AS (
+  SELECT grp, label, n_rows, target_rank, est_code,
+         CASE WHEN est_code < 16 THEN est_code
+              ELSE ((est_code % 16) + 16) << ((est_code // 16) + 3 - 4)
+         END AS est_lo,
+         CASE WHEN est_code < 16 THEN 1
+              ELSE 1 << ((est_code // 16) + 3 - 4)
+         END AS bucket_width
+  FROM hit
+),
+ex_g AS (
+  SELECT grp,
+         CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY v) AS BIGINT) AS p50,
+         CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY v) AS BIGINT) AS p90,
+         CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY v) AS BIGINT) AS p99
+  FROM f GROUP BY 1
+  UNION ALL
+  SELECT 'ALL',
+         CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY v) AS BIGINT),
+         CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY v) AS BIGINT),
+         CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY v) AS BIGINT)
+  FROM f
+),
+ex AS (
+  SELECT grp, 'p50' AS label, p50 AS exact_cents FROM ex_g
+  UNION ALL SELECT grp, 'p90', p90 FROM ex_g
+  UNION ALL SELECT grp, 'p99', p99 FROM ex_g
+)
+SELECT d.grp, d.label,
+       CAST(d.n_rows AS BIGINT) AS n_rows,
+       CAST(d.target_rank AS BIGINT) AS target_rank,
+       CAST(d.est_code AS BIGINT) AS est_code,
+       CAST(d.est_lo AS BIGINT) AS est_lo_cents,
+       CAST(d.bucket_width AS BIGINT) AS bucket_width,
+       CAST(e.exact_cents AS BIGINT) AS exact_cents,
+       (e.exact_cents >= d.est_lo
+        AND e.exact_cents - d.est_lo < d.bucket_width) AS within_bucket,
+       CAST(ROUND(ABS(d.est_lo - e.exact_cents) * 1e6
+                  / e.exact_cents) AS BIGINT) AS rel_err_ppm
+FROM dec d JOIN ex e ON e.grp = d.grp AND e.label = d.label
+ORDER BY 1, 2
+""",
+)
+def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HDR-histogram quantile sketch (Gil Tene's
+    HdrHistogram bucketing; Ben-Haim/Tom-Tov lineage) whose REGISTERS
+    are cross-engine exact — completing the portable-sketch triad:
+    cardinality ([sketch_hll_portable_registers]), frequency
+    ([sketch_cms_heavy_hitters]), and now QUANTILES. Order totals in
+    exact cents are coded into log2-major/4-bit-linear-minor buckets
+    (pure integer bit arithmetic both engines — floor(log2) is the
+    bit-length identity, sub-buckets are shifts), one register set per
+    order priority plus an 'ALL' row built by ELEMENTWISE ADD over the
+    per-group registers — the mergeability that lets a 100 TB store
+    keep ~400-row histogram partials per shard and answer any quantile
+    later without re-scanning. p50/p90/p99 are read off the cumulative
+    register sums at integer target ranks (ceil(q*N) computed as
+    (N*qn + qd - 1) div qd — no float rank anywhere) and decoded to
+    the bucket's lower bound; the verdict columns pin the structural
+    guarantee exact ∈ [est_lo, est_lo + width) with width/est <= 1/16.
+
+    Determinism: coding, registers, cumulative sums, target ranks, and
+    decode are ALL exact integer ops; the exact comparison column uses
+    ANSI percentile_disc (no interpolation arithmetic — it selects an
+    actual data value, so both engines return the identical cent
+    amount); the only float op is the rel_err ppm division on shared
+    operands.
+
+    Scale shape: ONE fact scan into a map-side-combined (grp, code)
+    aggregate bounded by |grps| x ~400 codes; everything downstream
+    (merge, cumsum window partitioned by grp, quantile pick, decode)
+    runs on that constant-size register table. The exact branch is a
+    second scan through percentile_disc — the same cost class as the
+    HLL's exact column, kept only for the driver gate; a pure-sketch
+    deployment drops it and keeps registers alone."""
+    f = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    blen = F.length(F.expr("bin(v)")) - 1
+    code = F.when(F.col("v") < 16, F.col("v")).otherwise(
+        (blen - 4) * 16 + F.expr("shiftright(v, length(bin(v)) - 1 - 4)")
+    )
+    coded = f.select("grp", code.cast("bigint").alias("code"))
+    regs_g = coded.groupBy("grp", "code").agg(F.count(F.lit(1)).alias("c"))
+    regs = regs_g.unionByName(
+        regs_g.groupBy("code")
+        .agg(F.sum("c").alias("c"))
+        .select(F.lit("ALL").alias("grp"), "code", "c")
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("code")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = regs.select(
+        "grp",
+        "code",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(Window.partitionBy("grp")).alias("n"),
+    )
+    qs = F.array(
+        *[
+            F.struct(
+                F.lit(l).alias("label"),
+                F.lit(n).alias("qn"),
+                F.lit(d).alias("qd"),
+            )
+            for l, n, d in _HDR_QS
+        ]
+    )
+    hit = (
+        cum.select("*", F.explode(qs).alias("q"))
+        .select(
+            "grp", "code", "cum_c", "n",
+            F.col("q.label").alias("label"),
+            F.col("q.qn").alias("qn"),
+            F.col("q.qd").alias("qd"),
+        )
+        .select(
+            "grp", "code", "cum_c", "n", "label",
+            F.expr("(n * qn + qd - 1) div qd").alias("target_rank"),
+        )
+        .filter(F.col("cum_c") >= F.col("target_rank"))
+        .groupBy("grp", "label")
+        .agg(
+            F.min("code").alias("est_code"),
+            F.min("n").alias("n_rows"),
+            F.min("target_rank").alias("target_rank"),
+        )
+    )
+    ec = F.col("est_code")
+    est_lo = F.when(ec < 16, ec).otherwise(
+        F.expr("shiftleft((est_code % 16) + 16, "
+               "cast(est_code div 16 as int) + 3 - 4)")
+    )
+    width = F.when(ec < 16, F.lit(1)).otherwise(
+        F.expr("shiftleft(cast(1 as bigint), "
+               "cast(est_code div 16 as int) + 3 - 4)")
+    )
+    dec = hit.select(
+        "grp", "label", "n_rows", "target_rank", "est_code",
+        est_lo.cast("bigint").alias("est_lo"),
+        width.cast("bigint").alias("bucket_width"),
+    )
+    pd_exprs = [
+        F.expr(
+            f"cast(percentile_disc({n / d}) within group (order by v) "
+            f"as bigint)"
+        ).alias(l)
+        for l, n, d in _HDR_QS
+    ]
+    ex_g = f.groupBy("grp").agg(*pd_exprs).unionByName(
+        f.agg(*pd_exprs).select(F.lit("ALL").alias("grp"), *[
+            F.col(l) for l, _, _ in _HDR_QS
+        ])
+    )
+    ex = None
+    for l, _, _ in _HDR_QS:
+        part = ex_g.select(
+            "grp", F.lit(l).alias("label"), F.col(l).alias("exact_cents")
+        )
+        ex = part if ex is None else ex.unionByName(part)
+    err = F.abs(F.col("est_lo") - F.col("exact_cents"))
+    return (
+        dec.join(F.broadcast(ex), ["grp", "label"])
+        .select(
+            "grp", "label",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("target_rank").cast("bigint").alias("target_rank"),
+            F.col("est_code").cast("bigint").alias("est_code"),
+            F.col("est_lo").cast("bigint").alias("est_lo_cents"),
+            F.col("bucket_width").cast("bigint").alias("bucket_width"),
+            F.col("exact_cents").cast("bigint").alias("exact_cents"),
+            (
+                (F.col("exact_cents") >= F.col("est_lo"))
+                & (F.col("exact_cents") - F.col("est_lo")
+                   < F.col("bucket_width"))
+            ).alias("within_bucket"),
+            F.round(err * F.lit(1e6) / F.col("exact_cents"))
+            .cast("bigint")
+            .alias("rel_err_ppm"),
+        )
+        .orderBy("grp", "label")
+    )

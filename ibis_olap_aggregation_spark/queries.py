@@ -1125,6 +1125,7 @@ _ADDED_ROUND14C: frozenset[str] = frozenset(
         "privacy_entropy_l_diversity",
         "sketch_cms_heavy_hitters",
         "pipeline_epoch_shard_plan",
+        "sketch_hdr_quantiles",
     }
 )
 

@@ -1001,3 +1001,19 @@ def test_cms_takeordered_and_broadcast_probe(spark, sf_small):
 
     for m in re.findall(r"FileScan parquet.*?ReadSchema: (\S+)", plan):
         assert "l_partkey" in m and "l_extendedprice" not in m, m
+
+
+def test_hdr_quantiles_register_grain_windows(spark, sf_small):
+    """sketch_hdr_quantiles: the coding is whole-stage expression work
+    (no python stage), every window partitions by grp (the register
+    table's bounded-enum grain — never a global unpartitioned window),
+    and the orders scan reads exactly the two columns it needs."""
+    df = q.QUERIES["sketch_hdr_quantiles"](spark, sf_small)
+    plan = pi.physical_plan(df)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "grp" in spec, plan
+    for m in re.findall(r"FileScan parquet.*?ReadSchema: (\S+)", plan):
+        assert "o_totalprice" in m and "o_orderdate" not in m, m

@@ -247,3 +247,77 @@ def test_asof_carries_intact_build_row_with_null_value(spark, tmp_path):
     for cid in (3, 4):
         assert got.loc[cid, "purchase_event_id"] == 2
         assert pd.isna(got.loc[cid, "purchase_value"])
+
+
+# ---------------------------------------------------------------------------
+# sketch_hdr_quantiles
+# ---------------------------------------------------------------------------
+
+
+def _hdr_code(v: int) -> int:
+    if v < 16:
+        return v
+    e = v.bit_length() - 1
+    return (e - 4) * 16 + (v >> (e - 4))
+
+
+def _hdr_lo(code: int) -> int:
+    if code < 16:
+        return code
+    return (((code % 16) + 16)) << ((code // 16) + 3 - 4)
+
+
+def test_hdr_matches_python_rederivation(spark):
+    got = QUERIES["sketch_hdr_quantiles"](spark, SF).toPandas()
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["v"] = (o.o_totalprice * 100).round().astype("int64")
+    groups = {g: gd.v.to_numpy() for g, gd in o.groupby("o_orderpriority")}
+    groups["ALL"] = o.v.to_numpy()
+    for _, row in got.iterrows():
+        vs = np.sort(groups[row.grp])
+        n = len(vs)
+        assert n == row.n_rows
+        qn, qd = {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100)}[row.label]
+        target = (n * qn + qd - 1) // qd
+        assert target == row.target_rank
+        # register + cumulative pick, re-derived from scratch
+        codes = np.sort(np.array([_hdr_code(int(v)) for v in vs]))
+        est_code = int(codes[target - 1])  # sorted codes: rank target
+        assert est_code == row.est_code
+        assert _hdr_lo(est_code) == row.est_lo_cents
+        # percentile_disc = value at rank ceil(q*n) in sorted order
+        exact = int(vs[target - 1])
+        assert exact == row.exact_cents
+        # structural guarantee: exact inside the estimated bucket,
+        # bucket width <= lo/16
+        assert row.est_lo_cents <= exact < row.est_lo_cents + row.bucket_width
+        assert row.bucket_width * 16 <= row.est_lo_cents or row.est_code < 16
+
+
+def test_hdr_coder_is_monotone_and_merge_is_add():
+    """The two properties the query can't state: code(v) is monotone
+    (so register cumsums ARE rank counts), and the register table
+    merges by elementwise ADD (split the stream anywhere)."""
+    vals = sorted(set(range(1, 2048)) | {10**k for k in range(2, 12)})
+    codes = [_hdr_code(v) for v in vals]
+    assert codes == sorted(codes)
+    # decode lower bound brackets every value to <= 1/16 relative width
+    for v in vals:
+        lo = _hdr_lo(_hdr_code(v))
+        assert lo <= v
+        if v >= 16:
+            assert (v - lo) * 16 < lo + 16  # width = lo//16 rounded up
+    keys = pd.read_parquet(f"{SF}/orders.parquet")
+    v = (keys.o_totalprice * 100).round().astype("int64").to_numpy()
+    def regs(arr):
+        out: dict[int, int] = {}
+        for x in arr:
+            c = _hdr_code(int(x))
+            out[c] = out.get(c, 0) + 1
+        return out
+    whole = regs(v)
+    a, b = regs(v[: len(v) // 2]), regs(v[len(v) // 2 :])
+    merged = dict(a)
+    for c, n in b.items():
+        merged[c] = merged.get(c, 0) + n
+    assert merged == whole

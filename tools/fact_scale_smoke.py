@@ -55,6 +55,10 @@ TIMED = [
     # table (2048 rows) + TakeOrdered top-10 — scan-bound, so the
     # ratio must track the fact growth with no superlinear term
     "sketch_cms_heavy_hitters",
+    # round 14c continued: fact scan into a <= |grps| x ~400-code
+    # register aggregate + the percentile_disc exact branch — both
+    # scan-bound, registers constant-size
+    "sketch_hdr_quantiles",
 ]
 
 

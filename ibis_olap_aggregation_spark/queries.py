@@ -1126,6 +1126,7 @@ _ADDED_ROUND14C: frozenset[str] = frozenset(
         "sketch_cms_heavy_hitters",
         "pipeline_epoch_shard_plan",
         "sketch_hdr_quantiles",
+        "streaming_asof_enrich_twin",
     }
 )
 

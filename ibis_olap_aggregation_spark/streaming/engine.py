@@ -389,3 +389,119 @@ def run_upsert_sink(
         .start()
     )
     q.awaitTermination()
+
+
+# -- as-of enrichment: per-key latest-observation state ----------------------
+#
+# The streaming form of operators/temporal.join_asof_backward: state per
+# user is ONE row (the latest purchase seen), clicks are enriched with
+# it as they arrive. Correctness rides the replay engine's contiguous
+# event-time ranges drained oldest-first (the interval-join twin's
+# documented contract): within a micro-batch rows sort by event time, so
+# the enrichment a click sees equals the batch as-of's. Nullable output
+# fields are DOUBLE at the Arrow boundary (a LongType column cannot
+# carry NaN through pandas) — the twin casts them back to BIGINT.
+from pyspark.sql.types import DoubleType  # noqa: E402
+
+_ASOF_STATE = StructType(
+    [
+        StructField("p_ts_us", LongType(), True),
+        StructField("p_event_id", LongType(), True),
+        StructField("p_value", DoubleType(), True),
+    ]
+)
+_ASOF_OUT = StructType(
+    [
+        StructField("click_event_id", LongType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("click_ts_us", LongType(), False),
+        StructField("purchase_event_id", DoubleType(), True),
+        StructField("purchase_value", DoubleType(), True),
+        StructField("gap_us", DoubleType(), True),
+    ]
+)
+_ASOF_COLS = [f.name for f in _ASOF_OUT.fields]
+# explicit dtypes for the yielded frames: an all-None object column
+# (match fields when nothing matched in a batch) trips pandas'
+# concat-with-all-NA deprecation inside pyspark's Arrow serializer and
+# can drift the inferred type batch-to-batch
+_ASOF_DTYPES = {
+    "click_event_id": "int64",
+    "user_id": "int64",
+    "click_ts_us": "int64",
+    "purchase_event_id": "float64",
+    "purchase_value": "float64",
+    "gap_us": "float64",
+}
+
+
+def _asof_frame(data: dict[str, list]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {c: pd.Series(data[c], dtype=_ASOF_DTYPES[c]) for c in _ASOF_COLS}
+    )
+
+
+def _make_asof_fn(tol_us: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # pandas 2.x deprecation noise from PYSPARK'S OWN serializer
+        # concat (serializers.py dump_stream): a group whose clicks all
+        # went unmatched yields all-NA float64 match columns — required
+        # NULLs, not a dtype accident (every yielded frame is built
+        # with explicit dtypes via _asof_frame). Worker-scoped filter;
+        # the eventual pandas behavior change cannot alter our typed
+        # frames.
+        import warnings
+
+        warnings.filterwarnings(
+            "ignore",
+            message="The behavior of DataFrame concatenation with empty "
+            "or all-NA entries",
+            category=FutureWarning,
+        )
+        p_ts, p_eid, p_val = state.get if state.exists else (None, None, None)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return  # nothing to enrich, nothing to update — yield no frame
+        batch = pd.concat(frames, ignore_index=True)
+        # event-time walk: purchases BEFORE clicks at equal ts (as-of
+        # includes equality), PK-ordered within a side — the batch
+        # operator's exact tie rule
+        batch["side"] = (batch["event_type"] != "purchase").astype("int64")
+        batch = batch.sort_values(["ts_us", "side", "event_id"])
+        out: dict[str, list] = {c: [] for c in _ASOF_COLS}
+        for r in batch.itertuples(index=False):
+            if r.side == 0:
+                if p_ts is None or (r.ts_us, r.event_id) > (p_ts, p_eid):
+                    p_ts, p_eid = int(r.ts_us), int(r.event_id)
+                    p_val = None if pd.isna(r.value) else float(r.value)
+            else:
+                gap = None if p_ts is None else int(r.ts_us) - p_ts
+                hit = gap is not None and gap <= tol_us
+                out["click_event_id"].append(int(r.event_id))
+                out["user_id"].append(int(key[0]))
+                out["click_ts_us"].append(int(r.ts_us))
+                out["purchase_event_id"].append(float(p_eid) if hit else None)
+                out["purchase_value"].append(p_val if hit else None)
+                out["gap_us"].append(float(gap) if hit else None)
+        if p_ts is not None:
+            state.update((p_ts, p_eid, p_val))
+        yield _asof_frame(out)
+
+    return fn
+
+
+def asof_enrich(events: DataFrame, tol_us: int) -> DataFrame:
+    """Streaming backward as-of: enrich each click with the latest
+    purchase by the same user, within ``tol_us``. State per user is ONE
+    latest-purchase row — bounded by the key space, never by history
+    (the property that lets this run forever at 100 TB/day). Input must
+    carry user_id, ts_us, event_id, event_type, value."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_asof_fn(tol_us),
+        outputStructType=_ASOF_OUT,
+        stateStructType=_ASOF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

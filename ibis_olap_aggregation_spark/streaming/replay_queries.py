@@ -787,3 +787,63 @@ from ibis_olap_aggregation_spark.queries import (  # noqa: E402
 )
 
 _reorder_for_driver_coverage()
+
+
+# -- round 14c: streaming as-of enrichment (eleventh twin) -------------------
+
+from ibis_olap_aggregation_spark.operators.temporal import (  # noqa: E402
+    _ASOF_TOL_US,
+)
+from ibis_olap_aggregation_spark.queries import ORACLES as _ORACLES  # noqa: E402
+from ibis_olap_aggregation_spark.streaming.engine import asof_enrich  # noqa: E402
+
+
+@register(
+    "streaming_asof_enrich_twin",
+    _ORACLES["join_asof_backward"],
+)
+def streaming_asof_enrich_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming form of [join_asof_backward], driven end-to-end
+    (the eleventh twin): 8-micro-batch rate-limited file replay ->
+    applyInPandasWithState per user (engine.asof_enrich: state = ONE
+    latest-purchase row, clicks enriched in event-time order within
+    each batch) -> checkpointed append-mode drain -> the IDENTICAL
+    output contract, hash-verified against the SAME DuckDB oracle as
+    the batch op — stream == batch, proven through the driver gate.
+
+    Ordering contract: like the interval-join twin (and unlike the
+    commutative count/sum twins), as-of enrichment is event-time-
+    ordered by nature — correctness rides the replay dir's contiguous
+    oldest-first ranges, which is exactly the watermark-ordered
+    delivery a production event-time pipeline provides; a click is
+    enriched once, when processed, and never revised (append mode,
+    exactly-once through the checkpoint).
+
+    Scale shape: state is user-keyed and CONSTANT-width (one latest
+    purchase per user, updated in place) — not a purchase log, not
+    history; the per-batch work is one Arrow-batched ordered walk per
+    touched user. The nullable match fields cross the Arrow boundary
+    as DOUBLE (NaN-capable) and are cast back to BIGINT here."""
+    ev = stream_events(
+        spark, _replay_dir(spark, sf_dir), max_files_per_trigger=1
+    )
+    proj = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    sunk = _drain(
+        spark, asof_enrich(proj, _ASOF_TOL_US), "asof_enrich"
+    )
+    return sunk.select(
+        F.col("click_event_id").cast("bigint").alias("click_event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("click_ts_us").cast("bigint").alias("click_ts_us"),
+        F.col("purchase_event_id").cast("bigint").alias("purchase_event_id"),
+        "purchase_value",
+        F.col("gap_us").cast("bigint").alias("gap_us"),
+    ).orderBy("click_event_id")

@@ -444,6 +444,11 @@ def test_streaming_twins_survive_reversed_replay(
     streaming_interval_join_eviction is deliberately NOT here: its
     bounded lateness horizon makes late arrivals genuinely
     order-sensitive — that is the operator's semantics, not a bug.
+    streaming_asof_enrich_twin (r14c) is excluded for the same reason:
+    as-of enrichment is event-time-ordered by nature (a click is
+    enriched once, when processed) — its ordering contract is the
+    replay engine's contiguous oldest-first delivery, documented in
+    its docstring.
     """
     import os
 

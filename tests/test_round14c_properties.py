@@ -321,3 +321,46 @@ def test_hdr_coder_is_monotone_and_merge_is_add():
     for c, n in b.items():
         merged[c] = merged.get(c, 0) + n
     assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# streaming_asof_enrich_twin
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_asof_equals_batch_and_state_is_user_bounded(spark):
+    """stream == batch: the eleventh twin's drained output must equal
+    join_asof_backward row-for-row (same schema, same oracle). The
+    drain's progress reports additionally prove the state store holds
+    at most one row per purchase-active user — constant-width state,
+    the 100 TB property the operator claims."""
+    from ibis_olap_aggregation_spark.streaming.replay_queries import (
+        last_drain_progress,
+    )
+
+    got = (
+        QUERIES["streaming_asof_enrich_twin"](spark, SF)
+        .toPandas()
+        .sort_values("click_event_id")
+        .reset_index(drop=True)
+    )
+    progress = last_drain_progress()
+    batch = (
+        QUERIES["join_asof_backward"](spark, SF)
+        .toPandas()
+        .sort_values("click_event_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(batch.columns)
+    assert got.astype(str).equals(batch.astype(str))
+    # 8 rate-limited micro-batches actually ran
+    assert len([p for p in progress if p.get("numInputRows", 0) > 0]) == 8
+    # state rows <= users that have at least one purchase
+    ev = _events()
+    n_purchase_users = ev[ev.event_type == "purchase"].user_id.nunique()
+    state_rows = max(
+        op.get("numRowsTotal", 0)
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    assert 0 < state_rows <= n_purchase_users

@@ -124,9 +124,14 @@ def _skipping_inputs(
             F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
         )
     )
-    n = li.count()
-    row = li.agg(F.max("pk").alias("mp"), F.max("sk").alias("ms")).first()
-    return li, n, int(row["mp"]), int(row["ms"])
+    # ONE action for count + maxima (the count used to be its own job;
+    # the agg scan materializes the cache exactly the same way)
+    row = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("pk").alias("mp"),
+        F.max("sk").alias("ms"),
+    ).first()
+    return li, int(row["n"]), int(row["mp"]), int(row["ms"])
 
 
 def _skipping_measurement(
@@ -142,13 +147,38 @@ def _skipping_measurement(
     parquet footers store), fire the {_N_PROBES} deterministic probe
     rectangles, and count overlapping files per (layout, probe) with
     the min/max test a stats-pruning reader runs. ``keyed_layouts`` is
-    [(frame, order_cols, layout_name)]; everything downstream —
-    file_id formula, probe geometry, overlap predicate, output shape —
+    [(frame, order_cols, layout_name, lead_max)]; everything downstream
+    — file_id formula, probe geometry, overlap predicate, output shape —
     lives HERE once, so a one-sided edit can no longer make the two
-    skipping ops measure different things."""
+    skipping ops measure different things.
 
-    def file_stats(df: DataFrame, order_cols: list[str], layout: str) -> DataFrame:
-        ranked = global_row_number(df, order_cols, "rk", row_count=n)
+    ``lead_max`` is the inclusive maximum of ``order_cols[0]`` (every
+    layout's leading key has a KNOWN domain here: curve keys are bounded
+    by their bit width, the linear key by the probed column maximum), so
+    each ranking uses ``global_row_number``'s deterministic-bucket path:
+    no sampled range partitioner, no eager localCheckpoint per layout —
+    construction runs one bounded bucket-count collect per layout and
+    the rankings themselves stay lazy, pipelining CONCURRENTLY inside
+    the consumer's single job (measured: the old path serialized one
+    eager checkpoint job per layout)."""
+    _N_BUCKETS = 128
+
+    def file_stats(
+        df: DataFrame, order_cols: list[str], layout: str, lead_max: int
+    ) -> DataFrame:
+        lead = order_cols[0]
+        ranked = global_row_number(
+            # rank only the columns the stats need: the curve keys ride
+            # along (order cols), scaffolding like the (x, y) grid does not
+            df.select(*order_cols),
+            order_cols,
+            "rk",
+            row_count=n,
+            bucket=(
+                F.expr(f"({lead} * {_N_BUCKETS}) DIV {int(lead_max) + 1}"),
+                _N_BUCKETS,
+            ),
+        )
         files = ranked.withColumn(
             "file_id",
             F.expr(f"CAST(((CAST(rk AS BIGINT) - 1) * {_N_FILES}) DIV {n} AS BIGINT)"),
@@ -163,7 +193,10 @@ def _skipping_measurement(
     # |layouts| x 64 stat rows feed BOTH the probe-overlap branch and
     # the n_files count: cache so each global ranking runs once, not
     # twice (tracked, query-scoped — see session.query_cache)
-    per_layout = [file_stats(df, cols, name) for df, cols, name in keyed_layouts]
+    per_layout = [
+        file_stats(df, cols, name, lead_max)
+        for df, cols, name, lead_max in keyed_layouts
+    ]
     stats = per_layout[0]
     for s in per_layout[1:]:
         stats = stats.unionByName(s)
@@ -298,8 +331,8 @@ def layout_zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         maxp,
         maxs,
         [
-            (zkeyed, ["zkey", "pk", "sk"], "zorder"),
-            (li, ["pk", "sk"], "linear"),
+            (zkeyed, ["zkey", "pk", "sk"], "zorder", (1 << (2 * ZORDER_BITS_PER_DIM)) - 1),
+            (li, ["pk", "sk"], "linear", maxp),
         ],
     )
 
@@ -684,8 +717,8 @@ def layout_hilbert_vs_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataF
         maxp,
         maxs,
         [
-            (hkeyed, ["hkey", "pk", "sk"], "hilbert"),
-            (zkeyed, ["zkey", "pk", "sk"], "zorder"),
-            (li, ["pk", "sk"], "linear"),
+            (hkeyed, ["hkey", "pk", "sk"], "hilbert", (1 << (2 * _HB)) - 1),
+            (zkeyed, ["zkey", "pk", "sk"], "zorder", (1 << (2 * _HB)) - 1),
+            (li, ["pk", "sk"], "linear", maxp),
         ],
     )

@@ -25,6 +25,7 @@ def global_row_number(
     out_col: str = "row_num",
     num_partitions: int | None = None,
     row_count: int | None = None,
+    bucket: tuple[F.Column, int] | None = None,
 ) -> DataFrame:
     """Dense global 1-based rank ordered by ``order_cols``.
 
@@ -37,7 +38,55 @@ def global_row_number(
     pass. Inputs that fit ONE range partition skip the offset-collect
     pass too — a tiny dim is ranked in a single lazy window, zero extra
     driver actions.
+
+    ``bucket``: optional ``(expr, n_buckets)`` DETERMINISTIC coarse
+    pre-bucketing — ``expr`` must be an integer column expression that
+    is monotone non-decreasing along the ``order_cols`` order (e.g.
+    ``leading_key * n_buckets DIV (domain_max + 1)`` for a known key
+    domain). When given, the sampled range partitioner — and with it
+    the eager ``localCheckpoint`` that pins its nondeterministic
+    boundaries (see below) — is skipped entirely: bucket membership is
+    a pure function of the row, so per-bucket counts collected in one
+    bounded aggregate job stay valid for every later job, and the
+    ranking itself stays LAZY (a ``Window.partitionBy(bucket)`` keyed
+    shuffle inside the consumer's own job — concurrent consumers of
+    several rankings pipeline them in one job instead of serializing
+    one eager checkpoint each). Callers are responsible for a bucket
+    expression that spreads rows evenly (a uniform leading key makes
+    the quantile-style expression above uniform by construction).
     """
+    if bucket is not None:
+        bexpr, n_buckets = bucket
+        bucketed = df.withColumn("_bkt", bexpr.cast("int"))
+        counts = sorted(
+            (r["_bkt"], r["_cnt"])
+            for r in bucketed.groupBy("_bkt")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .collect()
+        )
+        if len(counts) > n_buckets:
+            raise ValueError(
+                f"bucket expression produced {len(counts)} distinct values "
+                f"(> n_buckets={n_buckets}) — not a valid coarse bucketing"
+            )
+        offsets, acc = {}, 0
+        for bkt, cnt in counts:
+            offsets[bkt] = acc
+            acc += cnt
+        w = Window.partitionBy("_bkt").orderBy(*[F.col(c) for c in order_cols])
+        offset_expr = (
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in offsets.items() for x in kv]
+                ),
+                F.col("_bkt"),
+            )
+            if offsets
+            else F.lit(0)
+        )
+        return bucketed.withColumn(
+            out_col, (F.row_number().over(w) + offset_expr).cast("int")
+        ).drop("_bkt")
     if num_partitions is None:
         # ~50k rows per range partition, capped at the session shuffle
         # width: tiny inputs get 1 partition (no per-stage overhead),

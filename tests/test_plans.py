@@ -766,28 +766,36 @@ def test_adamic_adar_wedge_join_is_equi_no_cartesian(spark, sf_small):
 
 def test_copurchase_pair_build_is_two_exchanges(spark, sf_small):
     """copurchase_pairs: the basket-array pair build shuffles exactly
-    twice (order key for the basket aggregation, pair key for the
-    weights) — the self-join form it replaced paid a third exchange for
-    the distinct plus a join re-shuffle. The pair explode itself must
-    sit map-side between the two (no join operator at all)."""
+    twice (the EXPLICIT full-width order-key repartition, shared with
+    the basket aggregation per the one-exchange idiom, then the pair
+    key for the weights) — the self-join form it replaced paid a third
+    exchange for the distinct plus a join re-shuffle, and a caller's
+    own adjacent repartition now COLLAPSES into the build's (r14: the
+    explicit width pins the O(k²) explode stage at the configured
+    shuffle parallelism instead of AQE's byte-coalesced task count).
+    The pair explode itself must sit map-side between the two (no join
+    operator at all)."""
     from ibis_olap_aggregation_spark.operators.graph import (
         copurchase_pairs,
         order_items_raw,
     )
 
-    # force a multi-partition input: the sf0.001 scan is one partition,
-    # which satisfies every clustered distribution and elides ALL
-    # exchanges — the pin needs the production shape
+    # a caller-side repartition must NOT survive as a third exchange:
+    # CollapseRepartition folds it into the build's own order-key
+    # repartition (adjacent exchanges, the later one wins)
     items = order_items_raw(spark, sf_small).repartition(8, "l_partkey")
     df = copurchase_pairs(items)
-    # 3 = the forced repartition + basket exchange + pair exchange;
+    # 2 = the build's order-key repartition + the pair exchange;
     # executed=True: sparkPlan is pre-EnsureRequirements and shows no
     # inserted exchanges at all
-    assert pi.count_exchanges(df, executed=True) == 3, pi.physical_plan(
+    assert pi.count_exchanges(df, executed=True) == 2, pi.physical_plan(
         df, executed=True
     )
     plan = pi.physical_plan(df, executed=True)
     assert "Join" not in plan, plan
+    # the order-key exchange is the explicit full-width repartition
+    # (REPARTITION_BY_NUM), not an AQE-coalescible ENSURE_REQUIREMENTS
+    assert "REPARTITION_BY_NUM" in plan, plan
 
 
 def test_funnel_conversion_is_one_fact_scan(spark, sf_small):

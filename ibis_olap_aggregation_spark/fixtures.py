@@ -84,8 +84,12 @@ def _pad_id(prefix: str, col) -> F.Column:
 def _one_row(spark, *, node_id: str, node_name: str, level_name: str):
     """Single hierarchy-root row with PLAN-ESTIMABLE stats: projected off
     range(1) so Catalyst knows its exact size (8 bytes scaled), keeping
-    the downstream union's sizeInBytes estimate meaningful."""
-    return spark.range(1).select(
+    the downstream union's sizeInBytes estimate meaningful. numPartitions
+    is pinned to 1: the default splits range(1) across defaultParallelism
+    partitions, so every job over the node union dragged ~31 EMPTY tasks
+    (measured as a 35-task fetch for a 4-way union of single-partition
+    scans at sf0.1)."""
+    return spark.range(0, 1, numPartitions=1).select(
         F.lit(node_id).alias("node_id"),
         F.lit(None).cast("bigint").alias("node_natural_key"),
         F.lit(node_name).alias("node_name"),

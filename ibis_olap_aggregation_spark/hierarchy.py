@@ -49,12 +49,29 @@ __all__ = ["HierarchyDimension", "prepare_nodes"]
 _INTERNAL_COLS = ("node_json", "node_json_path", "_sort_path")
 
 
+def _known_size_side(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """dim_side twin for sides whose row count is ALREADY KNOWN (e.g.
+    bounded by a completed driver-local walk): applies the same
+    cap-based regime decision — broadcast under ``DIM_BROADCAST_ROW_CAP``
+    (read at call time so forced-regime tests still flip paths), merge
+    hint at/above it — without the probe's count job. Falls back to the
+    probing ``dim_side`` when the count is unknown."""
+    from ibis_olap_aggregation_spark import session as _session
+
+    if n_rows is None:
+        return dim_side(df)
+    if n_rows < _session.DIM_BROADCAST_ROW_CAP:
+        return F.broadcast(df)
+    return df.hint("merge")
+
+
 def prepare_nodes(
     nodes: DataFrame,
     node_id_col: str = "node_id",
     parent_node_id_col: str = "parent_node_id",
     *,
     with_leaf: bool = True,
+    known_rows: int | None = None,
 ) -> DataFrame:
     """Normalize an adjacency-list dimension (ref :83-96).
 
@@ -70,6 +87,12 @@ def prepare_nodes(
       (a full shuffle of the node table) for consumers that compute the
       flag themselves — the driver-local walk derives it from the same
       collected rows for free.
+
+    ``known_rows``: pass an already-known node count to resolve the
+    leaf join's regime without the bounded count-probe job (the probe
+    cost one Spark job per dim build even when the prepared frame was
+    never executed — the local-walk path knows the count from its own
+    fetch).
     """
     attrs = [c for c in nodes.columns if c not in (node_id_col, parent_node_id_col)]
     df = nodes.select(
@@ -89,7 +112,7 @@ def prepare_nodes(
     # (bounded probe: broadcast for ordinary dims, sort-merge past the
     # cap — a 10M-node hierarchy's parent set is past broadcast reach)
     return (
-        df.join(dim_side(parents), "node_id", "left")
+        df.join(_known_size_side(parents, known_rows), "node_id", "left")
         .withColumn("is_leaf", F.col("_is_parent").isNull())
         .drop("_is_parent")
     )
@@ -155,10 +178,6 @@ class HierarchyDimension:
         # depends on display order, so pure-aggregation consumers of big
         # dims shouldn't pay the extra count/sample/shuffle rounds.
         self.compute_sort_order = compute_sort_order
-        # cache: the walk re-joins nodes once per level, and derived node
-        # tables (e.g. DISTINCT-built brand/type levels) would otherwise
-        # re-shuffle on every iteration
-        self.nodes = prepare_nodes(nodes, node_id_col, parent_node_id_col)
         self._nodes_base = None
         self._n_nodes: int | None = None
         self._local_rows = None
@@ -219,6 +238,18 @@ class HierarchyDimension:
                     self._n_nodes = len(dicts)
                 else:
                     dicts = None  # larger than the bound: distributed walk
+        # prepared AFTER the local-fetch block so that when the walk is
+        # local the leaf join's regime resolves from the just-learned
+        # node count instead of a probe job (the probe ran at
+        # construction even though the prepared frame is never executed
+        # on the local path — one count job per dim build, measured
+        # ~0.7s on the sf0.1 geo build). The walk re-joins nodes once
+        # per level on the distributed paths, and derived node tables
+        # (e.g. DISTINCT-built brand/type levels) would otherwise
+        # re-shuffle on every iteration — hence the cache below.
+        self.nodes = prepare_nodes(
+            nodes, node_id_col, parent_node_id_col, known_rows=self._n_nodes
+        )
         if materialize and self._local_rows is None:
             # distributed path: cache the (possibly expensive)
             # source-derived node table while we count it; released after
@@ -831,7 +862,13 @@ class HierarchyDimension:
             F.col("node_id").alias("ancestor_node_id"),
             F.col("node_sort_order").alias("ancestor_node_sort_order"),
         )
-        closure = closure.join(dim_side(sort_orders), "ancestor_node_id", "left")
+        # walked-derived and node-sized: on the local-walk path the row
+        # count is already known, so the regime resolves probe-free
+        closure = closure.join(
+            _known_size_side(sort_orders, self._walked_local_count),
+            "ancestor_node_id",
+            "left",
+        )
         anc_cols = [f"ancestor_{c}" for c in self._attr_out_cols()] + [
             "ancestor_level_number",
             "ancestor_node_sort_order",

@@ -73,6 +73,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_docs with the scan SPREAD to the configured shuffle width — for
+    the CPU-heavy per-row chains only (tokenize -> shingle -> md5 ->
+    minhash fold): parquet byte-splitting hands a corpus smaller than
+    maxPartitionBytes to ONE task, serializing the dominant expression
+    work onto one core (measured: the lsh-candidates signature stage ran
+    single-task at sf0.1; spreading cut the query 3.08s -> 1.75s). No-op
+    whenever the scan already meets the width — at real scale the corpus
+    has thousands of splits and a round-robin exchange of raw text would
+    be the bug, not the fix. Cheap scans (md5 + groupBy) keep the
+    un-spread _docs: for them the extra exchange is pure cost (measured
+    +0.3s on dedup_exact_content)."""
+    df = _docs(spark, sf_dir)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < width:
+        df = df.repartition(width)
+    return df
+
+
 # Max bucket members a single task materializes (collect_list) when
 # generating in-bucket pairs. Buckets above the cap are SPLIT, not
 # dropped — output is identical, so there is no silent approximation.
@@ -249,7 +268,7 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     are not sortable by the driver's pandas canonicalizer (lexsort dies
     on `unhashable type: 'list'` — CORRECTNESS_r02), so the registered
     query surface emits only sortable scalars."""
-    d = _docs(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
+    d = _docs_spread(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
         "hs", hashed_shingles_col()
     )
     return d.select(
@@ -395,7 +414,7 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .distinct()
     )
-    hs = _docs(spark, sf_dir).withColumn("t", tokens_col()).select(
+    hs = _docs_spread(spark, sf_dir).withColumn("t", tokens_col()).select(
         "doc_id", hashed_shingles_col().alias("hs")
     )
     a = hs.select(F.col("doc_id").alias("_da"), F.col("hs").alias("hs_a"))
@@ -451,7 +470,7 @@ def _ngram_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive inverted-index form — every pair sharing ANY shingle is
     aggregated (worst-case ~n^2 groups on repetitive corpora). Kept ONLY
     as the small-sf cross-check for the prefix-filtered default."""
-    d = _docs(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
+    d = _docs_spread(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
         "shingles", shingles_col()
     )
     ex = d.select("doc_id", F.explode("shingles").alias("s"))
@@ -490,7 +509,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t=0.5 (more at higher t: prefix is n(1-t)+1), and the candidate set
     is bounded by prefix collisions instead of any-shingle collisions."""
     t = JACCARD_THRESHOLD
-    d = _docs(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
+    d = _docs_spread(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
         "shingles", F.array_sort(shingles_col())
     )
     # tracked cache (query-scoped, see session.query_cache): the shingle
@@ -559,7 +578,7 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document: token-frequency-weighted bit votes
     over md5-derived token hashes. Shuffles only on doc_id (the token
     count + bit-vote aggregations are map-side combined)."""
-    d = _docs(spark, sf_dir).withColumn("t", tokens_col())
+    d = _docs_spread(spark, sf_dir).withColumn("t", tokens_col())
     tokc = (
         d.select("doc_id", F.explode("t").alias("token"))
         .groupBy("doc_id", "token")
@@ -1077,7 +1096,7 @@ def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(node, component) membership of the verified near-dup graph —
     shared tail of the cluster pipeline (LSH candidates -> exact Jaccard
     verify -> connected components); component = min doc_id."""
-    docs = _docs(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
+    docs = _docs_spread(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
         "hs", hashed_shingles_col()
     )
     # tracked cache (query-scoped, see session.query_cache): BOTH sides of
@@ -1236,7 +1255,7 @@ def dedup_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", "n_band_matches"
     )
     hs = (
-        _docs(spark, sf_dir)
+        _docs_spread(spark, sf_dir)
         .withColumn("t", tokens_col())
         .select("doc_id", hashed_shingles_col().alias("hs"))
     )
@@ -1442,7 +1461,7 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair (array_intersect, JVM-side) — cost ~ candidates,
     not batch x corpus.
     """
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)  # doc_signatures is the heavy chain
     bk = F.expr(_SPARK_MD5INT.format(x="cast(doc_id as string)") + " % 100")
     base = doc_signatures(d).withColumn(
         "is_new", bk >= F.lit(100 - INCREMENTAL_NEW_PCT)
@@ -1580,7 +1599,7 @@ def dedup_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one groupBy — the cluster table is corpus-fraction-sized."""
     comp = _near_dup_components(spark, sf_dir)
     tokd = (
-        _docs(spark, sf_dir)
+        _docs_spread(spark, sf_dir)
         .withColumn("t", tokens_col())
         .select("doc_id", "source", F.size("t").alias("n_tok"))
     )
@@ -1749,7 +1768,7 @@ def dedup_minhash_bbit_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides — tracked query-scoped cache (released by the registry on
     # the next top-level query)
     base = query_cache(
-        _docs(spark, sf_dir)
+        _docs_spread(spark, sf_dir)
         .withColumn("t", tokens_col())
         .select("doc_id", hashed_shingles_col().alias("hs"))
         .withColumn("ms", minhash_sig_col())

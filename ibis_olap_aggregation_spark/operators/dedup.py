@@ -85,11 +85,9 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     be the bug, not the fix. Cheap scans (md5 + groupBy) keep the
     un-spread _docs: for them the extra exchange is pure cost (measured
     +0.3s on dedup_exact_content)."""
-    df = _docs(spark, sf_dir)
-    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() < width:
-        df = df.repartition(width)
-    return df
+    from ibis_olap_aggregation_spark.session import spread_scan
+
+    return spread_scan(_docs(spark, sf_dir))
 
 
 # Max bucket members a single task materializes (collect_list) when

@@ -41,6 +41,11 @@ from ibis_olap_aggregation_spark.functions.idioms import (  # noqa: E402
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread (cf. dedup._docs_spread): measured in an interleaved
+    # A/B at sf0.1, session.spread_scan here made every consumer SLOWER
+    # (pq_adc 4.15s -> 5.06s, rrf 2.36s -> 2.75s, kmeans 1.69s -> 2.07s)
+    # — the family's heavy math runs post-shuffle or against broadcast
+    # codebooks, so the extra exchange of raw vectors buys nothing.
     return load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )

@@ -93,6 +93,22 @@ def load_tables(
     return out
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin a small scan up to the configured shuffle width, for
+    CPU-HEAVY per-row chains only (vector math, tokenize/shingle/hash
+    folds): parquet byte-splitting hands any input smaller than
+    maxPartitionBytes to a single task, serializing the dominant
+    expression work onto one core. No-op whenever the scan already
+    meets the width — at real scale the input has thousands of splits
+    and a round-robin exchange of the payload would be the bug, not
+    the fix. Keep plain scans (filter + aggregate) un-spread: for them
+    the extra exchange is pure cost."""
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < width:
+        df = df.repartition(width)
+    return df
+
+
 # Above this many rows a dim-derived join side stops being broadcast and
 # is attached with a sort-merge hint instead. A broadcast HINT is never
 # dropped by Spark on size, so an unconditional F.broadcast on an

@@ -375,22 +375,44 @@ def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         na, nb = F.broadcast(na), F.broadcast(nb)
     else:
         na, nb = na.hint("merge"), nb.hint("merge")
-    tri = (
+    # ONE pass over the intersection join. The first cut stacked the
+    # three triangle corners as a 3-branch union over the exploded
+    # triangle stream — Spark does not dedupe common subplans, so the
+    # adjacency joins + intersection ran THREE times (3x
+    # explode(array_intersect) in the executed plan). Instead each edge
+    # (a,b) whose forward neighborhoods share k vertices contributes k
+    # triangles to a and to b and one to each closing vertex c; the
+    # weighted corner stream aggregates to the identical per-node
+    # triangle counts with the join executed once, and shuffles 2+k
+    # rows per edge instead of 3k exploded corners.
+    inter = (
         und.join(na, und.a == F.col("na_n"))
         .join(nb, und.b == F.col("nb_n"))
-        .select(
-            F.col("a").alias("ta"),
-            F.col("b").alias("tb"),
-            F.explode(F.array_intersect("nbrs_a", "nbrs_b")).alias("tc"),
-        )
+        .select("a", "b", F.array_intersect("nbrs_a", "nbrs_b").alias("cs"))
     )
-    corners = (
-        tri.select(F.col("ta").alias("pk"))
-        .unionAll(tri.select(F.col("tb").alias("pk")))
-        .unionAll(tri.select(F.col("tc").alias("pk")))
+    corners = inter.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("a").alias("pk"), F.size("cs").alias("cnt")),
+                    F.struct(F.col("b").alias("pk"), F.size("cs").alias("cnt")),
+                ),
+                F.expr("transform(cs, c -> struct(c AS pk, 1 AS cnt))"),
+            )
+        ).alias("t")
     )
-    per_node = corners.groupBy("pk").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    # zero-triangle edges are dropped HERE, after the generate, not as a
+    # size(cs) > 0 pre-filter: Catalyst pushes that filter into the join
+    # condition, re-evaluating the O(da+db) sorted-array intersection a
+    # second time for every edge — the dominant per-row cost of the
+    # whole query. A cnt > 0 predicate on the generated column cannot be
+    # pushed below the Generate, so the intersection runs exactly once
+    # per edge; the price is two soon-filtered rows per triangle-free
+    # edge, noise next to the recompute it avoids.
+    per_node = (
+        corners.filter(F.col("t.cnt") > 0)
+        .groupBy(F.col("t.pk").alias("pk"))
+        .agg(F.sum("t.cnt").cast("bigint").alias("n_triangles"))
     )
     ends = und.select(F.col("a").alias("dk")).unionAll(
         und.select(F.col("b").alias("dk"))

@@ -340,6 +340,14 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     here and cappable. Signature agreement fraction estimates Jaccard
     (r=1, b=16 → recall-heavy candidates)."""
     sig = _minhash_signatures(spark, sf_dir).select("doc_id", "minhash_sig")
+    return _lsh_candidates_from(sig)
+
+
+def _lsh_candidates_from(sig: DataFrame) -> DataFrame:
+    """LSH banding over a prepared (doc_id, minhash_sig) frame — split
+    out so pipelines that already hold the hashed shingle sets in a
+    tracked cache (_near_dup_components) can derive the signatures from
+    that cache instead of re-running the tokenize+md5 chain."""
     # posexplode_OUTER: plain posexplode makes Catalyst infer a
     # size(sig)>0 pre-filter that re-evaluates the whole signature
     # expression chain per row (measured 6x slower); outer + a cheap
@@ -1097,11 +1105,15 @@ def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spread(spark, sf_dir).withColumn("t", tokens_col()).withColumn(
         "hs", hashed_shingles_col()
     )
-    # tracked cache (query-scoped, see session.query_cache): BOTH sides of
-    # the verify join — without it the tokenize+md5 shingle chain is
-    # evaluated twice more
+    # tracked cache (query-scoped, see session.query_cache): the hashed
+    # shingle sets feed BOTH verify-join sides AND the minhash fold below
+    # — without it the tokenize+md5 shingle chain (the family's dominant
+    # per-row cost) is evaluated three times
     sets = query_cache(docs.select("doc_id", "hs"))
-    cand = dedup_minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    # minhash_sig_col folds over the cached `hs` only, so the LSH
+    # candidate branch never re-reads the text
+    sig = sets.select("doc_id", minhash_sig_col().alias("minhash_sig"))
+    cand = _lsh_candidates_from(sig).select("doc_a", "doc_b")
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
     inter = F.size(F.array_intersect("ha", "hb"))

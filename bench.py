@@ -239,7 +239,14 @@ def materialize(df) -> None:
 BOX_PROBES = {
     "tpch_q6_forecast_revenue": 0.240,
     "text_quality_score": 0.284,
-    "dedup_minhash_lsh_candidates": 2.364,
+    # Anchor refresh (explicit constant bump per the rule in
+    # tests/test_bench_gate.py): round 14's scan-spread optimization
+    # changed this probe's own code (single-task tokenize chain ->
+    # configured width; commit 9081b6c). The interleaved same-session
+    # A/B ratio is box-independent (old 3.08s / new 1.75s = 0.568), so
+    # the anchor scales by it: 2.364 * 0.568 = 1.343. Re-derive from
+    # multi-record medians once >=5 clean post-change records exist.
+    "dedup_minhash_lsh_candidates": 1.343,
 }
 
 

@@ -1180,17 +1180,20 @@ def _pq_adc_truth(spark: SparkSession, sf_dir: str):
     decimal-exact means over an md5-deterministic seed partition of the
     vectors (cross-ROW sums stay DECIMAL; the rule from the IVF
     family). Encoding: per (vector, m) argmin over the 16 sub-centroids
-    by a per-row float fold (order-fixed -> cross-engine bit-identical,
-    so raw-double argmin ordering is safe; DuckDB's list_sum is a
-    sequential left fold, probe-verified). ADC: the query's 8x16 lookup
-    table of sub-distances, one broadcast-joined lookup per code,
-    summed per vector with an m-ordered fold.
+    by a per-row float fold against the COLLECTED broadcast codebook
+    array (order-fixed -> cross-engine bit-identical, so raw-double
+    argmin ordering is safe; DuckDB's list_sum is a sequential left
+    fold, probe-verified). ADC: the query's 8x16 lookup table of
+    sub-distances collects to one broadcast row; each vector sums its
+    8 code lookups with an m-ordered fold.
 
-    Scale: the codebook (128 rows) and LUT (128 rows) broadcast; encode
-    is map-side per vector; the only data-sized shuffles are the
-    (vec_id, m) argmin window and the per-vector code-sum — both keyed,
-    never a pair explosion. At 100 TB the encoded table is what you
-    STORE (8 bytes/vector); scans read codes, not vectors."""
+    Scale: the codebook (128 rows) and LUT (128 rows) collect to
+    single broadcast rows; encode and ADC are pure maps over the
+    vectors. The only data-sized exchanges are the two tiny centroid
+    aggregations' partial-combine shuffles (1024 groups) — never a
+    corpus-sized expansion or per-vector join. At 100 TB the encoded
+    table is what you STORE (8 bytes/vector); scans read codes, not
+    vectors."""
     e = query_cache(_emb(spark, sf_dir))
     seed = e.select("vec_id", "v", F.expr(_PQ_SEED_J).alias("cj"))
     ex = seed.select(
@@ -1208,52 +1211,80 @@ def _pq_adc_truth(spark: SparkSession, sf_dir: str):
             / F.count(F.lit(1))
         ).alias("cval")
     )
-    cb = cent.groupBy("m", "cj").agg(
+    # 128-row codebooks are TRACKED-CACHED: cb2 has two consumers (the
+    # pass-2 encode and the query LUT), and while ReuseExchange dedupes
+    # identical exchange subtrees within one plan, the cache keeps the
+    # guarantee independent of that rule firing (and covers the
+    # recall-eval twin's adc/truth double-consumption)
+    cb = query_cache(cent.groupBy("m", "cj").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(sd, cval))), s -> s.cval)"
         ).alias("cvec")
-    )
-    sub_d2 = F.expr(
-        f"aggregate(zip_with(slice(v, m * {_PQ_DSUB} + 1, {_PQ_DSUB}), cvec,"
-        " (x, y) -> (x - y) * (x - y)), 0d, (acc, x) -> acc + x)"
-    )
-    subdist = e.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "m", "cj", sub_d2.alias("d2")
-    )
-    # argmin by (d2, cj) as a HASH-AGG (min_by over the struct's
-    # lexicographic order), not a sort window: same code assignment and
-    # tiebreak, but the per-(vector, m) reduce is map-side-combinable —
-    # at scale the encode never sorts the n x 16 candidate rows
-    def _argmin_codes(sd: DataFrame) -> DataFrame:
-        return sd.groupBy("vec_id", "m").agg(
-            F.min_by("cj", F.struct("d2", "cj")).alias("cj")
+    ))
+    # --- map-side encode (guide §2.2, §3-fixed-k): the codebook is
+    # fixed-k (8x16 = 128 rows), so encoding is a PURE MAP — collect it
+    # into ONE (m, cj)-sorted struct array, broadcast that single row,
+    # and take each vector's per-subspace argmin with array_min over
+    # the SAME left-fold distance expression. array_min's struct
+    # ordering is min_by's (d2, cj) lexicographic minimum, so every
+    # code (and every downstream double) is bit-identical to the
+    # crossJoin + hash-argmin shape this replaces. That shape expanded
+    # the corpus x128 and hash-aggregated it back to n x 8 (twice, once
+    # per Lloyd pass) and joined the n x 64 exploded values on
+    # (vec_id, m) for the re-estimate — three corpus-sized exchanges
+    # that exist nowhere at 100 TB, where the stored artifact IS the
+    # codes.
+    def _cb_row(cb_df: DataFrame) -> DataFrame:
+        # single-row collect of a fixed-k codebook (<= 128 structs);
+        # array_sort orders struct-lexicographically by (m, cj)
+        return cb_df.groupBy().agg(
+            F.expr("array_sort(collect_list(struct(m, cj, cvec))) AS cbs")
         )
 
-    codes = _argmin_codes(subdist)
+    # filter-by-m, never slice-by-position: a Lloyd pass can empty a
+    # (m, cj) cell, so positional indexing into the sorted array would
+    # silently misalign; the filtered argmin matches the join shape's
+    # semantics for any cell occupancy
+    _d2_of = (
+        f"aggregate(zip_with(slice(v, s.m * {_PQ_DSUB} + 1, {_PQ_DSUB}), s.cvec,"
+        " (x, y) -> (x - y) * (x - y)), 0d, (acc, x) -> acc + x)"
+    )
+    _codes_expr = F.expr(
+        f"transform(sequence(0, {_PQ_M - 1}), m ->"
+        f" array_min(transform(filter(cbs, s -> s.m = m),"
+        f" s -> struct({_d2_of} AS d2, s.cj AS cj))).cj)"
+    )
+    codes1 = e.crossJoin(F.broadcast(_cb_row(cb))).select(
+        "vec_id", "v", _codes_expr.alias("codes")
+    )
     # one Lloyd refinement (PQ training IS k-means per subspace): the
     # hash seed only initializes; re-estimating centroids from the
-    # first-pass codes and re-encoding roughly doubles recall@10.
-    # The (vec_id, m) join is keyed — both sides shuffle once on it.
-    cent2 = (
-        ex.drop("cj")
-        .join(codes, ["vec_id", "m"])
-        .groupBy("m", "cj", "sd")
-        .agg(
-            (
-                F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("cval")
-        )
+    # first-pass codes and re-encoding roughly doubles recall@10. The
+    # codes ride the explode row (a value copy, not a re-evaluation),
+    # so the re-estimate needs no (vec_id, m) join at all.
+    _m_of = (F.col("dim0") / _PQ_DSUB).cast("int")
+    ex2 = codes1.select(
+        "codes", F.posexplode("v").alias("dim0", "val")
+    ).select(
+        _m_of.alias("m"),
+        F.col("codes")[_m_of].alias("cj"),
+        (F.col("dim0") % _PQ_DSUB + 1).alias("sd"),
+        "val",
     )
-    cb2 = cent2.groupBy("m", "cj").agg(
+    cent2 = ex2.groupBy("m", "cj", "sd").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cval")
+    )
+    cb2 = query_cache(cent2.groupBy("m", "cj").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(sd, cval))), s -> s.cval)"
         ).alias("cvec")
+    ))
+    codes2 = e.crossJoin(F.broadcast(_cb_row(cb2))).select(
+        "vec_id", _codes_expr.alias("codes")
     )
-    subdist2 = e.crossJoin(F.broadcast(cb2)).select(
-        "vec_id", "m", "cj", sub_d2.alias("d2")
-    )
-    codes2 = _argmin_codes(subdist2)
     qmin = e.agg(F.min("vec_id").alias("qid"))
     q = e.join(F.broadcast(qmin), e.vec_id == F.col("qid")).select(
         F.col("v").alias("qv")
@@ -1263,16 +1294,24 @@ def _pq_adc_truth(spark: SparkSession, sf_dir: str):
         " (x, y) -> (x - y) * (x - y)), 0d, (acc, x) -> acc + x)"
     )
     lut = cb2.crossJoin(F.broadcast(q)).select("m", "cj", lut_m.alias("adc_m"))
+    # the LUT (<= 128 rows) also collects to one broadcast row; each
+    # vector's ADC distance is a per-row m-ascending fold over its own
+    # code array — the same summation order as the collect_list +
+    # array_sort(struct(m, adc_m)) fold it replaces, so the double is
+    # bit-identical — with no per-vector (m, cj) join or corpus-sized
+    # collect_list aggregation
+    lut_row = lut.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(m, cj, adc_m))) AS luts")
+    )
+    adc_sum = F.expr(
+        f"aggregate(zip_with(codes, sequence(0, {_PQ_M - 1}),"
+        " (c, m) -> filter(luts, s -> s.m = m AND s.cj = c)[0].adc_m),"
+        " 0d, (acc, x) -> acc + x)"
+    )
     adc = (
         codes2.join(F.broadcast(qmin), codes2.vec_id == F.col("qid"), "left_anti")
-        .join(F.broadcast(lut), ["m", "cj"])
-        .groupBy("vec_id")
-        .agg(
-            F.expr(
-                "aggregate(transform(array_sort(collect_list(struct(m, adc_m))),"
-                " s -> s.adc_m), 0d, (acc, x) -> acc + x)"
-            ).alias("adc_d2")
-        )
+        .crossJoin(F.broadcast(lut_row))
+        .select("vec_id", adc_sum.alias("adc_d2"))
     )
     true_d2 = F.expr(
         "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)),"

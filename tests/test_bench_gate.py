@@ -309,7 +309,10 @@ def test_probe_anchors_are_pinned_constants():
     assert bench.BOX_PROBES == {
         "tpch_q6_forecast_revenue": 0.240,
         "text_quality_score": 0.284,
-        "dedup_minhash_lsh_candidates": 2.364,
+        # r14 bump: probe code changed (scan spread, commit 9081b6c);
+        # anchor scaled by the box-independent interleaved A/B ratio
+        # 1.75/3.08 = 0.568 -> 2.364 * 0.568 = 1.343
+        "dedup_minhash_lsh_candidates": 1.343,
     }
     assert bench.FLOOR_DIVERGENCE_MAX == 1.4
 

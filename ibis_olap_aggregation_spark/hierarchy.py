@@ -225,19 +225,33 @@ class HierarchyDimension:
             if not fetch_direct:
                 n = narrow.count()
             if n is None or n <= self._LOCAL_WALK_LIMIT:
-                dicts = self._fetch_local(narrow)
-                if len(dicts) <= self._LOCAL_WALK_LIMIT:
-                    parent_ids = {
-                        d["parent_node_id"]
-                        for d in dicts
-                        if d["parent_node_id"] is not None
-                    }
-                    for d in dicts:
-                        d["is_leaf"] = d["node_id"] not in parent_ids
-                    self._local_rows = dicts
-                    self._n_nodes = len(dicts)
-                else:
-                    dicts = None  # larger than the bound: distributed walk
+                tbl = self._fetch_local_table(narrow)
+                if tbl is not None and tbl.num_rows <= self._LOCAL_WALK_LIMIT:
+                    # columnar is_leaf derivation — single-column
+                    # to_pylist, no per-row dicts (guide §4)
+                    import pyarrow as pa
+
+                    pid = tbl.column("parent_node_id").to_pylist()
+                    nid = tbl.column("node_id").to_pylist()
+                    pset = {p for p in pid if p is not None}
+                    self._local_rows = tbl.append_column(
+                        "is_leaf", pa.array([v not in pset for v in nid], pa.bool_())
+                    )
+                    self._n_nodes = tbl.num_rows
+                elif tbl is None:
+                    dicts = self._fetch_local(narrow)
+                    if len(dicts) <= self._LOCAL_WALK_LIMIT:
+                        parent_ids = {
+                            d["parent_node_id"]
+                            for d in dicts
+                            if d["parent_node_id"] is not None
+                        }
+                        for d in dicts:
+                            d["is_leaf"] = d["node_id"] not in parent_ids
+                        self._local_rows = dicts
+                        self._n_nodes = len(dicts)
+                    else:
+                        dicts = None  # larger than the bound: distributed walk
         # prepared AFTER the local-fetch block so that when the walk is
         # local the leaf join's regime resolves from the just-learned
         # node count instead of a probe job (the probe ran at
@@ -368,6 +382,17 @@ class HierarchyDimension:
         except Exception:  # noqa: BLE001 - exotic type unsupported by Arrow
             return [r.asDict(recursive=False) for r in df.collect()]
 
+    @staticmethod
+    def _fetch_local_table(df: DataFrame):
+        """Fetch a (pre-bounded) node table as a driver Arrow TABLE —
+        the columnar fast path's input (no per-row dict construction at
+        all; guide §4). None for types Arrow can't convert — callers
+        fall back to the dict fetch + dict walk."""
+        try:
+            return df.toArrow()
+        except Exception:  # noqa: BLE001 - exotic type unsupported by Arrow
+            return None
+
     # -- stage 1d: driver-local walk for dim-sized node tables -----------
     def _walk_local(self) -> DataFrame:
         """Driver-side DFS producing the identical walked schema
@@ -403,8 +428,15 @@ class HierarchyDimension:
                     f"strategy='local' is bounded at {self._LOCAL_WALK_LIMIT} "
                     "nodes — use 'doubling' (or 'auto') for larger hierarchies"
                 )
-            rows = self._fetch_local(self.nodes)
+            # self.nodes (prepared WITH is_leaf) feeds either path
+            rows = self._fetch_local_table(self.nodes)
+            if rows is None:
+                rows = self._fetch_local(self.nodes)
         self._local_rows = None  # walked carries the data from here on
+        if not isinstance(rows, list):
+            if rows.num_rows > 0:
+                return self._walk_local_columnar(rows)
+            rows = rows.to_pylist()  # empty table: trivial dict path
         cols = self._struct_cols
         sort_key = self.sort_key_col
         children: dict = {}
@@ -484,6 +516,120 @@ class HierarchyDimension:
         # loaded session vs 6s isolated. localCheckpoint truncates the
         # lineage to MEMORY_AND_DISK executor blocks: evictions spill to
         # disk instead of re-shipping.
+        return walked.localCheckpoint(eager=True)
+
+    def _walk_local_columnar(self, tbl) -> DataFrame:
+        """Columnar form of :meth:`_walk_local`: the DFS runs over row
+        INDICES of the fetched Arrow table and the walked table is
+        assembled with vectorized ``take`` gathers — no per-row Python
+        dicts on either side (guide §4; the dict path built two dicts
+        per node plus one dict per path entry, and ``from_pylist``
+        re-parsed them all). The path column falls out for free: a
+        node's path is its ancestor index chain, so the flattened
+        struct children are a single take of each attribute column.
+        Identical output schema, values, and checkpoint behavior to the
+        dict path (agreement-pinned in tests); sibling order, orphan
+        and cycle semantics are the same code shape line for line."""
+        import numpy as np
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        cols = self._struct_cols
+        sort_key = self.sort_key_col
+        tbl = tbl.combine_chunks()
+        n = tbl.num_rows
+        node_id = tbl.column("node_id").to_pylist()
+        parent_id = tbl.column("parent_node_id").to_pylist()
+        is_root = tbl.column("is_root").to_pylist()
+        skv = tbl.column(sort_key).to_pylist()
+        children: dict = {}
+        roots: list[int] = []
+        for i in range(n):
+            if is_root[i]:
+                roots.append(i)
+            else:
+                children.setdefault(parent_id[i], []).append(i)
+
+        # sibling order = the ranker's lexicographic-_sort_path order:
+        # nulls first (Spark ASC semantics), then key, node_id tiebreak
+        def skey(i):
+            v = skv[i]
+            return (True, v, node_id[i]) if v is not None else (False,)
+
+        roots.sort(key=skey)
+        for lst in children.values():
+            lst.sort(key=skey)
+        order: list[int] = []
+        levels: list[int] = []
+        path_flat: list[int] = []
+        path_off: list[int] = [0]
+        max_depth = self.max_depth
+        # iterative DFS (explicit stack: no recursion limit on deep chains)
+        stack = [(i, 1, ()) for i in reversed(roots)]
+        while stack:
+            i, level, path = stack.pop()
+            if level > max_depth:
+                raise ValueError(
+                    f"hierarchy deeper than max_depth={max_depth} "
+                    "(raise max_depth)"
+                )
+            path = path + (i,)
+            order.append(i)
+            levels.append(level)
+            path_flat.extend(path)
+            path_off.append(len(path_flat))
+            for ch in reversed(children.get(node_id[i], ())):
+                stack.append((ch, level + 1, path))
+        node_schema = self.nodes.schema
+        path_struct = T.StructType(
+            [node_schema[c] for c in cols]
+            + [T.StructField("level_number", T.IntegerType(), False)]
+        )
+        walked_schema = T.StructType(
+            [node_schema[c] for c in cols]
+            + [
+                T.StructField("level_number", T.IntegerType(), False),
+                T.StructField("node_json_path", T.ArrayType(path_struct), False),
+                T.StructField(
+                    "_sort_path",
+                    T.ArrayType(node_schema[sort_key].dataType),
+                    False,
+                ),
+                T.StructField("node_sort_order", T.IntegerType(), True),
+            ]
+        )
+        arrow_schema = to_arrow_schema(walked_schema)
+        col_arr = {c: tbl.column(c).chunk(0) for c in cols}
+        take_o = pa.array(order, type=pa.int64())
+        take_p = pa.array(path_flat, type=pa.int64())
+        off = np.asarray(path_off, dtype=np.int32)
+        # path-entry level_number = 1-based position within its segment
+        entry_lvl = (
+            np.arange(off[-1], dtype=np.int32)
+            - np.repeat(off[:-1], np.diff(off)).astype(np.int32)
+            + 1
+        )
+        path_children = [col_arr[c].take(take_p) for c in cols] + [
+            pa.array(entry_lvl, type=pa.int32())
+        ]
+        path_fields = list(to_arrow_schema(path_struct))
+        struct_arr = pa.StructArray.from_arrays(path_children, fields=path_fields)
+        list_off = pa.array(off, type=pa.int32())
+        n_out = len(order)
+        out_arrays = [col_arr[c].take(take_o) for c in cols] + [
+            pa.array(np.asarray(levels, dtype=np.int32), type=pa.int32()),
+            pa.ListArray.from_arrays(list_off, struct_arr),
+            pa.ListArray.from_arrays(list_off, col_arr[sort_key].take(take_p)),
+            pa.array(np.arange(1, n_out + 1, dtype=np.int32), type=pa.int32())
+            if self.compute_sort_order
+            else pa.nulls(n_out, pa.int32()),
+        ]
+        walked = self.nodes.sparkSession.createDataFrame(
+            pa.Table.from_arrays(out_arrays, schema=arrow_schema)
+        )
+        self._levels = []
+        self._walked_local_count = n_out
+        # same eager off-driver checkpoint as the dict path (see above)
         return walked.localCheckpoint(eager=True)
 
     def _classify_unreached(self) -> None:

@@ -37,3 +37,67 @@ def test_bucket_ranker_rejects_overflowing_bucket_expr(spark):
     df = spark.range(0, 100).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="not a valid coarse bucketing"):
         global_row_number(df, ["k"], "rk", bucket=(F.col("k"), 10)).collect()
+
+
+def _messy_nodes(spark):
+    """Small forest with every walk edge case: multiple roots, null and
+    non-null sort keys, an orphan subtree (missing parent), uneven
+    depths, and sibling ties broken by node_id."""
+    rows = [
+        # node_id, node_natural_key, node_name, parent_node_id
+        ("r2", 20, "root-two", None),
+        ("r1", 10, "root-one", None),
+        ("a", 2, "alpha", "r1"),
+        ("b", 1, "beta", "r1"),
+        ("c", None, "gamma-nullkey", "r1"),
+        ("a1", 5, "alpha-kid", "a"),
+        ("a2", 4, "alpha-kid2", "a"),
+        ("a2x", 9, "grandkid", "a2"),
+        ("z", 7, "under-root-two", "r2"),
+        ("orph", 99, "orphan-child", "missing-parent"),
+    ]
+    return spark.createDataFrame(
+        rows, "node_id string, node_natural_key long, node_name string, parent_node_id string"
+    )
+
+
+def test_columnar_local_walk_matches_dict_walk(spark, monkeypatch):
+    """The Arrow-columnar local walk (r14: no per-row dicts) must emit
+    exactly the dict walk's rows — attributes, level numbers, dense DFS
+    sort order, struct paths, and _sort_path — on a forest exercising
+    null sort keys, orphans, multi-root ordering, and sibling ties."""
+    from ibis_olap_aggregation_spark.hierarchy import HierarchyDimension
+
+    nodes = _messy_nodes(spark)
+    dim_col = HierarchyDimension(nodes, dimension_name="m", flatten_levels=3)
+    # force the dict path: table fetch unavailable
+    monkeypatch.setattr(
+        HierarchyDimension, "_fetch_local_table", staticmethod(lambda df: None)
+    )
+    dim_dict = HierarchyDimension(nodes, dimension_name="m", flatten_levels=3)
+
+    def rows(d):
+        out = d._walked.select(
+            "node_id", "node_name", "level_number", "node_sort_order",
+            F.to_json("node_json_path").alias("path_json"),
+            F.col("_sort_path").cast("array<string>").alias("sp"),
+        ).collect()
+        return sorted(tuple(r) for r in out)
+
+    a, b = rows(dim_col), rows(dim_dict)
+    assert a == b
+    # orphan dropped, other 9 nodes walked, dense 1-based DFS ranks
+    assert len(a) == 9
+    assert sorted(r[3] for r in a) == list(range(1, 10))
+    # downstream dims agree too (closure + reporting built from walked)
+    agg_a = sorted(
+        tuple(r) for r in dim_col.aggregation_dim.select(
+            "ancestor_node_id", "descendant_node_id", "net_level"
+        ).collect()
+    )
+    agg_b = sorted(
+        tuple(r) for r in dim_dict.aggregation_dim.select(
+            "ancestor_node_id", "descendant_node_id", "net_level"
+        ).collect()
+    )
+    assert agg_a == agg_b

@@ -993,7 +993,15 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ctr = (
+    # the center-keyed edge list is TRACKED-CACHED: the wedge
+    # self-join's two sides are projections of the SAME frame, but
+    # their differing aliases defeat ReuseExchange, so uncached each
+    # side re-ran the union + degree join (Exchange 58/73 subtrees in
+    # the before plan). The cache builds it once; the two src
+    # exchanges remain (an AQE-wrapped cached plan does not expose its
+    # output partitioning, so pre-partitioning inside the cache cannot
+    # remove them — measured, not assumed).
+    ctr = query_cache(
         # derived aggregate: cache on memo-miss so the probe's execution
         # feeds the wedge join instead of running twice (ADVICE r11 #4)
         edges.join(dim_side(deg, cache_if_probing=True), "src")
@@ -1094,8 +1102,12 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
     deg = query_cache(edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")))
-    ctr = edges.join(dim_side(deg, cache_if_probing=True), "src").filter(
-        F.col("d") <= AA_CENTER_DEGREE_CAP
+    # same cached center frame as adamic (see there): the degree join
+    # builds once instead of once per self-join side
+    ctr = query_cache(
+        edges.join(dim_side(deg, cache_if_probing=True), "src")
+        .filter(F.col("d") <= AA_CENTER_DEGREE_CAP)
+        .select("src", "dst")
     )
     x = ctr.select("src", F.col("dst").alias("a"))
     y = ctr.select(F.col("src").alias("src_y"), F.col("dst").alias("c"))

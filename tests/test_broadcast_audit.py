@@ -211,3 +211,34 @@ def test_bare_parameter_agg_receiver_refuses(tmp_path):
         "    return x.join(F.broadcast(q), 'k')\n",
     )
     assert audit.main(pkg) == 1
+
+
+def test_call_operand_global_agg_helper_passes_audit(tmp_path):
+    """Round-14 PQ shape: ``F.broadcast(_cb_row(cb))`` where the helper's
+    return is an ARGLESS groupBy().agg — a 1-row global aggregate by
+    construction — must certify through the helper's return expression."""
+    audit = _load()
+    pkg = _fake_pkg(
+        tmp_path,
+        "def f(e, x):\n"
+        "    def _cb_row(cb_df):\n"
+        "        return cb_df.groupBy().agg(F.expr('collect_list(c) AS cbs'))\n"
+        "    cb = e.select('m', 'cj', 'c')\n"
+        "    return x.crossJoin(F.broadcast(_cb_row(cb)))\n",
+    )
+    assert audit.main(pkg) == 0
+
+
+def test_call_operand_grouped_helper_refuses(tmp_path):
+    """Negative twin: a helper whose return is a KEYED groupBy().agg is
+    SF-linear (one row per group) — the call-operand path must refuse."""
+    audit = _load()
+    pkg = _fake_pkg(
+        tmp_path,
+        "def f(e, x):\n"
+        "    def _cb_row(cb_df):\n"
+        "        return cb_df.groupBy('k').agg(F.expr('collect_list(c) AS cbs'))\n"
+        "    cb = e.select('k', 'c')\n"
+        "    return x.crossJoin(F.broadcast(_cb_row(cb)))\n",
+    )
+    assert audit.main(pkg) == 1

@@ -58,11 +58,14 @@ PKG = os.path.join(ROOT, "ibis_olap_aggregation_spark")
 #     and the dimension-grain helpers _cov_moments (dims^2 rows) /
 #     _matvec (one row per dimension)
 #   - the diagonal filter i == j (one row per embedding dimension)
+#   - an ARGLESS groupBy().agg(...) — a global aggregate is exactly one
+#     row by construction (the collected-codebook/LUT single-row shape)
 FIXEDK_EVIDENCE = re.compile(
     r"<\s*N_QUERIES"
     r"|<=\s*NPROBE"
     r"|\.limit\(\s*\d"
     r'|groupBy\(\s*"m",\s*"cj"\s*\)'
+    r"|\.groupBy\(\s*\)\.agg\("
     r"|_ivf_centroids\("
     r"|centroid_arrays\("
     r"|_cov_moments\("
@@ -90,6 +93,9 @@ RULES: list[tuple] = [
      "≤ TRIANGLE_BROADCAST_EDGE_CAP = 5M edges (bounded count; else merge)"),
     (r"analytic\.py$", r"return F\.broadcast\(df\) if small_nodes", "resolver",
      "≤ PAGERANK_BROADCAST_NODE_CAP = 5M nodes (probe on cached support)"),
+    (r"hierarchy\.py$", r"return F\.broadcast\(df\)", "resolver",
+     "≤ DIM_BROADCAST_ROW_CAP = 2M rows (_known_size_side: probe-free "
+     "twin of dim_side — cap guard on the known row count, prior line)"),
     # --- constant-cardinality dims and literal tables
     (r"tpch\.py$", r'F\.broadcast\(t\["nation"\]', "constant", "nation = 25 rows"),
     (r"tpch\.py$", r'F\.broadcast\(t\["region"\]', "constant", "region = 5 rows"),
@@ -150,6 +156,12 @@ RULES: list[tuple] = [
      "output grain)", True),
     (r"similarity\.py$", r"F\.broadcast\(nrm\d\)", "single-row",
      "1 row (iterate norm scalar)"),
+    (r"similarity\.py$", r"F\.broadcast\(_cb_row\(", "single-row",
+     "1 row (fixed-k codebook collected into one sorted struct array — "
+     "argless groupBy().agg in the helper's return)", True),
+    (r"similarity\.py$", r"F\.broadcast\(lut_row\)", "single-row",
+     "1 row (M x 2^b ADC LUT collected into one sorted struct array — "
+     "argless groupBy().agg lineage)", True),
     (r"timeseries\.py$", r"F\.broadcast\(lags\)", "fixed-k", "MAX_LAG literal lag offsets"),
     (r"text\.py$", r"F\.broadcast\(vocab\.select|F\.broadcast\(va\)|F\.broadcast\(vb\)",
      "fixed-k", "PMI vocab capped at top-50 (module constant)"),
@@ -232,13 +244,33 @@ def fixedk_operand_bounded(path: str, lineno: int, line: str) -> bool:
     bounded definition (a parameter, a module global, an unbounded
     select) FAILS: the audit cannot certify what it cannot see."""
     names = re.findall(r"F\.broadcast\((\w+)\)", line)
-    if not names:
-        return False  # expression operand: nothing to trace, refuse
+    # call operands — F.broadcast(helper(arg)) — certify through the
+    # HELPER's return expression instead of an assignment lineage
+    call_ops = re.findall(r"F\.broadcast\((\w+)\(", line)
+    if not names and not call_ops:
+        return False  # opaque operand: nothing to trace, refuse
     src = open(path).read()
     try:
         tree = ast.parse(src)
     except SyntaxError:
         return False
+    for fname in call_ops:
+        # every return of the (possibly nested) helper must carry bound
+        # evidence in source form; an unresolvable helper refuses
+        fns = [
+            n
+            for n in ast.walk(tree)
+            if isinstance(n, ast.FunctionDef) and n.name == fname
+        ]
+        if len(fns) != 1:
+            return False
+        rets = [
+            ast.get_source_segment(src, r.value) or ""
+            for r in ast.walk(fns[0])
+            if isinstance(r, ast.Return) and r.value is not None
+        ]
+        if not rets or not all(FIXEDK_EVIDENCE.search(s) for s in rets):
+            return False
     chain = _enclosing_functions(tree, lineno)
     if not chain:
         return False

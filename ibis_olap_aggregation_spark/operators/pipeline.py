@@ -490,24 +490,23 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-orthogonal; p99 pairwise cosine ≈ 0.29)."""
     from ibis_olap_aggregation_spark.operators.similarity import (
         _emb,
-        _ivf_centroid_ranked,
+        _ivf_centroids,
+        _ivf_exploded,
+        _ivf_ranked_structs,
     )
 
     e = _emb(spark, sf_dir)
-    assign = (
-        _ivf_centroid_ranked(e)
-        .filter("rk = 1")
-        .select("vec_id", F.col("c_label").alias("cluster"))
-    )
+    # assignment rides each vector's own row (r14): element 1 of the
+    # per-row ranked structs IS the window path's rk=1 c_label (same
+    # comparator), so the old e ⋈ assign re-attach join — two
+    # corpus-sized exchanges on vec_id — vanishes and the vv build is a
+    # pure map over the embeddings scan
+    cent = _ivf_centroids(_ivf_exploded(e))
     nrm = "sqrt(aggregate(transform(v, y -> y * y), 0d, (acc, y) -> acc + y))"
-    vv = (
-        e.select("vec_id", "v")
-        .join(assign, "vec_id")
-        .select(
-            "vec_id",
-            "cluster",
-            F.expr(f"transform(v, x -> x / {nrm})").alias("vn"),
-        )
+    vv = _ivf_ranked_structs(e, cent).select(
+        "vec_id",
+        F.element_at("_ranked", 1)["c_label"].alias("cluster"),
+        F.expr(f"transform(v, x -> x / {nrm})").alias("vn"),
     )
     vv = query_cache(vv)  # 5 references; query-scoped (no CacheManager leak)
     x = vv.select(

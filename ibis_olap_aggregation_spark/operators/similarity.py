@@ -237,8 +237,15 @@ def _ivf_centroid_ranked(e: DataFrame) -> DataFrame:
     the ARRAY path (`_ivf_score_rank_array`) — float folds with fixed
     per-row order, IEEE-identical across engines, no |vectors| x 64 x k
     explode-join intermediate and no per-term decimal arithmetic.
+
+    The centroid table is TRACKED-CACHED (k x 64 rows — bounded by the
+    centroid count at any corpus size): consumers such as sim_ivf_topk
+    reference the ranked frame twice, and each un-materialized reference
+    would re-run the explode + centroid aggregation — the only
+    corpus-sized exchange left on this path since the scorer went
+    map-side (r14).
     """
-    cent = _ivf_centroids(_ivf_exploded(e))
+    cent = query_cache(_ivf_centroids(_ivf_exploded(e)))
     return _ivf_score_rank_array(e, cent)
 
 
@@ -322,13 +329,101 @@ def centroid_arrays(cent: DataFrame) -> DataFrame:
     )
 
 
+# Per-row centroid ranking comparator: (cosine DESC, c_label ASC) with
+# Spark's SQL ordering semantics spelled out — NULL cosines last (the
+# window was desc_nulls_last), NaN greater than every non-NaN double and
+# equal to itself (Spark's total order for doubles). c_label is unique
+# per centroid, so the comparator is a total order and array_sort is
+# deterministic regardless of collect_list's input order.
+_RANK_CMP = (
+    "(l, r) -> CASE"
+    " WHEN l.cosine IS NULL AND r.cosine IS NULL THEN"
+    "   CASE WHEN l.c_label < r.c_label THEN -1"
+    "        WHEN l.c_label > r.c_label THEN 1 ELSE 0 END"
+    " WHEN l.cosine IS NULL THEN 1"
+    " WHEN r.cosine IS NULL THEN -1"
+    " WHEN l.cosine = r.cosine OR (isnan(l.cosine) AND isnan(r.cosine)) THEN"
+    "   CASE WHEN l.c_label < r.c_label THEN -1"
+    "        WHEN l.c_label > r.c_label THEN 1 ELSE 0 END"
+    " WHEN isnan(l.cosine) THEN -1"
+    " WHEN isnan(r.cosine) THEN 1"
+    " WHEN l.cosine > r.cosine THEN -1 ELSE 1 END"
+)
+
+
+def _ivf_ranked_structs(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """`e` plus a `_ranked` column: the k (cosine, c_label) structs of
+    every centroid, sorted by (cosine DESC, c_label ASC) — element 1 is
+    the assignment, element rk the rk-th nearest centroid. Pure MAP over
+    the vectors against ONE broadcast row holding all k centroid arrays:
+    no per-vector exchange anywhere (the r13 shape windowed |vectors| x k
+    rows over `vec_id` — a corpus-sized shuffle that exists nowhere at
+    100 TB, where the ranked lists are a per-row derivation of the
+    stored vectors). Callers that keep extra per-vector columns (e.g.
+    kmeans' re-estimate keeping `v`) read the assignment off their own
+    row instead of joining the ranked table back on vec_id."""
+    # k x 64 rows -> ONE row in a single aggregation (not
+    # centroid_arrays + a second groupBy: each groupBy is an exchange,
+    # and these serialize inside the broadcast build): collect the flat
+    # (c_label, dim, cval) structs, sort once — struct order is
+    # (c_label, dim)-lexicographic, so each label's slice comes out
+    # dim-ascending, exactly centroid_arrays' array_sort contract — and
+    # reshape per label on the single row (k^2 x 64 element scans over
+    # fixed-k data). The build stays bounded by the centroid count.
+    flat = "array_sort(collect_list(struct(c_label, dim, cval)))"
+    regroup = (
+        "transform("
+        "  transform("
+        "    array_sort(array_distinct(transform(_flat, x -> x.c_label))),"
+        "    lbl -> struct(lbl AS c_label,"
+        "                  transform(filter(_flat, x -> x.c_label = lbl),"
+        "                            x -> x.cval) AS cvec)),"
+        f"  c -> struct(c.c_label, c.cvec, {_NORM.format(a='c.cvec')} AS _cnorm))"
+    )
+    cents_row = cent.groupBy().agg(F.expr(f"{flat} AS _flat")).select(
+        F.expr(regroup).alias("_cents")
+    )
+    # spread a narrow scan BEFORE the fold chain (the spread_scan /
+    # _ivf_exploded idiom): map-side ranking puts ALL the per-row fold +
+    # sort work — and every downstream broadcast-join probe that keeps
+    # riding the same partitioning — into the scan's partitions, and a
+    # single-file scan would serialize it onto one core (measured: the
+    # semantic-dedup pair probe over a 1-partition cached assignment ran
+    # 2.7-4x slower than over a spread one). HASH partitioning, not
+    # round-robin: Catalyst pushes projections below round-robin
+    # exchanges, which would put the folds right back in the scan task.
+    # No-op at real scale where the scan already meets the width.
+    width = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if e.rdd.getNumPartitions() < width:
+        e = e.repartition(width, "vec_id")
+    dot = _DOT.format(a="v", b="c.cvec")
+    ranked_arr = (
+        "array_sort(transform(_cents, c -> struct("
+        f"round(({dot}) / (_vnorm * c._cnorm), 6) AS cosine,"
+        " c.c_label AS c_label)),"
+        f" {_RANK_CMP})"
+    )
+    return (
+        e.withColumn("_vnorm", F.expr(_NORM.format(a="v")))
+        .crossJoin(F.broadcast(cents_row))
+        .withColumn("_ranked", F.expr(ranked_arr))
+        .drop("_vnorm", "_cents")
+    )
+
+
 def _ivf_score_rank_array(e: DataFrame, cent: DataFrame) -> DataFrame:
     """Array-native scorer — the library default and the 100 TB shape
-    (VERDICT r3 item 5): broadcast k centroid ARRAYS and compute each
-    (vector, centroid) cosine as a zip_with/aggregate fold, so the plan
-    is map-only over the vectors (|vectors| x k rows, each one fold)
-    instead of the exploded form's |vectors| x 64 x k join-aggregate
-    intermediate.
+    (VERDICT r3 item 5): broadcast the k centroid ARRAYS and compute
+    each (vector, centroid) cosine as a zip_with/aggregate fold.
+
+    r14: the per-vector RANK is also per-row now. Every vector scores
+    against ALL k centroids, so its rank order is a pure function of
+    its own row — sort the k (cosine, c_label) structs with a
+    comparator identical to the old window's (cosine DESC, c_label ASC)
+    ordering and posexplode; rk = position + 1. This drops the
+    `Exchange hashpartitioning(vec_id)` + sort of |vectors| x k rows
+    that `row_number() OVER (PARTITION BY vec_id ...)` forced — the
+    plan is now map-only end to end (scan -> broadcast fold -> explode).
 
     FLOAT scoring path (VERDICT r5 task #6): the folds run in plain
     DOUBLE — a sequential per-row fold has FIXED evaluation order, so
@@ -341,24 +436,16 @@ def _ivf_score_rank_array(e: DataFrame, cent: DataFrame) -> DataFrame:
     exact-parity witness — its 6-rounded cosines and ranks must agree
     with this path (pinned in tests/test_new_ops_properties.py::
     test_ivf_array_scorer_equals_exploded)."""
-    cent_arr = centroid_arrays(cent).withColumn(
-        "_cnorm", F.expr(_NORM.format(a="cvec"))
-    )
-    ev = e.withColumn("_vnorm", F.expr(_NORM.format(a="v")))
-    # every vector scores against every centroid BY DESIGN: a broadcast
-    # nested-loop with the k-row centroid table as the build side is the
-    # honest plan (|vectors| x k output, bounded by k — not a pair-join
-    # anti-pattern; tests/test_plans.py scopes its no-nested-loop guard
-    # to unbounded pair generation accordingly)
-    scored = ev.crossJoin(F.broadcast(cent_arr)).withColumn(
-        "dot", F.expr(_DOT.format(a="v", b="cvec"))
-    )
-    cos = F.round(F.col("dot") / (F.col("_vnorm") * F.col("_cnorm")), 6)
-    w = Window.partitionBy("vec_id").orderBy(cos.desc(), "c_label")
     return (
-        scored.withColumn("cosine", cos)
-        .withColumn("rk", F.row_number().over(w))
-        .select("vec_id", "label", "c_label", "cosine", "rk")
+        _ivf_ranked_structs(e, cent)
+        .select("vec_id", "label", F.posexplode("_ranked").alias("_pos", "_s"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("_s.c_label").alias("c_label"),
+            F.col("_s.cosine").alias("cosine"),
+            (F.col("_pos") + 1).alias("rk"),
+        )
     )
 
 
@@ -905,10 +992,24 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tracked via session.query_cache so the registry releases it at
     # the next query — no CacheManager accumulation across a sweep
     cent = query_cache(_ivf_centroids(ex))
-    ranked = _ivf_score_rank_array(e, cent)
-    assign = ranked.filter("rk = 1").select("vec_id", F.col("c_label").alias("nl"))
+    # the new assignment rides each vector's own row (r14): element 1 of
+    # the per-row ranked structs IS the scorer's rk=1 c_label (same
+    # comparator as _ivf_score_rank_array), so the re-estimate keeps `v`
+    # on the assigned row and explodes AFTER assigning — the old
+    # ex ⋈ assign join shuffled the 64x-exploded table on vec_id to
+    # re-attach a value derivable per row (guide §3.3: join on the
+    # un-exploded key, explode after — here the join disappears outright)
+    av = _ivf_ranked_structs(e, cent).select(
+        "vec_id", "v", F.element_at("_ranked", 1)["c_label"].alias("nl")
+    )
+    assign = av.select("vec_id", "nl")
+    # the 64x explode + decimal re-estimate inherits _ivf_ranked_structs'
+    # spread partitioning — parallel without the old join's exchange
     cent2 = _ivf_centroids(
-        ex.join(assign, "vec_id").select("vec_id", "nl", "dim", "val"), "nl"
+        av.select("nl", F.posexplode("v").alias("dim0", "val")).select(
+            "nl", (F.col("dim0") + 1).alias("dim"), "val"
+        ),
+        "nl",
     ).withColumnRenamed("cval", "cval2")
     shift = (
         cent.join(cent2, ["c_label", "dim"])

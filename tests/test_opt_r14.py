@@ -101,3 +101,62 @@ def test_columnar_local_walk_matches_dict_walk(spark, monkeypatch):
         ).collect()
     )
     assert agg_a == agg_b
+
+
+def test_map_side_ranker_matches_window_ranker(spark):
+    """The r14 map-side IVF ranker (per-row array_sort comparator +
+    posexplode) must reproduce the old crossJoin + row_number window
+    ordering exactly — cosines, labels AND ranks — and element 1 of the
+    per-row `_ranked` structs (the assignment kmeans/semantic-dedup read
+    off their own row) must equal the ranked view's rk=1 row."""
+    from pyspark.sql import Window
+
+    from ibis_olap_aggregation_spark.operators.similarity import (
+        _DOT,
+        _NORM,
+        _ivf_centroids,
+        _ivf_exploded,
+        _ivf_ranked_structs,
+        _ivf_score_rank_array,
+        centroid_arrays,
+    )
+    from ibis_olap_aggregation_spark.session import load_table
+
+    e = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    cent = _ivf_centroids(_ivf_exploded(e))
+
+    # the old window shape, reconstructed as the independent witness
+    cent_arr = centroid_arrays(cent).withColumn(
+        "_cnorm", F.expr(_NORM.format(a="cvec"))
+    )
+    ev = e.withColumn("_vnorm", F.expr(_NORM.format(a="v")))
+    scored = ev.crossJoin(F.broadcast(cent_arr)).withColumn(
+        "dot", F.expr(_DOT.format(a="v", b="cvec"))
+    )
+    cos = F.round(F.col("dot") / (F.col("_vnorm") * F.col("_cnorm")), 6)
+    w = Window.partitionBy("vec_id").orderBy(cos.desc(), "c_label")
+    old = (
+        scored.withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .select("vec_id", "label", "c_label", "cosine", "rk")
+    )
+
+    new = _ivf_score_rank_array(e, cent)
+    a = sorted(tuple(r) for r in old.collect())
+    b = sorted(tuple(r) for r in new.collect())
+    assert a == b and len(a) > 0
+
+    # per-row assignment == ranked rk=1
+    assigned = sorted(
+        (r["vec_id"], r["cl"])
+        for r in _ivf_ranked_structs(e, cent)
+        .select("vec_id", F.element_at("_ranked", 1)["c_label"].alias("cl"))
+        .collect()
+    )
+    rk1 = sorted(
+        (r["vec_id"], r["c_label"])
+        for r in new.filter("rk = 1").collect()
+    )
+    assert assigned == rk1

@@ -35,7 +35,7 @@ hint above); both regimes are plan- and output-pinned
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ibis_olap_aggregation_spark.queries import dim_side, register
@@ -117,15 +117,19 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
     )
-    mn = costs.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
+    # r14: the decorrelated MIN used to be a groupBy + equi-join back
+    # onto costs — Catalyst does not dedupe the two references, so the
+    # whole costs subtree (the lineitem-derived partsupp aggregate plus
+    # three dim joins) executed TWICE. A MIN window over ps_partkey
+    # computes the same per-part minimum on ONE pass of costs with ONE
+    # exchange, and `ps_supplycost = min` keeps exactly the rows the
+    # join kept (ties included; supplycost is never NULL — it is a MIN
+    # aggregate over non-null prices).
+    w_mn = Window.partitionBy("ps_partkey")
     p = t["part"].filter(F.col("p_size") == 15)
     return (
-        costs.join(
-            mn,
-            (costs["ps_partkey"] == mn["ps_partkey"])
-            & (costs["ps_supplycost"] == mn["min_cost"]),
-        )
-        .drop(mn["ps_partkey"])
+        costs.withColumn("min_cost", F.min("ps_supplycost").over(w_mn))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .join(dim_side(p), F.col("ps_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
@@ -436,16 +440,29 @@ def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late"),
         )
     )
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
-    )
+    # r14: the per-order aggregate used to be a groupBy + join back onto
+    # flagged — the lineitem ⋈ orders join (the query's dominant cost)
+    # executed TWICE, once under each reference. collect_set windows
+    # over l_orderkey compute the same distinct counts on ONE pass with
+    # ONE exchange: size(collect_set(x)) ≡ COUNT(DISTINCT x) per
+    # partition (collect_set drops NULLs exactly as COUNT DISTINCT
+    # ignores them, so the CASE WHEN late form carries over verbatim).
+    w_ord = Window.partitionBy("l_orderkey")
     return (
-        flagged.filter(F.col("late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        flagged.withColumn(
+            "n_supp", F.size(F.collect_set("l_suppkey").over(w_ord))
+        )
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late"), F.col("l_suppkey"))
+                ).over(w_ord)
+            ),
+        )
+        .filter(
+            F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
         .join(
             dim_side(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
         )

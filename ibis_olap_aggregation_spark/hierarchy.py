@@ -182,6 +182,16 @@ class HierarchyDimension:
         self._n_nodes: int | None = None
         self._local_rows = None
         self._walked_local_count: int | None = None
+        # compact-path artifacts of the columnar local walk (r14): the
+        # checkpointed frame with integer ancestor-index paths and the
+        # single-row broadcast attribute table. When set, the closure and
+        # reporting builders read THESE directly — one element_at per
+        # ancestor reference — instead of re-assembling the full
+        # node_json_path struct array per walked row only to explode or
+        # index it (measured 0.35 -> 2.59s on the 983k-pair deep-binary
+        # closure when the explode ran over the reconstructing view).
+        self._compact = None
+        self._attr_row = None
         if materialize and strategy in ("auto", "local"):
             # ONE bounded collect doubles as the size probe and the
             # local-walk input: dim-sized tables (the common case) never
@@ -581,56 +591,88 @@ class HierarchyDimension:
             for ch in reversed(children.get(node_id[i], ())):
                 stack.append((ch, level + 1, path))
         node_schema = self.nodes.schema
-        path_struct = T.StructType(
-            [node_schema[c] for c in cols]
-            + [T.StructField("level_number", T.IntegerType(), False)]
-        )
-        walked_schema = T.StructType(
+        # r14 compact transfer: the path column used to ship every
+        # ancestor's FULL attribute struct per descendant — sum(depth(n))
+        # structs through createDataFrame AND the eager checkpoint (the
+        # dominant cost of a deep dim build; a 65k-node binary tree
+        # carries ~1M path entries). Ship each node's attributes ONCE
+        # instead: the checkpointed frame stores the path as ancestor
+        # ROW-INDEX arrays (ints), a single-row side frame broadcasts the
+        # attribute structs in original row order, and the returned view
+        # rebuilds node_json_path/_sort_path per row from the broadcast —
+        # same values from the same Arrow arrays, identical walked schema
+        # downstream (agreement-pinned against the dict walk in
+        # tests/test_opt_r14.py).
+        attr_struct_t = T.StructType([node_schema[c] for c in cols])
+        compact_schema = T.StructType(
             [node_schema[c] for c in cols]
             + [
                 T.StructField("level_number", T.IntegerType(), False),
-                T.StructField("node_json_path", T.ArrayType(path_struct), False),
                 T.StructField(
-                    "_sort_path",
-                    T.ArrayType(node_schema[sort_key].dataType),
-                    False,
+                    "_path_idx", T.ArrayType(T.LongType(), False), False
                 ),
                 T.StructField("node_sort_order", T.IntegerType(), True),
             ]
         )
-        arrow_schema = to_arrow_schema(walked_schema)
         col_arr = {c: tbl.column(c).chunk(0) for c in cols}
         take_o = pa.array(order, type=pa.int64())
         take_p = pa.array(path_flat, type=pa.int64())
         off = np.asarray(path_off, dtype=np.int32)
-        # path-entry level_number = 1-based position within its segment
-        entry_lvl = (
-            np.arange(off[-1], dtype=np.int32)
-            - np.repeat(off[:-1], np.diff(off)).astype(np.int32)
-            + 1
-        )
-        path_children = [col_arr[c].take(take_p) for c in cols] + [
-            pa.array(entry_lvl, type=pa.int32())
-        ]
-        path_fields = list(to_arrow_schema(path_struct))
-        struct_arr = pa.StructArray.from_arrays(path_children, fields=path_fields)
         list_off = pa.array(off, type=pa.int32())
         n_out = len(order)
-        out_arrays = [col_arr[c].take(take_o) for c in cols] + [
+        compact_arrays = [col_arr[c].take(take_o) for c in cols] + [
             pa.array(np.asarray(levels, dtype=np.int32), type=pa.int32()),
-            pa.ListArray.from_arrays(list_off, struct_arr),
-            pa.ListArray.from_arrays(list_off, col_arr[sort_key].take(take_p)),
+            pa.ListArray.from_arrays(list_off, take_p),
             pa.array(np.arange(1, n_out + 1, dtype=np.int32), type=pa.int32())
             if self.compute_sort_order
             else pa.nulls(n_out, pa.int32()),
         ]
-        walked = self.nodes.sparkSession.createDataFrame(
-            pa.Table.from_arrays(out_arrays, schema=arrow_schema)
+        spark = self.nodes.sparkSession
+        compact = spark.createDataFrame(
+            pa.Table.from_arrays(
+                compact_arrays, schema=to_arrow_schema(compact_schema)
+            )
+        ).localCheckpoint(eager=True)  # same eager off-driver checkpoint
+        # one row holding ALL n attribute structs in original row order
+        # (node-count-sized, the same bound as the local walk itself);
+        # _path_idx entries are 0-based positions into it
+        attr_fields = list(to_arrow_schema(attr_struct_t))
+        attr_struct = pa.StructArray.from_arrays(
+            [col_arr[c] for c in cols], fields=attr_fields
+        )
+        attr_row = spark.createDataFrame(
+            pa.Table.from_arrays(
+                [
+                    pa.ListArray.from_arrays(
+                        pa.array([0, tbl.num_rows], type=pa.int32()), attr_struct
+                    )
+                ],
+                schema=to_arrow_schema(
+                    T.StructType(
+                        [T.StructField("_attrs", T.ArrayType(attr_struct_t), False)]
+                    )
+                ),
+            )
+        )
+        anc = "transform(_path_idx, x -> element_at(_attrs, cast(x + 1 as int)))"
+        entry = ", ".join(f"'{c}', s.`{c}`" for c in cols)
+        path_expr = (
+            f"transform({anc}, (s, i) -> "
+            f"named_struct({entry}, 'level_number', cast(i + 1 as int)))"
+        )
+        sort_expr = f"transform({anc}, s -> s.`{sort_key}`)"
+        walked = compact.crossJoin(F.broadcast(attr_row)).select(
+            *[F.col(c) for c in cols],
+            F.col("level_number"),
+            F.expr(path_expr).alias("node_json_path"),
+            F.expr(sort_expr).alias("_sort_path"),
+            F.col("node_sort_order"),
         )
         self._levels = []
         self._walked_local_count = n_out
-        # same eager off-driver checkpoint as the dict path (see above)
-        return walked.localCheckpoint(eager=True)
+        self._compact = compact
+        self._attr_row = attr_row
+        return walked
 
     def _classify_unreached(self) -> None:
         """Nodes absent from the walk either hang off a MISSING parent
@@ -954,7 +996,6 @@ class HierarchyDimension:
         """Flattened reporting dim (ref :133-160): node columns +
         level_number + node_sort_order + rebuilt node_json + the
         level_{1..N}_{col} root-to-self path columns."""
-        w = self._walked
         node_json = F.struct(
             *[F.col(c) for c in self._struct_cols],
             F.col("level_number"),
@@ -967,9 +1008,33 @@ class HierarchyDimension:
         for i in range(1, self.flatten_levels + 1):
             # 1-based like DuckDB list_extract; try_ variant for NULL
             # (not error) past the path end under Spark 4 ANSI mode
-            elem = F.try_element_at(F.col("node_json_path"), F.lit(i))
+            if self._compact is not None:
+                # compact-path fast branch (r14): one broadcast struct
+                # fetch per flattened level — element_at propagates the
+                # NULL index past the path end exactly like the
+                # try_element_at on the struct path it replaces
+                elem = F.expr(
+                    "element_at(_attrs,"
+                    f" cast(try_element_at(_path_idx, {i}) + 1 as int))"
+                )
+                lvl_num = F.when(
+                    F.try_element_at("_path_idx", F.lit(i)).isNotNull(),
+                    F.lit(i),
+                ).cast("int")
+            else:
+                elem = F.try_element_at(F.col("node_json_path"), F.lit(i))
+                lvl_num = elem.getField("level_number")
             for c in flat_fields:
-                level_cols.append(elem.getField(c).alias(f"level_{i}_{c}"))
+                level_cols.append(
+                    lvl_num.alias(f"level_{i}_{c}")
+                    if c == "level_number"
+                    else elem.getField(c).alias(f"level_{i}_{c}")
+                )
+        w = (
+            self._compact.crossJoin(F.broadcast(self._attr_row))
+            if self._compact is not None
+            else self._walked
+        )
         return w.select(
             *self.nodes.columns,
             "level_number",
@@ -989,14 +1054,36 @@ class HierarchyDimension:
         recursion. Ancestor node_sort_order (computed after the walk) is
         filled by a broadcast self-join on ancestor node_id.
         """
-        w = self._walked
-        exploded = w.select(
-            *[F.col(c).alias(f"descendant_{c}") for c in self._attr_out_cols()],
-            F.col("level_number").alias("descendant_level_number"),
-            F.col("node_sort_order").alias("descendant_node_sort_order"),
-            F.posexplode("node_json_path").alias("_pos", "_anc"),
-        )
-        anc = F.col("_anc")
+        if self._compact is not None:
+            # compact-path fast branch (r14): explode the INT ancestor
+            # indices and fetch each ancestor's attribute struct once
+            # from the broadcast row — never materializing the per-node
+            # struct-path array the view would rebuild just to explode
+            exploded = (
+                self._compact.crossJoin(F.broadcast(self._attr_row))
+                .select(
+                    *[
+                        F.col(c).alias(f"descendant_{c}")
+                        for c in self._attr_out_cols()
+                    ],
+                    F.col("level_number").alias("descendant_level_number"),
+                    F.col("node_sort_order").alias(
+                        "descendant_node_sort_order"
+                    ),
+                    "_attrs",
+                    F.posexplode("_path_idx").alias("_pos", "_aidx"),
+                )
+            )
+            anc = F.expr("element_at(_attrs, cast(_aidx + 1 as int))")
+        else:
+            w = self._walked
+            exploded = w.select(
+                *[F.col(c).alias(f"descendant_{c}") for c in self._attr_out_cols()],
+                F.col("level_number").alias("descendant_level_number"),
+                F.col("node_sort_order").alias("descendant_node_sort_order"),
+                F.posexplode("node_json_path").alias("_pos", "_anc"),
+            )
+            anc = F.col("_anc")
         closure = exploded.select(
             *[anc.getField(c).alias(f"ancestor_{c}") for c in self._attr_out_cols()],
             (F.col("_pos") + 1).alias("ancestor_level_number"),
@@ -1004,7 +1091,9 @@ class HierarchyDimension:
             F.col("descendant_level_number"),
             F.col("descendant_node_sort_order"),
         )
-        sort_orders = w.select(
+        sort_orders = (
+            self._compact if self._compact is not None else self._walked
+        ).select(
             F.col("node_id").alias("ancestor_node_id"),
             F.col("node_sort_order").alias("ancestor_node_sort_order"),
         )

@@ -1386,15 +1386,26 @@ def _pq_adc_truth(spark: SparkSession, sf_dir: str):
     codes2 = e.crossJoin(F.broadcast(_cb_row(cb2))).select(
         "vec_id", _codes_expr.alias("codes")
     )
-    qmin = e.agg(F.min("vec_id").alias("qid"))
-    q = e.join(F.broadcast(qmin), e.vec_id == F.col("qid")).select(
-        F.col("v").alias("qv")
+    # ONE aggregate row carries both the query id and its vector
+    # (min_by on the unique vec_id ≡ the min-qid row's v), and qid rides
+    # the LUT row too: the old shape serialized THREE broadcast-build
+    # jobs (qmin; a corpus scan joined against it to fish out qv; the
+    # LUT) and attached each consumer with an anti-join PLUS a
+    # crossJoin. One broadcast row per consumer now — the anti-join
+    # becomes the equivalent `vec_id != qid` filter on the same
+    # single-row attach (qid is never NULL, so anti-equality ≡ the
+    # filter row-for-row). r14, guide §1.2: at bench scale these fixed
+    # job latencies are the query's floor.
+    qrow = e.agg(
+        F.min("vec_id").alias("qid"), F.min_by("v", "vec_id").alias("qv")
     )
     lut_m = F.expr(
         f"aggregate(zip_with(slice(qv, m * {_PQ_DSUB} + 1, {_PQ_DSUB}), cvec,"
         " (x, y) -> (x - y) * (x - y)), 0d, (acc, x) -> acc + x)"
     )
-    lut = cb2.crossJoin(F.broadcast(q)).select("m", "cj", lut_m.alias("adc_m"))
+    lut = cb2.crossJoin(F.broadcast(qrow)).select(
+        "qid", "m", "cj", lut_m.alias("adc_m")
+    )
     # the LUT (<= 128 rows) also collects to one broadcast row; each
     # vector's ADC distance is a per-row m-ascending fold over its own
     # code array — the same summation order as the collect_list +
@@ -1402,7 +1413,8 @@ def _pq_adc_truth(spark: SparkSession, sf_dir: str):
     # bit-identical — with no per-vector (m, cj) join or corpus-sized
     # collect_list aggregation
     lut_row = lut.groupBy().agg(
-        F.expr("array_sort(collect_list(struct(m, cj, adc_m))) AS luts")
+        F.min("qid").alias("qid"),  # constant across the 128 rows
+        F.expr("array_sort(collect_list(struct(m, cj, adc_m))) AS luts"),
     )
     adc_sum = F.expr(
         f"aggregate(zip_with(codes, sequence(0, {_PQ_M - 1}),"
@@ -1410,8 +1422,8 @@ def _pq_adc_truth(spark: SparkSession, sf_dir: str):
         " 0d, (acc, x) -> acc + x)"
     )
     adc = (
-        codes2.join(F.broadcast(qmin), codes2.vec_id == F.col("qid"), "left_anti")
-        .crossJoin(F.broadcast(lut_row))
+        codes2.crossJoin(F.broadcast(lut_row))
+        .filter(F.col("vec_id") != F.col("qid"))
         .select("vec_id", adc_sum.alias("adc_d2"))
     )
     true_d2 = F.expr(
@@ -1419,8 +1431,8 @@ def _pq_adc_truth(spark: SparkSession, sf_dir: str):
         " 0d, (acc, x) -> acc + x)"
     )
     truth = (
-        e.join(F.broadcast(qmin), e.vec_id == F.col("qid"), "left_anti")
-        .crossJoin(F.broadcast(q))
+        e.crossJoin(F.broadcast(qrow))
+        .filter(F.col("vec_id") != F.col("qid"))
         .select("vec_id", true_d2.alias("true_d2"))
     )
     return adc, truth

@@ -1653,7 +1653,12 @@ def emb_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims^2-sized. The input is repartitioned on vec_id first: a single
     parquet file is ONE input partition, and a 2080x explode in one
     task is the round-7 single-task cliff."""
-    mom = _cov_moments(spark, sf_dir)
+    # the moment table is consumed THREE times (the va/vb broadcast
+    # builds and the i<j probe) and each un-materialized reference
+    # re-runs the corpus-wide 2080x explode + aggregate; the cache is
+    # dims^2-bounded (2080 rows at 64 dims) at ANY corpus size (r14,
+    # same fix as pca's cv cache)
+    mom = query_cache(_cov_moments(spark, sf_dir))
     var = mom.filter(F.col("i") == F.col("j")).select(
         F.col("i").alias("vi"), F.col("cov").alias("v")
     )

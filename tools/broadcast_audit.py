@@ -96,6 +96,12 @@ RULES: list[tuple] = [
     (r"hierarchy\.py$", r"return F\.broadcast\(df\)", "resolver",
      "≤ DIM_BROADCAST_ROW_CAP = 2M rows (_known_size_side: probe-free "
      "twin of dim_side — cap guard on the known row count, prior line)"),
+    # --- driver-assembled one-row frames (size gated before assembly)
+    (r"hierarchy\.py$",
+     r"crossJoin\(F\.broadcast\((?:self\._)?attr_row\)\)", "single-row",
+     "1 row (compact local walk's attribute array: driver-built Arrow "
+     "table of ≤ _LOCAL_WALK_LIMIT = 250k node structs — the walk "
+     "itself is gated on that bound before assembly)"),
     # --- constant-cardinality dims and literal tables
     (r"tpch\.py$", r'F\.broadcast\(t\["nation"\]', "constant", "nation = 25 rows"),
     (r"tpch\.py$", r'F\.broadcast\(t\["region"\]', "constant", "region = 5 rows"),
@@ -162,6 +168,9 @@ RULES: list[tuple] = [
     (r"similarity\.py$", r"F\.broadcast\(lut_row\)", "single-row",
      "1 row (M x 2^b ADC LUT collected into one sorted struct array — "
      "argless groupBy().agg lineage)", True),
+    (r"similarity\.py$", r"F\.broadcast\(qrow\)", "single-row",
+     "1 row (fused query row: min/min_by GLOBAL aggregate over the "
+     "group-free embeddings lineage carries qid + qv together)", True),
     (r"timeseries\.py$", r"F\.broadcast\(lags\)", "fixed-k", "MAX_LAG literal lag offsets"),
     (r"text\.py$", r"F\.broadcast\(vocab\.select|F\.broadcast\(va\)|F\.broadcast\(vb\)",
      "fixed-k", "PMI vocab capped at top-50 (module constant)"),

@@ -847,3 +847,11 @@ def streaming_asof_enrich_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
         F.col("gap_us").cast("bigint").alias("gap_us"),
     ).orderBy("click_event_id")
+
+
+# The as-of twin above registered AFTER the module's re-reorder call —
+# when THIS module is the first import, its placement must go through
+# the same driver-coverage reorder as the canonical path (the interrupted
+# build left this trailing registration unordered; inherited-state fix,
+# optimization round 14).
+_reorder_for_driver_coverage()

@@ -809,20 +809,78 @@ def main() -> None:
     # above, so every round's BENCH_r{N}.json has a short machine-readable
     # record of the total and the worst regressions (VERDICT r3 item 3 —
     # both r2 and r3 captures were head-truncated and parsed as null).
+    #
+    # r15 measurement-bug fix: the capture keeps only the LAST ~2000
+    # characters of stdout and parses the last JSON line found inside
+    # them — every round since r2 (when the full line first outgrew
+    # 2000 chars) recorded ZERO per-query timings in BENCH_r{N}.json
+    # because this trailing line carried no "queries" key (PERF_r14:
+    # n_common=0, bench_ok=false). All ~85 query names alone exceed the
+    # 2000-char window, so the full dict can never fit; instead the
+    # trailing line now carries the LARGEST timings that fit a
+    # conservative byte budget (they dominate the total and are what
+    # per-query grading needs), plus the count and summed seconds of
+    # the omitted small entries so the total reconciles. The full dict
+    # still prints above and persists to BENCH_HISTORY.jsonl.
     worst = dict(
         sorted(deltas.items(), key=lambda kv: kv[1], reverse=True)[:3]
     )
-    print(json.dumps({
+    print(json.dumps(trailing_summary(
+        out["value"], timings, out["sf"], box_factor, worst, regressions,
+    ), separators=(",", ":")))
+
+
+# Budget for the trailing summary LINE (bytes): the driver keeps
+# stdout[-2000:]; the line must sit entirely inside that window to be
+# parseable, and anything printed after it (nothing today) or a stray
+# executor WARN line would eat into the margin. 1900 leaves slack.
+TRAILING_BUDGET = 1900
+
+
+def trailing_summary(
+    total: float,
+    timings: dict[str, float],
+    sf,
+    box_factor: float,
+    worst: dict[str, float],
+    regressions: dict,
+) -> dict:
+    """Build the trailing one-line record: top-cost queries first, as
+    many as fit the byte budget; the tail is summarized (count + summed
+    seconds) so value == sum(queries) + queries_omitted_sec."""
+    base = {
         "metric": "headline_total",
-        "value": out["value"],
+        "value": total,
         "unit": "sec",
         "n": len(timings),
-        "sf": out["sf"],
+        "sf": sf,
         "basis": BENCH_BASIS,
         "box_factor": box_factor,
+        "queries": {},
+        "queries_omitted": 0,
+        "queries_omitted_sec": 0.0,
         "worst_deltas": worst,
         "regressions": regressions,
-    }))
+    }
+    ordered = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    # worst-case fixed cost if every entry were omitted
+    base["queries_omitted"] = len(ordered)
+    base["queries_omitted_sec"] = round(sum(v for _, v in ordered), 3)
+    line_len = len(json.dumps(base, separators=(",", ":")))
+    picked: dict[str, float] = {}
+    omitted_sec = base["queries_omitted_sec"]
+    for name, sec in ordered:
+        # marginal cost of adding {"name":sec} (entry + comma)
+        cost = len(json.dumps({name: round(sec, 3)}, separators=(",", ":"))) - 1
+        if line_len + cost > TRAILING_BUDGET:
+            break
+        picked[name] = round(sec, 3)
+        omitted_sec -= sec
+        line_len += cost
+    base["queries"] = picked
+    base["queries_omitted"] = len(ordered) - len(picked)
+    base["queries_omitted_sec"] = round(max(omitted_sec, 0.0), 3)
+    return base
 
 
 if __name__ == "__main__":

@@ -1010,11 +1010,16 @@ class HierarchyDimension:
             # (not error) past the path end under Spark 4 ANSI mode
             if self._compact is not None:
                 # compact-path fast branch (r14): one broadcast struct
-                # fetch per flattened level — element_at propagates the
-                # NULL index past the path end exactly like the
-                # try_element_at on the struct path it replaces
+                # fetch per flattened level — past the path end the
+                # inner try_element_at yields a NULL index, which the
+                # outer lookup must propagate as NULL. try_ on the
+                # outer lookup too (ADVICE r14): indexes are always
+                # in-bounds (+1 of a valid 0-based ancestor index), so
+                # behavior is unchanged, but the non-try form read as
+                # an ANSI-error hazard relying on element_at's
+                # NULL-index propagation
                 elem = F.expr(
-                    "element_at(_attrs,"
+                    "try_element_at(_attrs,"
                     f" cast(try_element_at(_path_idx, {i}) + 1 as int))"
                 )
                 lvl_num = F.when(

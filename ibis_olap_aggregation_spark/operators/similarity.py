@@ -978,10 +978,14 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines), so assignments and the movement metric still match the
     oracle bit-for-bit — the property that lets a Spark-built IVF index
     be verified against (or refined by) any other engine. Cost per step:
-    one |vectors| x |centroids| broadcast score pass + two map-side
-    combined aggregations; the loop is rounds x that, no pair joins.
-    Clusters that lose every member report n_assigned=0 and a NULL
-    shift (their centroid is retired, the standard k-means edge case).
+    ONE |vectors| x |centroids| broadcast score pass feeding one
+    map-side combined (cluster, dim) aggregation — the assignment
+    counts fall out of that same aggregate's dim-1 partials (ADVICE
+    r14: the first cut folded the corpus twice, once for n_assigned
+    and once for the re-estimate); the loop is rounds x that, no pair
+    joins. Clusters that lose every member report n_assigned=0 and a
+    NULL shift (their centroid is retired, the standard k-means edge
+    case).
     """
     e = _emb(spark, sf_dir)
     ex = _ivf_exploded(e)
@@ -1002,15 +1006,31 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     av = _ivf_ranked_structs(e, cent).select(
         "vec_id", "v", F.element_at("_ranked", 1)["c_label"].alias("nl")
     )
-    assign = av.select("vec_id", "nl")
-    # the 64x explode + decimal re-estimate inherits _ivf_ranked_structs'
-    # spread partitioning — parallel without the old join's exchange
-    cent2 = _ivf_centroids(
-        av.select("nl", F.posexplode("v").alias("dim0", "val")).select(
-            "nl", (F.col("dim0") + 1).alias("dim"), "val"
-        ),
-        "nl",
-    ).withColumnRenamed("cval", "cval2")
+    # ONE corpus fold pass (ADVICE r14): n_assigned and the re-estimate
+    # previously each consumed `av` — two full per-row k-centroid score
+    # passes. posexplode_OUTER keeps one row even for a NULL/empty
+    # vector (dim NULL), so counting each vector's dim-1-or-NULL row
+    # reproduces the old per-vector assignment count exactly, for every
+    # input; NULL-dim groups never match the shift join's dim equality,
+    # so cval2 semantics are unchanged. The 64x explode + decimal
+    # re-estimate inherits _ivf_ranked_structs' spread partitioning —
+    # parallel without the old join's exchange.
+    grains = av.select("nl", F.posexplode_outer("v").alias("dim0", "val")).select(
+        "nl", (F.col("dim0") + 1).alias("dim"), "val"
+    )
+    # g is referenced twice (shift + n_assigned) and is bounded at
+    # k x (64+1) rows at any corpus size — tracked-cache it so the
+    # corpus fold behind it runs exactly once
+    g = query_cache(
+        grains.groupBy(F.col("nl").alias("c_label"), "dim").agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cval2"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    cent2 = g.select("c_label", "dim", "cval2")
     shift = (
         cent.join(cent2, ["c_label", "dim"])
         .groupBy("c_label")
@@ -1026,8 +1046,13 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_init = e.groupBy(F.col("label").alias("c_label")).agg(
         F.count(F.lit(1)).alias("n_init")
     )
-    n_asgn = assign.groupBy(F.col("nl").alias("c_label")).agg(
-        F.count(F.lit(1)).alias("n_assigned")
+    # every vector contributes exactly one dim=1 row (or one NULL-dim
+    # row when its vector is NULL/empty), so these partials ARE the
+    # per-cluster assignment counts
+    n_asgn = (
+        g.filter(F.col("dim").eqNullSafe(1) | F.col("dim").isNull())
+        .groupBy("c_label")
+        .agg(F.sum("_n").alias("n_assigned"))
     )
     return (
         n_init.join(n_asgn, "c_label", "left")

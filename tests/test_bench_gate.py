@@ -396,3 +396,38 @@ def test_floor_divergence_is_self_relative(tmp_path, monkeypatch):
     )
     # disarmed with no pool
     assert not bench.floor_divergence(2.9, None, None)
+
+
+def test_trailing_summary_fits_capture_window_and_reconciles():
+    """The driver keeps only the last ~2000 chars of bench stdout and
+    parses the last JSON line inside them: the trailing summary must
+    (a) fit that window as one line, (b) carry the LARGEST per-query
+    timings (what per-query grading needs), and (c) reconcile
+    value == sum(queries) + queries_omitted_sec."""
+    import json as _json
+
+    # worst case: many long names, all expensive
+    timings = {
+        f"hierarchy_geo_rollup_orders_shuffled_variant_{i:03d}": 10.0 - i * 0.01
+        for i in range(120)
+    }
+    out = bench.trailing_summary(
+        round(sum(timings.values()), 3), timings, 0.1, 1.4,
+        {"some_query": 1.0}, {},
+    )
+    line = _json.dumps(out, separators=(",", ":"))
+    assert len(line) <= bench.TRAILING_BUDGET
+    assert out["queries"]  # never empty under the budget
+    # top entries are the most expensive ones, in full
+    picked = list(out["queries"].values())
+    assert picked == sorted(picked, reverse=True)
+    assert max(timings.values()) == max(picked)
+    # reconciliation: omitted tail is summarized, not lost
+    assert out["queries_omitted"] == len(timings) - len(out["queries"])
+    assert (
+        abs(sum(picked) + out["queries_omitted_sec"] - out["value"]) < 0.01
+    )
+    # small sets fit whole
+    small = {"q%d" % i: 1.0 for i in range(5)}
+    out2 = bench.trailing_summary(5.0, small, 0.1, 1.0, {}, {})
+    assert out2["queries_omitted"] == 0 and len(out2["queries"]) == 5

@@ -490,7 +490,16 @@ def sketch_hll_portable_registers(
             - F.length(F.expr("trim(LEADING '0' FROM bin(w))"))
         ).alias("r"),
     )
-    regs_g = rho.groupBy("grp", "bucket").agg(F.max("r").alias("reg"))
+    # Tracked query-scoped cache on the register table: it is BOUNDED
+    # (<= |grps| x 256 rows at any corpus size — registers, not keys)
+    # and has FOUR downstream evaluations without it (the regs union
+    # reads it twice, the spine's grp-distinct and the dense broadcast
+    # build re-derive it), each re-running the mix/bin/ltrim chain over
+    # the distinct keys plus its (grp, bucket) exchange — measured 4x
+    # 32-task stage chains per run at sf0.1.
+    regs_g = query_cache(
+        rho.groupBy("grp", "bucket").agg(F.max("r").alias("reg"))
+    )
     regs = regs_g.unionByName(
         regs_g.groupBy("bucket")
         .agg(F.max("reg").alias("reg"))

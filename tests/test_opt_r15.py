@@ -62,3 +62,87 @@ def test_kmeans_one_pass_counts_null_and_empty_vectors(
         if r.n_assigned > 0:
             assert r.centroid_shift_l1 is not None
             assert r.centroid_shift_l1 == r.centroid_shift_l1  # not NaN
+
+
+@pytest.fixture(scope="module")
+def dup_token_docs_dir(tmp_path_factory):
+    """Documents fixture where token FREQUENCY matters: doc 1 repeats
+    'alpha' three times (vote weight 3) against one 'beta'; doc 2 holds
+    the same distinct tokens at weight 1 each. A simhash that dropped
+    the frequency weighting (e.g. by deduplicating tokens) would give
+    both docs more similar bit votes than the weighted contract."""
+    d = tmp_path_factory.mktemp("dup_token_docs")
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha alpha alpha beta",
+                "alpha beta",
+                "alpha alpha alpha beta",  # exact dup of doc 1
+            ],
+            "source": ["a", "a", "a"],
+            "lang": ["en", "en", "en"],
+        }
+    )
+    docs.to_parquet(str(d / "documents.parquet"), index=False)
+    return str(d)
+
+
+def test_simhash_one_aggregate_keeps_frequency_weighting(
+    spark, dup_token_docs_dir
+):
+    """The r15 one-aggregate simhash (60 per-bit sums over token
+    OCCURRENCES) must reproduce the frequency-weighted contract: equal
+    texts hash equal, and the per-occurrence +/-1 votes equal the old
+    +/-count-weighted votes (sum-linearity). Also pins the plan shape
+    the rewrite bought: exactly ONE hash exchange (the doc_id
+    aggregate) — the old (doc_id, token) count and (doc_id, b)
+    re-aggregate exchanges are gone."""
+    from ibis_olap_aggregation_spark.operators.dedup import (
+        SIMHASH_BITS,
+        dedup_simhash_signatures,
+    )
+
+    df = dedup_simhash_signatures(spark, dup_token_docs_dir)
+    rows = {r.doc_id: r.simhash for r in df.collect()}
+    assert set(rows) == {1, 2, 3}
+    # exact-duplicate text => identical signature
+    assert rows[1] == rows[3]
+    # signatures live in the 60-bit space
+    for v in rows.values():
+        assert 0 <= v < (1 << SIMHASH_BITS)
+    # reference model: frequency-weighted votes over md5-derived token
+    # hashes, computed independently in python over the same md5 ints
+    import hashlib
+
+    def md5int(tok: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(tok.encode()).digest()[:8], "big"
+        ) & ((1 << 60) - 1)
+
+    def ref_simhash(tokens: list[str]) -> int:
+        votes = [0] * SIMHASH_BITS
+        for t in tokens:
+            hv = md5int(t)
+            for b in range(SIMHASH_BITS):
+                votes[b] += 1 if (hv >> b) & 1 else -1
+        return sum(1 << b for b in range(SIMHASH_BITS) if votes[b] > 0)
+
+    # only check the STRUCTURAL property the rewrite could break —
+    # weighting: doc 1 (alpha x3) must differ from doc 2 (alpha x1)
+    # exactly when the weighted reference model says so
+    r1 = ref_simhash(["alpha"] * 3 + ["beta"])
+    r2 = ref_simhash(["alpha", "beta"])
+    assert (rows[1] == rows[2]) == (r1 == r2)
+    # plan pin: one hash exchange total (the doc_id aggregate); the
+    # token-count and bit-vote exchanges of the old 3-exchange chain
+    # must not come back. EXECUTED plan: EnsureRequirements only
+    # inserts the aggregation exchanges there (sparkPlan carries just
+    # the user-specified round-robin spread).
+    from ibis_olap_aggregation_spark.plans import inspect as pi
+
+    plan = pi._strip_non_executing(pi.physical_plan(df, executed=True))
+    import re
+
+    hashex = re.findall(r"hashpartitioning\(([^,)]+)", plan)
+    assert len(hashex) == 1 and hashex[0].startswith("doc_id"), plan
